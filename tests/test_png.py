@@ -1,0 +1,126 @@
+"""PNG encoder tests: bit packing goldens (FIXTURES.md §B10), roundtrip
+through our test decoder, tRNS/PLTE layout, dynamic-palette cap rule."""
+
+import numpy as np
+import pytest
+
+from rastertiler_rs_ray.functions.packing import pack_bits_rows
+from rastertiler_rs_ray.png import (
+    Colormap,
+    ColormapEncoder,
+    GrayscaleEncoder,
+    RGBEncoder,
+    decode_png,
+    parse_colormap,
+    rgb8_from_hex,
+    rgb8_from_u32,
+)
+from rastertiler_rs_ray.png.encoders import build_dynamic_palette, _select_depth
+
+
+def test_hex_parse():
+    assert rgb8_from_hex("#FF00FF") == (255, 0, 255)
+    with pytest.raises(ValueError):
+        rgb8_from_hex("FF00FF")
+    with pytest.raises(ValueError):
+        rgb8_from_hex("#FF00F")
+
+
+def test_u32_unpack():
+    r, g, b = rgb8_from_u32(np.array([0xAABBCC, 0x010203], dtype=np.uint32))
+    assert list(r) == [0xAA, 0x01] and list(g) == [0xBB, 0x02] and list(b) == [0xCC, 0x03]
+
+
+# B10 packing goldens (src/png/util.rs:5-17)
+def test_pack_goldens():
+    assert pack_bits_rows(np.array([[1, 0, 0, 0, 0, 0, 0, 1]], np.uint8), 1)[0, 0] == 0x81
+    assert pack_bits_rows(np.array([[3, 2, 1, 0]], np.uint8), 2)[0, 0] == 0xE4
+    assert pack_bits_rows(np.array([[0xF, 0x1]], np.uint8), 4)[0, 0] == 0xF1
+    # row-aligned padding: 3 pixels at 2-bit → one byte, low bits zero
+    assert pack_bits_rows(np.array([[3, 3, 3]], np.uint8), 2)[0, 0] == 0b11111100
+
+
+def test_depth_selection():
+    # palette len incl nodata slot: ≤2→1, ≤4→2, ≤16→4, else 8 (colormap.rs:96-101)
+    assert _select_depth(2) == 1
+    assert _select_depth(3) == 2
+    assert _select_depth(4) == 2
+    assert _select_depth(16) == 4
+    assert _select_depth(17) == 8
+
+
+def test_grayscale_roundtrip():
+    rng = np.random.default_rng(42)
+    buf = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    png = GrayscaleEncoder(16, 16, nodata=7).encode(buf)
+    d = decode_png(png)
+    assert d["color_type"] == 0 and d["bit_depth"] == 8
+    assert d["trns"] == bytes([0, 7])
+    np.testing.assert_array_equal(d["pixels"], buf)
+
+
+@pytest.mark.parametrize("n_colors,exp_depth", [(1, 1), (3, 2), (14, 4), (100, 8)])
+def test_indexed_roundtrip(n_colors, exp_depth):
+    cm = Colormap(nodata=0)
+    for v in range(1, n_colors + 1):
+        cm.add_color(v, (v % 256, (v * 3) % 256, (v * 7) % 256))
+    rng = np.random.default_rng(1)
+    buf = rng.integers(0, n_colors + 1, size=(16, 16), dtype=np.uint16)
+    png = ColormapEncoder(16, 16, cm).encode(buf)
+    d = decode_png(png)
+    assert d["color_type"] == 3 and d["bit_depth"] == exp_depth
+    assert d["trns"] == b"\x00"
+    assert d["palette"][:3] == b"\x00\x00\x00"  # index 0 = nodata, black
+    np.testing.assert_array_equal(d["pixels"], cm.index_of(buf))
+
+
+def test_indexed_unknown_value_maps_to_zero():
+    cm = parse_colormap("1:#ff0000,2:#00ff00", nodata=255)
+    buf = np.array([[1, 2, 99, 255]], dtype=np.uint8)
+    idx = cm.index_of(buf)
+    # 255 (nodata) → 0; unknown 99 → 0 (transparent per color.rs:99-106)
+    np.testing.assert_array_equal(idx, [[1, 2, 0, 0]])
+    assert cm.palette_bytes() == bytes([0, 0, 0, 255, 0, 0, 0, 255, 0])
+
+
+def test_rgb_roundtrip():
+    rng = np.random.default_rng(3)
+    buf = rng.integers(0, 2**24, size=(8, 8), dtype=np.uint32)
+    enc = RGBEncoder(8, 8, nodata=0x123456)
+    png = enc.encode_u32(buf)
+    d = decode_png(png)
+    assert d["color_type"] == 2 and d["bit_depth"] == 8
+    assert d["trns"] == bytes([0, 0x12, 0, 0x34, 0, 0x56])
+    r, g, b = rgb8_from_u32(buf)
+    np.testing.assert_array_equal(d["pixels"], np.stack([r, g, b], axis=-1))
+
+
+def test_dynamic_palette_insertion_order():
+    buf = np.array([[5, 5, 3], [3, 9, 0]], dtype=np.uint32)
+    cm = build_dynamic_palette(buf, nodata=0)
+    # insertion order: nodata=0 → idx0, then 5, 3, 9 by first occurrence
+    np.testing.assert_array_equal(cm.index_of(buf), [[1, 1, 2], [2, 3, 0]])
+    assert len(cm) == 4
+
+
+def test_dynamic_palette_cap():
+    # 254 distinct non-nodata → palette; 256 → RGB
+    ok = np.arange(1, 255, dtype=np.uint32).reshape(2, 127)
+    assert build_dynamic_palette(ok, nodata=0) is not None
+    over = np.arange(1, 257, dtype=np.uint32).reshape(2, 128)
+    assert build_dynamic_palette(over, nodata=0) is None
+    # exactly 255 distinct, last new value at final pixel → still palette
+    edge = np.concatenate([np.arange(1, 255, dtype=np.uint32),
+                           np.array([1, 255], dtype=np.uint32)])
+    assert build_dynamic_palette(edge.reshape(1, -1), nodata=0) is not None
+    # exactly 255 distinct but last new value NOT at final pixel → RGB
+    edge2 = np.concatenate([np.arange(1, 256, dtype=np.uint32),
+                            np.array([1], dtype=np.uint32)])
+    assert build_dynamic_palette(edge2.reshape(1, -1), nodata=0) is None
+
+
+def test_png_determinism():
+    buf = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    a = GrayscaleEncoder(16, 16, 0).encode(buf)
+    b = GrayscaleEncoder(16, 16, 0).encode(buf.copy())
+    assert a == b
