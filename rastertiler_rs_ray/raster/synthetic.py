@@ -1,0 +1,242 @@
+"""Deterministic synthetic raster source + the tile-read kernel.
+
+Replaces the reference's GeoTIFF + GDAL warped-VRT source. The raster
+is *functionally defined*: every pixel value is a pure function of its
+global (col, row) coordinate and the seed, so any window read is
+reproducible on any worker with zero I/O and zero shared state — the
+actor "warms" only the tiny spec. The raster is authored directly in
+EPSG:3857 (the reference's own test constants assume Mercator), so the
+reference's warp step (src/dataset.rs:74-110) is the identity here;
+its semantics are preserved: nearest-neighbour only, nodata-initialized
+destination.
+
+``read_tile`` reproduces the reference's core kernel
+(/root/reference/src/dataset.rs:121-196) arithmetic exactly: window
+from tile mercator bounds, per-tile transform scaled to tilesize,
+edge paddings via rounded bound differences, clamped read window,
+``(+0.5).floor()`` read sizes, nearest-neighbour decimation, all-nodata
+skip, and partial-tile placement with nodata backfill (the
+allocate-and-place equivalent of src/array.rs:42-64's in-place shift).
+
+Nearest-neighbour decimation uses center-of-target-pixel mapping
+(src index = floor((i + 0.5) * src_size / dst_size)), the standard
+GDAL NN RasterIO rule; golden tile hashes pin this exact choice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..geo import Affine, Bounds, CE, ORIGIN
+from ..geo.tileid import tile_mercator_bounds
+from ..geo.window import window_from_bounds, window_transform
+
+
+def _round_half_away(v: float) -> float:
+    """Rust f64::round semantics: half away from zero."""
+    return np.sign(v) * np.floor(abs(v) + 0.5)
+
+
+def _mix(gx: np.ndarray, gy: np.ndarray, seed: int) -> np.ndarray:
+    """Cheap deterministic per-pixel hash over global pixel coords (uint64)."""
+    gx = gx.astype(np.uint64)
+    gy = gy.astype(np.uint64)
+    h = gx * np.uint64(0x9E3779B97F4A7C15) ^ gy * np.uint64(0xC2B2AE3D27D4EB4F)
+    h ^= np.uint64((seed * 0xD6E8FEB86659FD93) & 0xFFFFFFFFFFFFFFFF)
+    h ^= h >> np.uint64(32)
+    h *= np.uint64(0xD6E8FEB86659FD93)
+    h ^= h >> np.uint64(29)
+    return h
+
+
+@dataclass(frozen=True)
+class SyntheticRaster:
+    """A functionally-defined single-band EPSG:3857 raster.
+
+    dtype ∈ {"uint8", "uint32"}; ``transform`` is rasterio-order
+    (a, b, c, d, e, f) with b = d = 0 and e = -a (square pixels,
+    north-up), like the reference's warped VRT output.
+    """
+
+    dtype: str
+    nodata: int
+    width: int
+    height: int
+    transform: Affine
+    seed: int = 42
+    block: int = 512  # structural block size for nodata/constant regions
+
+    def bounds(self) -> Bounds:
+        """Raster bounds from geotransform + size. Ref src/dataset.rs:37-48."""
+        t = self.transform
+        return Bounds(
+            xmin=t.c,
+            ymin=t.f + t.e * self.height,
+            xmax=t.c + t.a * self.width,
+            ymax=t.f,
+        )
+
+    # -- pixel function ------------------------------------------------
+    def values_at(self, cols: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        """Evaluate pixel values at global (col, row) grids (broadcastable).
+
+        Structure (per `block`-sized blocks): ~1/5 of blocks are all
+        nodata (exercises the all-nodata skip), ~1/7 are constant
+        (exercises content-hash dedup), the rest are per-pixel hash
+        noise. For uint32, half the blocks use a small 12-value palette
+        (indexed PNG path) and half dense 24-bit values (RGB fallback).
+        """
+        cols = np.asarray(cols)
+        rows = np.asarray(rows)
+        h = _mix(cols, rows, self.seed)
+        bx = cols // self.block
+        by = rows // self.block
+        bh = _mix(bx, by, self.seed + 1)
+        nodata_block = (bh % np.uint64(5)) == np.uint64(0)
+        const_block = (bh % np.uint64(7)) == np.uint64(1)
+
+        if self.dtype == "uint8":
+            vals = (np.uint64(1) + h % np.uint64(255)).astype(np.uint8)
+            vals = np.where(const_block, np.uint8(42), vals)
+            out = np.where(nodata_block, np.uint8(self.nodata), vals)
+            return np.broadcast_to(out, np.broadcast_shapes(cols.shape, rows.shape)).copy()
+
+        if self.dtype == "uint32":
+            palette_block = (bh % np.uint64(2)) == np.uint64(0)
+            small = ((h % np.uint64(12)) * np.uint64(0x102030) + np.uint64(0x010101)).astype(np.uint32)
+            dense = (np.uint64(1) + h % np.uint64(0xFFFFFE)).astype(np.uint32)
+            vals = np.where(palette_block, small, dense)
+            vals = np.where(const_block, np.uint32(0x00FF7F50), vals)
+            out = np.where(nodata_block, np.uint32(self.nodata), vals)
+            return np.broadcast_to(out, np.broadcast_shapes(cols.shape, rows.shape)).copy()
+
+        raise ValueError(f"unsupported dtype {self.dtype}")
+
+    def read_decimated(
+        self, x_off: int, y_off: int, read_w: int, read_h: int, out_w: int, out_h: int
+    ) -> np.ndarray:
+        """NN-resampled read of (read_w, read_h) source px into (out_h, out_w).
+
+        Source pixel per destination pixel chosen by center-of-target
+        mapping: src = off + floor((i + 0.5) * read / out), clamped.
+        """
+        jj = np.minimum(
+            ((np.arange(out_w, dtype=np.float64) + 0.5) * read_w / out_w).astype(np.int64),
+            read_w - 1,
+        )
+        ii = np.minimum(
+            ((np.arange(out_h, dtype=np.float64) + 0.5) * read_h / out_h).astype(np.int64),
+            read_h - 1,
+        )
+        cols = (x_off + jj)[None, :]
+        rows = (y_off + ii)[:, None]
+        return self.values_at(cols, rows)
+
+    # -- the core kernel ----------------------------------------------
+    def read_tile(self, zoom: int, x: int, y: int, tilesize: int) -> np.ndarray | None:
+        """Render one tile buffer, or None if empty. Ref src/dataset.rs:121-196."""
+        size = float(tilesize)
+        vrt_w, vrt_h = float(self.width), float(self.height)
+        vrt_transform = self.transform
+        vrt_bounds = self.bounds()
+
+        bxmin, bymin, bxmax, bymax = (
+            float(v[0])
+            for v in tile_mercator_bounds(np.array([zoom]), np.array([x]), np.array([y]))
+        )
+        tile_bounds = Bounds(bxmin, bymin, bxmax, bymax)
+        window = window_from_bounds(vrt_transform, tile_bounds)
+        tile_transform = window_transform(window, vrt_transform).scale(
+            window.width / size, window.height / size
+        )
+        xres, yres = tile_transform.resolution()
+
+        left = max(_round_half_away((vrt_bounds.xmin - tile_bounds.xmin) / xres), 0.0)
+        right = max(_round_half_away((tile_bounds.xmax - vrt_bounds.xmax) / xres), 0.0)
+        bottom = max(_round_half_away((vrt_bounds.ymin - tile_bounds.ymin) / yres), 0.0)
+        top = max(_round_half_away((tile_bounds.ymax - vrt_bounds.ymax) / yres), 0.0)
+
+        width = int(_round_half_away(size - left - right))
+        height = int(_round_half_away(size - top - bottom))
+
+        x_offset = _round_half_away(min(max(window.x_offset, 0.0), vrt_w))
+        y_offset = _round_half_away(min(max(window.y_offset, 0.0), vrt_h))
+        x_stop = max(min(window.x_offset + window.width, vrt_w), 0.0)
+        y_stop = max(min(window.y_offset + window.height, vrt_h), 0.0)
+
+        read_width = int(np.floor((x_stop - x_offset) + 0.5))
+        read_height = int(np.floor((y_stop - y_offset) + 0.5))
+
+        if read_width == 0 or read_height == 0 or width <= 0 or height <= 0:
+            return None
+
+        data = self.read_decimated(
+            int(x_offset), int(y_offset), read_width, read_height, width, height
+        )
+
+        if np.all(data == data.dtype.type(self.nodata)):
+            return None
+
+        tilesize = int(tilesize)
+        if left > 0 or top > 0 or width < tilesize or height < tilesize:
+            # partial tile: allocate-and-place (equiv of src/array.rs:42-64 shift)
+            out = np.full((tilesize, tilesize), self.nodata, dtype=data.dtype)
+            ox, oy = int(left), int(top)
+            out[oy : oy + height, ox : ox + width] = data
+            return out
+        return data
+
+    def spec(self) -> dict:
+        """JSON-serializable spec (what actors receive as constructor args)."""
+        t = self.transform
+        return {
+            "dtype": self.dtype,
+            "nodata": self.nodata,
+            "width": self.width,
+            "height": self.height,
+            "transform": [t.a, t.b, t.c, t.d, t.e, t.f],
+            "seed": self.seed,
+            "block": self.block,
+        }
+
+    @staticmethod
+    def from_spec(spec: dict) -> "SyntheticRaster":
+        return SyntheticRaster(
+            dtype=spec["dtype"],
+            nodata=spec["nodata"],
+            width=spec["width"],
+            height=spec["height"],
+            transform=Affine(*spec["transform"]),
+            seed=spec.get("seed", 42),
+            block=spec.get("block", 512),
+        )
+
+
+# Default test rasters: native resolution = CE / 2^17 px (≈ "zoom 9" for
+# 256px tiles / "zoom 8" for 512px tiles), origin intentionally NOT
+# aligned to the tile grid so edge/partial tiles are exercised.
+_RES = CE / (1 << 17)
+
+
+def default_u8_raster(seed: int = 42) -> SyntheticRaster:
+    return SyntheticRaster(
+        dtype="uint8",
+        nodata=0,
+        width=4096,
+        height=3072,
+        transform=Affine(_RES, 0.0, -ORIGIN / 3.0, 0.0, -_RES, ORIGIN / 5.0),
+        seed=seed,
+    )
+
+
+def default_u32_raster(seed: int = 42) -> SyntheticRaster:
+    return SyntheticRaster(
+        dtype="uint32",
+        nodata=0,
+        width=4096,
+        height=3072,
+        transform=Affine(_RES, 0.0, -ORIGIN / 3.0, 0.0, -_RES, ORIGIN / 5.0),
+        seed=seed,
+    )
