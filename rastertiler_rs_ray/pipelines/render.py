@@ -1,0 +1,305 @@
+"""The flagship pipeline: raster → XYZ tile pyramid → tileset.
+
+Ray-Data translation of the reference's ``render`` entry point
+(/root/reference/src/render.rs:20-156):
+
+    per zoom-group:
+      tile_ids_dataset (lazy index→id map)
+        → map_batches(TileRenderer, actor pool)    # read+encode+hash, G1 filter
+        → sort(["zoom", "x", "y"])                 # unique-index ordering (S8)
+        → write_parquet(tiles/<group>/, partitioned)
+    then:
+      images/ = dedup by tile_hash (keep first)    # MBTiles images norm (G5)
+
+Zoom groups are sequential jobs sharing the sink — the natural
+checkpoint boundary; each completed group is recorded in the manifest
+with lineage + throughput, so a killed run resumes by skipping
+completed groups (the reference instead deletes its output db,
+src/mbtiles.rs:53-55).
+
+Output layout (MBTiles-equivalent, resumable, one dir per partition):
+
+    out_dir/manifest.json
+    out_dir/tiles/g{i}/*.parquet   (zoom,x,y,tms_y,tile_hash,tile_data)
+    out_dir/images/*.parquet       (tile_hash,tile_data) deduped
+
+The `map` table of MBTiles is the blob-free projection of tiles/
+(parquet is columnar — reading (zoom,x,tms_y,tile_hash) never touches
+the blobs); the `tiles` SQL view (map ⋈ images, src/mbtiles.rs:27-29)
+is therefore the identity here. ``export_mbtiles`` materializes a real
+sqlite MBTiles file for local consumers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray
+import ray.data
+
+from ..geo import Bounds
+from ..geo.mercator import mercator_to_geo
+from ..geo.tileid import tile_range
+from ..raster.synthetic import SyntheticRaster
+from ..sources.tiles import tile_ids_dataset
+from ..stages.tile_render import TileRenderer
+from ..state.manifest import Manifest
+
+MAP_COLUMNS = ["zoom", "x", "y", "tms_y", "tile_hash"]
+
+
+def build_metadata(
+    name: str,
+    geo_bounds: Bounds,
+    minzoom: int,
+    maxzoom: int,
+    description: str | None = None,
+    attribution: str | None = None,
+) -> dict[str, str]:
+    """Tileset metadata k/v, formatting per ref src/render.rs:50-89."""
+    md: dict[str, str] = {"name": name}
+    if description is not None:
+        md["description"] = description
+    if attribution is not None:
+        md["attribution"] = attribution
+    md["minzoom"] = str(minzoom)
+    md["maxzoom"] = str(maxzoom)
+    md["bounds"] = (
+        f"{geo_bounds.xmin:.5f},{geo_bounds.ymin:.5f},"
+        f"{geo_bounds.xmax:.5f},{geo_bounds.ymax:.5f}"
+    )
+    md["center"] = (
+        f"{(geo_bounds.xmax + geo_bounds.xmin) / 2:.5f},"
+        f"{(geo_bounds.ymax + geo_bounds.ymin) / 2:.5f},{minzoom}"
+    )
+    md["type"] = "overlay"
+    md["format"] = "png"
+    md["version"] = "1.0.0"
+    return md
+
+
+def plan_zoom_groups(
+    minzoom: int, maxzoom: int, bounds: Bounds, target_tiles_per_group: int = 4096
+) -> list[list[int]]:
+    """Chunk zooms into groups of ≥ target tiles (cheap zooms batched
+    together so low-zoom groups don't underutilize the pool)."""
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_count = 0
+    for z in range(minzoom, maxzoom + 1):
+        cur.append(z)
+        cur_count += tile_range(z, bounds).count()
+        if cur_count >= target_tiles_per_group:
+            groups.append(cur)
+            cur, cur_count = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _dedup_hash_in_batch(batch: pa.Table) -> pa.Table:
+    """Map-side partial dedup: keep first row per tile_hash within a batch
+    (shrinks the shuffle for the global images dedup; G5 skew note in
+    SURVEY.md §7.6: the all-equal/constant-tile hash is hot)."""
+    hashes = batch.column("tile_hash").to_numpy()
+    _, first_idx = np.unique(hashes, return_index=True)
+    return batch.take(pa.array(np.sort(first_idx)))
+
+
+def _keep_first_group(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def render_pyramid(
+    raster: SyntheticRaster,
+    out_dir: str,
+    minzoom: int,
+    maxzoom: int,
+    *,
+    tilesize: int = 512,
+    colormap: str | None = None,
+    name: str | None = None,
+    description: str | None = None,
+    attribution: str | None = None,
+    batch_size: int = 32,
+    concurrency=None,
+    resume: bool = True,
+    target_tiles_per_group: int = 4096,
+) -> Manifest:
+    """Render the z∈[minzoom, maxzoom] pyramid of ``raster`` into ``out_dir``.
+
+    Returns the manifest (with per-group lineage and throughput).
+    ``concurrency`` sizes the TileRenderer actor pool; defaults to the
+    cluster CPU count (Ray must already be initialized by the caller).
+    """
+    if colormap is not None and raster.dtype != "uint8":
+        raise ValueError("colormap can only be provided for uint8 data")
+    if raster.dtype not in ("uint8", "uint32"):
+        raise ValueError(f"data type is not supported: {raster.dtype}")
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+
+    if not resume and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    mercator_bounds = raster.bounds()
+    gxmin, gymin = mercator_to_geo(mercator_bounds.xmin, mercator_bounds.ymin)
+    gxmax, gymax = mercator_to_geo(mercator_bounds.xmax, mercator_bounds.ymax)
+    geo_bounds = Bounds(float(gxmin), float(gymin), float(gxmax), float(gymax))
+
+    manifest = Manifest(os.path.join(out_dir, "manifest.json"))
+    metadata = build_metadata(
+        name or os.path.basename(out_dir.rstrip("/")),
+        geo_bounds,
+        minzoom,
+        maxzoom,
+        description,
+        attribution,
+    )
+    manifest.set_meta(
+        metadata=metadata,
+        tilesize=tilesize,
+        raster_spec=raster.spec(),
+        minzoom=minzoom,
+        maxzoom=maxzoom,
+    )
+
+    groups = plan_zoom_groups(minzoom, maxzoom, mercator_bounds, target_tiles_per_group)
+
+    for zooms in groups:
+        part = f"tiles/g{zooms[0]:02d}-{zooms[-1]:02d}"
+        part_dir = os.path.join(out_dir, part)
+        if resume and manifest.is_complete(part):
+            continue
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)  # idempotent overwrite of a half-written partition
+
+        t0 = time.perf_counter()
+        ds = tile_ids_dataset(zooms, mercator_bounds)
+        input_tiles = sum(tile_range(z, mercator_bounds).count() for z in zooms)
+        ds = ds.map_batches(
+            TileRenderer,
+            fn_constructor_kwargs=dict(
+                raster_spec=raster.spec(), tilesize=tilesize, colormap=colormap
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        ds = ds.sort(["zoom", "x", "y"])
+        ds.write_parquet(part_dir)
+        wall = time.perf_counter() - t0
+        rows = pads.dataset(part_dir, format="parquet").count_rows()
+        manifest.record_complete(
+            part,
+            rows=rows,
+            wall_s=wall,
+            zooms=zooms,
+            input_tiles=input_tiles,
+            tiles_per_s=round(input_tiles / wall, 1) if wall > 0 else None,
+        )
+
+    # images/: content-hash dedup keep-first (MBTiles `images` table)
+    if not manifest.is_complete("images"):
+        images_dir = os.path.join(out_dir, "images")
+        if os.path.exists(images_dir):
+            shutil.rmtree(images_dir)
+        t0 = time.perf_counter()
+        tiles = ray.data.read_parquet(
+            os.path.join(out_dir, "tiles"), columns=["tile_hash", "tile_data"]
+        )
+        images = (
+            tiles.map_batches(_dedup_hash_in_batch, batch_format="pyarrow")
+            .groupby("tile_hash")
+            .map_groups(_keep_first_group, batch_format="pyarrow")
+        )
+        images.write_parquet(images_dir)
+        wall = time.perf_counter() - t0
+        rows = pads.dataset(images_dir, format="parquet").count_rows()
+        manifest.record_complete("images", rows=rows, wall_s=wall)
+
+    return manifest
+
+
+def tileset_map_dataset(out_dir: str) -> ray.data.Dataset:
+    """The MBTiles `map` table: blob-free projection of the tileset."""
+    return ray.data.read_parquet(os.path.join(out_dir, "tiles"), columns=MAP_COLUMNS)
+
+
+def tileset_counts(out_dir: str) -> dict:
+    """Per-zoom row counts + distinct-hash (images) cardinality."""
+    ds = pads.dataset(os.path.join(out_dir, "tiles"), format="parquet")
+    t = ds.to_table(columns=["zoom", "tile_hash"])
+    zooms = t.column("zoom").to_numpy()
+    uniq, counts = np.unique(zooms, return_counts=True)
+    return {
+        "per_zoom": {int(z): int(c) for z, c in zip(uniq, counts)},
+        "total": len(zooms),
+        "images": len(np.unique(t.column("tile_hash").to_numpy())),
+    }
+
+
+def export_mbtiles(out_dir: str, mbtiles_path: str) -> None:
+    """Materialize a real MBTiles sqlite file from a tileset dir.
+
+    Schema/DDL parity with ref src/mbtiles.rs:13-42 (metadata, map,
+    images, `tiles` view, unique index on (zoom_level, tile_column,
+    tile_row)); journal left in default (DELETE) mode like the
+    reference's final flush (src/mbtiles.rs:125-144). Streaming insert
+    — never materializes the tileset in memory.
+    """
+    import sqlite3
+
+    if os.path.exists(mbtiles_path):
+        os.remove(mbtiles_path)
+    manifest = Manifest(os.path.join(out_dir, "manifest.json"))
+    conn = sqlite3.connect(mbtiles_path)
+    conn.executescript(
+        """
+        CREATE TABLE metadata (name text NOT NULL PRIMARY KEY, value text);
+        CREATE TABLE map (zoom_level INTEGER, tile_column INTEGER,
+                          tile_row INTEGER, tile_id INTEGER);
+        CREATE TABLE images (tile_id INTEGER NOT NULL PRIMARY KEY, tile_data blob);
+        CREATE VIEW tiles AS
+            SELECT zoom_level, tile_column, tile_row, tile_data
+            FROM map JOIN images ON images.tile_id = map.tile_id;
+        """
+    )
+    conn.executemany(
+        "INSERT INTO metadata (name, value) VALUES (?, ?)",
+        list(manifest.get_meta("metadata", {}).items()),
+    )
+    scanner = pads.dataset(os.path.join(out_dir, "tiles"), format="parquet").scanner(
+        columns=["zoom", "x", "tms_y", "tile_hash"], batch_size=65536
+    )
+    for rb in scanner.to_batches():
+        conn.executemany(
+            "INSERT INTO map (zoom_level, tile_column, tile_row, tile_id) VALUES (?,?,?,?)",
+            zip(
+                rb.column("zoom").to_pylist(),
+                rb.column("x").to_pylist(),
+                rb.column("tms_y").to_pylist(),
+                rb.column("tile_hash").to_pylist(),
+            ),
+        )
+    img_scanner = pads.dataset(os.path.join(out_dir, "images"), format="parquet").scanner(
+        batch_size=1024
+    )
+    for rb in img_scanner.to_batches():
+        conn.executemany(
+            "INSERT OR IGNORE INTO images (tile_id, tile_data) VALUES (?, ?)",
+            zip(rb.column("tile_hash").to_pylist(), rb.column("tile_data").to_pylist()),
+        )
+    conn.execute(
+        "CREATE UNIQUE INDEX map_index ON map (zoom_level, tile_column, tile_row)"
+    )
+    conn.commit()
+    conn.close()

@@ -1,0 +1,199 @@
+"""End-to-end render/merge pipeline tests against frozen goldens.
+
+Verifies: Ray-distributed output == single-process goldens (hash-exact
+at any parallelism), per-zoom counts, images dedup cardinality, MBTiles
+export schema parity, resume-skips-completed-partitions, and merge
+left-wins semantics (FIXTURES.md §B11-B12)."""
+
+import hashlib
+import json
+import os
+import sqlite3
+
+import pyarrow.dataset as pads
+import pytest
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _load_golden(name):
+    with open(os.path.join(GOLD, f"{name}.json")) as f:
+        return json.load(f)
+
+
+def _tile_hashes(out_dir):
+    t = pads.dataset(os.path.join(out_dir, "tiles"), format="parquet").to_table()
+    out = {}
+    for i in range(len(t)):
+        key = f"{t.column('zoom')[i]}/{t.column('x')[i]}/{t.column('y')[i]}"
+        out[key] = hashlib.sha256(t.column("tile_data")[i].as_py()).hexdigest()
+    return out
+
+
+@pytest.fixture(scope="module")
+def rendered_u8(ray_session, tmp_path_factory):
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    out = str(tmp_path_factory.mktemp("ts") / "u8")
+    manifest = render_pyramid(
+        default_u8_raster(), out, 0, 6, tilesize=256, concurrency=3, resume=False
+    )
+    return out, manifest
+
+
+def test_render_u8_matches_golden(rendered_u8):
+    out, _ = rendered_u8
+    golden = _load_golden("render_u8_z0-6_ts256")
+    assert _tile_hashes(out) == golden["tiles"]
+
+
+def test_render_counts_and_images(rendered_u8):
+    from rastertiler_rs_ray.pipelines.render import tileset_counts
+
+    out, _ = rendered_u8
+    golden = _load_golden("render_u8_z0-6_ts256")
+    c = tileset_counts(out)
+    assert c["total"] == golden["count"]
+    assert c["images"] == golden["distinct_images"]
+
+
+def test_manifest_lineage(rendered_u8):
+    out, manifest = rendered_u8
+    parts = manifest.completed_partitions()
+    assert "images" in parts
+    tile_parts = [p for p in parts if p.startswith("tiles/")]
+    assert tile_parts
+    total = sum(manifest.partition(p)["rows"] for p in tile_parts)
+    assert total == _load_golden("render_u8_z0-6_ts256")["count"]
+    for p in tile_parts:
+        assert manifest.partition(p)["wall_s"] > 0
+        assert "input_tiles" in manifest.partition(p)
+
+
+def test_mbtiles_export(rendered_u8, tmp_path):
+    from rastertiler_rs_ray.pipelines.render import export_mbtiles
+
+    out, _ = rendered_u8
+    db = str(tmp_path / "out.mbtiles")
+    export_mbtiles(out, db)
+    conn = sqlite3.connect(db)
+    golden = _load_golden("render_u8_z0-6_ts256")
+    assert conn.execute("select count(*) from map").fetchone()[0] == golden["count"]
+    assert (
+        conn.execute("select count(*) from images").fetchone()[0]
+        == golden["distinct_images"]
+    )
+    # tiles view joins back to full cardinality (ref src/mbtiles.rs:27-29)
+    assert conn.execute("select count(*) from tiles").fetchone()[0] == golden["count"]
+    md = dict(conn.execute("select name, value from metadata").fetchall())
+    assert md["minzoom"] == "0" and md["maxzoom"] == "6"
+    assert md["format"] == "png" and md["type"] == "overlay" and md["version"] == "1.0.0"
+    # y stored TMS-flipped: z1 tile rows ∈ {0,1} and match 2^z-1-y
+    rows = conn.execute(
+        "select tile_column, tile_row from map where zoom_level=1"
+    ).fetchall()
+    assert all(0 <= r < 2 for _, r in rows)
+    conn.close()
+
+
+def test_resume_skips_completed(rendered_u8):
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    out, manifest = rendered_u8
+    tiles_dirs = sorted(
+        d for d in os.listdir(os.path.join(out, "tiles")) if d.startswith("g")
+    )
+    mtime_before = {
+        d: os.path.getmtime(os.path.join(out, "tiles", d)) for d in tiles_dirs
+    }
+    m2 = render_pyramid(
+        default_u8_raster(), out, 0, 6, tilesize=256, concurrency=3, resume=True
+    )
+    # no partition rewritten
+    for d in tiles_dirs:
+        assert os.path.getmtime(os.path.join(out, "tiles", d)) == mtime_before[d]
+    assert set(m2.completed_partitions()) == set(manifest.completed_partitions())
+
+
+def test_render_u32_matches_golden(ray_session, tmp_path):
+    from rastertiler_rs_ray.pipelines.render import render_pyramid, tileset_counts
+    from rastertiler_rs_ray.raster import default_u32_raster
+
+    out = str(tmp_path / "u32")
+    render_pyramid(
+        default_u32_raster(), out, 5, 7, tilesize=256, concurrency=3, resume=False
+    )
+    golden = _load_golden("render_u32_z5-7_ts256")
+    assert _tile_hashes(out) == golden["tiles"]
+    assert tileset_counts(out)["images"] == golden["distinct_images"]
+
+
+def test_render_u8_colormap_matches_golden(ray_session, tmp_path):
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    out = str(tmp_path / "u8cm")
+    render_pyramid(
+        default_u8_raster(), out, 4, 5, tilesize=256,
+        colormap="42:#ff7f50,7:#0000ff,99:#00ff00",
+        concurrency=2, resume=False,
+    )
+    assert _tile_hashes(out) == _load_golden("render_u8_cm_z4-5_ts256")["tiles"]
+
+
+def test_colormap_rejected_for_u32(ray_session, tmp_path):
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u32_raster
+
+    with pytest.raises(ValueError, match="colormap"):
+        render_pyramid(
+            default_u32_raster(), str(tmp_path / "x"), 0, 1, colormap="1:#ff0000"
+        )
+
+
+def test_merge_left_wins(ray_session, tmp_path):
+    from rastertiler_rs_ray.pipelines.merge import merge_tilesets
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+    from rastertiler_rs_ray.state.manifest import Manifest
+
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    # same tile addresses, different content (different seed)
+    render_pyramid(default_u8_raster(seed=42), left_dir, 3, 5, tilesize=64,
+                   concurrency=2, resume=False)
+    render_pyramid(default_u8_raster(seed=99), right_dir, 4, 6, tilesize=64,
+                   concurrency=2, resume=False)
+
+    out = str(tmp_path / "merged")
+    manifest = merge_tilesets(left_dir, right_dir, out)
+
+    lh = _tile_hashes(left_dir)
+    rh = _tile_hashes(right_dir)
+    mh = _tile_hashes(out)
+
+    # union of addresses
+    assert set(mh) == set(lh) | set(rh)
+    # left wins on overlap; right-only tiles come from right
+    for k, v in mh.items():
+        assert v == (lh[k] if k in lh else rh[k])
+    # metadata zoom range union (ref src/mbtiles.rs:181-207)
+    md = Manifest(os.path.join(out, "manifest.json")).get_meta("metadata")
+    assert md["minzoom"] == "3" and md["maxzoom"] == "6"
+
+
+def test_dedup_hits_at_upsampled_zooms(ray_session, tmp_path):
+    # constant-content blocks upsample into identical tiles → images < map
+    from rastertiler_rs_ray.pipelines.render import render_pyramid, tileset_counts
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    out = str(tmp_path / "hi")
+    render_pyramid(default_u8_raster(), out, 9, 10, tilesize=256,
+                   concurrency=3, resume=False)
+    golden = _load_golden("render_u8_z9-10_ts256")
+    c = tileset_counts(out)
+    assert c["total"] == golden["count"]
+    assert c["images"] == golden["distinct_images"]
+    assert c["images"] < c["total"]
