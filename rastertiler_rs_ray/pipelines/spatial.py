@@ -1,0 +1,365 @@
+"""Spatial pipelines: tile assignment, raster↔vector join, point-in-polygon, kNN.
+
+The graft capabilities from SURVEY.md §2.11 / §2.4 (J2–J4), built on the
+reference's tile keying math (point_to_tile reuses the TileRange floor
+assignment, /root/reference/src/tileid.rs:100-131):
+
+- ``encode_cells``       docs → geo position + cell_id (actor pool)
+- ``assign_tiles``       docs → one row per (doc, zoom) tile key, vectorized
+- ``tile_assignment_counts``  partial-aggregated histogram (the salting planner)
+- ``raster_vector_join`` Raptor-style co-partition join: docs shuffled on
+                         (salted) tile key, per-group sampler reads the
+                         tile window ONCE and samples every doc in the
+                         group (M17 nearest-neighbour semantics)
+- ``point_in_polygon``   broadcast small polygon side (ray.put once),
+                         vectorized even-odd ray casting per batch — no shuffle
+- ``knn_join``           broadcast small query side; per-batch partial
+                         top-k (numpy) + driver heap-merge — no shuffle
+
+Skew handling: ``assign_tiles(salt_threshold=...)`` consults the
+planning histogram and salts hot tile keys into sub-groups
+(key = tile_key * S + hash(doc) % S) before the groupby — dense zooms
+over clustered docs are exactly the skew case called out in the north
+rule. Sampling is per-doc, so salted sub-groups are semantically free.
+
+All per-row span data passes through untouched (span-sequence
+invariant).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..geo.mercator import geo_to_mercator
+from ..geo.tileid import point_to_tile, tile_mercator_bounds
+from ..raster.synthetic import SyntheticRaster
+from ..stages.cell_encode import CellEncoder
+
+DOC_COLS = ["doc_id", "lon", "lat", "mx", "my", "has_geo", "cell_id"]
+
+
+def encode_cells(
+    docs: ray.data.Dataset, level: int = 12, *, concurrency=4, batch_size: int = 4096
+) -> ray.data.Dataset:
+    """Attach lon/lat/mercator/cell_id columns (stateful actor pool)."""
+    return docs.map_batches(
+        CellEncoder,
+        fn_constructor_kwargs=dict(level=level),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def assign_tiles(
+    encoded: ray.data.Dataset,
+    zooms: list[int],
+    *,
+    salt_map: dict[int, int] | None = None,
+) -> ray.data.Dataset:
+    """One output row per (geo-doc, zoom): (doc_id, zoom, x, y, tile_key[, salted_key]).
+
+    ``salt_map`` (tile_key → S sub-groups) comes from
+    ``tile_assignment_counts``; hot keys are split into S salted
+    sub-keys = tile_key * 64 + hash(doc) % S.
+    """
+    salt_ref = ray.put(salt_map or {})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        salts = ray.get(salt_ref)
+        mask = batch.column("has_geo").to_numpy(zero_copy_only=False)
+        mx = batch.column("mx").to_numpy()[mask]
+        my = batch.column("my").to_numpy()[mask]
+        doc_ids = batch.column("doc_id").to_pandas()[mask]
+        # salt from stable doc identity (not batch position) so group
+        # membership is deterministic across any partitioning
+        doc_hash = pd.util.hash_array(doc_ids.to_numpy()).astype(np.uint64)
+        outs = []
+        for z in zooms:
+            x, y = point_to_tile(z, mx, my)
+            key = (
+                (np.uint64(z) << np.uint64(58))
+                | (x.astype(np.uint64) << np.uint64(29))
+                | y.astype(np.uint64)
+            )
+            salted = key * np.uint64(64)
+            if salts:
+                s_arr = np.array([salts.get(int(k), 1) for k in key], dtype=np.uint64)
+                salted = salted + doc_hash % s_arr
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(doc_ids.to_numpy(), pa.string()),
+                        "zoom": pa.array(np.full(len(mx), z, np.uint8)),
+                        "x": pa.array(x, pa.uint32()),
+                        "y": pa.array(y, pa.uint32()),
+                        "tile_key": pa.array(key, pa.uint64()),
+                        "salted_key": pa.array(salted, pa.uint64()),
+                        "mx": pa.array(mx, pa.float64()),
+                        "my": pa.array(my, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return encoded.map_batches(explode, batch_format="pyarrow")
+
+
+def tile_assignment_counts(assigned: ray.data.Dataset) -> ray.data.Dataset:
+    """(zoom, x, y) → doc count, pre-aggregated map-side before the shuffle.
+
+    This is the planning histogram (G3/G6 analog) used both as a
+    queries() result and as the salting planner input.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("tile_key").to_numpy()
+        uniq, counts = np.unique(keys, return_counts=True)
+        zoom = (uniq >> np.uint64(58)).astype(np.uint8)
+        x = ((uniq >> np.uint64(29)) & np.uint64((1 << 29) - 1)).astype(np.uint32)
+        y = (uniq & np.uint64((1 << 29) - 1)).astype(np.uint32)
+        return pa.table(
+            {
+                "zoom": pa.array(zoom),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "tile_key": pa.array(uniq, pa.uint64()),
+                "n_docs": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .groupby(["zoom", "x", "y"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def plan_salt_map(
+    counts: pd.DataFrame, target_group_size: int = 10_000
+) -> dict[int, int]:
+    """tile_key → number of salted sub-groups for hot keys."""
+    out = {}
+    for _, row in counts.iterrows():
+        s = int(-(-int(row["n_docs"]) // target_group_size))
+        if s > 1:
+            key = (int(row["zoom"]) << 58) | (int(row["x"]) << 29) | int(row["y"])
+            out[key] = min(s, 63)
+    return out
+
+
+def _make_raster_sampler(raster: SyntheticRaster, tilesize: int):
+    """Per-group sampler closure: reads the group's tile window once,
+    samples every doc in the group from the buffer (J2 warmed-window
+    semantics; the raster handle is a tiny functional spec, serialized
+    with the closure — map_groups does not take callable classes)."""
+
+    def sample(group: pd.DataFrame) -> pd.DataFrame:
+        z = int(group["zoom"].iloc[0])
+        x = int(group["x"].iloc[0])
+        y = int(group["y"].iloc[0])
+        buf = raster.read_tile(z, x, y, tilesize)
+        out = group[["doc_id", "zoom", "x", "y"]].copy()
+        if buf is None:
+            out["raster_value"] = pd.array([None] * len(group), dtype="Int64")
+            return out
+        xmin, ymin, xmax, ymax = (
+            float(v[0])
+            for v in tile_mercator_bounds(np.array([z]), np.array([x]), np.array([y]))
+        )
+        res = (xmax - xmin) / tilesize
+        col = np.clip(
+            np.floor((group["mx"].to_numpy() - xmin) / res).astype(np.int64),
+            0,
+            tilesize - 1,
+        )
+        row = np.clip(
+            np.floor((ymax - group["my"].to_numpy()) / res).astype(np.int64),
+            0,
+            tilesize - 1,
+        )
+        vals = buf[row, col].astype(np.int64)
+        out["raster_value"] = pd.array(vals, dtype="Int64")
+        out.loc[vals == raster.nodata, "raster_value"] = None
+        return out
+
+    return sample
+
+
+def raster_vector_join(
+    encoded: ray.data.Dataset,
+    raster: SyntheticRaster,
+    zoom: int,
+    *,
+    tilesize: int = 256,
+    salt_map: dict[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Sample the raster value under each geo-doc at ``zoom``.
+
+    Docs are shuffled on the (salted) tile key so each group's window
+    is read once — the Raptor-style raster↔vector equi-join on the
+    spatial key (J2). Returns (doc_id, zoom, x, y, raster_value) with
+    null raster_value for docs over empty raster (nodata) or outside
+    the raster extent.
+    """
+    assigned = assign_tiles(encoded, [zoom], salt_map=salt_map)
+    return assigned.groupby("salted_key").map_groups(
+        _make_raster_sampler(raster, tilesize), batch_format="pandas"
+    )
+
+
+class _PolygonTester:
+    """Broadcast-polygon containment: vectorized even-odd ray casting.
+
+    The polygon side is tiny (broadcast once via ray.put); each batch of
+    docs is tested against every polygon's bbox first, then the exact
+    crossing test — no shuffle (J3 with a broadcast build side).
+    """
+
+    def __init__(self, polygons_ref):
+        polys = ray.get(polygons_ref) if not isinstance(polygons_ref, list) else polygons_ref
+        self.polys = []
+        for p in polys:
+            lon = np.asarray(p["lon"], dtype=np.float64)
+            lat = np.asarray(p["lat"], dtype=np.float64)
+            self.polys.append(
+                {
+                    "poly_id": p["poly_id"],
+                    "x1": lon,
+                    "y1": lat,
+                    "x2": np.roll(lon, -1),
+                    "y2": np.roll(lat, -1),
+                    "bbox": (lon.min(), lat.min(), lon.max(), lat.max()),
+                }
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = batch.column("has_geo").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy()[mask]
+        lat = batch.column("lat").to_numpy()[mask]
+        doc_ids = batch.column("doc_id").to_pandas()[mask].to_numpy()
+
+        out_docs: list = []
+        out_polys: list = []
+        for p in self.polys:
+            bxmin, bymin, bxmax, bymax = p["bbox"]
+            cand = (lon >= bxmin) & (lon <= bxmax) & (lat >= bymin) & (lat <= bymax)
+            if not cand.any():
+                continue
+            px, py = lon[cand], lat[cand]
+            inside = np.zeros(len(px), dtype=bool)
+            x1, y1, x2, y2 = p["x1"], p["y1"], p["x2"], p["y2"]
+            for e in range(len(x1)):
+                crosses = (y1[e] > py) != (y2[e] > py)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = (x2[e] - x1[e]) * (py - y1[e]) / (y2[e] - y1[e]) + x1[e]
+                inside ^= crosses & (px < xint)
+            hits = doc_ids[cand][inside]
+            out_docs.extend(hits.tolist())
+            out_polys.extend([p["poly_id"]] * len(hits))
+
+        return pa.table(
+            {
+                "doc_id": pa.array(out_docs, pa.string()),
+                "poly_id": pa.array(out_polys, pa.int64()),
+            }
+        )
+
+
+def point_in_polygon(
+    encoded: ray.data.Dataset, polygons: list[dict], *, concurrency=4
+) -> ray.data.Dataset:
+    """(doc_id, poly_id) containment pairs. Polygon side broadcast."""
+    ref = ray.put(polygons)
+    return encoded.map_batches(
+        _PolygonTester,
+        fn_constructor_kwargs=dict(polygons_ref=ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class _KnnPartial:
+    """Per-batch partial top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.qx = q[:, 0][:, None]  # (Q, 1) mercator x
+        self.qy = q[:, 1][:, None]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = batch.column("has_geo").to_numpy(zero_copy_only=False)
+        mx = batch.column("mx").to_numpy()[mask]
+        my = batch.column("my").to_numpy()[mask]
+        doc_ids = batch.column("doc_id").to_pandas()[mask].to_numpy()
+        if len(mx) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        d2 = (mx[None, :] - self.qx) ** 2 + (my[None, :] - self.qy) ** 2  # (Q, N)
+        k = min(self.k, d2.shape[1])
+        part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        qi = np.repeat(np.arange(d2.shape[0]), k)
+        di = part.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qi, pa.int64()),
+                "doc_id": pa.array(doc_ids[di], pa.string()),
+                "dist": pa.array(np.sqrt(d2[qi, di]), pa.float64()),
+            }
+        )
+
+
+def knn_join(
+    encoded: ray.data.Dataset,
+    query_points: np.ndarray,
+    k: int = 5,
+    *,
+    concurrency=4,
+) -> pd.DataFrame:
+    """Exact kNN of each query point over all geo-docs (Euclidean in
+    Mercator meters). Map-side partial top-k per batch (no shuffle),
+    tiny driver heap-merge of ≤ k rows per (query, batch).
+
+    Returns a pandas DataFrame (query_id, rank, doc_id, dist) — small:
+    Q × k rows.
+    """
+    qref = ray.put(np.asarray(query_points, dtype=np.float64))
+    partials = encoded.map_batches(
+        _KnnPartial,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    heaps: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_size=65536, batch_format="pandas"):
+        for qid, doc, dist in zip(batch["query_id"], batch["doc_id"], batch["dist"]):
+            h = heaps.setdefault(int(qid), [])
+            # max-heap of size k via negated dist
+            item = (-float(dist), str(doc))
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    rows = []
+    for qid, h in sorted(heaps.items()):
+        ordered = sorted(((-d, doc) for d, doc in h), key=lambda t: (t[0], t[1]))
+        for rank, (dist, doc) in enumerate(ordered):
+            rows.append((qid, rank, doc, dist))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "dist"])

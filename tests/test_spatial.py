@@ -1,0 +1,238 @@
+"""Interleaved doc table + cell encoding + spatial join tests.
+
+Join results are checked against brute-force numpy oracles computed
+from the same deterministic position function (FIXTURES.md §B12), and
+the span-sequence invariant is asserted across the pipelines.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+N_DOCS = 2000
+LEVEL = 10
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    from rastertiler_rs_ray.sources.docs import generate_documents
+
+    return generate_documents(N_DOCS, seed=42).materialize()
+
+
+@pytest.fixture(scope="module")
+def encoded(docs):
+    from rastertiler_rs_ray.pipelines.spatial import encode_cells
+
+    return encode_cells(docs, level=LEVEL, concurrency=2).materialize()
+
+
+@pytest.fixture(scope="module")
+def oracle_positions():
+    from rastertiler_rs_ray.sources.docs import doc_positions
+
+    idx = np.arange(N_DOCS)
+    lon, lat, has_geo = doc_positions(idx, seed=42)
+    return pd.DataFrame(
+        {
+            "doc_id": [f"doc-{i:012d}" for i in idx],
+            "lon": lon,
+            "lat": lat,
+            "has_geo": has_geo,
+        }
+    )
+
+
+def test_generation_deterministic_across_partitioning(ray_session):
+    from rastertiler_rs_ray.sources.docs import generate_documents, span_signatures
+
+    a = generate_documents(300, seed=42, override_num_blocks=1).take_all()
+    b = generate_documents(300, seed=42, override_num_blocks=7).take_all()
+    ta = pa.Table.from_pylist(sorted(a, key=lambda r: r["doc_id"]))
+    tb = pa.Table.from_pylist(sorted(b, key=lambda r: r["doc_id"]))
+    assert span_signatures(ta) == span_signatures(tb)
+
+
+def test_schema_and_offsets(docs):
+    t = pa.Table.from_pylist(docs.take(50))
+    assert t.column_names == ["doc_id", "spans"]
+    for row in t.column("spans").to_pylist():
+        assert len(row) >= 1
+        offs = [s["offset"] for s in row]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        for s in row:
+            if s["kind"] == "text":
+                assert s["media_ref"] == "" and s["text"] != ""
+            else:
+                assert s["kind"] == "media" and s["text"] == ""
+                assert s["media_ref"].startswith("geo://")
+
+
+def test_encode_positions_match_oracle(encoded, oracle_positions):
+    df = encoded.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    o = oracle_positions.sort_values("doc_id").reset_index(drop=True)
+    assert (df["has_geo"] == o["has_geo"]).all()
+    geo = df["has_geo"]
+    # media_ref carries 6 decimals → positions match to ~1e-6
+    np.testing.assert_allclose(df.loc[geo, "lon"], o.loc[geo, "lon"], atol=1e-6)
+    np.testing.assert_allclose(df.loc[geo, "lat"], o.loc[geo, "lat"], atol=1e-6)
+    assert geo.sum() > 0.8 * N_DOCS  # ~9/10 docs have geo
+
+
+def test_encode_preserves_span_invariant(docs, encoded):
+    from rastertiler_rs_ray.sources.docs import span_signatures
+
+    before = span_signatures(pa.Table.from_pylist(
+        sorted(docs.take_all(), key=lambda r: r["doc_id"])))
+    rows = sorted(encoded.select_columns(["doc_id", "spans"]).take_all(),
+                  key=lambda r: r["doc_id"])
+    after = span_signatures(pa.Table.from_pylist(rows))
+    assert before == after
+
+
+def test_cell_ids_match_direct(encoded):
+    from rastertiler_rs_ray.geo.cell import cell_from_lonlat
+
+    df = encoded.to_pandas()
+    geo = df[df["has_geo"]]
+    expected = cell_from_lonlat(LEVEL, geo["lon"].to_numpy(), geo["lat"].to_numpy())
+    np.testing.assert_array_equal(geo["cell_id"].to_numpy().astype(np.uint64), expected)
+
+
+def test_tile_assignment_counts(encoded):
+    from rastertiler_rs_ray.geo.tileid import point_to_tile
+    from rastertiler_rs_ray.pipelines.spatial import assign_tiles, tile_assignment_counts
+
+    zooms = [3, 8]
+    counts = tile_assignment_counts(assign_tiles(encoded, zooms)).to_pandas()
+    # oracle
+    df = encoded.to_pandas()
+    geo = df[df["has_geo"]]
+    for z in zooms:
+        x, y = point_to_tile(z, geo["mx"].to_numpy(), geo["my"].to_numpy())
+        o = pd.DataFrame({"x": x, "y": y}).value_counts().sort_index()
+        got = (
+            counts[counts["zoom"] == z]
+            .set_index(["x", "y"])["n_docs"]
+            .sort_index()
+        )
+        assert got.sum() == len(geo)
+        assert len(got) == len(o)
+        assert (got.to_numpy() == o.to_numpy()).all()
+
+
+def test_raster_vector_join_matches_oracle(encoded, ray_session):
+    from rastertiler_rs_ray.geo.tileid import point_to_tile, tile_mercator_bounds
+    from rastertiler_rs_ray.pipelines.spatial import raster_vector_join
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    raster = default_u8_raster()
+    zoom, ts = 7, 256
+    out = raster_vector_join(encoded, raster, zoom, tilesize=ts).to_pandas()
+
+    df = encoded.to_pandas()
+    geo = df[df["has_geo"]].reset_index(drop=True)
+    assert len(out) == len(geo)  # one row per geo doc
+
+    # oracle: recompute sample per doc directly
+    x, y = point_to_tile(zoom, geo["mx"].to_numpy(), geo["my"].to_numpy())
+    merged = out.set_index("doc_id")
+    oracle_vals = {}
+    for (tx, ty), grp in geo.groupby([x, y]):
+        buf = raster.read_tile(zoom, int(tx), int(ty), ts)
+        xmin, ymin, xmax, ymax = (
+            float(v[0]) for v in tile_mercator_bounds(
+                np.array([zoom]), np.array([int(tx)]), np.array([int(ty)]))
+        )
+        res = (xmax - xmin) / ts
+        for _, r in grp.iterrows():
+            if buf is None:
+                oracle_vals[r["doc_id"]] = None
+                continue
+            col = min(max(int(np.floor((r["mx"] - xmin) / res)), 0), ts - 1)
+            row = min(max(int(np.floor((ymax - r["my"]) / res)), 0), ts - 1)
+            v = int(buf[row, col])
+            oracle_vals[r["doc_id"]] = None if v == raster.nodata else v
+    for doc, expected in oracle_vals.items():
+        got = merged.loc[doc, "raster_value"]
+        if expected is None:
+            assert pd.isna(got)
+        else:
+            assert got == expected
+
+
+def test_raster_vector_join_salted_same_result(encoded, ray_session):
+    from rastertiler_rs_ray.pipelines.spatial import raster_vector_join
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    raster = default_u8_raster()
+    plain = (
+        raster_vector_join(encoded, raster, 5, tilesize=64)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # force salting on every tile (S=8)
+    keys = (
+        (np.uint64(5) << np.uint64(58))
+        | (plain["x"].astype(np.uint64).to_numpy() << np.uint64(29))
+        | plain["y"].astype(np.uint64).to_numpy()
+    )
+    salt_map = {int(k): 8 for k in np.unique(keys)}
+    salted = (
+        raster_vector_join(encoded, raster, 5, tilesize=64, salt_map=salt_map)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_point_in_polygon_matches_oracle(encoded, ray_session):
+    from rastertiler_rs_ray.pipelines.spatial import point_in_polygon
+    from rastertiler_rs_ray.sources.polygons import generate_polygons
+
+    polys = generate_polygons(12, seed=7)
+    got = point_in_polygon(encoded, polys).to_pandas()
+    got_pairs = set(zip(got["doc_id"], got["poly_id"]))
+
+    # brute-force oracle (matplotlib-free ray casting, python loop)
+    df = encoded.to_pandas()
+    geo = df[df["has_geo"]]
+    expected = set()
+    for p in polys:
+        lon = np.array(p["lon"]); lat = np.array(p["lat"])
+        x2 = np.roll(lon, -1); y2 = np.roll(lat, -1)
+        for _, r in geo.iterrows():
+            inside = False
+            for e in range(len(lon)):
+                if (lat[e] > r["lat"]) != (y2[e] > r["lat"]):
+                    xint = (x2[e] - lon[e]) * (r["lat"] - lat[e]) / (y2[e] - lat[e]) + lon[e]
+                    if r["lon"] < xint:
+                        inside = not inside
+            if inside:
+                expected.add((r["doc_id"], p["poly_id"]))
+    assert got_pairs == expected
+    assert len(expected) > 0  # fixture is non-trivial
+
+
+def test_knn_matches_oracle(encoded, ray_session):
+    from rastertiler_rs_ray.geo.mercator import geo_to_mercator
+    from rastertiler_rs_ray.pipelines.spatial import knn_join
+
+    qlon = np.array([-122.4, 2.3, 100.0])
+    qlat = np.array([37.7, 48.8, 0.0])
+    qx, qy = geo_to_mercator(qlon, qlat)
+    queries = np.stack([qx, qy], axis=1)
+    k = 7
+    got = knn_join(encoded, queries, k=k)
+
+    df = encoded.to_pandas()
+    geo = df[df["has_geo"]]
+    for qi in range(len(queries)):
+        d2 = (geo["mx"].to_numpy() - qx[qi]) ** 2 + (geo["my"].to_numpy() - qy[qi]) ** 2
+        order = np.argsort(d2, kind="stable")[:k]
+        expected_docs = geo["doc_id"].to_numpy()[order]
+        got_q = got[got["query_id"] == qi].sort_values("rank")
+        np.testing.assert_allclose(
+            got_q["dist"].to_numpy(), np.sqrt(d2[order]), rtol=1e-12
+        )
+        # doc sets must match (ties broken by doc_id in both)
+        assert set(got_q["doc_id"]) == set(expected_docs)
