@@ -1,0 +1,247 @@
+"""Relational operator surface, Ray-Data-first.
+
+The reference has one physical join and a handful of aggregations
+(SURVEY.md §2.4/§2.5 — ``tiles`` view join /root/reference/src/mbtiles.rs:27-29,
+histogram /root/reference/src/array.rs:20-29, merge keep-first
+/root/reference/src/mbtiles.rs:168-177).  This module generalizes them
+into the relational primitives a user of the engine composes pipelines
+from, each expressed with the shuffle-minimizing pattern that survives
+100 TB:
+
+- ``grouped_aggregate``  map-side PARTIAL aggregation inside
+  ``map_batches`` (pandas groupby per Arrow block) → tiny final
+  ``groupby`` over per-block partials.  The all-to-all exchange moves
+  one row per (block, key) instead of one row per input row — for
+  low-cardinality keys (the common analytics case) the shuffle is
+  ~block_count × key_count rows regardless of input size.
+- ``broadcast_hash_join``  small side is ``ray.put`` ONCE as a pandas
+  frame; every map task reads the shared object-store copy (zero per
+  batch re-shipping) and merges vectorized.  No shuffle at all.
+- ``semi_join`` / ``anti_join``  broadcast key-set membership filter
+  (``pyarrow.compute.is_in``) — the Ray translation of J5.
+- ``top_k``  per-block partial top-k then a driver-side k-way merge of
+  the tiny partials; never a global sort shuffle.
+- ``distinct``  per-block dedup partial → final groupby keep-first —
+  same shape as the tileset content dedup (G5).
+
+Every function takes and returns ``ray.data.Dataset`` (or a small
+``pyarrow.Table`` for provably-small results) so stages splice.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+# agg spec: (out_name, in_col, kind) with kind ∈ sum|count|min|max|mean
+_PARTIAL_OF = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+
+
+def _partial_agg_fn(keys: list[str], aggs: list[tuple[str, str, str]]):
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(list(keys), sort=False, observed=True, dropna=False)
+        cols = {}
+        for out, col, kind in aggs:
+            if kind == "count":
+                s = g[col].count() if col else g.size()
+            elif kind == "mean":
+                cols[f"__{out}__sum"] = g[col].sum()
+                cols[f"__{out}__cnt"] = g[col].count()
+                continue
+            else:
+                s = getattr(g[col], kind)()
+            cols[f"__{out}__{kind}"] = s
+        out_df = pd.DataFrame(cols).reset_index()
+        return pa.Table.from_pandas(out_df, preserve_index=False)
+
+    return partial
+
+
+def grouped_aggregate(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    *,
+    batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """Hash aggregation with map-side combine.
+
+    ``aggs``: list of (output_name, input_col, kind) where kind is one
+    of sum/count/min/max/mean.  Output columns carry ``output_name``
+    exactly (oracle-SQL naming contract).
+    """
+    keys = list(keys)
+    partial = ds.map_batches(
+        _partial_agg_fn(keys, list(aggs)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    # final merge: sum the partial sums/counts, min the mins, max the maxes
+    from ray.data.aggregate import Max, Min, Sum
+
+    ray_aggs = []
+    for out, col, kind in aggs:
+        if kind in ("sum", "count"):
+            ray_aggs.append(Sum(f"__{out}__{kind}", alias_name=f"__{out}__{kind}"))
+        elif kind == "mean":
+            ray_aggs.append(Sum(f"__{out}__sum", alias_name=f"__{out}__sum"))
+            ray_aggs.append(Sum(f"__{out}__cnt", alias_name=f"__{out}__cnt"))
+        elif kind == "min":
+            ray_aggs.append(Min(f"__{out}__min", alias_name=f"__{out}__min"))
+        elif kind == "max":
+            ray_aggs.append(Max(f"__{out}__max", alias_name=f"__{out}__max"))
+        else:
+            raise ValueError(kind)
+    merged = partial.groupby(keys).aggregate(*ray_aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {k: batch.column(k) for k in keys}
+        for name, col, kind in aggs:
+            if kind == "mean":
+                s = batch.column(f"__{name}__sum").to_numpy(zero_copy_only=False)
+                c = batch.column(f"__{name}__cnt").to_numpy(zero_copy_only=False)
+                out[name] = pa.array(s / c)
+            else:
+                out[name] = batch.column(f"__{name}__{kind}")
+        return pa.table(out)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def broadcast_hash_join(
+    big: ray.data.Dataset,
+    small: pa.Table,
+    *,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    right_cols: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """Join a big Dataset against a small in-memory table, shuffle-free.
+
+    The small side is placed in the object store ONCE (``ray.put``);
+    each map task reads the shared copy zero-copy and runs a vectorized
+    pandas merge.  Correct replacement for a shuffle join whenever one
+    side fits in a worker heap (dimension tables, manifests).
+    """
+    if right_cols is not None:
+        small = small.select(list(dict.fromkeys([right_on, *right_cols])))
+    small_ref = ray.put(small.to_pandas())
+
+    def merge(batch: pa.Table) -> pa.Table:
+        right = ray.get(small_ref)
+        left = batch.to_pandas()
+        out = left.merge(right, how=how, left_on=left_on, right_on=right_on)
+        if right_on != left_on and right_on in out.columns:
+            out = out.drop(columns=[right_on])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return big.map_batches(merge, batch_format="pyarrow")
+
+
+def _key_set_ref(small: pa.Table, on: str):
+    return ray.put(small.column(on).combine_chunks())
+
+
+def semi_join(big: ray.data.Dataset, small: pa.Table, *, on: str) -> ray.data.Dataset:
+    """Rows of ``big`` whose ``on`` appears in ``small`` (broadcast set)."""
+    ref = _key_set_ref(small, on)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column(on), value_set=ray.get(ref)))
+
+    return big.map_batches(f, batch_format="pyarrow")
+
+
+def anti_join(big: ray.data.Dataset, small: pa.Table, *, on: str) -> ray.data.Dataset:
+    """Rows of ``big`` whose ``on`` does NOT appear in ``small``."""
+    ref = _key_set_ref(small, on)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column(on), value_set=ray.get(ref))
+        return batch.filter(pc.invert(mask))
+
+    return big.map_batches(f, batch_format="pyarrow")
+
+
+def top_k(
+    ds: ray.data.Dataset,
+    k: int,
+    by: str,
+    *,
+    descending: bool = True,
+    columns: Sequence[str] | None = None,
+) -> pa.Table:
+    """Global top-k without a global sort: per-block partial top-k
+    (numpy argpartition) → tiny final merge on the driver.
+
+    Shuffle cost is k rows per block instead of the whole dataset.
+    """
+    cols = list(columns) if columns else None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if cols:
+            batch = batch.select(list(dict.fromkeys([*cols, by])))
+        v = batch.column(by).to_numpy(zero_copy_only=False)
+        if len(v) > k:
+            idx = np.argpartition(-v if descending else v, k - 1)[:k]
+            batch = batch.take(pa.array(np.sort(idx)))
+        return batch
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()  # ≤ k×blocks rows
+    merged = pa.Table.from_pylist(partials) if partials else pa.table({})
+    if not len(merged):
+        return merged
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        merged, sort_keys=[(by, "descending" if descending else "ascending")]
+    )[:k]
+    out = merged.take(order)
+    return out.select(cols) if cols else out
+
+
+def distinct(ds: ray.data.Dataset, keys: Sequence[str]) -> ray.data.Dataset:
+    """Distinct key combinations: per-block partial dedup → final groupby.
+
+    Identical shuffle shape to the tileset content dedup (SURVEY §2.6 G5):
+    the exchange only moves already-deduped partials.
+    """
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(keys).group_by(keys).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def filter_project(
+    ds: ray.data.Dataset,
+    *,
+    predicate,
+    columns: Sequence[str],
+) -> ray.data.Dataset:
+    """Vectorized filter + projection in one pass (no row loop).
+
+    ``predicate``: callable pa.Table → pa.BooleanArray.
+    """
+    cols = list(columns)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(predicate(batch)).select(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

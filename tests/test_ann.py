@@ -1,0 +1,67 @@
+"""ANN: brute-force exactness vs numpy oracle; IVF recall on clustered data."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rastertiler_rs_ray.pipelines.ann import brute_force_topk, ivf_topk, train_centroids
+
+
+def _clustered(n=400, dim=32, ncl=8, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((ncl, dim)) * 5
+    assign = rng.randint(0, ncl, n)
+    x = centers[assign] + rng.standard_normal((n, dim)) * 0.3
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in x], pa.list_(pa.float32())),
+        }
+    ), x
+
+
+def _oracle_topk(x, qidx, k):
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn[qidx] @ xn.T
+    for r, q in enumerate(qidx):
+        sims[r, q] = -np.inf
+    out = {}
+    for r, q in enumerate(qidx):
+        out[q] = set(np.argsort(-sims[r])[:k].tolist())
+    return out
+
+
+def test_brute_force_matches_numpy_oracle(ray_session):
+    tbl, x = _clustered()
+    # float32 storage: oracle must see the same rounded values
+    x32 = np.asarray(
+        [np.asarray(v, dtype=np.float32) for v in tbl.column("embedding").to_pylist()]
+    ).astype(np.float64)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    queries = tbl.slice(0, 10)
+    got = brute_force_topk(ds, queries, k=5)
+    want = _oracle_topk(x32, list(range(10)), 5)
+    by_q = {}
+    for r in got.to_pylist():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q == want
+
+
+def test_ivf_recall_on_clustered(ray_session):
+    tbl, _ = _clustered()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    queries = tbl.slice(0, 20)
+    bf = brute_force_topk(ds, queries, k=5)
+    iv = ivf_topk(ds, queries, k=5, nlist=8, nprobe=2)
+    bfp = {(r["query_id"], r["neighbor_id"]) for r in bf.to_pylist()}
+    ivp = {(r["query_id"], r["neighbor_id"]) for r in iv.to_pylist()}
+    recall = len(bfp & ivp) / len(bfp)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_centroids_deterministic(ray_session):
+    tbl, _ = _clustered()
+    ds = ray.data.from_arrow(tbl)
+    c1 = train_centroids(ds, nlist=8)
+    c2 = train_centroids(ds, nlist=8)
+    assert np.allclose(c1, c2)

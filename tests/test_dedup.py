@@ -1,0 +1,108 @@
+"""Dedup family correctness on planted-duplicate corpora."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rastertiler_rs_ray.pipelines.dedup import (
+    embedding_cosine_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while zoom tiles stream "
+    "through the actor pool and every batch stays vectorized end to end "
+    "with arrow buffers shared zero copy across the object store"
+)
+OTHER = (
+    "completely different content about benchmarking shuffle strategies "
+    "partition counts block sizes and the cost of all to all exchanges "
+    "in a streaming execution engine with backpressure"
+)
+
+
+def _doc_table():
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, "  " + BASE + " "),  # whitespace-normalized dup of 0
+        (3, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (4, OTHER),
+        (5, OTHER.replace("cost", "price").replace("counts", "totals")),  # near dup of 4
+        (6, "tiny"),
+        (7, ""),
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    ds = ray.data.from_arrow(_doc_table())
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    ids = set(out["doc_id"])
+    # 1 and 2 collapse into 0; everything else unique
+    assert ids == {0, 3, 4, 5, 6, 7}
+
+
+def test_minhash_lsh_dedup_drops_near_dups(ray_session):
+    ds = ray.data.from_arrow(_doc_table())
+    out = minhash_lsh_dedup(ds, jaccard_threshold=0.6, concurrency=2)
+    ids = set(out.to_pandas()["doc_id"])
+    assert 0 in ids and 4 in ids          # cluster survivors (min id)
+    assert 1 not in ids and 2 not in ids  # exact dups caught too
+    assert 3 not in ids                   # near dup of 0
+    assert 6 in ids                       # distinct doc survives
+    # 7 (empty) must never merge with non-empty docs
+    assert 7 in ids
+
+
+def test_simhash_dedup_drops_near_dups(ray_session):
+    ds = ray.data.from_arrow(_doc_table())
+    out = simhash_dedup(ds, hamming_threshold=6, concurrency=2)
+    ids = set(out.to_pandas()["doc_id"])
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert 4 in ids and 6 in ids
+
+
+def test_ngram_jaccard_dedup(ray_session):
+    ds = ray.data.from_arrow(_doc_table())
+    out = ngram_jaccard_dedup(ds, threshold=0.5, concurrency=2)
+    ids = set(out.to_pandas()["doc_id"])
+    assert 0 in ids and 1 not in ids and 2 not in ids and 3 not in ids
+    assert 4 in ids and 5 not in ids
+    assert 6 in ids
+
+
+def test_embedding_cosine_dedup(ray_session):
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((20, 16))
+    vecs = list(base)
+    # plant near-dups of vector 0 and 5
+    vecs.append(base[0] + 0.01 * rng.standard_normal(16))  # id 20 ~ 0
+    vecs.append(base[5] + 0.01 * rng.standard_normal(16))  # id 21 ~ 5
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(22), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_cosine_dedup(ray.data.from_arrow(tbl), threshold=0.98)
+    ids = set(out.to_pandas()["vec_id"])
+    assert 0 in ids and 20 not in ids
+    assert 5 in ids and 21 not in ids
+    assert len(ids) == 20
+
+
+def test_dedup_deterministic_across_parallelism(ray_session):
+    tbl = _doc_table()
+    a = set(minhash_lsh_dedup(ray.data.from_arrow(tbl).repartition(1), jaccard_threshold=0.6, concurrency=1).to_pandas()["doc_id"])
+    b = set(minhash_lsh_dedup(ray.data.from_arrow(tbl).repartition(4), jaccard_threshold=0.6, concurrency=2).to_pandas()["doc_id"])
+    assert a == b

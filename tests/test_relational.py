@@ -1,0 +1,125 @@
+"""Relational surface vs DuckDB oracle on the driver's sf0.001 tables."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from rastertiler_rs_ray.pipelines.relational import (
+    anti_join,
+    broadcast_hash_join,
+    distinct,
+    filter_project,
+    grouped_aggregate,
+    semi_join,
+    top_k,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def db():
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation", "region", "documents", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_grouped_aggregate_matches_duckdb(ray_session, db):
+    li = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    got = (
+        grouped_aggregate(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            [
+                ("sum_qty", "l_quantity", "sum"),
+                ("min_price", "l_extendedprice", "min"),
+                ("max_price", "l_extendedprice", "max"),
+                ("avg_price", "l_extendedprice", "mean"),
+                ("count_order", "l_quantity", "count"),
+            ],
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) sum_qty,
+                  min(l_extendedprice) min_price, max(l_extendedprice) max_price,
+                  avg(l_extendedprice) avg_price, count(*) count_order
+           FROM lineitem GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    assert len(got) == len(want)
+    assert (got["sum_qty"] - want["sum_qty"]).abs().max() < 1e-6
+    assert (got["avg_price"] - want["avg_price"]).abs().max() < 1e-6
+    assert (got["count_order"] == want["count_order"]).all()
+    assert (got["min_price"] == want["min_price"]).all()
+
+
+def test_broadcast_join_matches_duckdb(ray_session, db):
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    cust = pq.read_table(f"{SF}/customer.parquet")
+    j = broadcast_hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", right_cols=["c_mktsegment"]
+    )
+    got = (
+        grouped_aggregate(j, ["c_mktsegment"], [("total", "o_totalprice", "sum"), ("n", "o_orderkey", "count")])
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """SELECT c_mktsegment, sum(o_totalprice) total, count(*) n
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert (got["n"] == want["n"]).all()
+    assert (got["total"] - want["total"]).abs().max() < 1e-6
+
+
+def test_top_k_matches_duckdb(ray_session, db):
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    got = top_k(orders, 10, "o_totalprice", columns=["o_orderkey", "o_totalprice"])
+    want = db.execute(
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10"
+    ).df()
+    assert got.column("o_orderkey").to_pylist() == want["o_orderkey"].tolist()
+
+
+def test_distinct_matches_duckdb(ray_session, db):
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = distinct(docs, ["lang", "source"]).to_pandas().sort_values(["lang", "source"])
+    want = db.execute("SELECT DISTINCT lang, source FROM documents ORDER BY 1,2").df()
+    assert got.reset_index(drop=True).equals(want)
+
+
+def test_semi_anti_join_partition(ray_session, db):
+    cust = ray.data.read_parquet(f"{SF}/customer.parquet")
+    okeys = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"]).rename_columns(
+        ["c_custkey"]
+    )
+    n_semi = semi_join(cust, okeys, on="c_custkey").count()
+    n_anti = anti_join(cust, okeys, on="c_custkey").count()
+    assert n_semi + n_anti == cust.count()
+    want = db.execute(
+        "SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    ).fetchone()[0]
+    assert n_semi == want
+
+
+def test_filter_project(ray_session, db):
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet")
+    got = filter_project(
+        li,
+        predicate=lambda b: pc.greater(b.column("l_quantity"), 45.0),
+        columns=["l_orderkey", "l_quantity"],
+    )
+    want = db.execute("SELECT count(*) FROM lineitem WHERE l_quantity > 45").fetchone()[0]
+    assert got.count() == want
+    assert got.schema().names == ["l_orderkey", "l_quantity"]
