@@ -1,0 +1,616 @@
+"""Driver-contract query registry: every operator exposed as a
+``name -> callable(sf_dir)`` pair plus (where SQL-expressible) the
+equivalent DuckDB oracle SQL over the same parquet tables.
+
+Column-name + value parity contract: every computed column is named
+identically in the Ray pipeline and the SQL (the driver hashes values
+under sorted column names).  Floats produced by AGGREGATION are rounded
+to 4 decimals on BOTH sides (sum order differs between engines by
+ulps); floats passed through from parquet are left exact; spatial
+outputs are integer tile/cell coordinates, which are ulp-robust
+(a boundary flip needs a ~1e-16 relative error landing exactly on a
+tile edge).
+
+The Mercator/tile SQL mirrors the numpy kernels operation-for-operation
+(same constant folding: ``ORIGIN = 6378137*pi()``, ``deg2rad = pi()/180``)
+so both engines evaluate the same float64 expression tree —
+/root/reference/src/tileid.rs:21-34 math on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..geo.cell import cell_from_mercator
+from ..geo.mercator import geo_to_mercator
+from ..geo.tileid import point_to_tile
+from .relational import (
+    anti_join,
+    broadcast_hash_join,
+    distinct,
+    filter_project,
+    grouped_aggregate,
+    semi_join,
+    top_k,
+)
+
+# deterministic doc positions: pure integer math both engines can run
+LON_MULT = 2654435761
+LAT_MULT = 2246822519
+LON_MOD = 3_600_000
+LAT_MOD = 1_700_000
+
+# shared SQL fragments (operation-for-operation numpy mirrors)
+SQL_POS = f"""
+    SELECT doc_id,
+           (((doc_id * {LON_MULT}) % {LON_MOD}) / {float(LON_MOD)!r}) * 360.0 - 180.0 AS lon,
+           (((doc_id * {LAT_MULT}) % {LAT_MOD}) / {float(LAT_MOD)!r}) * 170.0 - 85.0  AS lat
+    FROM documents
+"""
+SQL_MERC = """
+    SELECT doc_id,
+           lon * ((6378137.0 * pi()) / 180.0) AS mx,
+           6378137.0 * ln(tan(pi() * 0.25 + 0.5 * (lat * (pi() / 180.0)))) AS my
+    FROM pos
+"""
+
+
+def _read(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def doc_positions_dataset(sf_dir: str, extent=None) -> ray.data.Dataset:
+    """documents + deterministic (lon, lat, mx, my) position columns —
+    the vector side for the spatial queries.
+
+    ``extent=(lon0, lat0, lon1, lat1)`` remaps the modular-hash position
+    into a sub-region (used to co-locate docs with the regional synthetic
+    raster); default is global.  Pure integer/float math SQL can mirror.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        ulon = ((did * LON_MULT) % LON_MOD) / float(LON_MOD)
+        ulat = ((did * LAT_MULT) % LAT_MOD) / float(LAT_MOD)
+        if extent is None:
+            lon = ulon * 360.0 - 180.0
+            lat = ulat * 170.0 - 85.0
+        else:
+            lon0, lat0, lon1, lat1 = extent
+            lon = lon0 + ulon * (lon1 - lon0)
+            lat = lat0 + ulat * (lat1 - lat0)
+        mx, my = geo_to_mercator(lon, lat)
+        return (
+            batch.append_column("lon", pa.array(lon, pa.float64()))
+            .append_column("lat", pa.array(lat, pa.float64()))
+            .append_column("mx", pa.array(mx, pa.float64()))
+            .append_column("my", pa.array(my, pa.float64()))
+            .append_column("has_geo", pa.array(np.ones(len(did), dtype=bool)))
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _round4(tbl_ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.column_names.index(c)
+            batch = batch.set_column(
+                i, c, pc.round(batch.column(c), ndigits=4)
+            )
+        return batch
+
+    return tbl_ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------
+# Relational queries (SQL-oracled)
+# --------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def disc(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice")
+        d = batch.column("l_discount")
+        return batch.append_column(
+            "disc_price", pc.multiply(price, pc.subtract(pa.scalar(1.0), d))
+        )
+
+    agg = grouped_aggregate(
+        li.map_batches(disc, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "l_quantity", "sum"),
+            ("sum_base_price", "l_extendedprice", "sum"),
+            ("sum_disc_price", "disc_price", "sum"),
+            ("avg_qty", "l_quantity", "mean"),
+            ("avg_price", "l_extendedprice", "mean"),
+            ("count_order", "l_quantity", "count"),
+        ],
+    )
+    return _round4(agg, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"])
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                         AS sum_qty,
+       round(sum(l_extendedprice), 4)                    AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4)                         AS avg_qty,
+       round(avg(l_extendedprice), 4)                    AS avg_price,
+       count(*)                                          AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def orders_by_mktsegment(sf_dir: str):
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j = broadcast_hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", right_cols=["c_mktsegment"]
+    )
+    agg = grouped_aggregate(
+        j,
+        ["c_mktsegment"],
+        [("total_price", "o_totalprice", "sum"), ("order_count", "o_orderkey", "count")],
+    )
+    return _round4(agg, ["total_price"])
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, round(sum(o_totalprice), 4) AS total_price,
+       count(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def top10_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    # take a padded partial top-k, then deterministic (price desc, key asc)
+    wide = top_k(orders, 50, "o_totalprice", columns=["o_orderkey", "o_totalprice"])
+    idx = pc.sort_indices(
+        wide,
+        sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+    )[:10]
+    return wide.take(idx)
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def distinct_doc_dims(sf_dir: str):
+    return distinct(_read(sf_dir, "documents", columns=["lang", "source"]), ["lang", "source"])
+
+
+SQL_DISTINCT_DOC_DIMS = "SELECT DISTINCT lang, source FROM documents"
+
+
+def customers_with_orders(sf_dir: str):
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).rename_columns(
+        ["c_custkey"]
+    )
+    return semi_join(cust, okeys, on="c_custkey")
+
+
+SQL_CUSTOMERS_WITH_ORDERS = (
+    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+)
+
+
+def parts_never_ordered_full(sf_dir: str):
+    """Anti join: parts with no full-quantity (>48) lineitem."""
+    part = _read(sf_dir, "part", columns=["p_partkey"])
+    pkeys = (
+        pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+        .filter(pc.greater(pc.field("l_quantity"), 48.0))
+        .select(["l_partkey"])
+        .rename_columns(["p_partkey"])
+    )
+    return anti_join(part, pkeys, on="p_partkey")
+
+
+SQL_PARTS_NEVER_ORDERED = (
+    "SELECT p_partkey FROM part WHERE p_partkey NOT IN "
+    "(SELECT l_partkey FROM lineitem WHERE l_quantity > 48.0)"
+)
+
+
+def high_qty_items(sf_dir: str):
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"])
+    return filter_project(
+        li,
+        predicate=lambda b: pc.greater(b.column("l_quantity"), 45.0),
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+
+
+SQL_HIGH_QTY_ITEMS = (
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45.0"
+)
+
+
+def events_by_type(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    agg = grouped_aggregate(
+        ev,
+        ["event_type"],
+        [
+            ("n", "value", "count"),
+            ("avg_value", "value", "mean"),
+            ("max_value", "value", "max"),
+        ],
+    )
+    return _round4(agg, ["avg_value"])
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------
+# Text queries (SQL-oracled where the kernel is regex-expressible)
+# --------------------------------------------------------------------
+
+
+def text_stats(sf_dir: str):
+    from ..functions import text as T
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(T.whitespace_token_count(s), pa.int64()),
+                "n_bpe_tokens": pa.array(T.bpe_ish_token_count(s), pa.int64()),
+                "alpha_chars": pa.array(s.str.count(r"[A-Za-z]").to_numpy(), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))                         AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]'))                    AS alpha_chars
+FROM documents
+"""
+
+
+def token_totals_by_lang(sf_dir: str):
+    from .textstats import token_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return grouped_aggregate(
+        token_counts(docs),
+        ["lang"],
+        [("ndocs", "doc_id", "count"), ("total_tokens", "n_tokens", "sum")],
+    )
+
+
+SQL_TOKEN_TOTALS_BY_LANG = r"""
+SELECT lang, count(*) AS ndocs,
+       sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def exact_dedup_docs(sf_dir: str):
+    from .dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(docs, id_col="doc_id")
+    return out.select_columns(["doc_id"])
+
+
+SQL_EXACT_DEDUP_DOCS = r"""
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY regexp_replace(trim(text), '\s+', ' ', 'g')
+"""
+
+
+# --------------------------------------------------------------------
+# Spatial queries (SQL-oracled: integer tile/cell outputs)
+# --------------------------------------------------------------------
+
+
+def tile_assign_z10(sf_dir: str):
+    pos = doc_positions_dataset(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        x, y = point_to_tile(10, batch.column("mx").to_numpy(), batch.column("my").to_numpy())
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "zoom": pa.array(np.full(n, 10, dtype=np.int32)),
+                "x": pa.array(x.astype(np.int64)),
+                "y": pa.array(y.astype(np.int64)),
+            }
+        )
+
+    return pos.map_batches(f, batch_format="pyarrow")
+
+
+SQL_TILE_ASSIGN_Z10 = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC})
+SELECT doc_id, 10 AS zoom,
+  CAST(least(greatest(floor(((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * 1024.0), 0.0), 1023.0) AS BIGINT) AS x,
+  CAST(least(greatest(floor((1.0 - ((my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())))) * 1024.0), 0.0), 1023.0) AS BIGINT) AS y
+FROM merc
+"""
+
+
+def cell_index_z12(sf_dir: str):
+    pos = doc_positions_dataset(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        cid = cell_from_mercator(
+            12, batch.column("mx").to_numpy(), batch.column("my").to_numpy()
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "cell_id": pa.array(cid.astype(np.int64))}
+        )
+
+    return pos.map_batches(f, batch_format="pyarrow")
+
+
+SQL_CELL_INDEX_Z12 = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}), xy AS (
+  SELECT doc_id,
+    CAST(least(greatest(floor(((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS x,
+    CAST(least(greatest(floor((1.0 - ((my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS y
+  FROM merc)
+SELECT doc_id, 12 * 288230376151711744 + x * 536870912 + y AS cell_id FROM xy
+"""
+
+KNN_QUERY_POINTS = [(-122.4, 37.7), (2.35, 48.85), (139.7, 35.6), (151.2, -33.8)]
+
+
+def knn_docs_k5(sf_dir: str):
+    from .spatial import knn_join
+
+    pos = doc_positions_dataset(sf_dir)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    qlon = np.array([p[0] for p in KNN_QUERY_POINTS])
+    qlat = np.array([p[1] for p in KNN_QUERY_POINTS])
+    qx, qy = geo_to_mercator(qlon, qlat)
+    out = knn_join(
+        pos.map_batches(stringify, batch_format="pyarrow"),
+        np.stack([qx, qy], axis=1),
+        k=5,
+    )
+    return out[["query_id", "rank", "doc_id"]]
+
+
+def _sql_knn() -> str:
+    pts = ", ".join(
+        f"({i}, {lon!r}, {lat!r})" for i, (lon, lat) in enumerate(KNN_QUERY_POINTS)
+    )
+    return f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}),
+q(query_id, qlon, qlat) AS (VALUES {pts}),
+qm AS (SELECT query_id,
+        qlon * ((6378137.0 * pi()) / 180.0) AS qx,
+        6378137.0 * ln(tan(pi() * 0.25 + 0.5 * (qlat * (pi() / 180.0)))) AS qy
+       FROM q),
+d AS (SELECT query_id, merc.doc_id,
+        sqrt((mx - qx) * (mx - qx) + (my - qy) * (my - qy)) AS dist
+      FROM merc CROSS JOIN qm)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS rank,
+       CAST(doc_id AS VARCHAR) AS doc_id
+FROM d QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, CAST(doc_id AS VARCHAR)) <= 5
+"""
+
+
+SQL_KNN_DOCS_K5 = _sql_knn()
+
+
+def ann_embeddings_topk(sf_dir: str):
+    from .ann import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 4)
+    out = brute_force_topk(emb, q, k=5)
+    return out.select(["query_id", "neighbor_id"])
+
+
+SQL_ANN_EMBEDDINGS_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+s AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(qe, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+SELECT query_id, neighbor_id FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+"""
+
+
+# --------------------------------------------------------------------
+# Non-SQL-expressible pipelines (rows-only driver check)
+# --------------------------------------------------------------------
+
+
+def render_pyramid_map(sf_dir: str):
+    """Flagship raster pipeline: z0-4 pyramid of the synthetic u8 raster;
+    returns the tileset map table (zoom, x, y, tile_hash)."""
+    import tempfile
+
+    from ..raster.synthetic import default_u8_raster
+    from .render import render_pyramid, tileset_map_dataset
+
+    out_dir = tempfile.mkdtemp(prefix="tileset_q_")
+    render_pyramid(default_u8_raster(), out_dir, 0, 4, tilesize=256, resume=False)
+    return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+def raster_vector_join_z8(sf_dir: str):
+    from ..raster.synthetic import default_u8_raster
+    from .spatial import raster_vector_join
+
+    # co-locate docs with the regional raster (its CRS84 bounds) so the
+    # join has real hits; nulls still occur over nodata blocks
+    pos = doc_positions_dataset(sf_dir, extent=(-59.9, 26.7, -48.8, 33.6))
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    return raster_vector_join(
+        pos.map_batches(stringify, batch_format="pyarrow"),
+        default_u8_raster(),
+        zoom=8,
+        tilesize=256,
+    )
+
+
+def point_in_polygon_docs(sf_dir: str):
+    from ..sources.polygons import generate_polygons
+    from .spatial import point_in_polygon
+
+    pos = doc_positions_dataset(sf_dir)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    return point_in_polygon(
+        pos.map_batches(stringify, batch_format="pyarrow"),
+        generate_polygons(20),
+        concurrency=(1, 4),
+    )
+
+
+def minhash_dedup_docs(sf_dir: str):
+    from .dedup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, jaccard_threshold=0.8).select_columns(["doc_id"])
+
+
+def simhash_dedup_docs(sf_dir: str):
+    from .dedup import simhash_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(docs, hamming_threshold=3).select_columns(["doc_id"])
+
+
+def ngram_dedup_docs(sf_dir: str):
+    from .dedup import ngram_jaccard_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(docs, threshold=0.8).select_columns(["doc_id"])
+
+
+def embedding_dedup(sf_dir: str):
+    from .dedup import embedding_cosine_dedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_cosine_dedup(emb, threshold=0.97).select_columns(["vec_id"])
+
+
+def ivf_ann_topk(sf_dir: str):
+    from .ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 4)
+    out = ivf_topk(emb, q, k=5, nlist=8, nprobe=4)
+    return out.select(["query_id", "neighbor_id"])
+
+
+def annotate_docs(sf_dir: str):
+    from .textstats import annotate_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = annotate_text(docs)
+    return out.select_columns(["doc_id", "n_tokens", "quality", "lang_guess", "fingerprint"])
+
+
+def media_features_pipeline(sf_dir: str):
+    from ..stages.multimodal import decode_media, extract_media_features, synthesize_media_table
+
+    ds = extract_media_features(decode_media(synthesize_media_table(256)))
+    return ds.select_columns(["media_id", "media_hash"])
+
+
+def interleaved_span_check(sf_dir: str):
+    """Interleaved-doc invariant pipeline: generate docs, run the cell
+    encoder, verify span sequences survive, return (doc_id, cell_ok)."""
+    from ..sources.docs import generate_documents
+    from .spatial import encode_cells
+
+    docs = generate_documents(2000, override_num_blocks=8)
+    enc = encode_cells(docs, level=12, concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "has_geo": batch.column("has_geo"),
+                "cell_id": pa.array(
+                    batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    return enc.map_batches(project, batch_format="pyarrow")
+
+
+QUERIES = {
+    # SQL-oracled
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "orders_by_mktsegment": (orders_by_mktsegment, SQL_ORDERS_BY_SEGMENT),
+    "top10_orders": (top10_orders, SQL_TOP10_ORDERS),
+    "distinct_doc_dims": (distinct_doc_dims, SQL_DISTINCT_DOC_DIMS),
+    "customers_with_orders": (customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
+    "parts_never_ordered_full": (parts_never_ordered_full, SQL_PARTS_NEVER_ORDERED),
+    "high_qty_items": (high_qty_items, SQL_HIGH_QTY_ITEMS),
+    "events_by_type": (events_by_type, SQL_EVENTS_BY_TYPE),
+    "text_stats": (text_stats, SQL_TEXT_STATS),
+    "token_totals_by_lang": (token_totals_by_lang, SQL_TOKEN_TOTALS_BY_LANG),
+    "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "tile_assign_z10": (tile_assign_z10, SQL_TILE_ASSIGN_Z10),
+    "cell_index_z12": (cell_index_z12, SQL_CELL_INDEX_Z12),
+    "knn_docs_k5": (knn_docs_k5, SQL_KNN_DOCS_K5),
+    "ann_embeddings_topk": (ann_embeddings_topk, SQL_ANN_EMBEDDINGS_TOPK),
+    # rows-only (non-SQL-expressible: stateful/sketch/raster pipelines)
+    "render_pyramid_map": (render_pyramid_map, None),
+    "raster_vector_join_z8": (raster_vector_join_z8, None),
+    "point_in_polygon_docs": (point_in_polygon_docs, None),
+    "minhash_dedup_docs": (minhash_dedup_docs, None),
+    "simhash_dedup_docs": (simhash_dedup_docs, None),
+    "ngram_dedup_docs": (ngram_dedup_docs, None),
+    "embedding_dedup": (embedding_dedup, None),
+    "ivf_ann_topk": (ivf_ann_topk, None),
+    "annotate_docs": (annotate_docs, None),
+    "media_features_pipeline": (media_features_pipeline, None),
+    "interleaved_span_check": (interleaved_span_check, None),
+}

@@ -45,7 +45,7 @@ DOC_COLS = ["doc_id", "lon", "lat", "mx", "my", "has_geo", "cell_id"]
 
 
 def encode_cells(
-    docs: ray.data.Dataset, level: int = 12, *, concurrency=4, batch_size: int = 4096
+    docs: ray.data.Dataset, level: int = 12, *, concurrency=(1, 4), batch_size: int = 4096
 ) -> ray.data.Dataset:
     """Attach lon/lat/mercator/cell_id columns (stateful actor pool)."""
     return docs.map_batches(
@@ -276,7 +276,7 @@ class _PolygonTester:
 
 
 def point_in_polygon(
-    encoded: ray.data.Dataset, polygons: list[dict], *, concurrency=4
+    encoded: ray.data.Dataset, polygons: list[dict], *, concurrency=(1, 4)
 ) -> ray.data.Dataset:
     """(doc_id, poly_id) containment pairs. Polygon side broadcast."""
     ref = ray.put(polygons)
@@ -330,7 +330,7 @@ def knn_join(
     query_points: np.ndarray,
     k: int = 5,
     *,
-    concurrency=4,
+    concurrency=(1, 4),
 ) -> pd.DataFrame:
     """Exact kNN of each query point over all geo-docs (Euclidean in
     Mercator meters). Map-side partial top-k per batch (no shuffle),
