@@ -1,0 +1,263 @@
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) in one Ray session with
+``num_cpus=$RAY_GRAFT_CPUS`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "throughput": {"tiles_per_sec": ..., "join_rows_per_sec": ...}}
+
+``--scaling`` mode: runs the headline pipeline (render z0-10 pyramid +
+raster↔vector join z11) twice in FRESH subprocesses at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus
+``efficiency = T_32 / (4 * T_8)`` (the N→4N two-cluster-size evidence —
+no real multi-node cluster in this sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+RENDER_ZMAX = int(os.environ.get("BENCH_ZMAX", "12"))
+JOIN_ZOOM = 11
+JOIN_DOCS_PER_SF = int(os.environ.get("BENCH_DOCS_PER_SF", "2000000"))  # sf0.1 -> 200k docs
+
+
+def _sf(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def headline(num_cpus: int, sf_dir: str) -> dict:
+    """Render pyramid + raster↔vector join; returns counts + seconds."""
+    import tempfile
+
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.driver_queries import synthetic_positions_dataset
+    from rastertiler_rs_ray.pipelines.render import render_pyramid, tileset_counts
+    from rastertiler_rs_ray.pipelines.spatial import raster_vector_join_broadcast
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    out = {}
+    # warm the Ray Data worker pool so measured time is pipeline, not
+    # cluster cold-start (a fixed cluster is already warm in production)
+    ray.data.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    t0 = time.time()
+    out_dir = tempfile.mkdtemp(prefix="bench_tileset_")
+    render_pyramid(
+        default_u8_raster(), out_dir, 0, RENDER_ZMAX,
+        tilesize=256, resume=False, concurrency=max(2, num_cpus - 2),
+    )
+    render_s = time.time() - t0
+    n_tiles = tileset_counts(out_dir)["total"]
+    out["render_sec"] = render_s
+    out["tiles"] = n_tiles
+    out["tiles_per_sec"] = n_tiles / render_s
+
+    n_docs = int(JOIN_DOCS_PER_SF * _sf(sf_dir))
+    pos = synthetic_positions_dataset(
+        n_docs, extent=(-59.9, 26.7, -48.8, 33.6), override_num_blocks=max(num_cpus * 2, 16)
+    )
+
+    t0 = time.time()
+    # broadcast variant: the scale path (no all-to-all; per-actor warmed
+    # tile cache).  The shuffle co-partition variant is benchmarked in
+    # the full suite as raster_vector_join (single-node shuffle bandwidth
+    # does not grow with CPU count, so it is the wrong scaling probe).
+    joined = raster_vector_join_broadcast(
+        pos, default_u8_raster(), zoom=JOIN_ZOOM, tilesize=256,
+        concurrency=max(2, num_cpus // 4),
+    )
+    n_rows = joined.count()
+    join_s = time.time() - t0
+    out["join_sec"] = join_s
+    out["join_rows"] = n_rows
+    out["join_rows_per_sec"] = n_rows / join_s
+    return out
+
+
+def run_full() -> dict:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from rastertiler_rs_ray.pipelines import driver_queries as Q
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        r = fn()
+        if hasattr(r, "count"):
+            r.count()  # consume lazily-built datasets
+        timings[name] = round(time.time() - t0, 3)
+
+    hl = headline(NUM_CPUS, SF_DIR)
+    timings["render_pyramid"] = round(hl["render_sec"], 3)
+    timings["raster_vector_join"] = round(hl["join_sec"], 3)
+
+    timed("q1_pricing_summary", lambda: Q.q1_pricing_summary(SF_DIR))
+    timed("orders_by_mktsegment", lambda: Q.orders_by_mktsegment(SF_DIR))
+    timed("tile_assign_z10", lambda: Q.tile_assign_z10(SF_DIR))
+    timed("cell_index_z12", lambda: Q.cell_index_z12(SF_DIR))
+    timed("knn_docs_k5", lambda: Q.knn_docs_k5(SF_DIR))
+    timed("point_in_polygon", lambda: Q.point_in_polygon_docs(SF_DIR))
+    timed("minhash_dedup", lambda: Q.minhash_dedup_docs(SF_DIR))
+    timed("exact_dedup", lambda: Q.exact_dedup_docs(SF_DIR))
+    timed("ann_topk", lambda: Q.ann_embeddings_topk(SF_DIR))
+    timed("annotate_text", lambda: Q.annotate_docs(SF_DIR))
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "tiles/sec + spatial-join rows/sec (zoom 0-%d pyramid + z%d join) with relational/dedup/ANN/text suite"
+        % (RENDER_ZMAX, JOIN_ZOOM),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "throughput": {
+            "tiles": hl["tiles"],
+            "tiles_per_sec": round(hl["tiles_per_sec"], 1),
+            "join_rows": hl["join_rows"],
+            "join_rows_per_sec": round(hl["join_rows_per_sec"], 1),
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def _child_render() -> dict:
+    import tempfile
+
+    from rastertiler_rs_ray.pipelines.render import render_pyramid, tileset_counts
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    conc = max(2, NUM_CPUS - 2)
+    # warm-up: small pyramid (pays worker/page-cache warm once)
+    render_pyramid(default_u8_raster(), tempfile.mkdtemp(), 0, 10, tilesize=256,
+                   resume=False, concurrency=conc)
+    t0 = time.time()
+    out_dir = tempfile.mkdtemp(prefix="scale_render_")
+    render_pyramid(default_u8_raster(), out_dir, 0, RENDER_ZMAX, tilesize=256,
+                   resume=False, concurrency=conc)
+    wall = time.time() - t0
+    n = tileset_counts(out_dir)["total"]
+    return {"render_sec": wall, "tiles": n, "tiles_per_sec": n / wall}
+
+
+def _child_join(sf_dir: str) -> dict:
+    from rastertiler_rs_ray.pipelines.driver_queries import synthetic_positions_dataset
+    from rastertiler_rs_ray.pipelines.spatial import raster_vector_join_broadcast
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    ext = (-59.9, 26.7, -48.8, 33.6)
+    conc = max(2, NUM_CPUS // 4)
+    nb = max(NUM_CPUS * 8, 64)
+    # warm-up at 1/10 size
+    raster_vector_join_broadcast(
+        synthetic_positions_dataset(int(JOIN_DOCS_PER_SF * _sf(sf_dir)) // 10, extent=ext,
+                                    override_num_blocks=nb),
+        default_u8_raster(), zoom=JOIN_ZOOM, tilesize=256, concurrency=conc,
+    ).count()
+    n_docs = int(JOIN_DOCS_PER_SF * _sf(sf_dir))
+    pos = synthetic_positions_dataset(n_docs, extent=ext, override_num_blocks=nb)
+    t0 = time.time()
+    n = raster_vector_join_broadcast(
+        pos, default_u8_raster(), zoom=JOIN_ZOOM, tilesize=256, concurrency=conc
+    ).count()
+    wall = time.time() - t0
+    return {"join_sec": wall, "join_rows": n, "join_rows_per_sec": n / wall}
+
+
+def run_headline_child() -> None:
+    """Child entry for --scaling: fresh Ray session at $RAY_GRAFT_CPUS,
+    ONE metric per process (render or join) to avoid cross-contamination,
+    with a warm-up iteration so the measurement is steady-state."""
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    kind = os.environ.get("BENCH_CHILD_KIND", "render")
+    out = _child_render() if kind == "render" else _child_join(SF_DIR)
+    ray.shutdown()
+    print("CHILD_RESULT " + json.dumps(out))
+
+
+def run_scaling() -> dict:
+    levels = [8, 32]
+    results = {n: {} for n in levels}
+    for n in levels:
+        for kind in ("render", "join"):
+            # scaling runs use a larger workload (z0-14 pyramid,
+            # 100M-doc join at sf0.1) so fixed costs amortize — the
+            # regime the 100 TB target actually runs in
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                GRAFT_SF_DIR=SF_DIR,
+                BENCH_CHILD_KIND=kind,
+                BENCH_ZMAX=os.environ.get("BENCH_ZMAX", "14"),
+                BENCH_DOCS_PER_SF=os.environ.get("BENCH_DOCS_PER_SF", "1000000000"),
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-child"],
+                env=env, capture_output=True, text=True, timeout=3000,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
+            if not line:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+                raise RuntimeError(f"scaling child kind={kind} num_cpus={n} failed")
+            results[n].update(json.loads(line[0][len("CHILD_RESULT "):]))
+
+    lo, hi = levels
+    eff_tiles = results[hi]["tiles_per_sec"] / ((hi / lo) * results[lo]["tiles_per_sec"])
+    eff_join = results[hi]["join_rows_per_sec"] / (
+        (hi / lo) * results[lo]["join_rows_per_sec"]
+    )
+    eff = (eff_tiles + eff_join) / 2  # per-metric efficiencies, averaged
+    return {
+        "metric": "scaling efficiency %d->%d cpus (mean of tiles/s and join rows/s efficiencies)" % (lo, hi),
+        "value": round(eff, 3),
+        "efficiency_tiles": round(eff_tiles, 3),
+        "efficiency_join_rows": round(eff_join, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"cpus_{n}": {
+                "tiles_per_sec": round(results[n]["tiles_per_sec"], 1),
+                "join_rows_per_sec": round(results[n]["join_rows_per_sec"], 1),
+                "render_sec": round(results[n]["render_sec"], 2),
+                "join_sec": round(results[n]["join_sec"], 2),
+            }
+            for n in levels
+        },
+        "sf": _sf(SF_DIR),
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--headline-child" in sys.argv:
+        run_headline_child()
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_full()))

@@ -105,6 +105,10 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # per-doc loop, but each doc's shingling + 64-hash min is one
+        # numpy sliding-window pass — measured FASTER than a fully
+        # batch-flattened reduceat variant (cache-local per-doc arrays,
+        # set-dedup before the 64×|shingles| broadcast)
         texts = batch.column(self.text_col).to_pylist()
         sigs = np.stack(
             [self.signature(char_shingles(t or "", self.k)) for t in texts]

@@ -99,6 +99,42 @@ def doc_positions_dataset(sf_dir: str, extent=None) -> ray.data.Dataset:
     )
 
 
+def synthetic_positions_dataset(
+    n: int, extent=None, *, override_num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Pure-synthetic doc-position table (doc_id = 0..n-1) using the
+    same modular-hash position math as ``doc_positions_dataset`` —
+    lazily generated, any scale, for benches and scaling runs."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        did = batch.column("id").to_numpy()
+        ulon = ((did * LON_MULT) % LON_MOD) / float(LON_MOD)
+        ulat = ((did * LAT_MULT) % LAT_MOD) / float(LAT_MOD)
+        if extent is None:
+            lon = ulon * 360.0 - 180.0
+            lat = ulat * 170.0 - 85.0
+        else:
+            lon0, lat0, lon1, lat1 = extent
+            lon = lon0 + ulon * (lon1 - lon0)
+            lat = lat0 + ulat * (lat1 - lat0)
+        mx, my = geo_to_mercator(lon, lat)
+        nb = len(did)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("id"), pa.string()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+                "mx": pa.array(mx, pa.float64()),
+                "my": pa.array(my, pa.float64()),
+                "has_geo": pa.array(np.ones(nb, dtype=bool)),
+            }
+        )
+
+    return ray.data.range(n, override_num_blocks=override_num_blocks).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def _round4(tbl_ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     def f(batch: pa.Table) -> pa.Table:
         for c in cols:

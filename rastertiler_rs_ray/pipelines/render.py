@@ -3,24 +3,25 @@
 Ray-Data translation of the reference's ``render`` entry point
 (/root/reference/src/render.rs:20-156):
 
-    per zoom-group:
-      tile_ids_dataset (lazy index→id map)
-        → map_batches(TileRenderer, actor pool)    # read+encode+hash, G1 filter
-        → sort(["zoom", "x", "y"])                 # unique-index ordering (S8)
-        → write_parquet(tiles/<group>/, partitioned)
+    pending zoom-groups (planned groups anti-joined against manifest):
+      ONE job: tile_ids_dataset (lazy index→id map)
+        → map_batches(TileRenderer, shared actor pool)  # read+encode+hash, G1 filter
+        → write_parquet(tiles/, partition_cols=["part"])  # hive: part=g<min>-<max>
     then:
       images/ = dedup by tile_hash (keep first)    # MBTiles images norm (G5)
 
-Zoom groups are sequential jobs sharing the sink — the natural
-checkpoint boundary; each completed group is recorded in the manifest
-with lineage + throughput, so a killed run resumes by skipping
-completed groups (the reference instead deletes its output db,
+No global sort: enumeration is zoom-asc/x-major and order is preserved
+end-to-end, so partitions come out sorted by (zoom, x, y) — the
+unique-index ordering (S8) for free (asserted in tests).  Zoom groups
+remain the checkpoint boundary: each is recorded in the manifest with
+lineage + throughput, and a killed run resumes by re-rendering only
+pending groups (the reference instead deletes its output db,
 src/mbtiles.rs:53-55).
 
 Output layout (MBTiles-equivalent, resumable, one dir per partition):
 
     out_dir/manifest.json
-    out_dir/tiles/g{i}/*.parquet   (zoom,x,y,tms_y,tile_hash,tile_data)
+    out_dir/tiles/part=g{a}-{b}/*.parquet  (zoom,x,y,tms_y,tile_hash,tile_data)
     out_dir/images/*.parquet       (tile_hash,tile_data) deduped
 
 The `map` table of MBTiles is the blob-free projection of tiles/
@@ -126,7 +127,7 @@ def render_pyramid(
     name: str | None = None,
     description: str | None = None,
     attribution: str | None = None,
-    batch_size: int = 32,
+    batch_size: int | None = None,
     concurrency=None,
     resume: bool = True,
     target_tiles_per_group: int = 4096,
@@ -173,17 +174,50 @@ def render_pyramid(
 
     groups = plan_zoom_groups(minzoom, maxzoom, mercator_bounds, target_tiles_per_group)
 
-    for zooms in groups:
-        part = f"tiles/g{zooms[0]:02d}-{zooms[-1]:02d}"
-        part_dir = os.path.join(out_dir, part)
-        if resume and manifest.is_complete(part):
-            continue
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)  # idempotent overwrite of a half-written partition
+    # Resume = anti-join planned groups against the manifest; all pending
+    # groups render in ONE job sharing one actor pool (per-group jobs paid
+    # a pool spin-up each — ~5× the compute at small scale), written
+    # hive-partitioned by group label so per-group lineage/resume
+    # granularity is preserved.
+    pending = [
+        zs
+        for zs in groups
+        if not (resume and manifest.is_complete(f"tiles/g{zs[0]:02d}-{zs[-1]:02d}"))
+    ]
+    if pending:
+        label_of_zoom: dict[int, str] = {}
+        for zs in pending:
+            label = f"g{zs[0]:02d}-{zs[-1]:02d}"
+            for z in zs:
+                label_of_zoom[z] = label
+            # idempotent overwrite of a half-written partition
+            part_dir = os.path.join(out_dir, "tiles", f"part={label}")
+            if os.path.exists(part_dir):
+                shutil.rmtree(part_dir)
 
         t0 = time.perf_counter()
-        ds = tile_ids_dataset(zooms, mercator_bounds)
-        input_tiles = sum(tile_range(z, mercator_bounds).count() for z in zooms)
+        all_zooms = [z for zs in pending for z in zs]
+        total_tiles = sum(tile_range(z, mercator_bounds).count() for z in all_zooms)
+        # block count: enough blocks that the actor pool has no straggler
+        # tail (≥8 per actor), capped so metadata stays driver-sized
+        if isinstance(concurrency, tuple):
+            max_actors = concurrency[1]
+        else:
+            max_actors = int(concurrency)
+        # One actor task per block (batch_size=None → whole-block batches):
+        # driver dispatch stays O(blocks), not O(tiles/32).  Blocks: ≥8
+        # per actor against stragglers, capped by per-block pixel-buffer
+        # memory (tilesize² × dtype × tiles/block ≤ ~256 MiB).
+        bytes_per_px = 4 if raster.dtype == "uint32" else 1
+        max_tiles_per_block = max(256 * 1024 * 1024 // (tilesize * tilesize * bytes_per_px), 8)
+        num_blocks = int(
+            min(
+                max(max_actors * 8, 32, total_tiles // max_tiles_per_block + 1),
+                max(total_tiles, 1),
+                100_000,
+            )
+        )
+        ds = tile_ids_dataset(all_zooms, mercator_bounds, override_num_blocks=num_blocks)
         ds = ds.map_batches(
             TileRenderer,
             fn_constructor_kwargs=dict(
@@ -194,32 +228,108 @@ def render_pyramid(
             concurrency=concurrency,
             num_cpus=1,
         )
-        ds = ds.sort(["zoom", "x", "y"])
-        ds.write_parquet(part_dir)
-        wall = time.perf_counter() - t0
-        rows = pads.dataset(part_dir, format="parquet").count_rows()
-        manifest.record_complete(
-            part,
-            rows=rows,
-            wall_s=wall,
-            zooms=zooms,
-            input_tiles=input_tiles,
-            tiles_per_s=round(input_tiles / wall, 1) if wall > 0 else None,
+
+        # zoom → group label as a numpy take (max zoom 24 → tiny LUT)
+        lut = np.array(
+            [label_of_zoom.get(z, "") for z in range(max(label_of_zoom) + 1)], dtype=object
         )
 
-    # images/: content-hash dedup keep-first (MBTiles `images` table)
+        def add_part(batch: pa.Table) -> pa.Table:
+            z = batch.column("zoom").to_numpy()
+            return batch.append_column("part", pa.array(lut[z], pa.string()))
+
+        # No global sort: tile ids are enumerated zoom-asc / x-major
+        # (tile_ids_dataset), map_batches preserves block + intra-block
+        # order, and nothing shuffles before the sink — the partition
+        # files come out already sorted by (zoom, x, y), giving the
+        # unique-index ordering (ref src/mbtiles.rs:38-42) for free.
+        # Sortedness is asserted in tests.
+        # Materialize once (object store; spills if huge) so the images
+        # dedup below consumes the SAME blocks instead of re-reading the
+        # blob parquet from disk (2× blob I/O saved).
+        rendered = ds.map_batches(add_part, batch_format="pyarrow").materialize()
+        rendered.write_parquet(os.path.join(out_dir, "tiles"), partition_cols=["part"])
+        wall = time.perf_counter() - t0
+
+        for zs in pending:
+            label = f"g{zs[0]:02d}-{zs[-1]:02d}"
+            part_dir = os.path.join(out_dir, "tiles", f"part={label}")
+            rows = pads.dataset(part_dir, format="parquet").count_rows()
+            input_tiles = sum(tile_range(z, mercator_bounds).count() for z in zs)
+            manifest.record_complete(
+                f"tiles/{label}",
+                rows=rows,
+                wall_s=wall,  # shared job wall (single shared actor pool)
+                zooms=zs,
+                input_tiles=input_tiles,
+                tiles_per_s=round(input_tiles / wall, 1) if wall > 0 else None,
+            )
+
+    # images/: content-hash dedup keep-first (MBTiles `images` table).
+    # Blobs NEVER shuffle: only the narrow (tile_hash, packed tile addr)
+    # pairs go through the groupby (16 B/row, column-pruned parquet read);
+    # the elected winner addresses are broadcast once and the blob table
+    # is filtered map-only.  The naive groupby over (hash, blob) moved
+    # every PNG through a sort shuffle and ANTI-scaled with CPUs.
+    # Broadcast assumption: distinct-hash count fits driver/worker memory
+    # (int64 per winner — ~1 GB per 10^8 distinct tiles); beyond that,
+    # swap the broadcast for a hash-shuffle semi-join on tile_hash.
     if not manifest.is_complete("images"):
         images_dir = os.path.join(out_dir, "images")
         if os.path.exists(images_dir):
             shutil.rmtree(images_dir)
         t0 = time.perf_counter()
-        tiles = ray.data.read_parquet(
-            os.path.join(out_dir, "tiles"), columns=["tile_hash", "tile_data"]
+
+        def tiles_source(columns):
+            if pending:  # in-session: reuse the materialized blocks (zero-copy prune)
+                return rendered.select_columns(columns)
+            return ray.data.read_parquet(os.path.join(out_dir, "tiles"), columns=columns)
+
+        def pack_addr(batch: pa.Table) -> pa.Table:
+            z = batch.column("zoom").to_numpy().astype(np.uint64)
+            x = batch.column("x").to_numpy().astype(np.uint64)
+            y = batch.column("y").to_numpy().astype(np.uint64)
+            addr = (z << np.uint64(58)) | (x << np.uint64(29)) | y
+            t = pa.table(
+                {
+                    "tile_hash": batch.column("tile_hash"),
+                    "addr": pa.array(addr.astype(np.int64)),
+                }
+            )
+            # per-block partial: one (hash, min addr) per distinct hash
+            return t.group_by("tile_hash").aggregate([("addr", "min")]).rename_columns(
+                ["tile_hash", "addr"]
+            )
+
+        narrow = tiles_source(["zoom", "x", "y", "tile_hash"]).map_batches(
+            pack_addr, batch_format="pyarrow"
         )
-        images = (
-            tiles.map_batches(_dedup_hash_in_batch, batch_format="pyarrow")
-            .groupby("tile_hash")
-            .map_groups(_keep_first_group, batch_format="pyarrow")
+        from ray.data.aggregate import Min
+
+        winners = narrow.groupby("tile_hash").aggregate(
+            Min("addr", alias_name="addr")
+        ).materialize()
+        batches = [
+            b["addr"]
+            for b in winners.iter_batches(batch_size=1 << 20, batch_format="numpy")
+        ]
+        winner_addrs = (
+            np.sort(np.concatenate(batches)) if batches else np.array([], dtype=np.int64)
+        )
+        addr_ref = ray.put(pa.array(winner_addrs))
+
+        def keep_winners(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            z = batch.column("zoom").to_numpy().astype(np.uint64)
+            x = batch.column("x").to_numpy().astype(np.uint64)
+            y = batch.column("y").to_numpy().astype(np.uint64)
+            addr = ((z << np.uint64(58)) | (x << np.uint64(29)) | y).astype(np.int64)
+            mask = pc.is_in(pa.array(addr), value_set=ray.get(addr_ref))
+            return batch.filter(mask).select(["tile_hash", "tile_data"])
+
+        images = tiles_source(["zoom", "x", "y", "tile_hash", "tile_data"]).map_batches(
+            keep_winners, batch_format="pyarrow"
         )
         images.write_parquet(images_dir)
         wall = time.perf_counter() - t0

@@ -37,7 +37,8 @@ import ray
 import ray.data
 
 from ..geo.mercator import geo_to_mercator
-from ..geo.tileid import point_to_tile, tile_mercator_bounds
+from ..geo.mercator import CE
+from ..geo.tileid import point_to_tile, tile_mercator_bounds, tile_range
 from ..raster.synthetic import SyntheticRaster
 from ..stages.cell_encode import CellEncoder
 
@@ -363,3 +364,176 @@ def knn_join(
         for rank, (dist, doc) in enumerate(ordered):
             rows.append((qid, rank, doc, dist))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "dist"])
+
+
+def _tile_cover_refs(
+    raster: SyntheticRaster, zoom: int, tilesize: int
+):
+    """Distributed pre-pass: read every tile window covering the raster
+    at ``zoom`` exactly ONCE and leave the blocks IN the object store.
+
+    Returns (materialized_ds, block_refs, xmin, ymin, nx, ny) — the
+    driver never touches pixel data; samplers assemble their local
+    (zero-copy read, one concat) view from the shared block refs.
+    """
+    from ..sources.tiles import tile_ids_dataset
+
+    tr = tile_range(zoom, raster.bounds())
+    nx, ny = tr.xmax - tr.xmin + 1, tr.ymax - tr.ymin + 1
+    spec = raster.spec()
+    ts = int(tilesize)
+
+    def read(batch: pa.Table) -> pa.Table:
+        r = SyntheticRaster.from_spec(spec)
+        xs = batch.column("x").to_numpy()
+        ys = batch.column("y").to_numpy()
+        zs = batch.column("zoom").to_numpy()
+        out_x, out_y, out_px = [], [], []
+        for z, x, y in zip(zs.tolist(), xs.tolist(), ys.tolist()):
+            buf = r.read_tile(z, x, y, ts)
+            if buf is None:
+                continue
+            out_x.append(x)
+            out_y.append(y)
+            out_px.append(np.ascontiguousarray(buf).reshape(-1))
+        dt = np.uint32 if spec.get("dtype") == "uint32" else np.uint8
+        px = np.stack(out_px) if out_px else np.zeros((0, ts * ts), dt)
+        return pa.table(
+            {
+                "x": pa.array(out_x, pa.uint32()),
+                "y": pa.array(out_y, pa.uint32()),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(px.reshape(-1)), ts * ts
+                ),
+            }
+        )
+
+    mat = (
+        tile_ids_dataset([zoom], raster.bounds(), override_num_blocks=32)
+        .map_batches(read, batch_format="pyarrow")
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()
+    return mat, refs, tr.xmin, tr.ymin, nx, ny
+
+
+class _BroadcastRasterSampler:
+    """Actor-pool sampler over shared tile-cover blocks.
+
+    ``__init__`` assembles the packed buffer array once per actor from
+    the object-store block refs (zero-copy reads + one concat); the
+    per-batch work is a single vectorized gather.
+    """
+
+    def __init__(self, refs, meta, zoom: int, tilesize: int, nodata: int, dtype: str):
+        xmin, ymin, nx, ny = meta
+        ts = int(tilesize)
+        dt = np.uint32 if dtype == "uint32" else np.uint8
+        tables = ray.get(list(refs))
+        xs_l, ys_l, px_l = [], [], []
+        for t in tables:
+            nb = len(t)
+            if not nb:
+                continue
+            xs_l.append(t.column("x").to_numpy())
+            ys_l.append(t.column("y").to_numpy())
+            px_l.append(
+                np.asarray(t.column("pixels").combine_chunks().flatten()).reshape(nb, ts, ts)
+            )
+        self.index = np.full((nx, ny), -1, dtype=np.int32)
+        if xs_l:
+            xs = np.concatenate(xs_l).astype(np.int64)
+            ys = np.concatenate(ys_l).astype(np.int64)
+            self.bufs = np.concatenate(px_l).astype(dt, copy=False)
+            self.index[xs - xmin, ys - ymin] = np.arange(len(xs), dtype=np.int32)
+        else:
+            self.bufs = np.zeros((0, ts, ts), dt)
+        self.xmin, self.ymin, self.nx, self.ny = xmin, ymin, nx, ny
+        self.zoom = int(zoom)
+        self.tilesize = ts
+        self.nodata = int(nodata)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = batch.column("has_geo").to_numpy(zero_copy_only=False)
+        mx = batch.column("mx").to_numpy()[mask]
+        my = batch.column("my").to_numpy()[mask]
+        doc_ids = batch.column("doc_id").filter(pa.array(mask))
+        z, ts = self.zoom, self.tilesize
+        x, y = point_to_tile(z, mx, my)
+        n = len(mx)
+
+        # tile-local pixel coordinates (same floor math as the per-group
+        # sampler / M17 window read)
+        tile_m = CE / float(1 << z)
+        xmin_m = x.astype(np.float64) * tile_m - CE / 2.0
+        ymax_m = CE / 2.0 - y.astype(np.float64) * tile_m
+        res = tile_m / ts
+        col = np.clip(np.floor((mx - xmin_m) / res).astype(np.int64), 0, ts - 1)
+        row = np.clip(np.floor((ymax_m - my) / res).astype(np.int64), 0, ts - 1)
+
+        gx = x.astype(np.int64) - self.xmin
+        gy = y.astype(np.int64) - self.ymin
+        in_cover = (gx >= 0) & (gx < self.nx) & (gy >= 0) & (gy < self.ny)
+        bi = np.full(n, -1, dtype=np.int64)
+        bi[in_cover] = self.index[gx[in_cover], gy[in_cover]]
+        valid = bi >= 0
+        vals = np.full(n, -1, dtype=np.int64)
+        vals[valid] = self.bufs[bi[valid], row[valid], col[valid]].astype(np.int64)
+        vals[vals == self.nodata] = -1
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "zoom": pa.array(np.full(n, z, dtype=np.uint8)),
+                "x": pa.array(x.astype(np.uint32)),
+                "y": pa.array(y.astype(np.uint32)),
+                "raster_value": pa.array(vals, pa.int64(), mask=vals == -1),
+            }
+        )
+
+
+def raster_vector_join_broadcast(
+    encoded: ray.data.Dataset,
+    raster: SyntheticRaster,
+    zoom: int,
+    *,
+    tilesize: int = 256,
+    concurrency=(1, 8),
+    batch_size: int = 262144,
+) -> ray.data.Dataset:
+    """Shuffle-free raster↔vector join: every tile window covering the
+    raster is read exactly ONCE (small distributed pre-pass), packed and
+    ``ray.put`` ONCE; actors share the buffers zero-copy and sample each
+    doc with a single vectorized gather.
+
+    Same output as ``raster_vector_join`` (oracle-tested equal).  Pick
+    this when the zoom-level tile cover of the raster fits worker memory
+    (cover × tilesize² bytes — e.g. 3k tiles × 64 KiB = 200 MB); pick
+    the shuffle variant for planet-scale covers at high zoom or when doc
+    payloads must land next to per-tile consumers.
+
+    ``concurrency`` defaults to a FIXED pool of ~1/4 of cluster CPUs:
+    sampling is much cheaper than upstream doc generation/decoding, and
+    a full-size pinned pool starves the upstream stage of slots (and
+    the autoscaling pool lags).
+    """
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, ncpu // 4)
+    mat, refs, xmin, ymin, nx, ny = _tile_cover_refs(raster, zoom, tilesize)
+    out = encoded.map_batches(
+        _BroadcastRasterSampler,
+        fn_constructor_kwargs=dict(
+            refs=refs,
+            meta=(xmin, ymin, nx, ny),
+            zoom=zoom,
+            tilesize=tilesize,
+            nodata=raster.nodata,
+            dtype=raster.dtype,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    out._tile_cover_keepalive = mat  # pin block refs until consumed
+    return out

@@ -5,6 +5,7 @@ at any parallelism), per-zoom counts, images dedup cardinality, MBTiles
 export schema parity, resume-skips-completed-partitions, and merge
 left-wins semantics (FIXTURES.md §B11-B12)."""
 
+import glob
 import hashlib
 import json
 import os
@@ -197,3 +198,22 @@ def test_dedup_hits_at_upsampled_zooms(ray_session, tmp_path):
     assert c["total"] == golden["count"]
     assert c["images"] == golden["distinct_images"]
     assert c["images"] < c["total"]
+
+
+def test_tileset_sorted_by_construction(ray_session, tmp_path):
+    """Without a global sort, the tileset must still come out ordered
+    (zoom asc, x-major) because enumeration order is preserved end-to-end."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    out = str(tmp_path / "sorted_ts")
+    render_pyramid(default_u8_raster(), out, 0, 5, tilesize=256, concurrency=3, resume=False)
+    files = sorted(glob.glob(os.path.join(out, "tiles", "**", "*.parquet"), recursive=True))
+    t = pads.dataset(files, format="parquet").to_table(columns=["zoom", "x", "y"])
+    key = (
+        t.column("zoom").to_numpy().astype(np.int64) << 58
+    ) | (t.column("x").to_numpy().astype(np.int64) << 29) | t.column("y").to_numpy().astype(np.int64)
+    assert np.all(np.diff(key) > 0), "tileset rows not strictly sorted by (zoom,x,y)"

@@ -236,3 +236,35 @@ def test_knn_matches_oracle(encoded, ray_session):
         )
         # doc sets must match (ties broken by doc_id in both)
         assert set(got_q["doc_id"]) == set(expected_docs)
+
+
+def test_raster_vector_join_broadcast_equals_shuffle(ray_session):
+    """The shuffle-free broadcast sampler must produce row-identical
+    output to the groupby co-partition join."""
+    import pandas as pd
+
+    from rastertiler_rs_ray.pipelines.driver_queries import synthetic_positions_dataset
+    from rastertiler_rs_ray.pipelines.spatial import (
+        raster_vector_join,
+        raster_vector_join_broadcast,
+    )
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    pos = synthetic_positions_dataset(5000, extent=(-59.9, 26.7, -48.8, 33.6))
+    norm = lambda df: (
+        df.assign(
+            zoom=df["zoom"].astype("int64"),
+            x=df["x"].astype("int64"),
+            y=df["y"].astype("int64"),
+            raster_value=df["raster_value"].astype("Int64"),
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "zoom", "x", "y", "raster_value"]]
+    )
+    a = norm(raster_vector_join(pos, default_u8_raster(), zoom=10).to_pandas())
+    b = norm(
+        raster_vector_join_broadcast(
+            pos, default_u8_raster(), zoom=10, concurrency=(1, 2)
+        ).to_pandas()
+    )
+    assert a.equals(b)
