@@ -425,6 +425,131 @@ WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}), xy AS (
 SELECT doc_id, 12 * 288230376151711744 + x * 536870912 + y AS cell_id FROM xy
 """
 
+def tile_counts_z10(sf_dir: str):
+    """Docs-per-tile histogram via the salted tile-assignment shuffle
+    (assign_tiles -> map-side partial -> groupby sum; G3/G6 + salting
+    planner path)."""
+    from .spatial import assign_tiles, tile_assignment_counts
+
+    pos = doc_positions_dataset(sf_dir)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    counts = tile_assignment_counts(
+        assign_tiles(pos.map_batches(stringify, batch_format="pyarrow"), [10])
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "zoom": pc.cast(batch.column("zoom"), pa.int32()),
+                "x": pc.cast(batch.column("x"), pa.int64()),
+                "y": pc.cast(batch.column("y"), pa.int64()),
+                "n_docs": batch.column("n_docs"),
+            }
+        )
+
+    return counts.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_TILE_COUNTS_Z10 = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}), xy AS (
+  SELECT doc_id, 10 AS zoom,
+    CAST(least(greatest(floor(((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * 1024.0), 0.0), 1023.0) AS BIGINT) AS x,
+    CAST(least(greatest(floor((1.0 - ((my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())))) * 1024.0), 0.0), 1023.0) AS BIGINT) AS y
+  FROM merc)
+SELECT zoom, x, y, count(*) AS n_docs FROM xy GROUP BY zoom, x, y
+"""
+
+
+def lineitem_qty_histogram(sf_dir: str):
+    """Value histogram (G3): l_quantity -> row count, map-side partials."""
+    li = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    return grouped_aggregate(li, ["l_quantity"], [("n", "l_quantity", "count")])
+
+
+SQL_LINEITEM_QTY_HISTOGRAM = (
+    "SELECT l_quantity, count(*) AS n FROM lineitem GROUP BY l_quantity"
+)
+
+
+def events_hourly_windows(sf_dir: str):
+    """Tumbling-window aggregate (1 h) over the events stream table:
+    window truncation vectorized in Arrow, then the map-side-partial
+    grouped aggregation.  The engine's windowed-aggregate composition
+    (no event-time/watermark semantics — matching the reference's
+    batch-only model, SURVEY §2.9)."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table(
+            {
+                "window_start": w,
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = grouped_aggregate(
+        ev.map_batches(window, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        [("n", "value", "count"), ("sum_value", "value", "sum")],
+    )
+    return _round4(agg, ["sum_value"])
+
+
+SQL_EVENTS_HOURLY_WINDOWS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def user_session_stats(sf_dir: str):
+    """Per-user activity stats (higher-cardinality groupby): event count,
+    first/last timestamp, total value."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    agg = grouped_aggregate(
+        ev,
+        ["user_id"],
+        [
+            ("n_events", "ts", "count"),
+            ("first_ts", "ts", "min"),
+            ("last_ts", "ts", "max"),
+            ("total_value", "value", "sum"),
+        ],
+    )
+    return _round4(agg, ["total_value"])
+
+
+SQL_USER_SESSION_STATS = """
+SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def merge_tilesets_demo(sf_dir: str):
+    """Reference `merge` entry point (O2): union of two tilesets with
+    left-preference on (zoom, x, y) conflicts; returns the merged map."""
+    import tempfile
+
+    from ..raster.synthetic import default_u8_raster
+    from .merge import merge_tilesets
+    from .render import render_pyramid, tileset_map_dataset
+
+    left = tempfile.mkdtemp(prefix="mergeq_left_")
+    right = tempfile.mkdtemp(prefix="mergeq_right_")
+    out = tempfile.mkdtemp(prefix="mergeq_out_")
+    render_pyramid(default_u8_raster(seed=42), left, 2, 4, tilesize=64, resume=False)
+    render_pyramid(default_u8_raster(seed=99), right, 3, 5, tilesize=64, resume=False)
+    merge_tilesets(left, right, out)
+    return tileset_map_dataset(out).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
 KNN_QUERY_POINTS = [(-122.4, 37.7), (2.35, 48.85), (139.7, 35.6), (151.2, -33.8)]
 
 
@@ -630,15 +755,20 @@ QUERIES = {
     "parts_never_ordered_full": (parts_never_ordered_full, SQL_PARTS_NEVER_ORDERED),
     "high_qty_items": (high_qty_items, SQL_HIGH_QTY_ITEMS),
     "events_by_type": (events_by_type, SQL_EVENTS_BY_TYPE),
+    "events_hourly_windows": (events_hourly_windows, SQL_EVENTS_HOURLY_WINDOWS),
+    "user_session_stats": (user_session_stats, SQL_USER_SESSION_STATS),
     "text_stats": (text_stats, SQL_TEXT_STATS),
     "token_totals_by_lang": (token_totals_by_lang, SQL_TOKEN_TOTALS_BY_LANG),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "tile_assign_z10": (tile_assign_z10, SQL_TILE_ASSIGN_Z10),
+    "tile_counts_z10": (tile_counts_z10, SQL_TILE_COUNTS_Z10),
+    "lineitem_qty_histogram": (lineitem_qty_histogram, SQL_LINEITEM_QTY_HISTOGRAM),
     "cell_index_z12": (cell_index_z12, SQL_CELL_INDEX_Z12),
     "knn_docs_k5": (knn_docs_k5, SQL_KNN_DOCS_K5),
     "ann_embeddings_topk": (ann_embeddings_topk, SQL_ANN_EMBEDDINGS_TOPK),
     # rows-only (non-SQL-expressible: stateful/sketch/raster pipelines)
     "render_pyramid_map": (render_pyramid_map, None),
+    "merge_tilesets_demo": (merge_tilesets_demo, None),
     "raster_vector_join_z8": (raster_vector_join_z8, None),
     "point_in_polygon_docs": (point_in_polygon_docs, None),
     "minhash_dedup_docs": (minhash_dedup_docs, None),
