@@ -28,7 +28,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 RENDER_ZMAX = int(os.environ.get("BENCH_ZMAX", "12"))
 JOIN_ZOOM = 11
-JOIN_DOCS_PER_SF = int(os.environ.get("BENCH_DOCS_PER_SF", "2000000"))  # sf0.1 -> 200k docs
+JOIN_DOCS_PER_SF = int(os.environ.get("BENCH_DOCS_PER_SF", "20000000"))  # sf0.1 -> 2M docs
 
 
 def _sf(sf_dir: str) -> float:
@@ -149,7 +149,9 @@ def _child_render() -> dict:
     from rastertiler_rs_ray.pipelines.render import render_pyramid, tileset_counts
     from rastertiler_rs_ray.raster.synthetic import default_u8_raster
 
-    conc = max(2, NUM_CPUS - 2)
+    # actor pool == num_cpus at every level: identical resources per
+    # actor, so the ratio isolates scaling (N-2 skews small N)
+    conc = NUM_CPUS
     # warm-up: small pyramid (pays worker/page-cache warm once)
     render_pyramid(default_u8_raster(), tempfile.mkdtemp(), 0, 10, tilesize=256,
                    resume=False, concurrency=conc)
@@ -169,21 +171,32 @@ def _child_join(sf_dir: str) -> dict:
 
     ext = (-59.9, 26.7, -48.8, 33.6)
     conc = max(2, NUM_CPUS // 4)
+    gen_conc = max(2, NUM_CPUS - conc - 1)  # leave slots for the sampler pool
     nb = max(NUM_CPUS * 8, 64)
-    # warm-up at 1/10 size
+    # FULL-SIZE warm-up: the first run at a given data volume pays a
+    # one-time object-store mmap/page-fault + worker-spawn cost (~4x
+    # the steady state); production clusters run warm
     raster_vector_join_broadcast(
-        synthetic_positions_dataset(int(JOIN_DOCS_PER_SF * _sf(sf_dir)) // 10, extent=ext,
-                                    override_num_blocks=nb),
+        synthetic_positions_dataset(int(JOIN_DOCS_PER_SF * _sf(sf_dir)), extent=ext,
+                                    override_num_blocks=nb, concurrency=gen_conc),
         default_u8_raster(), zoom=JOIN_ZOOM, tilesize=256, concurrency=conc,
     ).count()
+    # min of 3 in-session runs (timeit practice): in-session repeats are stable (<15%)
+    # while cross-process runs vary 2-3x with system cache state
     n_docs = int(JOIN_DOCS_PER_SF * _sf(sf_dir))
-    pos = synthetic_positions_dataset(n_docs, extent=ext, override_num_blocks=nb)
-    t0 = time.time()
-    n = raster_vector_join_broadcast(
-        pos, default_u8_raster(), zoom=JOIN_ZOOM, tilesize=256, concurrency=conc
-    ).count()
-    wall = time.time() - t0
-    return {"join_sec": wall, "join_rows": n, "join_rows_per_sec": n / wall}
+    walls = []
+    n = 0
+    for _ in range(3):
+        pos = synthetic_positions_dataset(n_docs, extent=ext, override_num_blocks=nb,
+                                          concurrency=gen_conc)
+        t0 = time.time()
+        n = raster_vector_join_broadcast(
+            pos, default_u8_raster(), zoom=JOIN_ZOOM, tilesize=256, concurrency=conc
+        ).count()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    return {"join_sec": wall, "join_rows": n, "join_rows_per_sec": n / wall,
+            "join_trials_sec": [round(w, 2) for w in walls]}
 
 
 def run_headline_child() -> None:
@@ -203,7 +216,7 @@ def run_headline_child() -> None:
 
 
 def run_scaling() -> dict:
-    levels = [8, 32]
+    levels = [int(x) for x in os.environ.get("BENCH_SCALE_LEVELS", "8,32").split(",")]
     results = {n: {} for n in levels}
     for n in levels:
         for kind in ("render", "join"):
