@@ -1,0 +1,114 @@
+"""CLI entry points — parity with the reference's clap surface
+(/root/reference/src/main.rs:20-87): ``render`` and ``merge``
+subcommands with the same validation rules (zoom ≤ 24, minzoom ≤
+maxzoom, colormap only for uint8; src/main.rs:108-115, 136-154).
+
+Run as ``python -m rastertiler_rs_ray render|merge|export-mbtiles ...``
+or via ``ray job submit -- python -m rastertiler_rs_ray ...`` on a
+cluster.  This is the only module (besides bench.py and tests) that may
+own a Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_zoom(v: str) -> int:
+    z = int(v)
+    if not 0 <= z <= 24:
+        raise argparse.ArgumentTypeError(f"zoom must be in [0, 24], got {z}")
+    return z
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rastertiler_rs_ray")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    r = sub.add_parser("render", help="render a raster into a tileset (ref: render)")
+    r.add_argument("out_dir", help="output tileset directory")
+    r.add_argument("--raster", choices=["u8", "u32"], default="u8",
+                   help="synthetic raster variant (GeoTIFF sources need GDAL, absent here)")
+    r.add_argument("--seed", type=int, default=42)
+    r.add_argument("--minzoom", type=_parse_zoom, default=0)
+    r.add_argument("--maxzoom", type=_parse_zoom, default=4)
+    r.add_argument("--tilesize", type=int, default=512)
+    r.add_argument("--colormap", default=None, help='"v:#rrggbb,v:#rrggbb" (uint8 only)')
+    r.add_argument("--name", default=None)
+    r.add_argument("--workers", type=int, default=None, help="actor pool size")
+    r.add_argument("--no-resume", action="store_true", help="delete any existing output first")
+    r.add_argument("--mbtiles", default=None, help="also export a sqlite MBTiles file here")
+
+    m = sub.add_parser("merge", help="merge two tilesets, left wins on conflicts (ref: merge)")
+    m.add_argument("left")
+    m.add_argument("right")
+    m.add_argument("out_dir")
+
+    e = sub.add_parser("export-mbtiles", help="tileset dir -> sqlite MBTiles file")
+    e.add_argument("tileset_dir")
+    e.add_argument("mbtiles_path")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    try:
+        if args.command == "render":
+            if args.minzoom > args.maxzoom:
+                print("error: minzoom must be <= maxzoom", file=sys.stderr)
+                return 2
+            from .pipelines.render import export_mbtiles, render_pyramid
+            from .raster.synthetic import default_u8_raster, default_u32_raster
+
+            raster = (
+                default_u8_raster(seed=args.seed)
+                if args.raster == "u8"
+                else default_u32_raster(seed=args.seed)
+            )
+            manifest = render_pyramid(
+                raster,
+                args.out_dir,
+                args.minzoom,
+                args.maxzoom,
+                tilesize=args.tilesize,
+                colormap=args.colormap,
+                name=args.name,
+                concurrency=args.workers,
+                resume=not args.no_resume,
+            )
+            if args.mbtiles:
+                export_mbtiles(args.out_dir, args.mbtiles)
+            parts = manifest.data.get("partitions", {})
+            print(json.dumps({
+                "out_dir": args.out_dir,
+                "partitions": {k: v.get("rows") for k, v in parts.items()},
+            }))
+        elif args.command == "merge":
+            from .pipelines.merge import merge_tilesets
+
+            manifest = merge_tilesets(args.left, args.right, args.out_dir)
+            print(json.dumps({"out_dir": args.out_dir,
+                              "rows": manifest.data.get("partitions", {})
+                              .get("tiles/merged", {}).get("rows")}))
+        elif args.command == "export-mbtiles":
+            from .pipelines.render import export_mbtiles
+
+            export_mbtiles(args.tileset_dir, args.mbtiles_path)
+            print(json.dumps({"mbtiles": args.mbtiles_path}))
+    except ValueError as e:  # validation parity: clean error, nonzero exit
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

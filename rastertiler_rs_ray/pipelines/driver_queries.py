@@ -640,6 +640,34 @@ def render_pyramid_map(sf_dir: str):
     return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
 
 
+def render_pyramid_u32_map(sf_dir: str):
+    """u32 raster path: per-tile dynamic palette with RGB fallback
+    (E2-E4/G4); returns the map table."""
+    import tempfile
+
+    from ..raster.synthetic import default_u32_raster
+    from .render import render_pyramid, tileset_map_dataset
+
+    out_dir = tempfile.mkdtemp(prefix="tileset_u32_")
+    render_pyramid(default_u32_raster(), out_dir, 3, 5, tilesize=128, resume=False)
+    return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+def render_pyramid_colormap_map(sf_dir: str):
+    """u8 + colormap path: indexed PNG with auto bit depth (E2/M20-M22)."""
+    import tempfile
+
+    from ..raster.synthetic import default_u8_raster
+    from .render import render_pyramid, tileset_map_dataset
+
+    out_dir = tempfile.mkdtemp(prefix="tileset_cm_")
+    render_pyramid(
+        default_u8_raster(), out_dir, 2, 4, tilesize=128, resume=False,
+        colormap="0:#000000,64:#1f77b4,128:#2ca02c,192:#d62728,255:#ffffff",
+    )
+    return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
 def raster_vector_join_z8(sf_dir: str):
     from ..raster.synthetic import default_u8_raster
     from .spatial import raster_vector_join
@@ -675,6 +703,43 @@ def point_in_polygon_docs(sf_dir: str):
         generate_polygons(20),
         concurrency=(1, 4),
     )
+
+
+def point_in_polygon_cells_docs(sf_dir: str):
+    """Cell-co-partitioned PIP (J3 shuffle plan) — same pairs as the
+    broadcast plan (equality-tested)."""
+    from ..sources.polygons import generate_polygons
+    from .spatial import point_in_polygon_cells
+
+    pos = doc_positions_dataset(sf_dir)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    return point_in_polygon_cells(
+        pos.map_batches(stringify, batch_format="pyarrow"), generate_polygons(20), level=7
+    )
+
+
+def knn_ring_docs_k5(sf_dir: str):
+    """Ring-expansion cell kNN (J4) — same result as knn_docs_k5."""
+    from .spatial import knn_cell_join
+
+    pos = doc_positions_dataset(sf_dir)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    qlon = np.array([p[0] for p in KNN_QUERY_POINTS])
+    qlat = np.array([p[1] for p in KNN_QUERY_POINTS])
+    qx, qy = geo_to_mercator(qlon, qlat)
+    out = knn_cell_join(
+        pos.map_batches(stringify, batch_format="pyarrow"),
+        np.stack([qx, qy], axis=1), k=5, level=6,
+    )
+    return out[["query_id", "rank", "doc_id"]]
 
 
 def minhash_dedup_docs(sf_dir: str):
@@ -772,12 +837,16 @@ QUERIES = {
     "lineitem_qty_histogram": (lineitem_qty_histogram, SQL_LINEITEM_QTY_HISTOGRAM),
     "cell_index_z12": (cell_index_z12, SQL_CELL_INDEX_Z12),
     "knn_docs_k5": (knn_docs_k5, SQL_KNN_DOCS_K5),
+    "knn_ring_docs_k5": (knn_ring_docs_k5, SQL_KNN_DOCS_K5),
     "ann_embeddings_topk": (ann_embeddings_topk, SQL_ANN_EMBEDDINGS_TOPK),
     # rows-only (non-SQL-expressible: stateful/sketch/raster pipelines)
     "render_pyramid_map": (render_pyramid_map, None),
     "merge_tilesets_demo": (merge_tilesets_demo, None),
+    "render_pyramid_u32_map": (render_pyramid_u32_map, None),
+    "render_pyramid_colormap_map": (render_pyramid_colormap_map, None),
     "raster_vector_join_z8": (raster_vector_join_z8, None),
     "point_in_polygon_docs": (point_in_polygon_docs, None),
+    "point_in_polygon_cells_docs": (point_in_polygon_cells_docs, None),
     "minhash_dedup_docs": (minhash_dedup_docs, None),
     "simhash_dedup_docs": (simhash_dedup_docs, None),
     "ngram_dedup_docs": (ngram_dedup_docs, None),

@@ -36,6 +36,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..geo.cell import cell_from_mercator
 from ..geo.mercator import geo_to_mercator
 from ..geo.mercator import CE
 from ..geo.tileid import point_to_tile, tile_mercator_bounds, tile_range
@@ -537,3 +538,196 @@ def raster_vector_join_broadcast(
     )
     out._tile_cover_keepalive = mat  # pin block refs until consumed
     return out
+
+
+def _polygon_cell_cover(polygons: list[dict], level: int) -> dict[int, list[dict]]:
+    """Assign each polygon to every cell its bbox covers at ``level``
+    (M4 floor math over the bbox) — the J3 bbox prefilter index."""
+    from ..geo.bounds import Bounds as _Bounds
+    from ..geo.cell import cell_id as _cell_id
+
+    cover: dict[int, list[dict]] = {}
+    for p in polygons:
+        lon = np.asarray(p["lon"], dtype=np.float64)
+        lat = np.asarray(p["lat"], dtype=np.float64)
+        mx, my = geo_to_mercator(lon, lat)
+        tr = tile_range(level, _Bounds(float(mx.min()), float(my.min()),
+                                       float(mx.max()), float(my.max())))
+        for x in range(tr.xmin, tr.xmax + 1):
+            for y in range(tr.ymin, tr.ymax + 1):
+                cid = int(_cell_id(np.uint64(level), np.uint64(x), np.uint64(y)))
+                cover.setdefault(cid, []).append(p)
+    return cover
+
+
+def point_in_polygon_cells(
+    encoded: ray.data.Dataset,
+    polygons: list[dict],
+    *,
+    level: int = 8,
+) -> ray.data.Dataset:
+    """Cell-co-partitioned point-in-polygon (J3's shuffle plan).
+
+    Polygons are indexed by covering cell (bbox prefilter); docs compute
+    their cell key, are FILTERED to covered cells (at scale: parquet
+    partition pruning on cell_id), shuffled on cell, and each group runs
+    the exact even-odd crossing test against only that cell's polygons.
+    Output identical to the broadcast ``point_in_polygon`` (tested).
+
+    Prefer the broadcast plan when the polygon set fits worker memory;
+    this plan wins when polygons are too many to broadcast or doc
+    payloads must stay co-partitioned with cells downstream.
+    """
+    cover = _polygon_cell_cover(polygons, level)
+    cover_ref = ray.put(cover)
+    covered_cells = pa.array(np.array(sorted(cover), dtype=np.int64))
+    cells_ref = ray.put(covered_cells)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = batch.column("has_geo").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(mask))
+        cid = cell_from_mercator(
+            level, t.column("mx").to_numpy(), t.column("my").to_numpy()
+        ).astype(np.int64)
+        t = t.append_column("__pcell", pa.array(cid))
+        return t.filter(pc.is_in(t.column("__pcell"), value_set=ray.get(cells_ref)))
+
+    def test_group(group: pd.DataFrame) -> pd.DataFrame:
+        cid = int(group["__pcell"].iloc[0])
+        polys = ray.get(cover_ref).get(cid, [])
+        lon = group["lon"].to_numpy()
+        lat = group["lat"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        out_d: list = []
+        out_p: list = []
+        for p in polys:
+            px1 = np.asarray(p["lon"], dtype=np.float64)
+            py1 = np.asarray(p["lat"], dtype=np.float64)
+            px2, py2 = np.roll(px1, -1), np.roll(py1, -1)
+            inside = np.zeros(len(lon), dtype=bool)
+            for e in range(len(px1)):
+                crosses = (py1[e] > lat) != (py2[e] > lat)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = (px2[e] - px1[e]) * (lat - py1[e]) / (py2[e] - py1[e]) + px1[e]
+                inside ^= crosses & (lon < xint)
+            out_d.extend(ids[inside].tolist())
+            out_p.extend([p["poly_id"]] * int(inside.sum()))
+        return pd.DataFrame({"doc_id": pd.array(out_d, dtype="string").astype(object),
+                             "poly_id": pd.array(out_p, dtype="int64")})
+
+    return (
+        encoded.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__pcell")
+        .map_groups(test_group, batch_format="pandas")
+    )
+
+
+def knn_cell_join(
+    encoded: ray.data.Dataset,
+    query_points: np.ndarray,
+    k: int = 5,
+    *,
+    level: int = 6,
+    max_rounds: int = 6,
+) -> pd.DataFrame:
+    """kNN with cell-ring candidate gather + boundary-safe expansion (J4).
+
+    Round r scans only docs whose cell lies within Chebyshev radius R_q
+    of each query's cell (at scale: partition pruning on the cell key);
+    a query's answer is final when its k-th distance is smaller than the
+    exact distance from the query point to the gathered region's
+    boundary — otherwise its radius expands and only unfinished queries
+    rescan.  Output matches the exact broadcast ``knn_join`` (tested).
+    """
+    q = np.asarray(query_points, dtype=np.float64)
+    nq = len(q)
+    s = CE / float(1 << level)  # cell size in mercator meters
+    qx_cell, qy_cell = point_to_tile(level, q[:, 0], q[:, 1])
+    qx_cell = qx_cell.astype(np.int64)
+    qy_cell = qy_cell.astype(np.int64)
+    nmax = (1 << level) - 1
+
+    radius = np.ones(nq, dtype=np.int64)
+    done = np.zeros(nq, dtype=bool)
+    results: dict[int, list] = {i: [] for i in range(nq)}
+
+    for _round in range(max_rounds):
+        live = np.nonzero(~done)[0]
+        if not len(live):
+            break
+        # candidate cell set for all live queries
+        cells: set[int] = set()
+        for i in live:
+            r = int(radius[i])
+            x0, x1 = max(qx_cell[i] - r, 0), min(qx_cell[i] + r, nmax)
+            y0, y1 = max(qy_cell[i] - r, 0), min(qy_cell[i] + r, nmax)
+            for x in range(x0, x1 + 1):
+                for y in range(y0, y1 + 1):
+                    cells.add((int(level) << 58) | (x << 29) | y)
+        cells_ref = ray.put(pa.array(np.array(sorted(cells), dtype=np.int64)))
+        live_q = q[live]
+        live_ref = ray.put((live_q, live))
+
+        def gather(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = batch.column("has_geo").to_numpy(zero_copy_only=False)
+            t = batch.filter(pa.array(mask))
+            cid = cell_from_mercator(
+                level, t.column("mx").to_numpy(), t.column("my").to_numpy()
+            ).astype(np.int64)
+            t = t.filter(pc.is_in(pa.array(cid), value_set=ray.get(cells_ref)))
+            lq, lidx = ray.get(live_ref)
+            mx = t.column("mx").to_numpy()
+            my = t.column("my").to_numpy()
+            ids = t.column("doc_id").to_pandas().to_numpy()
+            if not len(mx):
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "doc_id": pa.array([], pa.string()),
+                                 "dist": pa.array([], pa.float64())})
+            d2 = (mx[None, :] - lq[:, 0][:, None]) ** 2 + (my[None, :] - lq[:, 1][:, None]) ** 2
+            kk = min(k, d2.shape[1])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(lidx, kk)
+            di = part.ravel()
+            rows = np.repeat(np.arange(len(lq)), kk)
+            return pa.table({
+                "query_id": pa.array(qi, pa.int64()),
+                "doc_id": pa.array(ids[di], pa.string()),
+                "dist": pa.array(np.sqrt(d2[rows, di]), pa.float64()),
+            })
+
+        partials = encoded.map_batches(gather, batch_format="pyarrow").take_all()
+        best: dict[int, dict] = {int(i): {} for i in live}
+        for r_ in partials:
+            d = best[int(r_["query_id"])]
+            doc = r_["doc_id"]
+            if doc not in d or r_["dist"] < d[doc]:
+                d[doc] = r_["dist"]
+        for i in live:
+            cand = sorted(((d, doc) for doc, d in best[int(i)].items()),
+                          key=lambda t: (t[0], t[1]))[:k]
+            r = int(radius[i])
+            # exact distance from the query point to the gathered-region
+            # boundary; a side clipped at the grid edge has no docs
+            # beyond it -> infinite margin on that side
+            inf = float("inf")
+            m_l = inf if qx_cell[i] - r <= 0 else q[i, 0] - ((qx_cell[i] - r) * s - CE / 2.0)
+            m_r = inf if qx_cell[i] + r >= nmax else ((qx_cell[i] + r + 1) * s - CE / 2.0) - q[i, 0]
+            m_t = inf if qy_cell[i] - r <= 0 else (CE / 2.0 - (qy_cell[i] - r) * s) - q[i, 1]
+            m_b = inf if qy_cell[i] + r >= nmax else q[i, 1] - (CE / 2.0 - (qy_cell[i] + r + 1) * s)
+            margin = min(m_l, m_r, m_t, m_b)
+            if (len(cand) >= k and cand[k - 1][0] <= margin) or margin == inf:
+                # final: k-th neighbor closer than any unscanned doc can
+                # be, or the whole grid is scanned (margin infinite)
+                results[int(i)] = cand
+                done[i] = True
+            else:
+                radius[i] = r * 2
+    rows = []
+    for i in sorted(results):
+        for rank, (dist, doc) in enumerate(results[i]):
+            rows.append((i, rank, doc, dist))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "dist"])

@@ -268,3 +268,56 @@ def test_raster_vector_join_broadcast_equals_shuffle(ray_session):
         ).to_pandas()
     )
     assert a.equals(b)
+
+
+def test_point_in_polygon_cells_equals_broadcast(ray_session):
+    """The cell-co-partitioned PIP must emit exactly the broadcast
+    plan's (doc_id, poly_id) pairs."""
+    from rastertiler_rs_ray.pipelines.driver_queries import synthetic_positions_dataset
+    from rastertiler_rs_ray.pipelines.spatial import point_in_polygon, point_in_polygon_cells
+    from rastertiler_rs_ray.sources.polygons import generate_polygons
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    pos = synthetic_positions_dataset(4000)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    enc = pos.map_batches(stringify, batch_format="pyarrow")
+    polys = generate_polygons(20)
+    a = {(r["doc_id"], r["poly_id"]) for r in point_in_polygon(enc, polys).take_all()}
+    b = {(r["doc_id"], r["poly_id"]) for r in point_in_polygon_cells(enc, polys, level=7).take_all()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_knn_cell_join_equals_exact(ray_session):
+    """Ring-expansion kNN must return exactly the brute-force kNN sets
+    (same docs per query; distance ties broken identically)."""
+    import numpy as np
+
+    from rastertiler_rs_ray.geo.mercator import geo_to_mercator
+    from rastertiler_rs_ray.pipelines.driver_queries import synthetic_positions_dataset
+    from rastertiler_rs_ray.pipelines.spatial import knn_cell_join, knn_join
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    pos = synthetic_positions_dataset(6000)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    enc = pos.map_batches(stringify, batch_format="pyarrow").materialize()
+    qlon = np.array([-122.4, 2.35, 139.7, 151.2, 0.0, -179.9])
+    qlat = np.array([37.7, 48.85, 35.6, -33.8, 0.0, 80.0])
+    qx, qy = geo_to_mercator(qlon, qlat)
+    qpts = np.stack([qx, qy], axis=1)
+    exact = knn_join(enc, qpts, k=5)
+    ring = knn_cell_join(enc, qpts, k=5, level=6)
+    for qid in range(len(qpts)):
+        e = set(exact[exact.query_id == qid]["doc_id"])
+        r = set(ring[ring.query_id == qid]["doc_id"])
+        assert e == r, (qid, e ^ r)
