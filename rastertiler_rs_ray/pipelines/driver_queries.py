@@ -239,6 +239,46 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def revenue_by_priority(sf_dir: str):
+    """Big-big shuffle hash join (lineitem ⋈ orders on orderkey) +
+    aggregation — the partitioned-join path (J5), vs broadcast joins
+    used when one side is small."""
+    from .relational import shuffle_hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def disc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue_item": pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    j = shuffle_hash_join(
+        li.map_batches(disc, batch_format="pyarrow"), orders,
+        on="l_orderkey", right_on="o_orderkey",
+    )
+    agg = grouped_aggregate(
+        j,
+        ["o_orderpriority"],
+        [("revenue", "revenue_item", "sum"), ("n_items", "l_orderkey", "count")],
+    )
+    return _round4(agg, ["revenue"])
+
+
+SQL_REVENUE_BY_PRIORITY = """
+SELECT o_orderpriority, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def distinct_doc_dims(sf_dir: str):
     return distinct(_read(sf_dir, "documents", columns=["lang", "source"]), ["lang", "source"])
 
@@ -822,6 +862,7 @@ QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "orders_by_mktsegment": (orders_by_mktsegment, SQL_ORDERS_BY_SEGMENT),
     "top10_orders": (top10_orders, SQL_TOP10_ORDERS),
+    "revenue_by_priority": (revenue_by_priority, SQL_REVENUE_BY_PRIORITY),
     "distinct_doc_dims": (distinct_doc_dims, SQL_DISTINCT_DOC_DIMS),
     "customers_with_orders": (customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "parts_never_ordered_full": (parts_never_ordered_full, SQL_PARTS_NEVER_ORDERED),

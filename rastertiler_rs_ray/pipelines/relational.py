@@ -245,3 +245,28 @@ def filter_project(
         return batch.filter(predicate(batch)).select(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+def shuffle_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Big-big hash join via Ray's partitioned join (J5).
+
+    Both sides hash-partition on the key — an all-to-all exchange; use
+    ``broadcast_hash_join`` whenever one side fits in a worker heap.
+    ``num_partitions`` defaults to ~2 per CPU.
+    """
+    if num_partitions is None:
+        num_partitions = max(int(ray.cluster_resources().get("CPU", 8)) * 2, 8)
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )
