@@ -398,7 +398,7 @@ def token_totals_by_lang(sf_dir: str):
 
 SQL_TOKEN_TOTALS_BY_LANG = r"""
 SELECT lang, count(*) AS ndocs,
-       sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
 """
 
@@ -531,7 +531,10 @@ def events_hourly_windows(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def window(batch: pa.Table) -> pa.Table:
-        w = pc.floor_temporal(batch.column("ts"), unit="hour")
+        w = pc.strftime(
+            # arrow %S appends fractional seconds; hour floors have none
+            pc.floor_temporal(batch.column("ts"), unit="hour"), format="%Y-%m-%d %H:00:00"
+        )
         return pa.table(
             {
                 "window_start": w,
@@ -543,14 +546,22 @@ def events_hourly_windows(sf_dir: str):
     agg = grouped_aggregate(
         ev.map_batches(window, batch_format="pyarrow"),
         ["window_start", "event_type"],
-        [("n", "value", "count"), ("sum_value", "value", "sum")],
+        [("n", "value", "count"), ("sum_value_e2", "value", "sum")],
     )
-    return _round4(agg, ["sum_value"])
+
+    # hash-robust output: scaled-integer sum (engines' round() differ in
+    # the last ulp; near-integer scaling makes every rounding mode agree)
+    def scale(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("sum_value_e2").to_numpy() * 100.0).astype(np.int64)
+        i = batch.column_names.index("sum_value_e2")
+        return batch.set_column(i, "sum_value_e2", pa.array(v))
+
+    return agg.map_batches(scale, batch_format="pyarrow")
 
 
 SQL_EVENTS_HOURLY_WINDOWS = """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, round(sum(value), 4) AS sum_value
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS n, CAST(round(sum(value) * 100.0, 0) AS BIGINT) AS sum_value_e2
 FROM events GROUP BY 1, 2
 """
 
@@ -566,15 +577,21 @@ def user_session_stats(sf_dir: str):
             ("n_events", "ts", "count"),
             ("first_ts", "ts", "min"),
             ("last_ts", "ts", "max"),
-            ("total_value", "value", "sum"),
+            ("total_value_e2", "value", "sum"),
         ],
     )
-    return _round4(agg, ["total_value"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("total_value_e2").to_numpy() * 100.0).astype(np.int64)
+        i = batch.column_names.index("total_value_e2")
+        return batch.set_column(i, "total_value_e2", pa.array(v))
+
+    return agg.map_batches(scale, batch_format="pyarrow")
 
 
 SQL_USER_SESSION_STATS = """
 SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
-       round(sum(value), 4) AS total_value
+       CAST(round(sum(value) * 100.0, 0) AS BIGINT) AS total_value_e2
 FROM events GROUP BY user_id
 """
 
