@@ -779,6 +779,43 @@ def point_in_polygon_cells_docs(sf_dir: str):
     )
 
 
+def _sql_pip() -> str:
+    """Even-odd ray-cast containment in SQL, mirroring _PolygonTester
+    op-for-op: edge crossing ``(y1 > lat) != (y2 > lat)`` and intercept
+    ``(x2 - x1) * (lat - y1) / (y2 - y1) + x1`` with strict ``lon <``.
+    The deterministic polygon vertices (sources/polygons.py) are embedded
+    as full-precision literals; parity of crossing count = containment.
+    """
+    from ..sources.polygons import generate_polygons
+
+    rows = []
+    for p in generate_polygons(20):
+        lon, lat = p["lon"], p["lat"]
+        n = len(lon)
+        for e in range(n):
+            j = (e + 1) % n
+            rows.append(
+                f"({p['poly_id']}, {lon[e]!r}, {lat[e]!r}, {lon[j]!r}, {lat[j]!r})"
+            )
+    edges = ",\n    ".join(rows)
+    return f"""
+WITH pos AS ({SQL_POS}),
+edges(poly_id, x1, y1, x2, y2) AS (VALUES
+    {edges}),
+hits AS (
+  SELECT p.doc_id, e.poly_id
+  FROM pos p JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < ((e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(poly_id AS BIGINT) AS poly_id
+FROM hits GROUP BY doc_id, poly_id HAVING count(*) % 2 = 1
+"""
+
+
+SQL_POINT_IN_POLYGON = _sql_pip()
+
+
 def knn_ring_docs_k5(sf_dir: str):
     """Ring-expansion cell kNN (J4) — same result as knn_docs_k5."""
     from .spatial import knn_cell_join
@@ -903,8 +940,8 @@ QUERIES = {
     "render_pyramid_u32_map": (render_pyramid_u32_map, None),
     "render_pyramid_colormap_map": (render_pyramid_colormap_map, None),
     "raster_vector_join_z8": (raster_vector_join_z8, None),
-    "point_in_polygon_docs": (point_in_polygon_docs, None),
-    "point_in_polygon_cells_docs": (point_in_polygon_cells_docs, None),
+    "point_in_polygon_docs": (point_in_polygon_docs, SQL_POINT_IN_POLYGON),
+    "point_in_polygon_cells_docs": (point_in_polygon_cells_docs, SQL_POINT_IN_POLYGON),
     "minhash_dedup_docs": (minhash_dedup_docs, None),
     "simhash_dedup_docs": (simhash_dedup_docs, None),
     "ngram_dedup_docs": (ngram_dedup_docs, None),
