@@ -36,6 +36,9 @@ from .relational import (
     distinct,
     filter_project,
     grouped_aggregate,
+    grouped_top_n,
+    hash_sample,
+    lag_within_groups,
     semi_join,
     top_k,
 )
@@ -596,6 +599,50 @@ FROM events GROUP BY user_id
 """
 
 
+def sample_events(sf_dir: str):
+    """Deterministic hash sample (map-only; the 100 TB-safe sampler)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    return hash_sample(ev, key="event_id", percent=5)
+
+
+SQL_SAMPLE_EVENTS = """
+SELECT event_id, user_id, event_type FROM events
+WHERE (event_id * 2654435761) % 100 < 5
+"""
+
+
+def events_top3_per_user(sf_dir: str):
+    """Windowed rank: per-user top-3 events by value (partial-pruned)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return grouped_top_n(
+        ev, ["user_id"], order_col="value", n=3, descending=True,
+        tiebreak_cols=["event_id"],
+    )
+
+
+SQL_EVENTS_TOP3_PER_USER = """
+SELECT event_id, user_id, value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+            AS BIGINT) AS rnk
+FROM events QUALIFY rnk <= 3
+"""
+
+
+def events_with_prev(sf_dir: str):
+    """Window LAG / as-of self-join: each event with the same user's
+    previous event value (full-group shuffle; see lag_within_groups)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = lag_within_groups(ev, ["user_id"], ["ts", "event_id"], "value")
+    return out.select_columns(["event_id", "user_id", "value", "prev_value"])
+
+
+SQL_EVENTS_WITH_PREV = """
+SELECT event_id, user_id, value,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+"""
+
+
 def merge_tilesets_demo(sf_dir: str):
     """Reference `merge` entry point (O2): union of two tilesets with
     left-preference on (zoom, x, y) conflicts; returns the merged map."""
@@ -924,6 +971,9 @@ QUERIES = {
     "events_by_type": (events_by_type, SQL_EVENTS_BY_TYPE),
     "events_hourly_windows": (events_hourly_windows, SQL_EVENTS_HOURLY_WINDOWS),
     "user_session_stats": (user_session_stats, SQL_USER_SESSION_STATS),
+    "sample_events": (sample_events, SQL_SAMPLE_EVENTS),
+    "events_top3_per_user": (events_top3_per_user, SQL_EVENTS_TOP3_PER_USER),
+    "events_with_prev": (events_with_prev, SQL_EVENTS_WITH_PREV),
     "text_stats": (text_stats, SQL_TEXT_STATS),
     "token_totals_by_lang": (token_totals_by_lang, SQL_TOKEN_TOTALS_BY_LANG),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

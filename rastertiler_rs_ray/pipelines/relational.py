@@ -246,6 +246,91 @@ def filter_project(
 
     return ds.map_batches(f, batch_format="pyarrow")
 
+def hash_sample(
+    ds: ray.data.Dataset, *, key: str, percent: int, mult: int = 2654435761
+) -> ray.data.Dataset:
+    """Deterministic hash sample: keep rows where ``(key*mult) % 100 <
+    percent``.  Map-only (no shuffle), reproducible across runs and
+    resumable — at 100 TB this is the sane sampling primitive; a
+    ``random_shuffle().limit()`` would be an all-to-all exchange for a
+    filter's worth of work.
+
+    ``key * mult`` must stay inside int64 (key < ~3.4e9 with the default
+    multiplier) so the numpy and SQL sides agree exactly.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy().astype(np.int64, copy=False)
+        keep = (k * np.int64(mult)) % np.int64(100) < np.int64(percent)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def grouped_top_n(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    *,
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreak_cols: Sequence[str] = (),
+    rank_col: str = "rnk",
+) -> ray.data.Dataset:
+    """Per-group top-N with a rank column (windowed ``row_number()``).
+
+    Map-side partial prune — each block keeps at most ``n`` rows per
+    group it sees — so the ``groupby`` exchange moves ≤ n rows per
+    (block, group) instead of every row.  The final per-group sort runs
+    over ≤ n × block_count candidates.  ``tiebreak_cols`` must make the
+    order total (e.g. a unique id) or ranks are nondeterministic.
+    """
+    part_keys = list(part_keys)
+    by = [order_col, *tiebreak_cols]
+    asc = [not descending] + [True] * len(tiebreak_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        return df.groupby(part_keys, sort=False).head(n)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort").head(n).copy()
+        df[rank_col] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(part_keys)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def lag_within_groups(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    out_col: str = "prev_value",
+) -> ray.data.Dataset:
+    """Previous-row value per group (window ``LAG`` / as-of self-join).
+
+    Unlike ``grouped_top_n`` there is no map-side prune — LAG needs the
+    whole ordered group, so this is one ``groupby`` exchange with an
+    in-group vectorized sort + shift.  Partitioning assumption: a single
+    group (one user's history) fits in a worker heap; salt or
+    time-bucket the key upstream if a group can be unbounded.
+    """
+    order_cols = list(order_cols)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="mergesort").copy()
+        df[out_col] = df[value_col].shift(1)
+        return df
+
+    return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
+
+
 def shuffle_hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -13,6 +13,9 @@ from rastertiler_rs_ray.pipelines.relational import (
     distinct,
     filter_project,
     grouped_aggregate,
+    grouped_top_n,
+    hash_sample,
+    lag_within_groups,
     semi_join,
     top_k,
 )
@@ -123,3 +126,68 @@ def test_filter_project(ray_session, db):
     want = db.execute("SELECT count(*) FROM lineitem WHERE l_quantity > 45").fetchone()[0]
     assert got.count() == want
     assert got.schema().names == ["l_orderkey", "l_quantity"]
+
+
+def test_hash_sample_deterministic(ray_session, db):
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = sorted(
+        hash_sample(ev, key="event_id", percent=5)
+        .to_pandas()["event_id"]
+        .tolist()
+    )
+    want = db.execute(
+        "SELECT event_id FROM events WHERE (event_id * 2654435761) % 100 < 5 ORDER BY 1"
+    ).df()["event_id"].tolist()
+    assert got == want
+    # same rows on a second run (resumability of the sample)
+    again = sorted(
+        hash_sample(ev, key="event_id", percent=5).to_pandas()["event_id"].tolist()
+    )
+    assert again == got
+
+
+def test_grouped_top_n_matches_window_sql(ray_session, db):
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = (
+        grouped_top_n(
+            ev.select_columns(["event_id", "user_id", "value"]),
+            ["user_id"], order_col="value", n=3, tiebreak_cols=["event_id"],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """SELECT event_id, user_id, value,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+           FROM events QUALIFY rnk <= 3 ORDER BY user_id, rnk"""
+    ).df()
+    assert got[["event_id", "user_id", "rnk"]].equals(want[["event_id", "user_id", "rnk"]])
+    assert (got["value"].to_numpy() == want["value"].to_numpy()).all()
+
+
+def test_lag_within_groups_matches_window_sql(ray_session, db):
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = (
+        lag_within_groups(
+            ev.select_columns(["event_id", "user_id", "ts", "value"]),
+            ["user_id"], ["ts", "event_id"], "value",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """SELECT event_id, user_id, value,
+                  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS prev_value
+           FROM events ORDER BY event_id"""
+    ).df()
+    import numpy as np
+
+    g, w = got["prev_value"].to_numpy(), want["prev_value"].to_numpy()
+    assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+    # exactly one NULL (group head) per user
+    heads = got[got["prev_value"].isna()]["user_id"].value_counts()
+    assert (heads == 1).all()
