@@ -217,3 +217,52 @@ def test_tileset_sorted_by_construction(ray_session, tmp_path):
         t.column("zoom").to_numpy().astype(np.int64) << 58
     ) | (t.column("x").to_numpy().astype(np.int64) << 29) | t.column("y").to_numpy().astype(np.int64)
     assert np.all(np.diff(key) > 0), "tileset rows not strictly sorted by (zoom,x,y)"
+
+
+def test_resume_after_simulated_crash(ray_session, tmp_path):
+    """A run that died mid-way (one zoom-group's files missing, no
+    manifest record — the crash window) resumes by re-rendering ONLY the
+    missing group and converges to the complete result."""
+    import json
+    import shutil
+
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    out = str(tmp_path / "clean")
+    # small per-group target -> several checkpoint partitions at z0-5
+    render_pyramid(
+        default_u8_raster(), out, 0, 5, tilesize=256, concurrency=3,
+        resume=False, target_tiles_per_group=2,
+    )
+    crashed = str(tmp_path / "crashed")
+    shutil.copytree(out, crashed)
+    full_hashes = _tile_hashes(out)
+
+    # simulate the crash: drop one group's partition dir + manifest entry
+    groups = sorted(
+        d for d in os.listdir(os.path.join(crashed, "tiles")) if d.startswith("part=g")
+    )
+    assert len(groups) >= 3, groups
+    victim = groups[1]
+    shutil.rmtree(os.path.join(crashed, "tiles", victim))
+    mpath = os.path.join(crashed, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["partitions"]["tiles/" + victim.removeprefix("part=")]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    survivors = [d for d in groups if d != victim]
+    mtime_before = {
+        d: os.path.getmtime(os.path.join(crashed, "tiles", d)) for d in survivors
+    }
+    m2 = render_pyramid(
+        default_u8_raster(), crashed, 0, 5, tilesize=256, concurrency=3,
+        resume=True, target_tiles_per_group=2,
+    )
+    # survivors untouched, victim re-rendered, output identical to a clean run
+    for d in survivors:
+        assert os.path.getmtime(os.path.join(crashed, "tiles", d)) == mtime_before[d]
+    assert m2.is_complete("tiles/" + victim.removeprefix("part="))
+    assert _tile_hashes(crashed) == full_hashes
