@@ -103,6 +103,60 @@ def brute_force_topk(
     return _merge_partials(rows, k)
 
 
+def label_centroids(
+    corpus: ray.data.Dataset,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-label mean vector in long format (label, dim, psum, pcnt → mean).
+
+    Map-side partial: each block contributes one (label, dim) sum/count
+    row pair per label it sees — the exchange moves labels × dim rows
+    per block, never the vectors themselves.  The final combine is a
+    tiny grouped sum.  This is the vector analogue of grouped_aggregate
+    and stays a streaming pass at 10^12 rows.
+    """
+    from .relational import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch, vec_col)  # (n, dim) float64
+        labels = batch.column(label_col).to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        dim = mat.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq.astype(np.int64), dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+                "psum": pa.array(sums.ravel(), pa.float64()),
+                "pcnt": pa.array(np.repeat(counts, dim)),
+            }
+        )
+
+    agg = grouped_aggregate(
+        corpus.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("s", "psum", "sum"), ("c", "pcnt", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy()
+        c = batch.column("c").to_numpy()
+        mean_e4 = np.round(s / c * 1e4).astype(np.int64)
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "dim": batch.column("dim"),
+                "mean_e4": pa.array(mean_e4),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def train_centroids(
     corpus: ray.data.Dataset,
     *,

@@ -643,6 +643,129 @@ FROM events
 """
 
 
+def user_sessions_gap(sf_dir: str):
+    """Gap-based session windows (30-min gap), per-event session ids."""
+    from .relational import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = sessionize(ev, ["user_id"], ["ts", "event_id"], "ts", gap_seconds=1800)
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
+SQL_USER_SESSIONS_GAP = """
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM lagged
+"""
+
+
+def props_value_stats(sf_dir: str):
+    """JSON-props extraction (vectorized regex) + grouped aggregate —
+    the metadata-filtering stage of a training-data pipeline."""
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        st = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "k": k})
+
+    return grouped_aggregate(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", "k", "count"), ("sum_k", "k", "sum")],
+    )
+
+
+SQL_PROPS_VALUE_STATS = r"""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q3_top_revenue(sf_dir: str):
+    """Q3-style 3-way join chain: BUILDING customers → semi-join orders
+    (broadcast key set) → shuffle join lineitem → partial-agg revenue
+    per order → partial top-10 merge.  Mixes all three join strategies."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    bkeys = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), "BUILDING")
+    ).select(["c_custkey"]).rename_columns(["o_custkey"])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    osel = semi_join(orders, bkeys, on="o_custkey").select_columns(["o_orderkey"])
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": r})
+
+    from .relational import shuffle_hash_join
+
+    j = shuffle_hash_join(
+        li.map_batches(revenue, batch_format="pyarrow"),
+        osel,
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    agg = grouped_aggregate(j, ["l_orderkey"], [("revenue", "revenue", "sum")])
+    top = top_k(agg, 10, "revenue", columns=["l_orderkey", "revenue"])
+    rev_e2 = np.round(top.column("revenue").to_numpy() * 100.0).astype(np.int64)
+    return pa.table(
+        {"l_orderkey": top.column("l_orderkey"), "revenue_e2": pa.array(rev_e2)}
+    )
+
+
+SQL_Q3_TOP_REVENUE = """
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0, 0) AS BIGINT)
+           AS revenue_e2
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey LIMIT 10
+"""
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (vector mean) in long format —
+    list-column aggregation without ever shuffling a vector."""
+    from .ann import label_centroids
+
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return label_centroids(emb)
+
+
+SQL_EMBEDDING_LABEL_CENTROIDS = """
+WITH flat AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT label, dim, CAST(round(avg(v) * 10000.0, 0) AS BIGINT) AS mean_e4
+FROM flat GROUP BY label, dim
+"""
+
+
 def merge_tilesets_demo(sf_dir: str):
     """Reference `merge` entry point (O2): union of two tilesets with
     left-preference on (zoom, x, y) conflicts; returns the merged map."""
@@ -974,6 +1097,10 @@ QUERIES = {
     "sample_events": (sample_events, SQL_SAMPLE_EVENTS),
     "events_top3_per_user": (events_top3_per_user, SQL_EVENTS_TOP3_PER_USER),
     "events_with_prev": (events_with_prev, SQL_EVENTS_WITH_PREV),
+    "user_sessions_gap": (user_sessions_gap, SQL_USER_SESSIONS_GAP),
+    "props_value_stats": (props_value_stats, SQL_PROPS_VALUE_STATS),
+    "q3_top_revenue": (q3_top_revenue, SQL_Q3_TOP_REVENUE),
+    "embedding_label_centroids": (embedding_label_centroids, SQL_EMBEDDING_LABEL_CENTROIDS),
     "text_stats": (text_stats, SQL_TEXT_STATS),
     "token_totals_by_lang": (token_totals_by_lang, SQL_TOKEN_TOTALS_BY_LANG),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

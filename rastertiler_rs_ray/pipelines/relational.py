@@ -331,6 +331,36 @@ def lag_within_groups(
     return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
 
 
+def sessionize(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str],
+    ts_col: str,
+    *,
+    gap_seconds: float,
+    out_col: str = "session_id",
+) -> ray.data.Dataset:
+    """Gap-based session windows: a new session starts whenever the gap
+    to the key's previous event is strictly greater than ``gap_seconds``.
+    Session ids are 1-based and ordered by time within each key.
+
+    Same shape as ``lag_within_groups``: one groupby exchange, then an
+    in-group sort + vectorized diff/cumsum — the streaming-window
+    operator expressed batch-first (SURVEY §2.9).  Timestamp arithmetic
+    is integer microseconds, so results are engine-exact.
+    """
+    order_cols = list(order_cols)
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="mergesort").copy()
+        d = df[ts_col].diff()
+        df[out_col] = (d.isna() | (d > gap)).cumsum().astype(np.int64)
+        return df
+
+    return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
+
+
 def shuffle_hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

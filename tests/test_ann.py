@@ -65,3 +65,27 @@ def test_ivf_centroids_deterministic(ray_session):
     c1 = train_centroids(ds, nlist=8)
     c2 = train_centroids(ds, nlist=8)
     assert np.allclose(c1, c2)
+
+
+def test_label_centroids_match_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rastertiler_rs_ray.pipelines.ann import label_centroids
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["label", "embedding"])
+    got = (
+        label_centroids(emb)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["label", "embedding"])
+    labels = t.column("label").to_numpy()
+    mat = np.asarray(t.column("embedding").combine_chunks().flatten(), dtype=np.float64)
+    mat = mat.reshape(len(labels), -1)
+    for lab in np.unique(labels):
+        ref = np.round(mat[labels == lab].mean(axis=0) * 1e4).astype(np.int64)
+        sub = got[got["label"] == lab].sort_values("dim")["mean_e4"].to_numpy()
+        assert (sub == ref).all(), lab

@@ -191,3 +191,34 @@ def test_lag_within_groups_matches_window_sql(ray_session, db):
     # exactly one NULL (group head) per user
     heads = got[got["prev_value"].isna()]["user_id"].value_counts()
     assert (heads == 1).all()
+
+
+def test_sessionize_matches_window_sql(ray_session, db):
+    from rastertiler_rs_ray.pipelines.relational import sessionize
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = (
+        sessionize(
+            ev.select_columns(["event_id", "user_id", "ts"]),
+            ["user_id"], ["ts", "event_id"], "ts", gap_seconds=1800,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """WITH lagged AS (
+             SELECT event_id, user_id, ts,
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             FROM events)
+           SELECT event_id,
+                  CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM lagged ORDER BY event_id"""
+    ).df()
+    assert (got["session_id"].to_numpy() == want["session_id"].to_numpy()).all()
+    # sessions are 1-based and contiguous per user
+    per_user = got.groupby("user_id")["session_id"]
+    assert (per_user.min() == 1).all()
