@@ -1058,6 +1058,27 @@ def media_features_pipeline(sf_dir: str):
     return ds.select_columns(["media_id", "media_hash"])
 
 
+def video_frame_sample(sf_dir: str):
+    """Frame-sampling actor pool over opaque video payloads (fake codec,
+    real plumbing): K frames per row, deterministic frame indices."""
+    from ..stages.multimodal import sample_frames, synthesize_media_table
+
+    ds = sample_frames(synthesize_media_table(256), k=4)
+
+    def project(batch: pa.Table) -> pa.Table:
+        first = pc.list_element(batch.column("frame_idx"), 0)
+        last = pc.list_element(batch.column("frame_idx"), 3)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "first_frame": pc.cast(first, pa.int64()),
+                "last_frame": pc.cast(last, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def interleaved_span_check(sf_dir: str):
     """Interleaved-doc invariant pipeline: generate docs, run the cell
     encoder, verify span sequences survive, return (doc_id, cell_ok)."""
@@ -1126,5 +1147,6 @@ QUERIES = {
     "ivf_ann_topk": (ivf_ann_topk, None),
     "annotate_docs": (annotate_docs, None),
     "media_features_pipeline": (media_features_pipeline, None),
+    "video_frame_sample": (video_frame_sample, None),
     "interleaved_span_check": (interleaved_span_check, None),
 }

@@ -113,6 +113,80 @@ class MediaFeatureExtractor:
         return batch.append_column("media_features", col)
 
 
+class FrameSampler:
+    """Actor-pool stage: video payload → K deterministically-sampled
+    frames, each decoded + NN-resized like the image path.
+
+    Frame selection uses the same center-of-target index math as the
+    raster NN kernel over ``media_frames``: frame ``floor((k+0.5)·F/K)``.
+    Output adds ``frame_idx: list<int32>`` and ``frames:
+    fixed_size_list<uint8>[K·w·h]``.  Codec gated like MediaDecoder —
+    the fake decode varies by (payload, frame index) so sampled frames
+    differ deterministically.
+    """
+
+    def __init__(self, k: int = 4, out_w: int = 16, out_h: int = 16, *,
+                 fake: bool = True, payload_col: str = "payload"):
+        self.k, self.out_w, self.out_h = int(k), int(out_w), int(out_h)
+        self.fake = fake
+        self.payload_col = payload_col
+
+    def _decode_frame(self, payload: bytes, idx: int, w: int, h: int) -> np.ndarray:
+        if not self.fake:
+            _real_decode_unavailable("video")
+        return _fake_pixels(payload + idx.to_bytes(4, "big"), w, h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        ws = batch.column("media_w").to_numpy(zero_copy_only=False)
+        hs = batch.column("media_h").to_numpy(zero_copy_only=False)
+        nframes = batch.column("media_frames").to_numpy(zero_copy_only=False)
+        n = len(batch)
+        fsz = self.out_w * self.out_h
+        out = np.empty((n, self.k * fsz), dtype=np.uint8)
+        picked: list[list[int]] = []
+        ys = None
+        for i in range(n):  # per-payload decode is inherently per-row I/O
+            f = max(int(nframes[i]), 1)
+            sel = np.minimum(
+                ((np.arange(self.k) + 0.5) * f / self.k).astype(np.int64), f - 1
+            )
+            picked.append(sel.tolist())
+            w, h = int(ws[i]), int(hs[i])
+            ys = np.minimum(((np.arange(self.out_h) + 0.5) * h / self.out_h).astype(np.int64), h - 1)
+            xs = np.minimum(((np.arange(self.out_w) + 0.5) * w / self.out_w).astype(np.int64), w - 1)
+            for j, fr in enumerate(sel):
+                img = self._decode_frame(payloads[i] or b"", int(fr), w, h)
+                out[i, j * fsz:(j + 1) * fsz] = img[np.ix_(ys, xs)].reshape(-1)
+        frames = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(-1), pa.uint8()), self.k * fsz
+        )
+        return (
+            batch.append_column("frame_idx", pa.array(picked, pa.list_(pa.int32())))
+            .append_column("frames", frames)
+        )
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 4,
+    out_w: int = 16,
+    out_h: int = 16,
+    fake: bool = True,
+    concurrency=(1, 2),
+    batch_size: int = 32,  # video rows are the widest — smallest batches
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(k=k, out_w=out_w, out_h=out_h, fake=fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def decode_media(
     ds: ray.data.Dataset,
     *,
@@ -163,6 +237,7 @@ def synthesize_media_table(n: int, seed: int = 5) -> ray.data.Dataset:
                 "media_kind": pa.array(["image"] * len(idx), pa.string()),
                 "media_w": pa.array(rng_w.astype(np.int32)),
                 "media_h": pa.array(rng_h.astype(np.int32)),
+                "media_frames": pa.array((8 + (idx * 11 + seed) % 120).astype(np.int32)),
             }
         )
 

@@ -143,3 +143,32 @@ def test_real_decode_is_gated():
     dec = MediaDecoder(fake=False)
     with pytest.raises(NotImplementedError):
         dec._decode(b"xx", 4, 4)
+
+
+def test_frame_sampler_deterministic_and_shaped(ray_session):
+    from rastertiler_rs_ray.stages.multimodal import FrameSampler, sample_frames
+
+    ds = sample_frames(synthesize_media_table(48), k=4, out_w=16, out_h=16)
+    b = ds.take_batch(48, batch_format="pyarrow")
+    frames = np.asarray(b.column("frames").combine_chunks().flatten()).reshape(-1, 4 * 256)
+    assert frames.shape == (48, 1024)
+    # frame indices: 4 per row, nondecreasing, within [0, media_frames)
+    fi = b.column("frame_idx").to_pylist()
+    nf = np.asarray(b.column("media_frames"))
+    for sel, f in zip(fi, nf.tolist()):
+        assert len(sel) == 4 and sel == sorted(sel)
+        assert all(0 <= s < f for s in sel)
+    # distinct frames of the same payload decode differently (fake varies by index)
+    row = frames[0].reshape(4, 256)
+    assert not np.array_equal(row[0], row[-1])
+    # deterministic across runs
+    b2 = sample_frames(synthesize_media_table(48), k=4, out_w=16, out_h=16).take_batch(
+        48, batch_format="pyarrow"
+    )
+    f2 = np.asarray(b2.column("frames").combine_chunks().flatten()).reshape(-1, 1024)
+    ids = np.argsort(np.asarray(b.column("media_id")))
+    ids2 = np.argsort(np.asarray(b2.column("media_id")))
+    assert np.array_equal(frames[ids], f2[ids2])
+    # real codec path stays gated
+    with pytest.raises(NotImplementedError):
+        FrameSampler(fake=False)._decode_frame(b"xx", 0, 4, 4)
