@@ -86,8 +86,8 @@ def test_tile_geo_mercator_bounds_consistent(zoom, data):
     x = data.draw(st.integers(min_value=0, max_value=n - 1))
     y = data.draw(st.integers(min_value=0, max_value=n - 1))
     za, xa, ya = np.array([zoom]), np.array([x], np.uint32), np.array([y], np.uint32)
-    gxmin, gymin, gxmax, gymax = (float(v) for v in tile_geo_bounds(za, xa, ya))
-    mxmin, mymin, mxmax, mymax = (float(v) for v in tile_mercator_bounds(za, xa, ya))
+    gxmin, gymin, gxmax, gymax = (float(v[0]) for v in tile_geo_bounds(za, xa, ya))
+    mxmin, mymin, mxmax, mymax = (float(v[0]) for v in tile_mercator_bounds(za, xa, ya))
     # geo bounds forward-projected must equal mercator bounds
     fx0, fy0 = geo_to_mercator(gxmin, gymin)
     fx1, fy1 = geo_to_mercator(gxmax, gymax)
