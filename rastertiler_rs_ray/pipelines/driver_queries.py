@@ -643,6 +643,35 @@ FROM events
 """
 
 
+def lineitem_qty_quantiles(sf_dir: str):
+    """Exact distributed quantiles by counting (discrete value domain):
+    only (group, value) counts shuffle, never rows."""
+    from .relational import discrete_quantiles
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return discrete_quantiles(
+        li, "l_quantity", [0.25, 0.5, 0.75, 0.95], by=["l_returnflag"]
+    )
+
+
+SQL_LINEITEM_QTY_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
+    f"quantile_disc(l_quantity, {q}) AS value FROM lineitem GROUP BY l_returnflag"
+    for q in (0.25, 0.5, 0.75, 0.95)
+)
+
+
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id): register rows
+    shuffle instead of keys (rows-only check; accuracy vs exact is
+    asserted in tests/test_sketch.py)."""
+    from .sketch import approx_distinct
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ev, "user_id", p=12)
+    return pa.table({"metric": ["approx_distinct_users"], "estimate": [round(est, 1)]})
+
+
 def user_sessions_gap(sf_dir: str):
     """Gap-based session windows (30-min gap), per-event session ids."""
     from .relational import sessionize
@@ -1119,6 +1148,7 @@ QUERIES = {
     "events_top3_per_user": (events_top3_per_user, SQL_EVENTS_TOP3_PER_USER),
     "events_with_prev": (events_with_prev, SQL_EVENTS_WITH_PREV),
     "user_sessions_gap": (user_sessions_gap, SQL_USER_SESSIONS_GAP),
+    "lineitem_qty_quantiles": (lineitem_qty_quantiles, SQL_LINEITEM_QTY_QUANTILES),
     "props_value_stats": (props_value_stats, SQL_PROPS_VALUE_STATS),
     "q3_top_revenue": (q3_top_revenue, SQL_Q3_TOP_REVENUE),
     "embedding_label_centroids": (embedding_label_centroids, SQL_EMBEDDING_LABEL_CENTROIDS),
@@ -1148,5 +1178,6 @@ QUERIES = {
     "annotate_docs": (annotate_docs, None),
     "media_features_pipeline": (media_features_pipeline, None),
     "video_frame_sample": (video_frame_sample, None),
+    "approx_distinct_users": (approx_distinct_users, None),
     "interleaved_span_check": (interleaved_span_check, None),
 }

@@ -246,6 +246,39 @@ def filter_project(
 
     return ds.map_batches(f, batch_format="pyarrow")
 
+def discrete_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: Sequence[float],
+    *,
+    by: Sequence[str] = (),
+) -> pa.Table:
+    """Exact quantiles for discrete-valued columns (percentile_disc
+    semantics: smallest value whose cumulative count reaches ``ceil(q·n)``).
+
+    Shuffle shape: map-side (group, value) COUNT partials → tiny groupby
+    merge; only distinct values travel, never rows — exact global
+    quantiles for a counting cost, the scale path when the value domain
+    is bounded (ids, grades, bucketed measures).  Result is provably
+    small (groups × qs) and returned as a pyarrow Table.
+    """
+    by = list(by)
+    counts = grouped_aggregate(ds, [*by, col], [("n", col, "count")]).to_pandas()
+    out_rows = []
+    group_iter = counts.groupby(by) if by else [((), counts)]
+    for gkey, gdf in group_iter:
+        gdf = gdf.sort_values(col)
+        vals = gdf[col].to_numpy()
+        cum = gdf["n"].to_numpy().cumsum()
+        n = cum[-1]
+        for q in qs:
+            rank = int(np.ceil(q * n)) if q > 0 else 1
+            idx = int(np.searchsorted(cum, rank))
+            key = gkey if isinstance(gkey, tuple) else (gkey,)
+            out_rows.append({**dict(zip(by, key)), "q": float(q), "value": vals[idx]})
+    return pa.Table.from_pylist(out_rows)
+
+
 def hash_sample(
     ds: ray.data.Dataset, *, key: str, percent: int, mult: int = 2654435761
 ) -> ray.data.Dataset:
