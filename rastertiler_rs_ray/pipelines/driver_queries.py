@@ -302,6 +302,39 @@ SQL_CUSTOMERS_WITH_ORDERS = (
 )
 
 
+def customers_with_orders_bloom(sf_dir: str):
+    """Same result as customers_with_orders, but the probe side is first
+    shrunk by a Bloom prefilter built distributed over the key side —
+    the scale path when the build side can't broadcast exactly; the
+    exact semi join then removes the Bloom's false positives."""
+    from .relational import bloom_semi_prefilter
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    okeys_ds = _read(sf_dir, "orders", columns=["o_custkey"])
+    pre = bloom_semi_prefilter(
+        cust, okeys_ds, on="c_custkey", key_col="o_custkey", bits_log2=16
+    )
+    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).rename_columns(
+        ["c_custkey"]
+    )
+    return semi_join(pre, okeys, on="c_custkey")
+
+
+def word_counts_docs(sf_dir: str):
+    """Explode-and-count (token frequency table): the flat_map/unnest
+    operator class, partials combined map-side."""
+    from .textstats import word_counts
+
+    return word_counts(_read(sf_dir, "documents", columns=["text"]))
+
+
+SQL_WORD_COUNTS_DOCS = r"""
+SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+GROUP BY w
+"""
+
+
 def parts_never_ordered_full(sf_dir: str):
     """Anti join: parts with no full-quantity (>48) lineitem."""
     part = _read(sf_dir, "part", columns=["p_partkey"])
@@ -1139,6 +1172,8 @@ QUERIES = {
     "revenue_by_priority": (revenue_by_priority, SQL_REVENUE_BY_PRIORITY),
     "distinct_doc_dims": (distinct_doc_dims, SQL_DISTINCT_DOC_DIMS),
     "customers_with_orders": (customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
+    "customers_with_orders_bloom": (customers_with_orders_bloom, SQL_CUSTOMERS_WITH_ORDERS),
+    "word_counts_docs": (word_counts_docs, SQL_WORD_COUNTS_DOCS),
     "parts_never_ordered_full": (parts_never_ordered_full, SQL_PARTS_NEVER_ORDERED),
     "high_qty_items": (high_qty_items, SQL_HIGH_QTY_ITEMS),
     "events_by_type": (events_by_type, SQL_EVENTS_BY_TYPE),

@@ -394,6 +394,47 @@ def sessionize(
     return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
 
 
+def bloom_semi_prefilter(
+    big: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    *,
+    on: str,
+    key_col: str | None = None,
+    bits_log2: int = 20,
+    k: int = 4,
+) -> ray.data.Dataset:
+    """Map-side Bloom prefilter of ``big`` against a build side too large
+    to broadcast exactly.
+
+    Build: per-block partial Bloom filters over ``keys`` (one 2^bits/8-
+    byte row per block), OR-merged driver-side (associative), broadcast
+    ONCE via ray.put.  Probe: map-only membership filter.  False
+    negatives are impossible; false positives (~(1-e^{-kn/m})^k) pass
+    through for the downstream exact join to remove — the point is to
+    shrink the probe side's shuffle volume, not to be exact.
+    """
+    from ..functions.bloom import Bloom
+
+    key_col = key_col or on
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = Bloom(bits_log2, k)
+        b.add_many(batch.column(key_col).to_numpy())
+        return pa.table({"bloom": pa.array([b.to_bytes()], pa.binary())})
+
+    parts = keys.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = Bloom(bits_log2, k)
+    for row in parts:
+        merged = merged.merge(Bloom.from_bytes(row["bloom"], bits_log2, k))
+    ref = ray.put(merged.to_bytes())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = Bloom.from_bytes(ray.get(ref), bits_log2, k)
+        return batch.filter(pa.array(b.contains(batch.column(on).to_numpy())))
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
 def shuffle_hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -73,3 +73,24 @@ def token_counts(docs: ray.data.Dataset, *, text_col: str = "text") -> ray.data.
         return batch.append_column("n_tokens", pa.array(T.whitespace_token_count(s), pa.int64()))
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def word_counts(docs: ray.data.Dataset, *, text_col: str = "text") -> ray.data.Dataset:
+    """Explode text to whitespace tokens and count occurrences per word.
+
+    The explode never leaves the map task: each block contributes a
+    (word, n) value_counts partial, so the exchange moves vocab-sized
+    partials instead of one row per token — at 10^12 docs the shuffle
+    is ~blocks x vocab, not corpus length.
+    """
+    import pandas as pd
+
+    from .relational import grouped_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[text_col].str.findall(r"\S+").explode().dropna().value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str), "n": vc.to_numpy()})
+
+    return grouped_aggregate(
+        docs.map_batches(partial, batch_format="pandas"), ["word"], [("n", "n", "sum")]
+    )

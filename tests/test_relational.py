@@ -222,3 +222,51 @@ def test_sessionize_matches_window_sql(ray_session, db):
     # sessions are 1-based and contiguous per user
     per_user = got.groupby("user_id")["session_id"]
     assert (per_user.min() == 1).all()
+
+
+def test_bloom_prefilter_no_false_negatives(ray_session, db):
+    import numpy as np
+
+    from rastertiler_rs_ray.functions.bloom import Bloom
+    from rastertiler_rs_ray.pipelines.relational import bloom_semi_prefilter
+
+    cust = ray.data.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    okeys = ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+    pre = set(
+        bloom_semi_prefilter(cust, okeys, on="c_custkey", key_col="o_custkey",
+                             bits_log2=14)
+        .to_pandas()["c_custkey"]
+    )
+    exact = set(
+        r[0] for r in db.execute("SELECT DISTINCT o_custkey FROM orders").fetchall()
+    ) & set(
+        r[0] for r in db.execute("SELECT c_custkey FROM customer").fetchall()
+    )
+    assert exact <= pre  # zero false negatives, ever
+
+    # direct FP-rate sanity on disjoint keys (theory: (1-e^{-kn/m})^k)
+    b = Bloom(bits_log2=14, k=4)
+    b.add_many(np.arange(1000, dtype=np.int64))
+    fp = b.contains(np.arange(10**6, 10**6 + 20000, dtype=np.int64)).mean()
+    n, m, k = 1000, 1 << 14, 4
+    theory = (1 - np.exp(-k * n / m)) ** k
+    assert fp < 3 * theory + 1e-3, (fp, theory)
+
+    # serialization round-trip preserves membership
+    b2 = Bloom.from_bytes(b.to_bytes(), 14, 4)
+    assert b2.contains(np.arange(1000, dtype=np.int64)).all()
+
+
+def test_word_counts_matches_unnest_sql(ray_session, db):
+    from rastertiler_rs_ray.pipelines.textstats import word_counts
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    got = (
+        word_counts(docs).to_pandas().sort_values("word").reset_index(drop=True)
+    )
+    want = db.execute(
+        r"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+            GROUP BY w ORDER BY w"""
+    ).df()
+    assert got.equals(want)
