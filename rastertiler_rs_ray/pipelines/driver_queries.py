@@ -676,6 +676,63 @@ FROM events
 """
 
 
+def events_last_order_asof(sf_dir: str):
+    """Backward as-of join events→orders on (user, time): one co-shuffle,
+    in-group vectorized searchsorted (relational.asof_join)."""
+    from .relational import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    out = asof_join(
+        ev, orders, on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", out_col="last_order_ts",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # left int columns pass through the group stage as float64 (the
+        # union carries typed nulls on right rows); restore exact int64
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "last_order_ts": pc.cast(
+                    batch.column("last_order_ts"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_LAST_ORDER_ASOF = """
+SELECT event_id, user_id, o_orderdate AS last_order_ts
+FROM events ASOF JOIN orders
+  ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate
+"""
+
+
+def user_event_type_pivot(sf_dir: str):
+    """Pivot (wide conditional aggregation): per-user counts of each
+    event type as columns."""
+    from .relational import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(
+        ev, "user_id", "event_type", ["click", "error", "purchase", "signup", "view"]
+    )
+
+
+SQL_USER_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
 def lineitem_qty_quantiles(sf_dir: str):
     """Exact distributed quantiles by counting (discrete value domain):
     only (group, value) counts shuffle, never rows."""
@@ -1184,6 +1241,8 @@ QUERIES = {
     "events_with_prev": (events_with_prev, SQL_EVENTS_WITH_PREV),
     "user_sessions_gap": (user_sessions_gap, SQL_USER_SESSIONS_GAP),
     "lineitem_qty_quantiles": (lineitem_qty_quantiles, SQL_LINEITEM_QTY_QUANTILES),
+    "events_last_order_asof": (events_last_order_asof, SQL_EVENTS_LAST_ORDER_ASOF),
+    "user_event_type_pivot": (user_event_type_pivot, SQL_USER_EVENT_TYPE_PIVOT),
     "props_value_stats": (props_value_stats, SQL_PROPS_VALUE_STATS),
     "q3_top_revenue": (q3_top_revenue, SQL_Q3_TOP_REVENUE),
     "embedding_label_centroids": (embedding_label_centroids, SQL_EMBEDDING_LABEL_CENTROIDS),

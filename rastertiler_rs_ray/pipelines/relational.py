@@ -35,6 +35,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -392,6 +393,102 @@ def sessionize(
         return df
 
     return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    left_ts: str,
+    right_ts: str,
+    out_col: str = "asof_ts",
+) -> ray.data.Dataset:
+    """Backward as-of join: each left row gets the largest ``right_ts``
+    of the same key with ``right_ts <= left_ts`` (DuckDB ``ASOF JOIN``
+    semantics, inner — unmatched left rows drop).
+
+    Single co-shuffle: both sides are tagged and unioned (aligned
+    schemas), one ``groupby(key)`` moves each key's rows to one task,
+    and the in-group match is a vectorized ``searchsorted`` of left
+    timestamps into the key's sorted right timestamps.  No broadcast, no
+    second exchange; the payload carried is the matched timestamp itself
+    (carrying arbitrary right columns would need a tie rule on equal
+    timestamps — keep the operator deterministic).
+
+    Caveat: left integer columns come back float64 (right rows fill
+    them with nulls through the union, and the group's pandas
+    conversion promotes) — cast back downstream if exact integer types
+    matter.
+    """
+    right_on = right_on or on
+
+    # carry all left columns through; right rows fill them with typed nulls
+    lschema = left.schema()
+    left_cols = list(lschema.names)
+    left_types = dict(zip(lschema.names, lschema.types))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        out = {c: batch.column(c) for c in left_cols}
+        out["__key"] = pc.cast(batch.column(on), pa.int64())
+        out["__ts"] = pc.cast(batch.column(left_ts), pa.int64())
+        out["__side"] = pa.array(np.zeros(len(batch), dtype=np.int8))
+        return pa.table(out)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = {c: pa.nulls(n, left_types[c]) for c in left_cols}
+        out["__key"] = pc.cast(batch.column(right_on), pa.int64())
+        out["__ts"] = pc.cast(batch.column(right_ts), pa.int64())
+        out["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(out)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        lmask = df["__side"] == 0
+        lrows = df[lmask]
+        rts = np.sort(df.loc[~lmask, "__ts"].to_numpy())
+        if len(rts) == 0 or len(lrows) == 0:
+            return lrows.iloc[0:0][left_cols]
+        lts = lrows["__ts"].to_numpy()
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        ok = idx >= 0
+        out = lrows[ok][left_cols].copy()
+        out[out_col] = rts[idx[ok]]
+        return out
+
+    return unioned.groupby("__key").map_groups(match, batch_format="pandas")
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key: str,
+    pivot_col: str,
+    categories: Sequence[str],
+) -> ray.data.Dataset:
+    """Pivot a categorical column into per-category count columns (wide
+    conditional aggregation).  One 0/1 indicator column per category is
+    added map-side, then the standard partial-sum ``grouped_aggregate``
+    — the shuffle moves one row per (block, key) whatever the category
+    count."""
+    cats = list(categories)
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        col = batch.column(pivot_col)
+        out = {key: batch.column(key)}
+        for c in cats:
+            out[c] = pc.cast(pc.equal(col, c), pa.int64())
+        return pa.table(out)
+
+    return grouped_aggregate(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        [key],
+        [(c, c, "sum") for c in cats],
+    )
 
 
 def bloom_semi_prefilter(

@@ -270,3 +270,62 @@ def test_word_counts_matches_unnest_sql(ray_session, db):
             GROUP BY w ORDER BY w"""
     ).df()
     assert got.equals(want)
+
+
+def test_asof_join_interleaved_times(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from rastertiler_rs_ray.pipelines.relational import asof_join
+
+    # interleaved left/right times per key, incl. a key with no right rows
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "t": [5, 10, 15, 3, 9, 7],
+        "lid": [0, 1, 2, 3, 4, 5],
+    })
+    right = pd.DataFrame({"rk": [1, 1, 2, 2], "rt": [4, 12, 9, 20]})
+    got = (
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="k", right_on="rk", left_ts="t", right_ts="rt", out_col="m",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # expected backward matches: t=5->4, 10->4, 15->12, 3->none, 9->9; k=3 none
+    assert got["lid"].tolist() == [0, 1, 2, 4]
+    assert got["m"].tolist() == [4, 4, 12, 9]
+
+    con = duckdb.connect()
+    con.register("left_df", left)
+    con.register("right_df", right)
+    want = con.execute(
+        """SELECT lid, rt AS m FROM left_df ASOF JOIN right_df
+           ON left_df.k = right_df.rk AND left_df.t >= right_df.rt ORDER BY lid"""
+    ).df()
+    assert got["m"].tolist() == want["m"].tolist()
+
+
+def test_pivot_counts_matches_filter_sql(ray_session, db):
+    from rastertiler_rs_ray.pipelines.relational import pivot_counts
+
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    got = (
+        pivot_counts(ev, "user_id", "event_type",
+                     ["click", "error", "purchase", "signup", "view"])
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = db.execute(
+        """SELECT user_id,
+                  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+                  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+           FROM events GROUP BY user_id ORDER BY user_id"""
+    ).df()
+    assert got.equals(want)
+    # row sums partition the events
+    assert got[["click", "error", "purchase", "signup", "view"]].to_numpy().sum() == ev.count()
