@@ -27,6 +27,18 @@ class LanceStyleTable:
     path: str
 
     def to_dataset(self, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+        # literal gate: prefer the Lance reader when the format/library
+        # exists (not installable in this environment), else parquet —
+        # both push column pruning into the read
+        if self.path.endswith(".lance"):
+            try:
+                import lance  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "path looks like a Lance dataset but the 'lance' "
+                    "package is not installed"
+                ) from e
+            return ray.data.read_lance(self.path, columns=columns, **kwargs)
         return ray.data.read_parquet(self.path, columns=columns, **kwargs)
 
     def count_rows(self) -> int:
