@@ -676,6 +676,57 @@ FROM events
 """
 
 
+def training_corpus_stats(sf_dir: str):
+    """Flagship training-data composition, one streaming pipeline:
+    quality filter → exact dedup (min-id per normalized text) →
+    deterministic 50% hash sample → per-language doc/token stats.
+    Only the dedup groupby is an exchange; everything else is map-only
+    and the final aggregate is partial-combined."""
+    from .dedup import exact_dedup
+    from .relational import hash_sample
+    from ..functions.text import whitespace_token_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+    kept = filter_project(
+        docs,
+        predicate=lambda b: pc.greater_equal(b.column("n_chars"), 400),
+        columns=["doc_id", "text", "lang"],
+    )
+    surv = hash_sample(exact_dedup(kept), key="doc_id", percent=50)
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = whitespace_token_count(batch.column("text").to_pandas())
+        return pa.table(
+            {"lang": batch.column("lang"), "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return grouped_aggregate(
+        surv.map_batches(tokens, batch_format="pyarrow"),
+        ["lang"],
+        [("ndocs", "n_tokens", "count"), ("total_tokens", "n_tokens", "sum")],
+    )
+
+
+SQL_TRAINING_CORPUS_STATS = r"""
+WITH kept AS (
+  SELECT doc_id, text, lang FROM documents WHERE n_chars >= 400
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, array_to_string(regexp_extract_all(text, '\S+'), ' ') AS norm
+        FROM kept)
+  GROUP BY norm
+),
+samp AS (
+  SELECT k.lang, k.text FROM dedup d JOIN kept k USING (doc_id)
+  WHERE (d.doc_id * 2654435761) % 100 < 50
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS ndocs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+FROM samp GROUP BY lang
+"""
+
+
 def events_last_order_asof(sf_dir: str):
     """Backward as-of join events→orders on (user, time): one co-shuffle,
     in-group vectorized searchsorted (relational.asof_join)."""
@@ -1242,6 +1293,7 @@ QUERIES = {
     "user_sessions_gap": (user_sessions_gap, SQL_USER_SESSIONS_GAP),
     "lineitem_qty_quantiles": (lineitem_qty_quantiles, SQL_LINEITEM_QTY_QUANTILES),
     "events_last_order_asof": (events_last_order_asof, SQL_EVENTS_LAST_ORDER_ASOF),
+    "training_corpus_stats": (training_corpus_stats, SQL_TRAINING_CORPUS_STATS),
     "user_event_type_pivot": (user_event_type_pivot, SQL_USER_EVENT_TYPE_PIVOT),
     "props_value_stats": (props_value_stats, SQL_PROPS_VALUE_STATS),
     "q3_top_revenue": (q3_top_revenue, SQL_Q3_TOP_REVENUE),
