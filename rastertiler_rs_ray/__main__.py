@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("export-mbtiles", help="tileset dir -> sqlite MBTiles file")
     e.add_argument("tileset_dir")
     e.add_argument("mbtiles_path")
+
+    i = sub.add_parser(
+        "import-mbtiles",
+        help="sqlite MBTiles file -> partitioned tileset dir (bridge from the reference)",
+    )
+    i.add_argument("mbtiles_path")
+    i.add_argument("out_dir")
     return p
 
 
@@ -102,6 +109,12 @@ def main(argv=None) -> int:
 
             export_mbtiles(args.tileset_dir, args.mbtiles_path)
             print(json.dumps({"mbtiles": args.mbtiles_path}))
+        elif args.command == "import-mbtiles":
+            from .pipelines.render import import_mbtiles
+
+            manifest = import_mbtiles(args.mbtiles_path, args.out_dir)
+            print(json.dumps({"out_dir": args.out_dir,
+                              "rows": manifest.partition("tiles/imported").get("rows")}))
     except ValueError as e:  # validation parity: clean error, nonzero exit
         print(f"error: {e}", file=sys.stderr)
         return 2

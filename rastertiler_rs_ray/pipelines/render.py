@@ -40,6 +40,7 @@ import time
 import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
+import pyarrow.parquet as papq
 import ray
 import ray.data
 
@@ -413,3 +414,108 @@ def export_mbtiles(out_dir: str, mbtiles_path: str) -> None:
     )
     conn.commit()
     conn.close()
+
+
+def read_mbtiles(mbtiles_path: str, *, batch_rows: int = 65536) -> ray.data.Dataset:
+    """Read a real MBTiles sqlite file into a Dataset of
+    ``(zoom, x, y, tms_y, tile_hash, tile_data)`` — the bridge for
+    tilesets produced by the reference CLI (ref src/mbtiles.rs:13-30).
+
+    ``y`` is flipped back from TMS to XYZ (``y = 2^z - 1 - tile_row``,
+    inverse of ref src/mbtiles.rs:111-113); ``tile_id`` is carried as
+    ``tile_hash`` (content-addressed within the file, whatever hash
+    produced it).  A sqlite file is inherently single-node, so the
+    driver streams row batches into object-store blocks; for repeated
+    distributed work convert once with ``import_mbtiles``.
+    """
+    import sqlite3
+
+    conn = sqlite3.connect(mbtiles_path)
+    cur = conn.execute(
+        "SELECT m.zoom_level, m.tile_column, m.tile_row, m.tile_id, i.tile_data "
+        "FROM map m JOIN images i ON i.tile_id = m.tile_id "
+        "ORDER BY m.zoom_level, m.tile_column, m.tile_row DESC"
+    )
+    refs = []
+    while True:
+        rows = cur.fetchmany(batch_rows)
+        if not rows:
+            break
+        z = np.array([r[0] for r in rows], dtype=np.uint8)
+        x = np.array([r[1] for r in rows], dtype=np.uint32)
+        tms = np.array([r[2] for r in rows], dtype=np.uint32)
+        y = ((np.uint32(1) << z.astype(np.uint32)) - np.uint32(1)) - tms
+        t = pa.table(
+            {
+                "zoom": pa.array(z),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "tms_y": pa.array(tms),
+                "tile_hash": pa.array([r[3] for r in rows], pa.int64()),
+                "tile_data": pa.array([r[4] for r in rows], pa.binary()),
+            }
+        )
+        refs.append(ray.put(t))
+    conn.close()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "zoom": pa.array([], pa.uint8()),
+                    "x": pa.array([], pa.uint32()),
+                    "y": pa.array([], pa.uint32()),
+                    "tms_y": pa.array([], pa.uint32()),
+                    "tile_hash": pa.array([], pa.int64()),
+                    "tile_data": pa.array([], pa.binary()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(refs)
+
+
+def import_mbtiles(mbtiles_path: str, out_dir: str) -> Manifest:
+    """Convert an MBTiles file into the engine's partitioned tileset
+    layout (tiles/ + images/ parquet + manifest), after which merge,
+    export and analytics all run distributed.  The conversion is the
+    one single-node pass; everything downstream scales."""
+    import sqlite3
+
+    # sqlite3.connect would silently create an empty db for a bad path
+    if not os.path.isfile(mbtiles_path):
+        raise ValueError(f"mbtiles file not found: {mbtiles_path}")
+
+    os.makedirs(os.path.join(out_dir, "tiles", "part=imported"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    manifest = Manifest(os.path.join(out_dir, "manifest.json"))
+
+    conn = sqlite3.connect(mbtiles_path)
+    meta = dict(conn.execute("SELECT name, value FROM metadata").fetchall())
+    conn.close()
+    manifest.set_meta(metadata=meta)
+
+    t0 = time.time()
+    ds = read_mbtiles(mbtiles_path)
+    n = 0
+    for i, batch in enumerate(ds.iter_batches(batch_size=65536, batch_format="pyarrow")):
+        pq_path = os.path.join(out_dir, "tiles", "part=imported", f"part-{i:05d}.parquet")
+        papq.write_table(batch, pq_path)
+        n += len(batch)
+    manifest.record_complete(
+        "tiles/imported", rows=n, wall_s=time.time() - t0, input_tiles=n,
+        source=os.path.basename(mbtiles_path),
+    )
+
+    t0 = time.time()
+    conn = sqlite3.connect(mbtiles_path)
+    cur = conn.execute("SELECT tile_id, tile_data FROM images ORDER BY tile_id")
+    rows = cur.fetchall()
+    conn.close()
+    img = pa.table(
+        {
+            "tile_hash": pa.array([r[0] for r in rows], pa.int64()),
+            "tile_data": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+    papq.write_table(img, os.path.join(out_dir, "images", "imported-0.parquet"))
+    manifest.record_complete("images", rows=len(img), wall_s=time.time() - t0)
+    return manifest

@@ -266,3 +266,50 @@ def test_resume_after_simulated_crash(ray_session, tmp_path):
         assert os.path.getmtime(os.path.join(crashed, "tiles", d)) == mtime_before[d]
     assert m2.is_complete("tiles/" + victim.removeprefix("part="))
     assert _tile_hashes(crashed) == full_hashes
+
+
+def test_mbtiles_roundtrip_and_merge(ray_session, tmp_path):
+    """render → export_mbtiles → read/import_mbtiles → identical tileset;
+    the imported layout merges with a rendered one."""
+    from rastertiler_rs_ray.pipelines.merge import merge_tilesets
+    from rastertiler_rs_ray.pipelines.render import (
+        export_mbtiles,
+        import_mbtiles,
+        read_mbtiles,
+        render_pyramid,
+        tileset_counts,
+    )
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    src = str(tmp_path / "src")
+    render_pyramid(default_u8_raster(), src, 2, 4, tilesize=64, concurrency=2,
+                   resume=False)
+    db = str(tmp_path / "t.mbtiles")
+    export_mbtiles(src, db)
+
+    # read path: same addresses and blobs as the source tileset
+    got = read_mbtiles(db).to_pandas()
+    want = _tile_hashes(src)
+    assert len(got) == len(want)
+    import hashlib as _h
+    for _, r in got.iterrows():
+        assert want[f"{r['zoom']}/{r['x']}/{r['y']}"] == _h.sha256(r["tile_data"]).hexdigest()
+
+    # import path: full tileset-layout parity
+    imp = str(tmp_path / "imported")
+    m = import_mbtiles(db, imp)
+    assert _tile_hashes(imp) == want
+    assert tileset_counts(imp)["images"] == tileset_counts(src)["images"]
+    assert m.get_meta("metadata")["minzoom"] == "2"
+
+    # imported tileset participates in merge (left-wins overlap)
+    other = str(tmp_path / "other")
+    render_pyramid(default_u8_raster(seed=99), other, 3, 5, tilesize=64,
+                   concurrency=2, resume=False)
+    merged = str(tmp_path / "merged")
+    merge_tilesets(imp, other, merged)
+    mh = _tile_hashes(merged)
+    oh = _tile_hashes(other)
+    assert set(mh) == set(want) | set(oh)
+    for k, v in mh.items():
+        assert v == (want[k] if k in want else oh[k])
