@@ -676,6 +676,32 @@ FROM events
 """
 
 
+def stratified_docs_sample(sf_dir: str):
+    """Stratified sampling: a fixed-size per-language sample chosen by
+    deterministic hash order — grouped_top_n over a hash sort key, so
+    the exchange moves at most n rows per (block, group)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        h = (did * np.int64(2654435761)) % np.int64(1_000_000_007)
+        return batch.append_column("h", pa.array(h))
+
+    out = grouped_top_n(
+        docs.map_batches(add_hash, batch_format="pyarrow"),
+        ["lang"], order_col="h", n=10, descending=False, tiebreak_cols=["doc_id"],
+    )
+    return out.select_columns(["lang", "doc_id", "rnk"])
+
+
+SQL_STRATIFIED_DOCS_SAMPLE = """
+SELECT lang, doc_id,
+       CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS rnk
+FROM documents QUALIFY rnk <= 10
+"""
+
+
 def training_corpus_stats(sf_dir: str):
     """Flagship training-data composition, one streaming pipeline:
     quality filter → exact dedup (min-id per normalized text) →
@@ -1294,6 +1320,7 @@ QUERIES = {
     "lineitem_qty_quantiles": (lineitem_qty_quantiles, SQL_LINEITEM_QTY_QUANTILES),
     "events_last_order_asof": (events_last_order_asof, SQL_EVENTS_LAST_ORDER_ASOF),
     "training_corpus_stats": (training_corpus_stats, SQL_TRAINING_CORPUS_STATS),
+    "stratified_docs_sample": (stratified_docs_sample, SQL_STRATIFIED_DOCS_SAMPLE),
     "user_event_type_pivot": (user_event_type_pivot, SQL_USER_EVENT_TYPE_PIVOT),
     "props_value_stats": (props_value_stats, SQL_PROPS_VALUE_STATS),
     "q3_top_revenue": (q3_top_revenue, SQL_Q3_TOP_REVENUE),
