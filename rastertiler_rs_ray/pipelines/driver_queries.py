@@ -676,6 +676,42 @@ FROM events
 """
 
 
+def customer_order_counts_outer(sf_dir: str):
+    """Left-outer shuffle join + aggregate: orders per customer
+    INCLUDING customers with none (count of the null-filled key is 0)."""
+    from .relational import shuffle_hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = shuffle_hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", join_type="left_outer"
+    )
+    return grouped_aggregate(j, ["c_custkey"], [("n_orders", "o_orderkey", "count")])
+
+
+SQL_CUSTOMER_ORDER_COUNTS_OUTER = """
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def user_distinct_event_types(sf_dir: str):
+    """Grouped exact COUNT(DISTINCT): two-phase — distinct pairs first
+    (per-block dedup partial, then keep-first), then a count per key."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    pairs = distinct(ev, ["user_id", "event_type"])
+    return grouped_aggregate(
+        pairs, ["user_id"], [("n_types", "event_type", "count")]
+    )
+
+
+SQL_USER_DISTINCT_EVENT_TYPES = """
+SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 def stratified_docs_sample(sf_dir: str):
     """Stratified sampling: a fixed-size per-language sample chosen by
     deterministic hash order — grouped_top_n over a hash sort key, so
@@ -1321,6 +1357,8 @@ QUERIES = {
     "events_last_order_asof": (events_last_order_asof, SQL_EVENTS_LAST_ORDER_ASOF),
     "training_corpus_stats": (training_corpus_stats, SQL_TRAINING_CORPUS_STATS),
     "stratified_docs_sample": (stratified_docs_sample, SQL_STRATIFIED_DOCS_SAMPLE),
+    "customer_order_counts_outer": (customer_order_counts_outer, SQL_CUSTOMER_ORDER_COUNTS_OUTER),
+    "user_distinct_event_types": (user_distinct_event_types, SQL_USER_DISTINCT_EVENT_TYPES),
     "user_event_type_pivot": (user_event_type_pivot, SQL_USER_EVENT_TYPE_PIVOT),
     "props_value_stats": (props_value_stats, SQL_PROPS_VALUE_STATS),
     "q3_top_revenue": (q3_top_revenue, SQL_Q3_TOP_REVENUE),
