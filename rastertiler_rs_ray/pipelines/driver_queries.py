@@ -1311,6 +1311,28 @@ def video_frame_sample(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def audio_features_pipeline(sf_dir: str):
+    """Audio modality: decode (gated) + linear resample to 8 kHz +
+    rms/zero-crossing features, actor-pool map_batches."""
+    from ..stages.multimodal import resample_audio, synthesize_audio_table
+
+    ds = resample_audio(synthesize_audio_table(256), target_sr=8000)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "out_sr": batch.column("out_sr"),
+                "rms_e2": pc.cast(
+                    pc.round(pc.multiply(batch.column("rms"), pa.scalar(100.0, pa.float32())), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def interleaved_span_check(sf_dir: str):
     """Interleaved-doc invariant pipeline: generate docs, run the cell
     encoder, verify span sequences survive, return (doc_id, cell_ok)."""
@@ -1389,6 +1411,7 @@ QUERIES = {
     "annotate_docs": (annotate_docs, None),
     "media_features_pipeline": (media_features_pipeline, None),
     "video_frame_sample": (video_frame_sample, None),
+    "audio_features_pipeline": (audio_features_pipeline, None),
     "approx_distinct_users": (approx_distinct_users, None),
     "interleaved_span_check": (interleaved_span_check, None),
 }

@@ -242,3 +242,104 @@ def synthesize_media_table(n: int, seed: int = 5) -> ray.data.Dataset:
         )
 
     return ray.data.range(n).map_batches(gen, batch_format="pyarrow")
+
+
+class AudioResampler:
+    """Actor-pool stage: audio payload → decoded PCM resampled to
+    ``target_sr``, plus rms / zero-crossing-rate features.
+
+    Decode is gated like the image/video paths (fake: deterministic
+    int16 PCM from a payload hash); the resample is a vectorized linear
+    interpolation (np.interp) — the shape a real codec would slot into.
+    Output adds ``samples: list<int16>`` (variable length: duration
+    varies per row), ``out_sr: int32``, ``rms: float32``, ``zcr:
+    float32``.
+    """
+
+    def __init__(self, target_sr: int = 8000, *, fake: bool = True,
+                 payload_col: str = "payload"):
+        self.target_sr = int(target_sr)
+        self.fake = fake
+        self.payload_col = payload_col
+
+    def _decode(self, payload: bytes, n: int) -> np.ndarray:
+        if not self.fake:
+            _real_decode_unavailable("audio")
+        seed = np.frombuffer(hashlib.sha256(payload).digest()[:8], dtype=np.uint64)[0]
+        i = np.arange(max(n, 1), dtype=np.uint64)
+        v = i * np.uint64(0x9E3779B97F4A7C15) ^ seed
+        v ^= v >> np.uint64(31)
+        return (v & np.uint64(0xFFFF)).astype(np.int64).astype(np.int16)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        srs = batch.column("media_sr").to_numpy(zero_copy_only=False)
+        ns = batch.column("media_samples").to_numpy(zero_copy_only=False)
+        out_samples: list[np.ndarray] = []
+        rms = np.empty(len(batch), dtype=np.float32)
+        zcr = np.empty(len(batch), dtype=np.float32)
+        for i in range(len(batch)):  # per-payload decode is per-row I/O
+            pcm = self._decode(payloads[i] or b"", int(ns[i])).astype(np.float64)
+            # invalid rate metadata -> passthrough (a poisoned sr of 1 Hz
+            # would otherwise inflate the row by target_sr x)
+            sr = int(srs[i]) if int(srs[i]) > 0 else self.target_sr
+            out_n = max(int(round(len(pcm) * self.target_sr / sr)), 1)
+            t_src = np.arange(len(pcm)) / sr
+            t_dst = np.arange(out_n) / self.target_sr
+            res = np.interp(t_dst, t_src, pcm)
+            out_samples.append(np.clip(res, -32768, 32767).astype(np.int16))
+            rms[i] = np.sqrt(np.mean(res**2))
+            sign = np.signbit(res - np.mean(res))
+            zcr[i] = float(np.mean(sign[1:] != sign[:-1])) if out_n > 1 else 0.0
+        return (
+            batch.append_column(
+                "samples", pa.array([s.tolist() for s in out_samples],
+                                    pa.list_(pa.int16()))
+            )
+            .append_column("out_sr", pa.array(
+                np.full(len(batch), self.target_sr, dtype=np.int32)))
+            .append_column("rms", pa.array(rms))
+            .append_column("zcr", pa.array(zcr))
+        )
+
+
+def resample_audio(
+    ds: ray.data.Dataset,
+    *,
+    target_sr: int = 8000,
+    fake: bool = True,
+    concurrency=(1, 2),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioResampler,
+        fn_constructor_kwargs=dict(target_sr=target_sr, fake=fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synthesize_audio_table(n: int, seed: int = 9) -> ray.data.Dataset:
+    """Deterministic opaque-binary audio table:
+    (media_id, payload, media_kind, media_sr, media_samples)."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy()
+        srs = np.where((idx % 3) == 0, 16000, np.where((idx % 3) == 1, 22050, 8000))
+        nsamp = 200 + (idx * 37 + seed) % 1800
+        payloads = [
+            hashlib.sha256(f"audio-{seed}-{i}".encode()).digest() * 2 for i in idx.tolist()
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(idx, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_kind": pa.array(["audio"] * len(idx), pa.string()),
+                "media_sr": pa.array(srs.astype(np.int32)),
+                "media_samples": pa.array(nsamp.astype(np.int32)),
+            }
+        )
+
+    return ray.data.range(n).map_batches(gen, batch_format="pyarrow")

@@ -172,3 +172,36 @@ def test_frame_sampler_deterministic_and_shaped(ray_session):
     # real codec path stays gated
     with pytest.raises(NotImplementedError):
         FrameSampler(fake=False)._decode_frame(b"xx", 0, 4, 4)
+
+
+def test_audio_resample_deterministic_and_featured(ray_session):
+    from rastertiler_rs_ray.stages.multimodal import (
+        AudioResampler,
+        resample_audio,
+        synthesize_audio_table,
+    )
+
+    ds = resample_audio(synthesize_audio_table(32), target_sr=8000)
+    b = ds.take_batch(32, batch_format="pyarrow")
+    lens = [len(s) for s in b.column("samples").to_pylist()]
+    srcs = np.asarray(b.column("media_sr"))
+    nsamp = np.asarray(b.column("media_samples"))
+    # resampled length matches the rate ratio within rounding
+    for L, sr, n in zip(lens, srcs.tolist(), nsamp.tolist()):
+        assert abs(L - round(n * 8000 / sr)) <= 1
+    assert (np.asarray(b.column("out_sr")) == 8000).all()
+    rms = np.asarray(b.column("rms"))
+    zcr = np.asarray(b.column("zcr"))
+    assert (rms > 0).all() and (0 <= zcr).all() and (zcr <= 1).all()
+    # deterministic across runs
+    b2 = resample_audio(synthesize_audio_table(32), target_sr=8000).take_batch(
+        32, batch_format="pyarrow"
+    )
+    ids = np.argsort(np.asarray(b.column("media_id")))
+    ids2 = np.argsort(np.asarray(b2.column("media_id")))
+    s1 = np.asarray(b.column("rms"))[ids]
+    s2 = np.asarray(b2.column("rms"))[ids2]
+    assert np.array_equal(s1, s2)
+    # real codec path stays gated
+    with pytest.raises(NotImplementedError):
+        AudioResampler(fake=False)._decode(b"xx", 100)
