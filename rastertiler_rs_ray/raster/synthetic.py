@@ -231,6 +231,21 @@ def default_u8_raster(seed: int = 42) -> SyntheticRaster:
     )
 
 
+def world_u8_raster(seed: int = 42, *, px_per_side: int = 4096) -> SyntheticRaster:
+    """Full-Web-Mercator-extent raster (corner-to-corner): every tile of
+    every zoom intersects, so renders produce complete pyramids and the
+    edge-clamping math runs at the projection boundary itself."""
+    res = CE / px_per_side
+    return SyntheticRaster(
+        dtype="uint8",
+        nodata=0,
+        width=px_per_side,
+        height=px_per_side,
+        transform=Affine(res, 0.0, -ORIGIN, 0.0, -res, ORIGIN),
+        seed=seed,
+    )
+
+
 def default_u32_raster(seed: int = 42) -> SyntheticRaster:
     return SyntheticRaster(
         dtype="uint32",
