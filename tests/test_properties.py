@@ -73,7 +73,11 @@ def test_tile_range_of_point_is_singleton(lon, lat, zoom):
     tile_m = CE / (1 << zoom)
     fx = ((float(mx) + ORIGIN) % tile_m) / tile_m
     fy = ((float(my) + ORIGIN) % tile_m) / tile_m
-    assume(1e-9 < fx < 1 - 1e-9 and 1e-9 < fy < 1 - 1e-9)
+    # the reference shaves EPS=1e-11 off the normalized WORLD fraction
+    # (src/tileid.rs:103), i.e. 1e-11 * 2^zoom of a tile — guard a few
+    # multiples of that around both edges
+    band = 4.0 * 1e-11 * (1 << zoom)
+    assume(band < fx < 1 - band and band < fy < 1 - band)
     tr = tile_range(zoom, Bounds(float(mx), float(my), float(mx), float(my)))
     assert tr.count() == 1
     assert (tr.xmin, tr.ymin) == (int(x), int(y))
