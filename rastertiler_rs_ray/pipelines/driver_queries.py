@@ -265,6 +265,7 @@ def revenue_by_priority(sf_dir: str):
     j = shuffle_hash_join(
         li.map_batches(disc, batch_format="pyarrow"), orders,
         on="l_orderkey", right_on="o_orderkey",
+        num_partitions=16,  # small-SF driver data; default cpu*2 at scale
     )
     agg = grouped_aggregate(
         j,
@@ -684,7 +685,8 @@ def customer_order_counts_outer(sf_dir: str):
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     j = shuffle_hash_join(
-        cust, orders, on="c_custkey", right_on="o_custkey", join_type="left_outer"
+        cust, orders, on="c_custkey", right_on="o_custkey", join_type="left_outer",
+        num_partitions=16,  # small-SF driver data; default cpu*2 at scale
     )
     return grouped_aggregate(j, ["c_custkey"], [("n_orders", "o_orderkey", "count")])
 
@@ -955,6 +957,7 @@ def q3_top_revenue(sf_dir: str):
         osel,
         on="l_orderkey",
         right_on="o_orderkey",
+        num_partitions=16,  # small-SF driver data; default cpu*2 at scale
     )
     agg = grouped_aggregate(j, ["l_orderkey"], [("revenue", "revenue", "sum")])
     top = top_k(agg, 10, "revenue", columns=["l_orderkey", "revenue"])
