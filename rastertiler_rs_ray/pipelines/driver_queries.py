@@ -677,6 +677,55 @@ FROM events
 """
 
 
+def lineitem_rollup(sf_dir: str):
+    """ROLLUP-style multi-level aggregate as a composition: per-(flag,
+    status), per-flag, and grand-total rows in one result (union of
+    three partial-combined aggregates; each level's exchange is tiny)."""
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def level(keys: list[str]):
+        src, gkeys = li, keys
+        if not keys:  # grand total: constant grouping key
+            def addc(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "__g", pa.array(np.zeros(len(batch), dtype=np.int8))
+                )
+
+            src, gkeys = li.map_batches(addc, batch_format="pyarrow"), ["__g"]
+        agg = grouped_aggregate(
+            src, gkeys, [("n", "l_quantity", "count"), ("sum_qty", "l_quantity", "sum")]
+        )
+
+        def fill(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for k in ("l_returnflag", "l_linestatus"):
+                cols[k] = (
+                    batch.column(k)
+                    if k in batch.column_names
+                    else pa.array(["ALL"] * len(batch), pa.string())
+                )
+            cols["n"] = batch.column("n")
+            v = np.round(batch.column("sum_qty").to_numpy() * 100.0).astype(np.int64)
+            cols["sum_qty_e2"] = pa.array(v)
+            return pa.table(cols)
+
+        return agg.map_batches(fill, batch_format="pyarrow")
+
+    full = level(["l_returnflag", "l_linestatus"])
+    by_flag = level(["l_returnflag"])
+    grand = level([])
+    return full.union(by_flag).union(grand)
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(round(sum(l_quantity) * 100.0, 0) AS BIGINT) AS sum_qty_e2
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def customer_order_counts_outer(sf_dir: str):
     """Left-outer shuffle join + aggregate: orders per customer
     INCLUDING customers with none (count of the null-filled key is 0)."""
@@ -1382,6 +1431,7 @@ QUERIES = {
     "events_last_order_asof": (events_last_order_asof, SQL_EVENTS_LAST_ORDER_ASOF),
     "training_corpus_stats": (training_corpus_stats, SQL_TRAINING_CORPUS_STATS),
     "stratified_docs_sample": (stratified_docs_sample, SQL_STRATIFIED_DOCS_SAMPLE),
+    "lineitem_rollup": (lineitem_rollup, SQL_LINEITEM_ROLLUP),
     "customer_order_counts_outer": (customer_order_counts_outer, SQL_CUSTOMER_ORDER_COUNTS_OUTER),
     "user_distinct_event_types": (user_distinct_event_types, SQL_USER_DISTINCT_EVENT_TYPES),
     "user_event_type_pivot": (user_event_type_pivot, SQL_USER_EVENT_TYPE_PIVOT),
