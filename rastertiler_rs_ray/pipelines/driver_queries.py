@@ -763,6 +763,41 @@ FROM events GROUP BY user_id
 """
 
 
+def doc_lm_scores(sf_dir: str):
+    """Unigram-LM quality scores (two-pass broadcast-state scoring);
+    e4-scaled for cross-engine hash stability."""
+    from .textstats import unigram_logprob_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = unigram_logprob_scores(docs)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        v = np.round(batch.column("mean_lp").to_numpy() * 1e4).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "mean_lp_e4": pa.array(v)}
+        )
+
+    return out.map_batches(scale, batch_format="pyarrow")
+
+
+SQL_DOC_LM_SCORES = r"""
+WITH counts AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+  GROUP BY w
+),
+tot AS (SELECT sum(c) AS t FROM counts),
+docwords AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+)
+SELECT d.doc_id,
+       CAST(round(avg(ln(c / (SELECT t FROM tot))) * 10000.0, 0) AS BIGINT)
+           AS mean_lp_e4
+FROM docwords d JOIN counts USING (w)
+GROUP BY d.doc_id
+"""
+
+
 def stratified_docs_sample(sf_dir: str):
     """Stratified sampling: a fixed-size per-language sample chosen by
     deterministic hash order — grouped_top_n over a hash sort key, so
@@ -1430,6 +1465,7 @@ QUERIES = {
     "lineitem_qty_quantiles": (lineitem_qty_quantiles, SQL_LINEITEM_QTY_QUANTILES),
     "events_last_order_asof": (events_last_order_asof, SQL_EVENTS_LAST_ORDER_ASOF),
     "training_corpus_stats": (training_corpus_stats, SQL_TRAINING_CORPUS_STATS),
+    "doc_lm_scores": (doc_lm_scores, SQL_DOC_LM_SCORES),
     "stratified_docs_sample": (stratified_docs_sample, SQL_STRATIFIED_DOCS_SAMPLE),
     "lineitem_rollup": (lineitem_rollup, SQL_LINEITEM_ROLLUP),
     "customer_order_counts_outer": (customer_order_counts_outer, SQL_CUSTOMER_ORDER_COUNTS_OUTER),

@@ -94,3 +94,35 @@ def word_counts(docs: ray.data.Dataset, *, text_col: str = "text") -> ray.data.D
     return grouped_aggregate(
         docs.map_batches(partial, batch_format="pandas"), ["word"], [("n", "n", "sum")]
     )
+
+
+def unigram_logprob_scores(
+    docs: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-doc mean unigram log-probability (LM-perplexity-style quality
+    score): pass 1 builds corpus word counts (map-side partials — the
+    "training" aggregate), the tiny logprob table broadcasts once via
+    ray.put, pass 2 scores each doc vectorized.  The classic two-pass
+    broadcast-state shape of model-based quality filtering at 10^12
+    docs: the model state is aggregate-sized, never the corpus.
+    """
+    import math
+
+    import ray as _ray
+
+    counts = word_counts(docs, text_col=text_col).to_pandas()
+    total = float(counts["n"].sum())
+    table = {w: math.log(c / total) for w, c in zip(counts["word"], counts["n"])}
+    oov = math.log(0.5 / total)  # unseen-word floor (absent when self-scoring)
+    ref = _ray.put((table, oov))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tbl, floor = _ray.get(ref)
+        lp = (
+            df[text_col]
+            .str.findall(r"\S+")
+            .map(lambda ws: sum(tbl.get(w, floor) for w in ws) / max(len(ws), 1))
+        )
+        return pd.DataFrame({id_col: df[id_col], "mean_lp": lp})
+
+    return docs.map_batches(score, batch_format="pandas")
