@@ -20,7 +20,6 @@ so both engines evaluate the same float64 expression tree —
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq

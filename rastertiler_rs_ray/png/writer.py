@@ -20,7 +20,6 @@ import zlib
 
 import numpy as np
 
-from ..functions.packing import pack_bits_rows
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 

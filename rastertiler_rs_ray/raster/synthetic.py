@@ -25,7 +25,7 @@ GDAL NN RasterIO rule; golden tile hashes pin this exact choice.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -18,7 +18,6 @@ Arrow shuffles intact) — preserving the span-sequence invariant.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
