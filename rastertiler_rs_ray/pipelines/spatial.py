@@ -521,7 +521,11 @@ def raster_vector_join_broadcast(
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, ncpu // 4)
     mat, refs, xmin, ymin, nx, ny = _tile_cover_refs(raster, zoom, tilesize)
-    out = encoded.map_batches(
+    # prune to the columns the sampler reads (wide doc payloads like
+    # spans never enter this stage).  NOTE: Ray may fuse this Project
+    # into the actor operator — to guarantee the bytes never leave the
+    # source, also pass columns=[...] at the read
+    out = encoded.select_columns(["doc_id", "mx", "my", "has_geo"]).map_batches(
         _BroadcastRasterSampler,
         fn_constructor_kwargs=dict(
             refs=refs,
