@@ -185,6 +185,45 @@ def render_pyramid(
         for zs in groups
         if not (resume and manifest.is_complete(f"tiles/g{zs[0]:02d}-{zs[-1]:02d}"))
     ]
+
+    # The no-global-sort design (S8 ordering sorted-by-construction)
+    # requires the executor to preserve block order through the actor
+    # pool and the sink — that is NOT the default contract
+    # (ExecutionOptions.preserve_order=False allows reordering under
+    # load).  Pin it for the render job and restore after.
+    data_ctx = ray.data.DataContext.get_current()
+    prev_preserve_order = data_ctx.execution_options.preserve_order
+    data_ctx.execution_options.preserve_order = True
+    try:
+        return _render_pyramid_jobs(
+            raster=raster,
+            out_dir=out_dir,
+            manifest=manifest,
+            mercator_bounds=mercator_bounds,
+            groups=groups,
+            pending=pending,
+            tilesize=tilesize,
+            colormap=colormap,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    finally:
+        data_ctx.execution_options.preserve_order = prev_preserve_order
+
+
+def _render_pyramid_jobs(
+    *,
+    raster: SyntheticRaster,
+    out_dir: str,
+    manifest: Manifest,
+    mercator_bounds: Bounds,
+    groups: list[list[int]],
+    pending: list[list[int]],
+    tilesize: int,
+    colormap: str | None,
+    batch_size: int | None,
+    concurrency,
+) -> Manifest:
     if pending:
         label_of_zoom: dict[int, str] = {}
         for zs in pending:
@@ -282,7 +321,15 @@ def render_pyramid(
         t0 = time.perf_counter()
 
         def tiles_source(columns):
-            if pending:  # in-session: reuse the materialized blocks (zero-copy prune)
+            # Reuse the in-session materialized blocks (zero-copy prune)
+            # ONLY when this session rendered every planned group.  On a
+            # resumed run with completed partitions already on disk,
+            # `rendered` holds just the re-rendered pending groups —
+            # building images/ from it would drop any tile_hash that
+            # appears only in a completed partition (its map rows would
+            # then dangle in the exported `tiles` view).  Disk has the
+            # union of both, freshly flushed by write_parquet above.
+            if pending and len(pending) == len(groups):
                 return rendered.select_columns(columns)
             return ray.data.read_parquet(os.path.join(out_dir, "tiles"), columns=columns)
 

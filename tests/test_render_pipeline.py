@@ -104,8 +104,9 @@ def test_resume_skips_completed(rendered_u8):
 
     out, manifest = rendered_u8
     tiles_dirs = sorted(
-        d for d in os.listdir(os.path.join(out, "tiles")) if d.startswith("g")
+        d for d in os.listdir(os.path.join(out, "tiles")) if d.startswith("part=g")
     )
+    assert tiles_dirs, "expected hive-partitioned tile group dirs"
     mtime_before = {
         d: os.path.getmtime(os.path.join(out, "tiles", d)) for d in tiles_dirs
     }
@@ -266,6 +267,63 @@ def test_resume_after_simulated_crash(ray_session, tmp_path):
         assert os.path.getmtime(os.path.join(crashed, "tiles", d)) == mtime_before[d]
     assert m2.is_complete("tiles/" + victim.removeprefix("part="))
     assert _tile_hashes(crashed) == full_hashes
+
+
+def test_resume_partial_manifest_rebuilds_full_images(ray_session, tmp_path):
+    """Crash window: some tile groups recorded complete, images/ not yet
+    recorded.  The resumed run re-renders only the pending group but must
+    build images/ from ALL tiles (completed partitions included) — a
+    hash that appears only in a completed partition must still get its
+    blob, or map rows dangle in the exported `tiles` view."""
+    import json
+    import shutil
+
+    from rastertiler_rs_ray.pipelines.render import render_pyramid, tileset_counts
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    out = str(tmp_path / "full")
+    render_pyramid(
+        default_u8_raster(), out, 0, 5, tilesize=256, concurrency=3,
+        resume=False, target_tiles_per_group=2,
+    )
+    full_counts = tileset_counts(out)
+    full_hashes = _tile_hashes(out)
+
+    crashed = str(tmp_path / "crashed")
+    shutil.copytree(out, crashed)
+    groups = sorted(
+        d for d in os.listdir(os.path.join(crashed, "tiles")) if d.startswith("part=g")
+    )
+    assert len(groups) >= 3, groups
+    # crash: last group unrendered, images not recorded (dir half-written)
+    victim = groups[-1]
+    shutil.rmtree(os.path.join(crashed, "tiles", victim))
+    shutil.rmtree(os.path.join(crashed, "images"))
+    mpath = os.path.join(crashed, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["partitions"]["tiles/" + victim.removeprefix("part=")]
+    del m["partitions"]["images"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    render_pyramid(
+        default_u8_raster(), crashed, 0, 5, tilesize=256, concurrency=3,
+        resume=True, target_tiles_per_group=2,
+    )
+    assert _tile_hashes(crashed) == full_hashes
+    c = tileset_counts(crashed)
+    assert c == full_counts
+    # every map row's hash has a blob in images/
+    img = pads.dataset(os.path.join(crashed, "images"), format="parquet").to_table(
+        columns=["tile_hash"]
+    )
+    tiles = pads.dataset(os.path.join(crashed, "tiles"), format="parquet").to_table(
+        columns=["tile_hash"]
+    )
+    assert set(tiles.column("tile_hash").to_pylist()) <= set(
+        img.column("tile_hash").to_pylist()
+    )
 
 
 def test_mbtiles_roundtrip_and_merge(ray_session, tmp_path):
