@@ -9,25 +9,45 @@ on the same shuffle shape as the reference's tile content-dedup
                               keep min doc_id per group.
 - ``minhash_lsh_dedup``       char-shingles → k minhashes → band
                               signatures → groupby(band bucket) →
-                              candidate pairs → union-find → survivors.
-- ``simhash_dedup``           64-bit simhash → bucket by rotated prefix
-                              (4×16-bit tables) → verify Hamming ≤ t.
-- ``ngram_jaccard_dedup``     word n-gram sets, LSH-bucketed candidate
-                              generation + exact Jaccard verify.
+                              IN-GROUP estimated-Jaccard verify →
+                              verified-pair Dataset → components →
+                              survivors.
+- ``simhash_dedup``           64-bit simhash → bucket by 4×16-bit
+                              quarters → in-group Hamming verify.
+- ``ngram_jaccard_dedup``     word n-gram minhash LSH candidates,
+                              exact Jaccard verify via a distributed
+                              double join of candidate texts.
 - ``embedding_cosine_dedup``  random-hyperplane LSH buckets over an
-                              embedding column + exact cosine verify.
+                              embedding column, exact cosine verify via
+                              the same distributed pair join.
 
-Scale notes.  Every family is (1) per-batch vectorized signature
-computation in ``map_batches`` (actor pools where state is warmed),
-(2) ONE shuffle on the bucket key, (3) per-group candidate
-verification in ``map_groups``, (4) a driver-side union-find over the
-(tiny) duplicate-pair list, broadcast back as a drop-set.  The only
-all-to-all exchange moves signatures (dozens of bytes/doc), never the
-documents themselves; the final filter streams the full table against
-the broadcast drop-set.  Pair lists are quadratic only within a
-bucket — band width / bit budget keeps buckets small, and a
-``max_bucket`` guard skips degenerate buckets (the "empty-document"
-hot-key analog of the all-ocean tile, SURVEY §7.6.5).
+Scale contract (what never happens on the driver):
+
+- No ``take_all()`` of per-document state — signatures ride the band
+  explode (minhash: ``num_hashes``×8 B × bands per doc; simhash: 8 B),
+  so each bucket group verifies its own candidates inside
+  ``map_groups`` with both signatures in hand.
+- Verified duplicate pairs form a ``Dataset``; connected components /
+  survivor election run OFF-driver: a single worker task for small
+  pair sets, else a sharded two-level union-find — per-shard local
+  union-find in ``map_groups`` (shard = hash(u) range), then a tiny
+  cross-shard label-link graph resolved in one worker task
+  (the "shard the union-find by pair-hash range" scheme).
+- Payload verification (exact n-gram Jaccard, exact cosine) moves the
+  payload only for candidate-pair members: texts/vectors are
+  semi-filtered map-side against a broadcast candidate-id set, then a
+  distributed double hash join attaches both sides to each pair.
+- The only driver-resident artifacts are the candidate-id and drop-id
+  arrays — O(duplicates), not O(corpus).  For corpora where even the
+  duplicate-id set exceeds driver memory, swap ``_filter_dropped``'s
+  broadcast for an anti-join on ``id_col`` (relational.shuffle_hash_join
+  with join_type="left_anti") — the shuffle-cost tradeoff is documented
+  there.
+
+Pair lists are quadratic only within a bucket — band width / bit
+budget keeps buckets small, and a ``max_bucket`` guard skips
+degenerate buckets (the "empty-document" hot-key analog of the
+all-ocean tile, SURVEY §7.6.5).
 """
 
 from __future__ import annotations
@@ -70,6 +90,184 @@ def exact_dedup(
         .map_groups(keep_min, batch_format="pyarrow")
         .drop_columns(["__content_hash"])
     )
+
+
+# ------------------------------------------- pair → component machinery
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x, p = p, self.parent[p]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # keep the smaller id as root → survivor = min of cluster
+            lo, hi = sorted((ra, rb))
+            self.parent[hi] = lo
+
+
+def _uf_over_tables(tables) -> _UnionFind:
+    uf = _UnionFind()
+    for t in tables:
+        # Ray's join op emits zero-row blocks with EMPTY schemas; they
+        # pass through map_batches untouched — skip them.
+        if len(t) == 0 or "u" not in t.schema.names:
+            continue
+        for a, b in zip(t.column("u").to_pylist(), t.column("v").to_pylist()):
+            uf.union(a, b)
+    return uf
+
+
+@ray.remote
+def _uf_drop_task(*blocks) -> pa.Array:
+    """Worker-task union-find over pair blocks → ids to drop (non-roots)."""
+    uf = _uf_over_tables(blocks)
+    drop = sorted(x for x in uf.parent if uf.find(x) != x)
+    return pa.array(drop) if drop else None
+
+
+@ray.remote
+def _uf_roots_task(*blocks):
+    """Worker-task union-find over (label, label) links → sorted key /
+    root arrays for vectorized remapping (None when no links)."""
+    uf = _uf_over_tables(blocks)
+    if not uf.parent:
+        return None
+    keys = sorted(uf.parent)
+    return pa.array(keys), pa.array([uf.find(k) for k in keys])
+
+
+def compute_drop_ids(
+    pairs: ray.data.Dataset,
+    *,
+    shard_threshold: int = 2_000_000,
+    num_shards: int = 64,
+) -> pa.Array | None:
+    """Duplicate-pair Dataset (columns ``u``, ``v``) → ids to drop
+    (every node that is not the min of its connected component).
+
+    Small pair sets (≤ ``shard_threshold``) resolve in ONE worker task.
+    Larger sets use the sharded two-level scheme: hash(u)-range shards
+    each run a local union-find in ``map_groups`` emitting
+    (node, local-min-label); a node landing in several shards links its
+    labels, and that far smaller label graph resolves in one worker
+    task whose root map is broadcast back over the assignments.
+    Duplicate edges (the same pair found by several bands) are harmless
+    — union-find is idempotent — so callers never pre-dedupe pairs.
+
+    Returns a sorted id array (driver-resident, O(duplicates)) for the
+    broadcast filter, or None when there are no duplicates.
+    """
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return None
+    if n_pairs <= shard_threshold:
+        return ray.get(_uf_drop_task.remote(*pairs.to_arrow_refs()))
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch.column("u").to_pandas().to_numpy(dtype=object)
+        ).astype(np.int64)
+        return batch.append_column("__shard", pa.array(h % num_shards))
+
+    def local_uf(group: pa.Table) -> pa.Table:
+        uf = _uf_over_tables([group])
+        nodes = sorted(uf.parent)
+        u_type = group.column("u").type
+        return pa.table(
+            {
+                "node": pa.array(nodes, u_type),
+                "label": pa.array([uf.find(x) for x in nodes], u_type),
+            }
+        )
+
+    local = (
+        pairs.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(local_uf, batch_format="pyarrow")
+    )
+
+    # per node: assignment = min label; links = pairs among its labels
+    def assign_and_link(group: pa.Table) -> pa.Table:
+        labels = sorted(set(group.column("label").to_pylist()))
+        node = group.column("node")[0].as_py()
+        t = group.column("node").type
+        kinds, us, vs = [0], [node], [labels[0]]
+        for extra in labels[1:]:
+            kinds.append(1)
+            us.append(labels[0])
+            vs.append(extra)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.int8()),
+                "u": pa.array(us, t),
+                "v": pa.array(vs, t),
+            }
+        )
+
+    merged = local.groupby("node").map_groups(
+        assign_and_link, batch_format="pyarrow"
+    ).materialize()
+
+    def links_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.equal(batch.column("kind"), 1)).select(["u", "v"])
+
+    links = merged.map_batches(links_only, batch_format="pyarrow").materialize()
+    roots = ray.get(_uf_roots_task.remote(*links.to_arrow_refs()))
+    roots_ref = ray.put(roots)
+
+    def drop_in_batch(batch: pa.Table) -> pa.Table:
+        assign = batch.filter(pa.compute.equal(batch.column("kind"), 0))
+        node = assign.column("u")
+        label = assign.column("v").to_pandas().to_numpy(dtype=object)
+        r = ray.get(roots_ref)
+        if r is not None:
+            keys = np.asarray(r[0].to_pandas(), dtype=object)
+            vals = np.asarray(r[1].to_pandas(), dtype=object)
+            idx = np.searchsorted(keys, label)
+            idx_c = np.clip(idx, 0, len(keys) - 1)
+            hit = keys[idx_c] == label
+            label = np.where(hit, vals[idx_c], label)
+        keep = label != np.asarray(node.to_pandas(), dtype=object)
+        return pa.table({"drop_id": node.filter(pa.array(keep))})
+
+    out = []
+    for b in merged.map_batches(drop_in_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.append(b.column("drop_id").combine_chunks())
+    if not out or sum(len(a) for a in out) == 0:
+        return None
+    flat = pa.concat_arrays(
+        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out]
+    )
+    return flat.take(pa.compute.array_sort_indices(flat))
+
+
+def _filter_dropped(
+    docs: ray.data.Dataset, drop: pa.Array | None, id_col: str
+) -> ray.data.Dataset:
+    """Map-only survivor filter against the broadcast drop-id array."""
+    drop_ref = ray.put(drop)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ds_arr = ray.get(drop_ref)
+        if ds_arr is None:
+            return batch
+        return batch.filter(pc.invert(pc.is_in(batch.column(id_col), value_set=ds_arr)))
+
+    return docs.map_batches(f, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- minhash
@@ -131,66 +329,14 @@ def _band_hash(sigs: np.ndarray, band: int, rows_per_band: int) -> np.ndarray:
     return h
 
 
-def _pairs_from_groups(
-    grouped: ray.data.Dataset, id_col: str, *, max_bucket: int = 256
-) -> list[tuple]:
-    """Per-bucket candidate pair emission (map_groups) → driver list."""
-
-    def emit(group: pa.Table) -> pa.Table:
-        id_type = group.column(id_col).type
-        ids = sorted(group.column(id_col).to_pylist())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            empty = pa.array([], id_type)
-            return pa.table({"left": empty, "right": empty})
-        left, right = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                left.append(ids[i])
-                right.append(ids[j])
-        return pa.table({"left": pa.array(left), "right": pa.array(right)})
-
-    rows = grouped.map_groups(emit, batch_format="pyarrow").take_all()
-    return [(r["left"], r["right"]) for r in rows]
+def _band_salt(band: int) -> np.uint64:
+    with np.errstate(over="ignore"):
+        return np.uint64((band * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
 
 
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict = {}
-
-    def find(self, x):
-        p = self.parent.setdefault(x, x)
-        while p != x:
-            self.parent[x] = p = self.parent.setdefault(p, p)
-            x, p = p, self.parent[p]
-        return x
-
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            # keep the smaller id as root → survivor = min of cluster
-            lo, hi = sorted((ra, rb))
-            self.parent[hi] = lo
-
-
-def _drop_set_from_pairs(pairs) -> set:
-    uf = _UnionFind()
-    for a, b in pairs:
-        uf.union(a, b)
-    return {x for x in uf.parent if uf.find(x) != x}
-
-
-def _filter_dropped(docs: ray.data.Dataset, drop: set, id_col: str) -> ray.data.Dataset:
-    drop_ref = ray.put(pa.array(sorted(drop)) if drop else None)
-
-    def f(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ds_arr = ray.get(drop_ref)
-        if ds_arr is None:
-            return batch
-        return batch.filter(pc.invert(pc.is_in(batch.column(id_col), value_set=ds_arr)))
-
-    return docs.map_batches(f, batch_format="pyarrow")
+def _empty_pairs(id_type: pa.DataType) -> pa.Table:
+    empty = pa.array([], id_type)
+    return pa.table({"u": empty, "v": empty})
 
 
 def minhash_lsh_dedup(
@@ -203,9 +349,14 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     concurrency=(1, 4),
+    max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """MinHash + LSH near-dedup: keep one representative (min id) per
     near-duplicate cluster; estimated Jaccard verify on candidates.
+
+    The full signature rides the band explode (num_hashes×8 B × bands
+    per doc) so each bucket verifies its own candidates in
+    ``map_groups`` — nothing per-document ever lands on the driver.
     """
     rows_per_band = num_hashes // bands
     signed = docs.map_batches(
@@ -216,41 +367,57 @@ def minhash_lsh_dedup(
         num_cpus=1,
     ).materialize()
 
-    # band explode: one row per (doc, band) with bucket = hash(band slice)
+    # band explode: one row per (doc, band), signature carried
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
         sigs = np.asarray(batch.column("__minhash").combine_chunks().flatten()).reshape(
             n, num_hashes
         )
-        ids = batch.column(id_col)
-        out_ids, out_buckets = [], []
+        ids = batch.column(id_col).combine_chunks()
+        sig_chunk = batch.column("__minhash").combine_chunks()
+        out = []
         for band in range(bands):
             bh = _band_hash(sigs, band, rows_per_band)
-            out_ids.append(ids)
-            # band index folded into bucket so bands don't collide
-            with np.errstate(over="ignore"):
-                salt = np.uint64((band * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
-            out_buckets.append(pa.array((bh ^ salt).astype(np.int64)))
-        return pa.table({
-            id_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_ids]),
-            "__bucket": pa.concat_arrays(out_buckets),
-        })
+            out.append(
+                pa.table(
+                    {
+                        id_col: ids,
+                        "__minhash": sig_chunk,
+                        # band index folded into bucket so bands don't collide
+                        "__bucket": pa.array((bh ^ _band_salt(band)).astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
 
-    buckets = signed.map_batches(explode, batch_format="pyarrow")
-    raw_pairs = set(_pairs_from_groups(buckets.groupby("__bucket"), id_col))
+    def verify_group(group: pa.Table) -> pa.Table:
+        id_type = group.column(id_col).type
+        n = len(group)
+        if n < 2 or n > max_bucket:
+            return _empty_pairs(id_type)
+        ids = group.column(id_col).to_pylist()
+        order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+        sigs = np.asarray(group.column("__minhash").combine_chunks().flatten()).reshape(
+            n, num_hashes
+        )[order]
+        # pairwise fraction of agreeing hash positions = estimated Jaccard
+        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(n, 1)
+        keep = eq[iu, ju] >= jaccard_threshold
+        sorted_ids = [ids[i] for i in order]
+        return pa.table(
+            {
+                "u": pa.array([sorted_ids[i] for i in iu[keep]], id_type),
+                "v": pa.array([sorted_ids[j] for j in ju[keep]], id_type),
+            }
+        )
 
-    # verify candidates with estimated jaccard from full signatures
-    if raw_pairs:
-        sig_rows = signed.select_columns([id_col, "__minhash"]).take_all()
-        sig_map = {r[id_col]: np.asarray(r["__minhash"], dtype=np.int64) for r in sig_rows}
-        pairs = [
-            (a, b)
-            for a, b in raw_pairs
-            if (sig_map[a] == sig_map[b]).mean() >= jaccard_threshold
-        ]
-    else:
-        pairs = []
-    drop = _drop_set_from_pairs(pairs)
+    pairs = (
+        signed.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(verify_group, batch_format="pyarrow")
+    )
+    drop = compute_drop_ids(pairs)
     return _filter_dropped(signed.drop_columns(["__minhash"]), drop, id_col)
 
 
@@ -289,10 +456,12 @@ def simhash_dedup(
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
     concurrency=(1, 4),
+    max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """SimHash near-dedup: 4×16-bit prefix tables bucket candidates
     (any pair within Hamming ≤ 3 of 64 bits shares ≥1 exact 16-bit
-    quarter by pigeonhole); exact Hamming verify per candidate."""
+    quarter by pigeonhole); exact Hamming verify inside each bucket
+    group (the 8-byte hash rides the explode)."""
     signed = docs.map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(text_col=text_col),
@@ -304,31 +473,153 @@ def simhash_dedup(
     def explode(batch: pa.Table) -> pa.Table:
         h = batch.column("__simhash").to_numpy().astype(np.uint64)
         ids = batch.column(id_col).combine_chunks()
-        out_ids, out_buckets = [], []
+        sim = batch.column("__simhash").combine_chunks()
+        out = []
         for q in range(4):
             quarter = ((h >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_ids.append(ids)
-            out_buckets.append(pa.array(quarter + (q << 16)))
-        return pa.table({
-            id_col: pa.concat_arrays(out_ids),
-            "__bucket": pa.concat_arrays(out_buckets),
-        })
+            out.append(
+                pa.table(
+                    {
+                        id_col: ids,
+                        "__simhash": sim,
+                        "__bucket": pa.array(quarter + (q << 16)),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
 
-    buckets = signed.map_batches(explode, batch_format="pyarrow")
-    raw_pairs = set(_pairs_from_groups(buckets.groupby("__bucket"), id_col))
+    def verify_group(group: pa.Table) -> pa.Table:
+        id_type = group.column(id_col).type
+        n = len(group)
+        if n < 2 or n > max_bucket:
+            return _empty_pairs(id_type)
+        ids = group.column(id_col).to_pylist()
+        order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+        h = group.column("__simhash").to_numpy().astype(np.uint64)[order]
+        x = np.ascontiguousarray(h[:, None] ^ h[None, :])
+        pop = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
+        iu, ju = np.triu_indices(n, 1)
+        keep = pop[iu, ju] <= hamming_threshold
+        sorted_ids = [ids[i] for i in order]
+        return pa.table(
+            {
+                "u": pa.array([sorted_ids[i] for i in iu[keep]], id_type),
+                "v": pa.array([sorted_ids[j] for j in ju[keep]], id_type),
+            }
+        )
 
-    if raw_pairs:
-        rows = signed.select_columns([id_col, "__simhash"]).take_all()
-        hmap = {r[id_col]: np.uint64(r["__simhash"]) for r in rows}
-        pairs = [
-            (a, b)
-            for a, b in raw_pairs
-            if bin(int(hmap[a]) ^ int(hmap[b])).count("1") <= hamming_threshold
-        ]
-    else:
-        pairs = []
-    drop = _drop_set_from_pairs(pairs)
+    pairs = (
+        signed.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(verify_group, batch_format="pyarrow")
+    )
+    drop = compute_drop_ids(pairs)
     return _filter_dropped(signed.drop_columns(["__simhash"]), drop, id_col)
+
+
+# ---------------------------------------- distributed payload verify
+
+
+def _candidate_pairs_from_buckets(
+    buckets: ray.data.Dataset, id_col: str, *, max_bucket: int
+) -> ray.data.Dataset:
+    """Bucketed (id, __bucket) rows → distinct candidate-pair Dataset."""
+
+    def emit(group: pa.Table) -> pa.Table:
+        id_type = group.column(id_col).type
+        ids = sorted(set(group.column(id_col).to_pylist()))
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return _empty_pairs(id_type)
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pa.table(
+            {
+                "u": pa.array([ids[i] for i in iu], id_type),
+                "v": pa.array([ids[j] for j in ju], id_type),
+            }
+        )
+
+    return buckets.groupby("__bucket").map_groups(emit, batch_format="pyarrow")
+
+
+def _member_id_array(pairs: ray.data.Dataset) -> pa.Array | None:
+    """Distinct candidate-pair member ids (driver array, O(candidates)).
+
+    Iterated as narrow Arrow batches, never ``take_all``.  For corpora
+    where candidates outgrow driver memory, substitute a distributed
+    Bloom filter build (functions/bloom.py) — false positives only add
+    rows to the verify join.
+    """
+    chunks = []
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        chunks.append(b.column("u").combine_chunks())
+        chunks.append(b.column("v").combine_chunks())
+    chunks = [c for c in chunks if len(c)]
+    if not chunks:
+        return None
+    flat = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]
+    )
+    return pa.compute.unique(flat)
+
+
+def _attach_pair_payloads(
+    pairs: ray.data.Dataset,
+    source: ray.data.Dataset,
+    *,
+    id_col: str,
+    payload_col: str,
+) -> ray.data.Dataset:
+    """(u, v) pairs + source table → (u, v, __payload_u, __payload_v).
+
+    Payloads move only for candidate members: the source is
+    semi-filtered map-side against the broadcast member-id set, then a
+    distributed double hash join attaches each side.  All shuffles are
+    candidate-sized.
+    """
+    members = _member_id_array(pairs.materialize())
+    if members is None or len(members) == 0:
+        return None
+    members_ref = ray.put(members)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([id_col, payload_col]).filter(
+            pc.is_in(batch.column(id_col), value_set=ray.get(members_ref))
+        )
+        # Arrow's hash join rejects list-typed non-key fields — ship
+        # vector payloads as float64 row bytes instead (decoded with
+        # np.frombuffer by the verifier).
+        if pa.types.is_list(t.column(payload_col).type) or pa.types.is_large_list(
+            t.column(payload_col).type
+        ):
+            col = t.column(payload_col).combine_chunks()
+            n = len(t)
+            mat = np.asarray(col.flatten(), dtype=np.float64).reshape(n, -1)
+            t = t.set_column(
+                t.schema.get_field_index(payload_col),
+                payload_col,
+                pa.array([row.tobytes() for row in mat], pa.binary()),
+            )
+        return t
+
+    small = source.map_batches(fetch, batch_format="pyarrow").materialize()
+    from .relational import shuffle_hash_join
+
+    left_side = small.map_batches(
+        lambda b: b.rename_columns(["__ju", "__payload_u"]), batch_format="pyarrow"
+    )
+    right_side = small.map_batches(
+        lambda b: b.rename_columns(["__jv", "__payload_v"]), batch_format="pyarrow"
+    )
+    num_parts = max(int(ray.cluster_resources().get("CPU", 8)), 8)
+    joined = shuffle_hash_join(
+        pairs, left_side, on="u", right_on="__ju", num_partitions=num_parts
+    )
+    joined = shuffle_hash_join(
+        joined, right_side, on="v", right_on="__jv", num_partitions=num_parts
+    )
+    return joined.drop_columns([c for c in ("__ju", "__jv") if c in joined.columns()])
 
 
 # ------------------------------------------------------ n-gram jaccard
@@ -344,11 +635,13 @@ def ngram_jaccard_dedup(
     num_hashes: int = 32,
     bands: int = 16,
     concurrency=(1, 4),
+    max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """Word-n-gram Jaccard dedup: minhash-LSH candidate generation over
-    the n-gram sets, then EXACT Jaccard verification (the n-gram sets of
-    candidate docs are recomputed per pair — exactness at verify time,
-    sketch only for bucketing)."""
+    the n-gram sets, then EXACT Jaccard verification — the candidate
+    texts are attached to each pair by a distributed double join and
+    the n-gram sets recomputed per pair in ``map_batches`` (exactness
+    at verify time, sketch only for bucketing)."""
 
     class NGramMinHasher(MinHasher):
         def __call__(self, batch: pa.Table) -> pa.Table:  # shingles → word n-grams
@@ -369,7 +662,7 @@ def ngram_jaccard_dedup(
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
-    ).materialize()
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
         nrows = len(batch)
@@ -381,38 +674,29 @@ def ngram_jaccard_dedup(
         for band in range(bands):
             bh = _band_hash(sigs, band, rows_per_band)
             out_ids.append(ids)
-            with np.errstate(over="ignore"):
-                salt = np.uint64((band * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
-            out_buckets.append(pa.array((bh ^ salt).astype(np.int64)))
+            out_buckets.append(pa.array((bh ^ _band_salt(band)).astype(np.int64)))
         return pa.table({id_col: pa.concat_arrays(out_ids), "__bucket": pa.concat_arrays(out_buckets)})
 
     buckets = signed.map_batches(explode, batch_format="pyarrow")
-    raw_pairs = set(_pairs_from_groups(buckets.groupby("__bucket"), id_col))
+    pairs = _candidate_pairs_from_buckets(buckets, id_col, max_bucket=max_bucket)
+    with_texts = _attach_pair_payloads(pairs, docs, id_col=id_col, payload_col=text_col)
 
-    pairs = []
-    if raw_pairs:
-        need = {x for p in raw_pairs for x in p}
-        need_ref = ray.put(pa.array(sorted(need)))
+    if with_texts is None:
+        drop = None
+    else:
 
-        def fetch(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        def verify(batch: pa.Table) -> pa.Table:
+            keep = []
+            tu = batch.column("__payload_u").to_pylist()
+            tv = batch.column("__payload_v").to_pylist()
+            for a, b in zip(tu, tv):
+                ga, gb = word_ngrams(a or "", n), word_ngrams(b or "", n)
+                un = len(ga | gb)
+                keep.append(bool(un and len(ga & gb) / un >= threshold))
+            return batch.filter(pa.array(keep)).select(["u", "v"])
 
-            return batch.select([id_col, text_col]).filter(
-                pc.is_in(batch.column(id_col), value_set=ray.get(need_ref))
-            )
-
-        texts = {
-            r[id_col]: r[text_col]
-            for r in docs.map_batches(fetch, batch_format="pyarrow").take_all()
-        }
-        grams = {i: word_ngrams(texts.get(i) or "", n) for i in need}
-        for a, b in raw_pairs:
-            ga, gb = grams[a], grams[b]
-            u = len(ga | gb)
-            if u and len(ga & gb) / u >= threshold:
-                pairs.append((a, b))
-    drop = _drop_set_from_pairs(pairs)
-    return _filter_dropped(signed.drop_columns(["__minhash"]), drop, id_col)
+        drop = compute_drop_ids(with_texts.map_batches(verify, batch_format="pyarrow"))
+    return _filter_dropped(docs, drop, id_col)
 
 
 # ------------------------------------------------- embedding cosine
@@ -426,10 +710,13 @@ def embedding_cosine_dedup(
     threshold: float = 0.97,
     num_planes: int = 12,
     seed: int = 99,
+    max_bucket: int = 512,
 ) -> ray.data.Dataset:
     """Near-dup removal on an embedding column: random-hyperplane LSH
     buckets (sign pattern of num_planes projections) generate candidate
-    pairs; exact cosine verifies; min-id survivor per cluster.
+    pairs; exact cosine verifies via the distributed pair join
+    (vectors move only for candidate members); min-id survivor per
+    cluster.
 
     Neighbouring buckets at Hamming distance 1 are also probed
     (multi-probe) so near-threshold pairs split by one plane are kept.
@@ -456,28 +743,27 @@ def embedding_cosine_dedup(
         return pa.table({id_col: pa.concat_arrays(out_ids), "__bucket": pa.concat_arrays(out_codes)})
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
-    raw_pairs = set(_pairs_from_groups(buckets.groupby("__bucket"), id_col, max_bucket=512))
+    pairs = _candidate_pairs_from_buckets(buckets, id_col, max_bucket=max_bucket)
+    with_vecs = _attach_pair_payloads(pairs, ds, id_col=id_col, payload_col=vec_col)
 
-    pairs = []
-    if raw_pairs:
-        need = {x for p in raw_pairs for x in p}
-        need_ref = ray.put(pa.array(sorted(need)))
+    if with_vecs is None:
+        drop = None
+    else:
 
-        def fetch(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return batch.select([id_col, vec_col]).filter(
-                pc.is_in(batch.column(id_col), value_set=ray.get(need_ref))
+        def verify(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0 or "u" not in batch.schema.names:
+                return _empty_pairs(pa.int64() if n == 0 else batch.column("u").type)
+            va = np.stack(
+                [np.frombuffer(b, dtype=np.float64) for b in batch.column("__payload_u").to_pylist()]
             )
+            vb = np.stack(
+                [np.frombuffer(b, dtype=np.float64) for b in batch.column("__payload_v").to_pylist()]
+            )
+            na = np.maximum(np.linalg.norm(va, axis=1), 1e-12)
+            nb = np.maximum(np.linalg.norm(vb, axis=1), 1e-12)
+            cos = (va * vb).sum(axis=1) / (na * nb)
+            return batch.filter(pa.array(cos >= threshold)).select(["u", "v"])
 
-        vec_map = {
-            r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
-            for r in ds.map_batches(fetch, batch_format="pyarrow").take_all()
-        }
-        for a, b in raw_pairs:
-            va, vb = vec_map[a], vec_map[b]
-            c = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-12))
-            if c >= threshold:
-                pairs.append((a, b))
-    drop = _drop_set_from_pairs(pairs)
+        drop = compute_drop_ids(with_vecs.map_batches(verify, batch_format="pyarrow"))
     return _filter_dropped(ds, drop, id_col)

@@ -101,6 +101,72 @@ def test_embedding_cosine_dedup(ray_session):
     assert len(ids) == 20
 
 
+def test_no_driver_take_all_in_any_family(ray_session, monkeypatch):
+    """Scale contract: no dedup family may materialize O(N) state on the
+    driver via take_all — signature verify happens in map_groups, payload
+    verify via distributed joins, survivor election in worker tasks."""
+    def forbidden(self, *a, **kw):
+        raise AssertionError("driver-side take_all called inside a dedup pipeline")
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", forbidden)
+
+    tbl = _doc_table()
+    ids = set(
+        minhash_lsh_dedup(ray.data.from_arrow(tbl), jaccard_threshold=0.6)
+        .to_pandas()["doc_id"]
+    )
+    assert 0 in ids and 1 not in ids
+    ids = set(simhash_dedup(ray.data.from_arrow(tbl), hamming_threshold=6).to_pandas()["doc_id"])
+    assert 0 in ids and 1 not in ids
+    ids = set(ngram_jaccard_dedup(ray.data.from_arrow(tbl), threshold=0.5).to_pandas()["doc_id"])
+    assert 0 in ids and 1 not in ids
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((10, 8))
+    vecs = list(base) + [base[0] + 0.001 * rng.standard_normal(8)]
+    vtbl = pa.table(
+        {
+            "vec_id": pa.array(range(11), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    ids = set(embedding_cosine_dedup(ray.data.from_arrow(vtbl), threshold=0.98).to_pandas()["vec_id"])
+    assert 0 in ids and 10 not in ids
+
+
+def test_sharded_union_find_matches_single_task(ray_session):
+    """compute_drop_ids: the sharded two-level path (forced by
+    shard_threshold=0) elects identical survivors to the single-task
+    path, including chains that span shards and duplicate edges."""
+    from rastertiler_rs_ray.pipelines.dedup import compute_drop_ids
+
+    rng = np.random.RandomState(7)
+    edges = []
+    # 40 chain components of length 6 (stress transitive stitching)
+    node = 0
+    for _ in range(40):
+        chain = list(range(node, node + 6))
+        node += 6
+        edges += list(zip(chain[:-1], chain[1:]))
+    # duplicate edges (multi-band analog) + shuffled order
+    edges += [edges[i] for i in rng.randint(0, len(edges), 50)]
+    rng.shuffle(edges)
+    tbl = pa.table(
+        {
+            "u": pa.array([a for a, _ in edges], pa.int64()),
+            "v": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    small = compute_drop_ids(ray.data.from_arrow(tbl).repartition(8))
+    sharded = compute_drop_ids(
+        ray.data.from_arrow(tbl).repartition(8), shard_threshold=0, num_shards=5
+    )
+    assert small is not None and sharded is not None
+    assert sorted(small.to_pylist()) == sorted(sharded.to_pylist())
+    # each chain drops all but its min
+    assert len(small) == 40 * 5
+
+
 def test_dedup_deterministic_across_parallelism(ray_session):
     tbl = _doc_table()
     a = set(minhash_lsh_dedup(ray.data.from_arrow(tbl).repartition(1), jaccard_threshold=0.6, concurrency=1).to_pandas()["doc_id"])
