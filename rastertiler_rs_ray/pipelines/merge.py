@@ -4,14 +4,33 @@ Ray-Data translation of the reference's ``merge`` entry point
 (/root/reference/src/mbtiles.rs:147-221): ``INSERT OR IGNORE`` of the
 right tileset's map/images rows into a copy of the left is exactly
 
-    union(left tagged rank 0, right tagged rank 1)
-      → groupby(tile_key) keep the min-rank row        # left wins (O2)
-      → rebuild images/ by content-hash keep-first     # hash-keyed union
-      → metadata: minzoom = min, maxzoom = max         # (mbtiles.rs:181-207)
+    left rows all win                                  # the copied db
+    right rows survive iff their (zoom,x,y) ∉ left     # map INSERT OR IGNORE
+    images = left ∪ (right where hash ∉ left hashes)   # images INSERT OR IGNORE
+    metadata: minzoom = min, maxzoom = max             # (mbtiles.rs:181-207)
 
-The shuffle key is the packed ``tile_key = zoom<<58 | x<<29 | y``
-(single uint64 — same bijection as the cell index), so the keep-first
-groupby moves each blob once.
+Execution is fully MAP-ONLY — no shuffle touches a PNG blob:
+
+- the left side streams straight through to ``tiles/part=left``;
+- the left tile-address set (packed ``tile_key = zoom<<58|x<<29|y``,
+  8 B/tile, read blob-free from the columnar layout) is broadcast once
+  (``ray.put``) and the right side filters against it map-side into
+  ``tiles/part=right`` — a broadcast anti-join, the same narrow-key
+  winner-election shape as render's images dedup;
+- images/ likewise: left images stream through, right images filter
+  against the broadcast left-hash set.  Like the reference, images
+  unreferenced after conflict resolution are retained
+  (mbtiles.rs:174-177 inserts ALL right images, IGNORE on hash).
+
+Broadcast assumption: left addresses / hashes are 8 B each — ~1 GB per
+10⁸ tiles; beyond that swap the broadcast for a hash-shuffle anti-join
+on tile_key (relational.shuffle_hash_join, join_type="left_anti").
+
+No global sort: each side's partitions stay internally sorted (render
+writes them sorted-by-construction); address ordering/uniqueness of
+the merged set is enforced by the sink's unique index on export
+(export_mbtiles, ref src/mbtiles.rs:155-158), not by physical row
+order — same as the reference's sqlite file.
 """
 
 from __future__ import annotations
@@ -27,26 +46,24 @@ import ray
 import ray.data
 
 from ..state.manifest import Manifest
-from .render import _dedup_hash_in_batch, _keep_first_group
+
+TILE_COLUMNS = ["zoom", "x", "y", "tms_y", "tile_hash", "tile_data"]
 
 
-def _add_tile_key_and_rank(rank: int):
-    def fn(batch: pa.Table) -> pa.Table:
-        zoom = batch.column("zoom").to_numpy().astype(np.uint64)
-        x = batch.column("x").to_numpy().astype(np.uint64)
-        y = batch.column("y").to_numpy().astype(np.uint64)
-        key = (zoom << np.uint64(58)) | (x << np.uint64(29)) | y
-        batch = batch.append_column("tile_key", pa.array(key, type=pa.uint64()))
-        return batch.append_column(
-            "source_rank", pa.array(np.full(len(batch), rank, dtype=np.int8))
-        )
-
-    return fn
+def _packed_keys(batch: pa.Table) -> np.ndarray:
+    zoom = batch.column("zoom").to_numpy().astype(np.uint64)
+    x = batch.column("x").to_numpy().astype(np.uint64)
+    y = batch.column("y").to_numpy().astype(np.uint64)
+    return ((zoom << np.uint64(58)) | (x << np.uint64(29)) | y).astype(np.int64)
 
 
-def _keep_min_rank(group: pa.Table) -> pa.Table:
-    ranks = group.column("source_rank").to_numpy()
-    return group.slice(int(np.argmin(ranks)), 1)
+def _collect_int_column(ds: ray.data.Dataset, fn) -> np.ndarray:
+    """Stream narrow batches to the driver and concatenate fn(batch) → int64."""
+    chunks = [fn(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    chunks = [c for c in chunks if len(c)]
+    if not chunks:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(chunks))
 
 
 def merge_tilesets(left_dir: str, right_dir: str, out_dir: str) -> Manifest:
@@ -56,31 +73,54 @@ def merge_tilesets(left_dir: str, right_dir: str, out_dir: str) -> Manifest:
     os.makedirs(out_dir)
 
     t0 = time.perf_counter()
-    left = ray.data.read_parquet(os.path.join(left_dir, "tiles")).map_batches(
-        _add_tile_key_and_rank(0), batch_format="pyarrow"
-    )
-    right = ray.data.read_parquet(os.path.join(right_dir, "tiles")).map_batches(
-        _add_tile_key_and_rank(1), batch_format="pyarrow"
-    )
-    merged = (
-        left.union(right)
-        .groupby("tile_key")
-        .map_groups(_keep_min_rank, batch_format="pyarrow")
-        .drop_columns(["tile_key", "source_rank"])
-        .sort(["zoom", "x", "y"])
-    )
-    tiles_dir = os.path.join(out_dir, "tiles", "merged")
-    merged.write_parquet(tiles_dir)
 
-    images = (
-        ray.data.read_parquet(
-            os.path.join(out_dir, "tiles"), columns=["tile_hash", "tile_data"]
-        )
-        .map_batches(_dedup_hash_in_batch, batch_format="pyarrow")
-        .groupby("tile_hash")
-        .map_groups(_keep_first_group, batch_format="pyarrow")
+    # Narrow blob-free reads: left tile addresses + left image hashes.
+    left_keys = _collect_int_column(
+        ray.data.read_parquet(os.path.join(left_dir, "tiles"), columns=["zoom", "x", "y"]),
+        _packed_keys,
     )
-    images.write_parquet(os.path.join(out_dir, "images"))
+    left_hashes = _collect_int_column(
+        ray.data.read_parquet(os.path.join(left_dir, "images"), columns=["tile_hash"]),
+        lambda b: b.column("tile_hash").to_numpy(),
+    )
+    keys_ref = ray.put(pa.array(left_keys))
+    hashes_ref = ray.put(pa.array(left_hashes))
+
+    # tiles/part=left: pass-through stream (no shuffle, no blob movement)
+    left_tiles = ray.data.read_parquet(
+        os.path.join(left_dir, "tiles"), columns=TILE_COLUMNS
+    )
+    left_tiles.write_parquet(os.path.join(out_dir, "tiles", "part=left"))
+
+    # tiles/part=right: broadcast anti-join on the packed address, map-only
+    def right_survivors(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pa.array(_packed_keys(batch))
+        mask = pc.invert(pc.is_in(keys, value_set=ray.get(keys_ref)))
+        return batch.filter(mask)
+
+    right_tiles = ray.data.read_parquet(
+        os.path.join(right_dir, "tiles"), columns=TILE_COLUMNS
+    ).map_batches(right_survivors, batch_format="pyarrow")
+    right_tiles.write_parquet(os.path.join(out_dir, "tiles", "part=right"))
+
+    # images/: left pass-through ∪ right where hash unseen on the left
+    ray.data.read_parquet(os.path.join(left_dir, "images")).write_parquet(
+        os.path.join(out_dir, "images", "part=left")
+    )
+
+    def right_new_images(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.invert(
+            pc.is_in(batch.column("tile_hash"), value_set=ray.get(hashes_ref))
+        )
+        return batch.filter(mask)
+
+    ray.data.read_parquet(os.path.join(right_dir, "images")).map_batches(
+        right_new_images, batch_format="pyarrow"
+    ).write_parquet(os.path.join(out_dir, "images", "part=right"))
     wall = time.perf_counter() - t0
 
     lm = Manifest(os.path.join(left_dir, "manifest.json"))
@@ -102,8 +142,13 @@ def merge_tilesets(left_dir: str, right_dir: str, out_dir: str) -> Manifest:
         minzoom=int(merged_md["minzoom"]),
         maxzoom=int(merged_md["maxzoom"]),
     )
-    rows = pads.dataset(tiles_dir, format="parquet").count_rows()
+    rows = pads.dataset(os.path.join(out_dir, "tiles"), format="parquet").count_rows()
     manifest.record_complete(
         "tiles/merged", rows=rows, wall_s=wall, left=left_dir, right=right_dir
+    )
+    manifest.record_complete(
+        "images",
+        rows=pads.dataset(os.path.join(out_dir, "images"), format="parquet").count_rows(),
+        wall_s=wall,
     )
     return manifest

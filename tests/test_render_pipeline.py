@@ -186,6 +186,40 @@ def test_merge_left_wins(ray_session, tmp_path):
     assert md["minzoom"] == "3" and md["maxzoom"] == "6"
 
 
+def test_merge_is_map_only(ray_session, tmp_path, monkeypatch):
+    """merge_tilesets must never put blobs through a shuffle: groupby,
+    sort and repartition are forbidden for the whole merge job (the
+    winner election is a broadcast anti-join on narrow packed keys)."""
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.merge import merge_tilesets
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    render_pyramid(default_u8_raster(seed=42), left_dir, 3, 4, tilesize=64,
+                   concurrency=2, resume=False)
+    render_pyramid(default_u8_raster(seed=99), right_dir, 4, 5, tilesize=64,
+                   concurrency=2, resume=False)
+
+    def forbidden(name):
+        def f(self, *a, **kw):
+            raise AssertionError(f"{name} called during merge_tilesets")
+        return f
+
+    monkeypatch.setattr(ray.data.Dataset, "groupby", forbidden("groupby"))
+    monkeypatch.setattr(ray.data.Dataset, "sort", forbidden("sort"))
+    monkeypatch.setattr(ray.data.Dataset, "repartition", forbidden("repartition"))
+
+    out = str(tmp_path / "merged")
+    merge_tilesets(left_dir, right_dir, out)
+    lh, rh, mh = _tile_hashes(left_dir), _tile_hashes(right_dir), _tile_hashes(out)
+    assert set(mh) == set(lh) | set(rh)
+    for k, v in mh.items():
+        assert v == (lh[k] if k in lh else rh[k])
+
+
 def test_dedup_hits_at_upsampled_zooms(ray_session, tmp_path):
     # constant-content blocks upsample into identical tiles → images < map
     from rastertiler_rs_ray.pipelines.render import render_pyramid, tileset_counts
