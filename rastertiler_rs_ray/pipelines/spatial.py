@@ -72,7 +72,14 @@ def assign_tiles(
     ``tile_assignment_counts``; hot keys are split into S salted
     sub-keys = tile_key * 64 + hash(doc) % S.
     """
-    salt_ref = ray.put(salt_map or {})
+    # Broadcast the salt map as parallel sorted arrays so the hot-key
+    # lookup stays vectorized (searchsorted), never a per-row dict.get.
+    if salt_map:
+        hot_keys = np.array(sorted(salt_map), dtype=np.uint64)
+        hot_s = np.array([salt_map[int(k)] for k in hot_keys], dtype=np.uint64)
+        salt_ref = ray.put((hot_keys, hot_s))
+    else:
+        salt_ref = ray.put(None)
 
     def explode(batch: pa.Table) -> pa.Table:
         salts = ray.get(salt_ref)
@@ -92,8 +99,12 @@ def assign_tiles(
                 | y.astype(np.uint64)
             )
             salted = key * np.uint64(64)
-            if salts:
-                s_arr = np.array([salts.get(int(k), 1) for k in key], dtype=np.uint64)
+            if salts is not None:
+                hot_keys, hot_s = salts
+                idx = np.clip(
+                    np.searchsorted(hot_keys, key), 0, len(hot_keys) - 1
+                )
+                s_arr = np.where(hot_keys[idx] == key, hot_s[idx], np.uint64(1))
                 salted = salted + doc_hash % s_arr
             outs.append(
                 pa.table(
@@ -421,34 +432,36 @@ def _tile_cover_refs(
 class _BroadcastRasterSampler:
     """Actor-pool sampler over shared tile-cover blocks.
 
-    ``__init__`` assembles the packed buffer array once per actor from
-    the object-store block refs (zero-copy reads + one concat); the
-    per-batch work is a single vectorized gather.
+    ``__init__`` keeps ZERO-COPY per-block views over the shared
+    object-store buffers — no per-actor copy of the cover (a
+    concatenated private copy multiplied the cover's footprint by the
+    actor count and made the join memory-bandwidth-bound); the tile
+    index maps (x, y) → (block, row).  Per-batch work is a vectorized
+    gather, looped only over the ≤ num_blocks blocks a batch touches.
     """
 
     def __init__(self, refs, meta, zoom: int, tilesize: int, nodata: int, dtype: str):
         xmin, ymin, nx, ny = meta
         ts = int(tilesize)
-        dt = np.uint32 if dtype == "uint32" else np.uint8
         tables = ray.get(list(refs))
-        xs_l, ys_l, px_l = [], [], []
+        self.blocks: list[np.ndarray] = []
+        self.block_of = np.full((nx, ny), -1, dtype=np.int32)
+        self.row_of = np.zeros((nx, ny), dtype=np.int32)
         for t in tables:
             nb = len(t)
             if not nb:
                 continue
-            xs_l.append(t.column("x").to_numpy())
-            ys_l.append(t.column("y").to_numpy())
-            px_l.append(
-                np.asarray(t.column("pixels").combine_chunks().flatten()).reshape(nb, ts, ts)
-            )
-        self.index = np.full((nx, ny), -1, dtype=np.int32)
-        if xs_l:
-            xs = np.concatenate(xs_l).astype(np.int64)
-            ys = np.concatenate(ys_l).astype(np.int64)
-            self.bufs = np.concatenate(px_l).astype(dt, copy=False)
-            self.index[xs - xmin, ys - ymin] = np.arange(len(xs), dtype=np.int32)
-        else:
-            self.bufs = np.zeros((0, ts, ts), dt)
+            xs = t.column("x").to_numpy().astype(np.int64)
+            ys = t.column("y").to_numpy().astype(np.int64)
+            # zero-copy: arrow fixed-size-list values buffer viewed 3-D
+            view = np.asarray(
+                t.column("pixels").combine_chunks().flatten()
+            ).reshape(nb, ts, ts)
+            b = len(self.blocks)
+            self.blocks.append(view)
+            self.block_of[xs - xmin, ys - ymin] = b
+            self.row_of[xs - xmin, ys - ymin] = np.arange(nb, dtype=np.int32)
+        self._keepalive = tables  # pin the shared buffers
         self.xmin, self.ymin, self.nx, self.ny = xmin, ymin, nx, ny
         self.zoom = int(zoom)
         self.tilesize = ts
@@ -476,10 +489,13 @@ class _BroadcastRasterSampler:
         gy = y.astype(np.int64) - self.ymin
         in_cover = (gx >= 0) & (gx < self.nx) & (gy >= 0) & (gy < self.ny)
         bi = np.full(n, -1, dtype=np.int64)
-        bi[in_cover] = self.index[gx[in_cover], gy[in_cover]]
-        valid = bi >= 0
+        ri = np.zeros(n, dtype=np.int64)
+        bi[in_cover] = self.block_of[gx[in_cover], gy[in_cover]]
+        ri[in_cover] = self.row_of[gx[in_cover], gy[in_cover]]
         vals = np.full(n, -1, dtype=np.int64)
-        vals[valid] = self.bufs[bi[valid], row[valid], col[valid]].astype(np.int64)
+        for b in np.unique(bi[bi >= 0]):
+            m = bi == b
+            vals[m] = self.blocks[b][ri[m], row[m], col[m]].astype(np.int64)
         vals[vals == self.nodata] = -1
         return pa.table(
             {
@@ -628,6 +644,32 @@ def point_in_polygon_cells(
     )
 
 
+def _bucket_corpus_by_cell(
+    encoded: ray.data.Dataset, level: int, scratch_dir: str, parent_level: int
+) -> None:
+    """One pass over the corpus: narrow (doc_id, mx, my, __cell) rows
+    written to Parquet hive-partitioned by the PARENT cell at
+    ``parent_level`` — the pruning unit later rounds read by."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        mask = batch.column("has_geo").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(mask)).select(["doc_id", "mx", "my"])
+        mx = t.column("mx").to_numpy()
+        my = t.column("my").to_numpy()
+        cid = cell_from_mercator(level, mx, my).astype(np.int64)
+        x = (cid >> 29) & ((1 << 29) - 1)
+        y = cid & ((1 << 29) - 1)
+        px = x >> (level - parent_level)
+        py = y >> (level - parent_level)
+        parent = (px << parent_level) | py
+        t = t.append_column("__cell", pa.array(cid))
+        return t.append_column("__pcell", pa.array(parent.astype(np.int64)))
+
+    encoded.map_batches(keyed, batch_format="pyarrow").write_parquet(
+        scratch_dir, partition_cols=["__pcell"]
+    )
+
+
 def knn_cell_join(
     encoded: ray.data.Dataset,
     query_points: np.ndarray,
@@ -635,16 +677,33 @@ def knn_cell_join(
     *,
     level: int = 6,
     max_rounds: int = 6,
+    parent_level: int = 3,
+    scratch_dir: str | None = None,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """kNN with cell-ring candidate gather + boundary-safe expansion (J4).
 
-    Round r scans only docs whose cell lies within Chebyshev radius R_q
-    of each query's cell (at scale: partition pruning on the cell key);
-    a query's answer is final when its k-th distance is smaller than the
-    exact distance from the query point to the gathered region's
-    boundary — otherwise its radius expands and only unfinished queries
-    rescan.  Output matches the exact broadcast ``knn_join`` (tested).
+    The corpus is bucketed ONCE into a narrow Parquet layout
+    hive-partitioned by the parent cell at ``parent_level`` (one
+    corpus pass; at 100 TB this materialization is the spatial index
+    and is reused across queries).  Round r then reads ONLY the
+    partitions whose parent cell intersects some live query's
+    Chebyshev-radius ring — partition pruning, not a corpus rescan.
+    A query's answer is final when its k-th distance is smaller than
+    the exact distance from the query point to the gathered region's
+    boundary — otherwise its radius expands and only unfinished
+    queries rescan.  A query still live after ``max_rounds`` keeps its
+    best-so-far candidates (never silently empty).  Output matches the
+    exact broadcast ``knn_join`` (tested).
+
+    ``stats`` (optional dict) receives per-round telemetry:
+    ``rounds`` = list of {partitions_read, partitions_total, rows_read}.
     """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    parent_level = min(parent_level, level)
     q = np.asarray(query_points, dtype=np.float64)
     nq = len(q)
     s = CE / float(1 << level)  # cell size in mercator meters
@@ -653,83 +712,136 @@ def knn_cell_join(
     qy_cell = qy_cell.astype(np.int64)
     nmax = (1 << level) - 1
 
-    radius = np.ones(nq, dtype=np.int64)
-    done = np.zeros(nq, dtype=bool)
-    results: dict[int, list] = {i: [] for i in range(nq)}
+    own_scratch = scratch_dir is None
+    if own_scratch:
+        scratch_dir = _tempfile.mkdtemp(prefix="knn_cells_", dir="/tmp")
+    try:
+        if not _os.path.isdir(scratch_dir) or not any(
+            d.startswith("__pcell=") for d in _os.listdir(scratch_dir)
+        ):
+            _bucket_corpus_by_cell(encoded, level, scratch_dir, parent_level)
+        all_parts = sorted(
+            d for d in _os.listdir(scratch_dir) if d.startswith("__pcell=")
+        )
 
-    for _round in range(max_rounds):
-        live = np.nonzero(~done)[0]
-        if not len(live):
-            break
-        # candidate cell set for all live queries
-        cells: set[int] = set()
-        for i in live:
-            r = int(radius[i])
-            x0, x1 = max(qx_cell[i] - r, 0), min(qx_cell[i] + r, nmax)
-            y0, y1 = max(qy_cell[i] - r, 0), min(qy_cell[i] + r, nmax)
-            for x in range(x0, x1 + 1):
-                for y in range(y0, y1 + 1):
-                    cells.add((int(level) << 58) | (x << 29) | y)
-        cells_ref = ray.put(pa.array(np.array(sorted(cells), dtype=np.int64)))
-        live_q = q[live]
-        live_ref = ray.put((live_q, live))
+        radius = np.ones(nq, dtype=np.int64)
+        done = np.zeros(nq, dtype=bool)
+        results: dict[int, list] = {i: [] for i in range(nq)}
+        if stats is not None:
+            stats["rounds"] = []
 
-        def gather(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        for _round in range(max_rounds):
+            live = np.nonzero(~done)[0]
+            if not len(live):
+                break
+            # candidate cell set (and parent partitions) for live queries
+            cells: set[int] = set()
+            parents: set[int] = set()
+            for i in live:
+                r = int(radius[i])
+                x0, x1 = max(qx_cell[i] - r, 0), min(qx_cell[i] + r, nmax)
+                y0, y1 = max(qy_cell[i] - r, 0), min(qy_cell[i] + r, nmax)
+                for x in range(x0, x1 + 1):
+                    for y in range(y0, y1 + 1):
+                        cells.add((int(level) << 58) | (x << 29) | y)
+                        parents.add(
+                            ((x >> (level - parent_level)) << parent_level)
+                            | (y >> (level - parent_level))
+                        )
+            part_dirs = [
+                _os.path.join(scratch_dir, d)
+                for d in all_parts
+                if int(d.split("=", 1)[1]) in parents
+            ]
+            part_files = [
+                _os.path.join(d, f)
+                for d in part_dirs
+                for f in sorted(_os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            if stats is not None:
+                import pyarrow.dataset as _pads
 
-            mask = batch.column("has_geo").to_numpy(zero_copy_only=False)
-            t = batch.filter(pa.array(mask))
-            cid = cell_from_mercator(
-                level, t.column("mx").to_numpy(), t.column("my").to_numpy()
-            ).astype(np.int64)
-            t = t.filter(pc.is_in(pa.array(cid), value_set=ray.get(cells_ref)))
-            lq, lidx = ray.get(live_ref)
-            mx = t.column("mx").to_numpy()
-            my = t.column("my").to_numpy()
-            ids = t.column("doc_id").to_pandas().to_numpy()
-            if not len(mx):
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "doc_id": pa.array([], pa.string()),
-                                 "dist": pa.array([], pa.float64())})
-            d2 = (mx[None, :] - lq[:, 0][:, None]) ** 2 + (my[None, :] - lq[:, 1][:, None]) ** 2
-            kk = min(k, d2.shape[1])
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-            qi = np.repeat(lidx, kk)
-            di = part.ravel()
-            rows = np.repeat(np.arange(len(lq)), kk)
-            return pa.table({
-                "query_id": pa.array(qi, pa.int64()),
-                "doc_id": pa.array(ids[di], pa.string()),
-                "dist": pa.array(np.sqrt(d2[rows, di]), pa.float64()),
-            })
+                rows_read = (
+                    _pads.dataset(part_files, format="parquet").count_rows()
+                    if part_files
+                    else 0
+                )
+                stats["rounds"].append(
+                    {
+                        "partitions_read": len(part_dirs),
+                        "partitions_total": len(all_parts),
+                        "rows_read": rows_read,
+                    }
+                )
+            cells_ref = ray.put(pa.array(np.array(sorted(cells), dtype=np.int64)))
+            live_q = q[live]
+            live_ref = ray.put((live_q, live))
 
-        partials = encoded.map_batches(gather, batch_format="pyarrow").take_all()
-        best: dict[int, dict] = {int(i): {} for i in live}
-        for r_ in partials:
-            d = best[int(r_["query_id"])]
-            doc = r_["doc_id"]
-            if doc not in d or r_["dist"] < d[doc]:
-                d[doc] = r_["dist"]
-        for i in live:
-            cand = sorted(((d, doc) for doc, d in best[int(i)].items()),
-                          key=lambda t: (t[0], t[1]))[:k]
-            r = int(radius[i])
-            # exact distance from the query point to the gathered-region
-            # boundary; a side clipped at the grid edge has no docs
-            # beyond it -> infinite margin on that side
-            inf = float("inf")
-            m_l = inf if qx_cell[i] - r <= 0 else q[i, 0] - ((qx_cell[i] - r) * s - CE / 2.0)
-            m_r = inf if qx_cell[i] + r >= nmax else ((qx_cell[i] + r + 1) * s - CE / 2.0) - q[i, 0]
-            m_t = inf if qy_cell[i] - r <= 0 else (CE / 2.0 - (qy_cell[i] - r) * s) - q[i, 1]
-            m_b = inf if qy_cell[i] + r >= nmax else q[i, 1] - (CE / 2.0 - (qy_cell[i] + r + 1) * s)
-            margin = min(m_l, m_r, m_t, m_b)
-            if (len(cand) >= k and cand[k - 1][0] <= margin) or margin == inf:
-                # final: k-th neighbor closer than any unscanned doc can
-                # be, or the whole grid is scanned (margin infinite)
-                results[int(i)] = cand
-                done[i] = True
+            def gather(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                t = batch.filter(
+                    pc.is_in(batch.column("__cell"), value_set=ray.get(cells_ref))
+                )
+                lq, lidx = ray.get(live_ref)
+                mx = t.column("mx").to_numpy()
+                my = t.column("my").to_numpy()
+                ids = t.column("doc_id").to_pandas().to_numpy()
+                if not len(mx):
+                    return pa.table({"query_id": pa.array([], pa.int64()),
+                                     "doc_id": pa.array([], pa.string()),
+                                     "dist": pa.array([], pa.float64())})
+                d2 = (mx[None, :] - lq[:, 0][:, None]) ** 2 + (my[None, :] - lq[:, 1][:, None]) ** 2
+                kk = min(k, d2.shape[1])
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                qi = np.repeat(lidx, kk)
+                di = part.ravel()
+                rows = np.repeat(np.arange(len(lq)), kk)
+                return pa.table({
+                    "query_id": pa.array(qi, pa.int64()),
+                    "doc_id": pa.array(ids[di], pa.string()),
+                    "dist": pa.array(np.sqrt(d2[rows, di]), pa.float64()),
+                })
+
+            if part_files:
+                round_ds = ray.data.read_parquet(
+                    part_files, columns=["doc_id", "mx", "my", "__cell"]
+                )
+                partials = round_ds.map_batches(gather, batch_format="pyarrow").take_all()
             else:
-                radius[i] = r * 2
+                partials = []
+            best: dict[int, dict] = {int(i): {} for i in live}
+            for r_ in partials:
+                d = best[int(r_["query_id"])]
+                doc = r_["doc_id"]
+                if doc not in d or r_["dist"] < d[doc]:
+                    d[doc] = r_["dist"]
+            for i in live:
+                cand = sorted(((d, doc) for doc, d in best[int(i)].items()),
+                              key=lambda t: (t[0], t[1]))[:k]
+                # best-so-far recorded every round so max_rounds
+                # exhaustion still returns candidates, never silence
+                results[int(i)] = cand
+                r = int(radius[i])
+                # exact distance from the query point to the gathered-region
+                # boundary; a side clipped at the grid edge has no docs
+                # beyond it -> infinite margin on that side
+                inf = float("inf")
+                m_l = inf if qx_cell[i] - r <= 0 else q[i, 0] - ((qx_cell[i] - r) * s - CE / 2.0)
+                m_r = inf if qx_cell[i] + r >= nmax else ((qx_cell[i] + r + 1) * s - CE / 2.0) - q[i, 0]
+                m_t = inf if qy_cell[i] - r <= 0 else (CE / 2.0 - (qy_cell[i] - r) * s) - q[i, 1]
+                m_b = inf if qy_cell[i] + r >= nmax else q[i, 1] - (CE / 2.0 - (qy_cell[i] + r + 1) * s)
+                margin = min(m_l, m_r, m_t, m_b)
+                if (len(cand) >= k and cand[k - 1][0] <= margin) or margin == inf:
+                    # final: k-th neighbor closer than any unscanned doc
+                    # can be, or the whole grid is scanned
+                    done[i] = True
+                else:
+                    radius[i] = r * 2
+    finally:
+        if own_scratch:
+            _shutil.rmtree(scratch_dir, ignore_errors=True)
     rows = []
     for i in sorted(results):
         for rank, (dist, doc) in enumerate(results[i]):

@@ -316,8 +316,44 @@ def test_knn_cell_join_equals_exact(ray_session):
     qx, qy = geo_to_mercator(qlon, qlat)
     qpts = np.stack([qx, qy], axis=1)
     exact = knn_join(enc, qpts, k=5)
-    ring = knn_cell_join(enc, qpts, k=5, level=6)
+    stats = {}
+    ring = knn_cell_join(enc, qpts, k=5, level=6, stats=stats)
     for qid in range(len(qpts)):
         e = set(exact[exact.query_id == qid]["doc_id"])
         r = set(ring[ring.query_id == qid]["doc_id"])
         assert e == r, (qid, e ^ r)
+    # scale contract: every round reads a pruned partition subset, never
+    # the full bucketed corpus (the old design rescanned all docs/round)
+    n_docs = enc.count()
+    assert stats["rounds"], "no round telemetry recorded"
+    for rnd in stats["rounds"]:
+        assert rnd["partitions_read"] < rnd["partitions_total"], rnd
+        assert rnd["rows_read"] < n_docs, rnd
+
+
+def test_knn_cell_join_finalizes_at_max_rounds(ray_session):
+    """A query still live when max_rounds runs out returns its
+    best-so-far candidates instead of silently vanishing."""
+    import numpy as np
+
+    from rastertiler_rs_ray.geo.mercator import geo_to_mercator
+    from rastertiler_rs_ray.pipelines.driver_queries import synthetic_positions_dataset
+    from rastertiler_rs_ray.pipelines.spatial import knn_cell_join
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    pos = synthetic_positions_dataset(3000)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    enc = pos.map_batches(stringify, batch_format="pyarrow").materialize()
+    qx, qy = geo_to_mercator(np.array([-122.4, 139.7]), np.array([37.7, 35.6]))
+    qpts = np.stack([qx, qy], axis=1)
+    # max_rounds=1 at a coarse level: radius-1 cannot certify the margin
+    # for most queries, so they exhaust rounds and must still report
+    out = knn_cell_join(enc, qpts, k=5, level=6, max_rounds=1)
+    for qid in range(len(qpts)):
+        got = out[out.query_id == qid]
+        assert len(got) > 0, f"query {qid} returned no rows after max_rounds"
