@@ -112,17 +112,24 @@ def unigram_logprob_scores(
 
     counts = word_counts(docs, text_col=text_col).to_pandas()
     total = float(counts["n"].sum())
-    table = {w: math.log(c / total) for w, c in zip(counts["word"], counts["n"])}
+    table = pd.Series(
+        np.log(counts["n"].to_numpy(dtype=np.float64) / total),
+        index=counts["word"].astype(str),
+    )
     oov = math.log(0.5 / total)  # unseen-word floor (absent when self-scoring)
     ref = _ray.put((table, oov))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
+        # explode tokens, one vectorized hash lookup (Series.map), then a
+        # groupby-mean back to the doc — no per-token Python in the sum
         tbl, floor = _ray.get(ref)
-        lp = (
-            df[text_col]
-            .str.findall(r"\S+")
-            .map(lambda ws: sum(tbl.get(w, floor) for w in ws) / max(len(ws), 1))
+        toks = df[text_col].str.findall(r"\S+").reset_index(drop=True)
+        lp_tok = toks.explode().dropna().map(tbl).fillna(floor)
+        mean_lp = lp_tok.groupby(level=0).mean().reindex(
+            range(len(df)), fill_value=0.0
         )
-        return pd.DataFrame({id_col: df[id_col], "mean_lp": lp})
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "mean_lp": mean_lp.to_numpy()}
+        )
 
     return docs.map_batches(score, batch_format="pandas")
