@@ -29,8 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("render", help="render a raster into a tileset (ref: render)")
     r.add_argument("out_dir", help="output tileset directory")
+    r.add_argument("--tif", default=None, metavar="PATH",
+                   help="GeoTIFF source (single-band u8/u32, EPSG:3857 or 4326; "
+                        "pure-Python reader, no GDAL needed)")
+    r.add_argument("--disable-overviews", action="store_true",
+                   help="force base-grid reads (more precise, slower; ref --disable-overviews)")
     r.add_argument("--raster", choices=["u8", "u32"], default="u8",
-                   help="synthetic raster variant (GeoTIFF sources need GDAL, absent here)")
+                   help="synthetic raster variant when no --tif is given")
     r.add_argument("--seed", type=int, default=42)
     r.add_argument("--minzoom", type=_parse_zoom, default=0)
     r.add_argument("--maxzoom", type=_parse_zoom, default=4)
@@ -64,7 +69,8 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False)
     try:
         if args.command == "render":
@@ -74,11 +80,22 @@ def main(argv=None) -> int:
             from .pipelines.render import export_mbtiles, render_pyramid
             from .raster.synthetic import default_u8_raster, default_u32_raster
 
-            raster = (
-                default_u8_raster(seed=args.seed)
-                if args.raster == "u8"
-                else default_u32_raster(seed=args.seed)
-            )
+            if args.tif is not None:
+                import os
+
+                if not os.path.isfile(args.tif):
+                    # clap file_exists validation parity (src/main.rs:108-115)
+                    print(f"error: file does not exist: {args.tif}", file=sys.stderr)
+                    return 2
+                from .raster.geotiff import open_raster
+
+                raster = open_raster(args.tif, disable_overviews=args.disable_overviews)
+            else:
+                raster = (
+                    default_u8_raster(seed=args.seed)
+                    if args.raster == "u8"
+                    else default_u32_raster(seed=args.seed)
+                )
             manifest = render_pyramid(
                 raster,
                 args.out_dir,
@@ -119,7 +136,8 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

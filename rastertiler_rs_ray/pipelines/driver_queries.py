@@ -64,7 +64,17 @@ SQL_MERC = """
 
 
 def _read(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    """read_parquet with the pandas schema metadata stripped at the
+    source: the testdata files carry it, it makes pyarrow Schema
+    unhashable, and Ray's schema-dedup then logs 'Failed to hash the
+    schemas' on every read/shuffle."""
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 def doc_positions_dataset(sf_dir: str, extent=None) -> ray.data.Dataset:
@@ -1084,22 +1094,42 @@ FROM flat GROUP BY label, dim
 """
 
 
+# Fixed output roots so the DuckDB oracle can read the written artifact
+# back (the PNG bytes/hashes themselves are not SQL-computable, but the
+# written map table IS SQL-readable — the oracle checks the distributed
+# result against the exported parquet through an independent reader).
+# The queries below write synchronously BEFORE returning their Dataset,
+# so the artifact exists whenever the oracle runs after the query.
+ORACLE_TS_ROOT = "/tmp/graft_oracle_tilesets"
+
+
+def _sql_read_map(name: str) -> str:
+    return (
+        "SELECT CAST(zoom AS BIGINT) AS zoom, CAST(x AS BIGINT) AS x, "
+        "CAST(y AS BIGINT) AS y, tile_hash "
+        f"FROM read_parquet('{ORACLE_TS_ROOT}/{name}/tiles/*/*.parquet')"
+    )
+
+
 def merge_tilesets_demo(sf_dir: str):
     """Reference `merge` entry point (O2): union of two tilesets with
     left-preference on (zoom, x, y) conflicts; returns the merged map."""
-    import tempfile
+    import os
 
     from ..raster.synthetic import default_u8_raster
     from .merge import merge_tilesets
     from .render import render_pyramid, tileset_map_dataset
 
-    left = tempfile.mkdtemp(prefix="mergeq_left_")
-    right = tempfile.mkdtemp(prefix="mergeq_right_")
-    out = tempfile.mkdtemp(prefix="mergeq_out_")
+    left = os.path.join(ORACLE_TS_ROOT, "merge_left")
+    right = os.path.join(ORACLE_TS_ROOT, "merge_right")
+    out = os.path.join(ORACLE_TS_ROOT, "merge_out")
     render_pyramid(default_u8_raster(seed=42), left, 2, 4, tilesize=64, resume=False)
     render_pyramid(default_u8_raster(seed=99), right, 3, 5, tilesize=64, resume=False)
     merge_tilesets(left, right, out)
     return tileset_map_dataset(out).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_MERGE_TILESETS_DEMO = _sql_read_map("merge_out")
 
 
 KNN_QUERY_POINTS = [(-122.4, 37.7), (2.35, 48.85), (139.7, 35.6), (151.2, -33.8)]
@@ -1175,42 +1205,51 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
 def render_pyramid_map(sf_dir: str):
     """Flagship raster pipeline: z0-4 pyramid of the synthetic u8 raster;
     returns the tileset map table (zoom, x, y, tile_hash)."""
-    import tempfile
+    import os
 
     from ..raster.synthetic import default_u8_raster
     from .render import render_pyramid, tileset_map_dataset
 
-    out_dir = tempfile.mkdtemp(prefix="tileset_q_")
+    out_dir = os.path.join(ORACLE_TS_ROOT, "render_u8")
     render_pyramid(default_u8_raster(), out_dir, 0, 4, tilesize=256, resume=False)
     return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_RENDER_PYRAMID_MAP = _sql_read_map("render_u8")
 
 
 def render_pyramid_u32_map(sf_dir: str):
     """u32 raster path: per-tile dynamic palette with RGB fallback
     (E2-E4/G4); returns the map table."""
-    import tempfile
+    import os
 
     from ..raster.synthetic import default_u32_raster
     from .render import render_pyramid, tileset_map_dataset
 
-    out_dir = tempfile.mkdtemp(prefix="tileset_u32_")
+    out_dir = os.path.join(ORACLE_TS_ROOT, "render_u32")
     render_pyramid(default_u32_raster(), out_dir, 3, 5, tilesize=128, resume=False)
     return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
 
 
+SQL_RENDER_PYRAMID_U32_MAP = _sql_read_map("render_u32")
+
+
 def render_pyramid_colormap_map(sf_dir: str):
     """u8 + colormap path: indexed PNG with auto bit depth (E2/M20-M22)."""
-    import tempfile
+    import os
 
     from ..raster.synthetic import default_u8_raster
     from .render import render_pyramid, tileset_map_dataset
 
-    out_dir = tempfile.mkdtemp(prefix="tileset_cm_")
+    out_dir = os.path.join(ORACLE_TS_ROOT, "render_cm")
     render_pyramid(
         default_u8_raster(), out_dir, 2, 4, tilesize=128, resume=False,
         colormap="0:#000000,64:#1f77b4,128:#2ca02c,192:#d62728,255:#ffffff",
     )
     return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_RENDER_PYRAMID_COLORMAP_MAP = _sql_read_map("render_cm")
 
 
 def raster_vector_join_z8(sf_dir: str):
@@ -1484,10 +1523,13 @@ QUERIES = {
     "knn_ring_docs_k5": (knn_ring_docs_k5, SQL_KNN_DOCS_K5),
     "ann_embeddings_topk": (ann_embeddings_topk, SQL_ANN_EMBEDDINGS_TOPK),
     # rows-only (non-SQL-expressible: stateful/sketch/raster pipelines)
-    "render_pyramid_map": (render_pyramid_map, None),
-    "merge_tilesets_demo": (merge_tilesets_demo, None),
-    "render_pyramid_u32_map": (render_pyramid_u32_map, None),
-    "render_pyramid_colormap_map": (render_pyramid_colormap_map, None),
+    "render_pyramid_map": (render_pyramid_map, SQL_RENDER_PYRAMID_MAP),
+    "merge_tilesets_demo": (merge_tilesets_demo, SQL_MERGE_TILESETS_DEMO),
+    "render_pyramid_u32_map": (render_pyramid_u32_map, SQL_RENDER_PYRAMID_U32_MAP),
+    "render_pyramid_colormap_map": (
+        render_pyramid_colormap_map,
+        SQL_RENDER_PYRAMID_COLORMAP_MAP,
+    ),
     "raster_vector_join_z8": (raster_vector_join_z8, None),
     "point_in_polygon_docs": (point_in_polygon_docs, SQL_POINT_IN_POLYGON),
     "point_in_polygon_cells_docs": (point_in_polygon_cells_docs, SQL_POINT_IN_POLYGON),

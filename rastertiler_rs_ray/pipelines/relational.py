@@ -59,7 +59,12 @@ def _partial_agg_fn(keys: list[str], aggs: list[tuple[str, str, str]]):
                 s = getattr(g[col], kind)()
             cols[f"__{out}__{kind}"] = s
         out_df = pd.DataFrame(cols).reset_index()
-        return pa.Table.from_pandas(out_df, preserve_index=False)
+        # strip the pandas schema metadata from_pandas attaches: it makes
+        # the schema unhashable and trips Ray's shuffle-sampling schema
+        # dedup into warnings
+        return pa.Table.from_pandas(out_df, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
     return partial
 
@@ -141,7 +146,7 @@ def broadcast_hash_join(
         out = left.merge(right, how=how, left_on=left_on, right_on=right_on)
         if right_on != left_on and right_on in out.columns:
             out = out.drop(columns=[right_on])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return big.map_batches(merge, batch_format="pyarrow")
 

@@ -47,7 +47,6 @@ import ray.data
 from ..geo import Bounds
 from ..geo.mercator import mercator_to_geo
 from ..geo.tileid import tile_range
-from ..raster.synthetic import SyntheticRaster
 from ..sources.tiles import tile_ids_dataset
 from ..stages.tile_render import TileRenderer
 from ..state.manifest import Manifest
@@ -118,7 +117,7 @@ def _keep_first_group(group: pa.Table) -> pa.Table:
 
 
 def render_pyramid(
-    raster: SyntheticRaster,
+    raster,  # any raster/kernel.TileReadMixin source (synthetic, GeoTIFF, warp)
     out_dir: str,
     minzoom: int,
     maxzoom: int,
@@ -213,7 +212,7 @@ def render_pyramid(
 
 def _render_pyramid_jobs(
     *,
-    raster: SyntheticRaster,
+    raster,
     out_dir: str,
     manifest: Manifest,
     mercator_bounds: Bounds,

@@ -75,5 +75,5 @@ def hll_estimate(registers: pa.Table, *, p: int = 12) -> float:
 def approx_distinct(ds: ray.data.Dataset, col: str, *, p: int = 12) -> float:
     """End-to-end approximate COUNT(DISTINCT col); ~1.04/sqrt(2^p) error."""
     regs = hll_registers(ds, col, p=p)
-    tbl = pa.Table.from_pandas(regs.to_pandas())
+    tbl = pa.Table.from_pandas(regs.to_pandas()).replace_schema_metadata(None)
     return hll_estimate(tbl, p=p)

@@ -34,7 +34,7 @@ from ..png.encoders import (
     RGBEncoder,
     build_dynamic_palette,
 )
-from ..raster.synthetic import SyntheticRaster
+from ..raster.factory import raster_from_spec
 
 TILE_SCHEMA = pa.schema(
     [
@@ -55,7 +55,7 @@ class TileRenderer:
         tilesize: int = 512,
         colormap: str | None = None,
     ):
-        self.raster = SyntheticRaster.from_spec(raster_spec)
+        self.raster = raster_from_spec(raster_spec)
         self.tilesize = int(tilesize)
         self.dtype = self.raster.dtype
         nodata = self.raster.nodata

@@ -1,0 +1,273 @@
+"""GeoTIFF ingestion: reader/writer roundtrip, tile-kernel parity with
+the synthetic source, overview selection, strips/predictor/u16 format
+coverage, 4326 warp, and the end-to-end render-from-GeoTIFF pipeline
+(S1/S3/M16 parity; ref src/dataset.rs:25-35, :74-110, :199-230)."""
+
+import hashlib
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from rastertiler_rs_ray.geo import Affine, CE, ORIGIN
+from rastertiler_rs_ray.raster import (
+    GeoTiffRaster,
+    MercatorWarp,
+    SyntheticRaster,
+    open_raster,
+    raster_from_spec,
+    write_geotiff,
+)
+
+_RES = CE / (1 << 17)
+_T = Affine(_RES, 0.0, -ORIGIN / 3.0, 0.0, -_RES, ORIGIN / 5.0)
+W, H = 700, 500
+
+
+def _fixture_array(dtype=np.uint8):
+    s = SyntheticRaster(dtype="uint8", nodata=0, width=W, height=H, transform=_T)
+    return s.values_at(np.arange(W)[None, :], np.arange(H)[:, None]).astype(dtype)
+
+
+@pytest.fixture(scope="module")
+def tif_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("gt") / "fix.tif")
+    write_geotiff(p, _fixture_array(), _T, nodata=0, tile_size=128,
+                  overview_factors=(2, 4))
+    return p
+
+
+def test_roundtrip_exact(tif_path):
+    g = GeoTiffRaster(tif_path)
+    assert (g.width, g.height) == (W, H)
+    assert g.dtype == "uint8" and g.nodata == 0 and g.crs_epsg == 3857
+    back = g.values_at(np.arange(W)[None, :], np.arange(H)[:, None])
+    assert np.array_equal(back, _fixture_array())
+    t = g.transform
+    for got, want in zip((t.a, t.b, t.c, t.d, t.e, t.f),
+                         (_T.a, _T.b, _T.c, _T.d, _T.e, _T.f)):
+        assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_tile_read_parity_with_synthetic(tif_path):
+    """read_tile from the GeoTIFF must be pixel-identical to the
+    synthetic raster on the same grid — same kernel, different source."""
+    g = GeoTiffRaster(tif_path, disable_overviews=True)
+    s = SyntheticRaster(dtype="uint8", nodata=0, width=W, height=H, transform=_T)
+    from rastertiler_rs_ray.geo.tileid import tile_range
+
+    n = 0
+    for z in (8, 10, 11):
+        tr = tile_range(z, g.bounds())
+        for x in range(tr.xmin, tr.xmax + 1):
+            for y in range(tr.ymin, tr.ymax + 1):
+                a = g.read_tile(z, x, y, 256)
+                b = s.read_tile(z, x, y, 256)
+                assert (a is None) == (b is None), (z, x, y)
+                if a is not None:
+                    assert np.array_equal(a, b), (z, x, y)
+                    n += 1
+    assert n > 20
+
+
+def test_overview_selection(tif_path):
+    """A decimated read ≥2× picks the matching overview grid (fewer
+    source pixels touched); disable_overviews forces the base grid and
+    matches the synthetic kernel exactly."""
+    g = GeoTiffRaster(tif_path)
+    assert len(g._overviews) == 2
+    # 4× decimation → factor-4 overview: result equals NN over that grid
+    out = g.read_decimated(0, 0, W, H, W // 4, H // 4)
+    ov = g._overviews[1]
+    assert (ov.width, ov.height) == (W // 4, H // 4)
+    expected = g._gather(
+        ov,
+        np.minimum(((np.arange(W // 4) + 0.5) * (W / 4) / (W // 4)).astype(np.int64),
+                   ov.width - 1)[None, :],
+        np.minimum(((np.arange(H // 4) + 0.5) * (H / 4) / (H // 4)).astype(np.int64),
+                   ov.height - 1)[:, None],
+    )
+    assert np.array_equal(out, expected)
+
+    gd = GeoTiffRaster(tif_path, disable_overviews=True)
+    s = SyntheticRaster(dtype="uint8", nodata=0, width=W, height=H, transform=_T)
+    assert np.array_equal(
+        gd.read_decimated(0, 0, W, H, W // 4, H // 4),
+        s.read_decimated(0, 0, W, H, W // 4, H // 4),
+    )
+
+
+def test_spec_roundtrip_and_factory(tif_path):
+    g = GeoTiffRaster(tif_path)
+    g2 = raster_from_spec(g.spec())
+    assert isinstance(g2, GeoTiffRaster)
+    assert g2.read_tile(10, 341, 408, 64) is None or True  # opens + reads
+
+
+def test_u16_reads_but_render_rejects(tmp_path):
+    p = str(tmp_path / "u16.tif")
+    arr = (_fixture_array(np.uint16) * 7).astype(np.uint16)
+    write_geotiff(p, arr, _T, nodata=0, tile_size=256)
+    g = GeoTiffRaster(p)
+    assert g.dtype == "uint16"
+    assert np.array_equal(
+        g.values_at(np.arange(W)[None, :], np.arange(H)[:, None]), arr
+    )
+    # pipeline validation parity: u16 has no render path (src/render.rs:43-48)
+    from rastertiler_rs_ray.stages.tile_render import TileRenderer
+
+    with pytest.raises(ValueError, match="not supported"):
+        TileRenderer(raster_spec=g.spec(), tilesize=64)
+
+
+def test_stripped_and_predictor_tiff(tmp_path):
+    """Hand-built stripped TIFF with deflate + horizontal predictor —
+    the layout GDAL commonly emits for small rasters."""
+    w, h, rps = 37, 23, 7
+    rng = np.random.RandomState(3)
+    arr = rng.randint(1, 255, size=(h, w), dtype=np.uint8)
+
+    strips = []
+    for y0 in range(0, h, rps):
+        sub = arr[y0 : y0 + rps].astype(np.int16)
+        diff = sub.copy()
+        diff[:, 1:] = sub[:, 1:] - sub[:, :-1]  # horizontal differencing
+        strips.append(zlib.compress(diff.astype(np.uint8).tobytes()))
+
+    # minimal classic TIFF, little-endian, strip layout
+    tags = []  # (tag, type, values)
+    n_strips = len(strips)
+    body = bytearray()
+    offsets, counts = [], []
+    data_start = 8
+    for s in strips:
+        offsets.append(data_start + len(body))
+        counts.append(len(s))
+        body += s
+
+    def entry(tag, ftype, vals):
+        return (tag, ftype, vals)
+
+    tags = [
+        entry(256, 4, [w]), entry(257, 4, [h]), entry(258, 3, [8]),
+        entry(259, 3, [8]), entry(262, 3, [1]),
+        entry(273, 4, offsets), entry(277, 3, [1]), entry(278, 4, [rps]),
+        entry(279, 4, counts), entry(317, 3, [2]), entry(339, 3, [1]),
+        entry(33550, 12, [_RES, _RES, 0.0]),
+        entry(33922, 12, [0.0, 0.0, 0.0, _T.c, _T.f, 0.0]),
+        entry(34735, 3, [1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 3857]),
+    ]
+    tags.sort()
+    ifd_off = data_start + len(body)
+    out = bytearray(b"II" + struct.pack("<HI", 42, ifd_off)) + body
+    sizes = {3: ("H", 2), 4: ("I", 4), 12: ("d", 8)}
+    ifd = bytearray(struct.pack("<H", len(tags)))
+    extra_off = ifd_off + 2 + 12 * len(tags) + 4
+    extra = bytearray()
+    for tag, ftype, vals in tags:
+        ch, sz = sizes[ftype]
+        payload = struct.pack("<" + ch * len(vals), *vals)
+        ifd += struct.pack("<HHI", tag, ftype, len(vals))
+        if len(payload) <= 4:
+            ifd += payload.ljust(4, b"\0")
+        else:
+            ifd += struct.pack("<I", extra_off + len(extra))
+            extra += payload
+    ifd += struct.pack("<I", 0)
+    out += ifd + extra
+    p = str(tmp_path / "strips.tif")
+    with open(p, "wb") as f:
+        f.write(out)
+
+    g = GeoTiffRaster(p)
+    assert not g._main.tiled
+    assert np.array_equal(
+        g.values_at(np.arange(w)[None, :], np.arange(h)[:, None]), arr
+    )
+
+
+def test_4326_warp_semantics(tmp_path):
+    """EPSG:4326 source opens as a MercatorWarp view: NN reprojection,
+    nodata outside the source, Mercator-clamped bounds — the reference's
+    warped-VRT semantics (src/dataset.rs:74-110)."""
+    lon_res = 360.0 / 720
+    t = Affine(lon_res, 0, -180.0, 0, -lon_res, 80.0)  # 80N..-70S partial globe
+    rng = np.random.RandomState(5)
+    arr = rng.randint(1, 255, size=(300, 720), dtype=np.uint8)
+    p = str(tmp_path / "geo.tif")
+    write_geotiff(p, arr, t, nodata=0, crs_epsg=4326, tile_size=128)
+
+    w = open_raster(p)
+    assert isinstance(w, MercatorWarp)
+    b = w.bounds()
+    assert b.xmin == pytest.approx(-ORIGIN, rel=1e-9)
+    assert b.ymax < ORIGIN  # clamped at 80N < 85.05
+    # spot-check NN correctness: the warped value at a target pixel equals
+    # the source pixel its center maps to
+    tile = w.read_tile(3, 2, 3, 64)
+    assert tile is not None
+    from rastertiler_rs_ray.geo.mercator import mercator_to_geo
+    from rastertiler_rs_ray.geo.tileid import tile_mercator_bounds
+
+    (xmin,), (ymin,), (xmax,), (ymax,) = tile_mercator_bounds(
+        np.array([3]), np.array([2]), np.array([3])
+    )
+    # target grid of the warp view, row/col of a center pixel in the tile
+    res = (xmax - xmin) / 64
+    mx = xmin + (31 + 0.5) * res
+    my = ymax - (17 + 0.5) * res
+    # read_tile decimates from the warp grid; recompute via values_at on
+    # the exact warp-grid pixel under that mercator point
+    wt = w.transform
+    col = int(np.floor((mx - wt.c) / wt.a))
+    row = int(np.floor((my - wt.f) / wt.e))
+    v = w.values_at(np.array([[col]]), np.array([[row]]))[0, 0]
+    lon, lat = mercator_to_geo(wt.c + (col + 0.5) * wt.a, wt.f + (row + 0.5) * wt.e)
+    sc = int(np.floor((lon - t.c) / t.a))
+    sr = int(np.floor((lat - t.f) / t.e))
+    assert v == arr[sr, sc]
+
+    # spec → actor reopen path
+    w2 = raster_from_spec(w.spec())
+    assert isinstance(w2, MercatorWarp) and w2.width == w.width
+
+
+def test_render_pipeline_from_geotiff(ray_session, tmp_path, tif_path):
+    """End-to-end: render_pyramid over the GeoTIFF produces tile-for-tile
+    identical output to the synthetic raster on the same grid."""
+    import pyarrow.dataset as pads
+
+    from rastertiler_rs_ray.pipelines.render import render_pyramid, tileset_counts
+
+    def hashes(out_dir):
+        t = pads.dataset(os.path.join(out_dir, "tiles"), format="parquet").to_table()
+        return {
+            f"{t.column('zoom')[i]}/{t.column('x')[i]}/{t.column('y')[i]}":
+                hashlib.sha256(t.column("tile_data")[i].as_py()).hexdigest()
+            for i in range(len(t))
+        }
+
+    g = GeoTiffRaster(tif_path, disable_overviews=True)
+    s = SyntheticRaster(dtype="uint8", nodata=0, width=W, height=H, transform=_T)
+    out_g = str(tmp_path / "from_tif")
+    out_s = str(tmp_path / "from_syn")
+    render_pyramid(g, out_g, 6, 10, tilesize=128, concurrency=3, resume=False)
+    render_pyramid(s, out_s, 6, 10, tilesize=128, concurrency=3, resume=False)
+    assert hashes(out_g) == hashes(out_s)
+    assert tileset_counts(out_g) == tileset_counts(out_s)
+
+
+def test_cli_render_tif(ray_session, tmp_path, tif_path):
+    """CLI: `render --tif` works; missing file errors cleanly (clap
+    file_exists parity)."""
+    from rastertiler_rs_ray.__main__ import main
+
+    out = str(tmp_path / "cli_ts")
+    rc = main(["render", out, "--tif", tif_path, "--minzoom", "6", "--maxzoom", "7",
+               "--tilesize", "128", "--workers", "2"])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(out, "tiles"))
+    rc = main(["render", str(tmp_path / "x"), "--tif", str(tmp_path / "missing.tif")])
+    assert rc == 2
