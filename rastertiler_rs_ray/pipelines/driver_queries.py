@@ -1391,6 +1391,70 @@ def embedding_dedup(sf_dir: str):
     return embedding_cosine_dedup(emb, threshold=0.97).select_columns(["vec_id"])
 
 
+def embedding_dedup_exact(sf_dir: str):
+    """Exact-threshold cosine dedup over a 300-vector slice — the
+    SQL-expressible member of the dedup family: distributed brute-force
+    pair generation (per-batch matmul vs a broadcast matrix), the SAME
+    off-driver component/survivor machinery as the LSH variants
+    (dedup.compute_drop_ids), and a DuckDB oracle that mirrors the
+    connected components with a recursive CTE."""
+    import ray as _ray
+
+    from .dedup import _filter_dropped, compute_drop_ids
+
+    n, thresh = 300, 0.35
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("vec_id"), n))
+
+    sub = emb.map_batches(pick, batch_format="pyarrow")
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), n))
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()])
+    qid = qt.column("vec_id").to_numpy()
+    qnorm = np.maximum(np.linalg.norm(qm, axis=1), 1e-12)
+    mat_ref = _ray.put((qid, qm, qnorm))
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        ids2, m, nrm = _ray.get(mat_ref)
+        k = len(batch)
+        if k == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"u": e, "v": e})
+        vid = batch.column("vec_id").to_numpy()
+        vv = np.asarray(
+            batch.column("embedding").combine_chunks().flatten(), dtype=np.float64
+        ).reshape(k, -1)
+        vn = np.maximum(np.linalg.norm(vv, axis=1), 1e-12)
+        sim = (vv @ m.T) / (vn[:, None] * nrm[None, :])
+        bi, qj = np.nonzero(sim >= thresh)
+        a, b = vid[bi], ids2[qj]
+        keep = a < b  # each unordered pair emitted once
+        return pa.table({"u": pa.array(a[keep]), "v": pa.array(b[keep])})
+
+    drop = compute_drop_ids(sub.map_batches(pairs_fn, batch_format="pyarrow"))
+    return _filter_dropped(sub, drop, "vec_id").select_columns(["vec_id"])
+
+
+SQL_EMBEDDING_DEDUP_EXACT = """
+WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300),
+pairs AS (SELECT a.vec_id AS u, b.vec_id AS w FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.e, b.e) >= 0.35),
+edges AS (SELECT u, w FROM pairs UNION ALL SELECT w AS u, u AS w FROM pairs),
+reach(node, x) AS (
+    SELECT u, w FROM edges
+    UNION
+    SELECT r.node, e.w FROM reach r JOIN edges e ON e.u = r.x
+)
+SELECT vec_id FROM v
+WHERE vec_id NOT IN (SELECT node FROM reach WHERE x < node)
+"""
+
+
 def ivf_ann_topk(sf_dir: str):
     from .ann import ivf_topk
 
@@ -1537,6 +1601,7 @@ QUERIES = {
     "simhash_dedup_docs": (simhash_dedup_docs, None),
     "ngram_dedup_docs": (ngram_dedup_docs, None),
     "embedding_dedup": (embedding_dedup, None),
+    "embedding_dedup_exact": (embedding_dedup_exact, SQL_EMBEDDING_DEDUP_EXACT),
     "ivf_ann_topk": (ivf_ann_topk, None),
     "annotate_docs": (annotate_docs, None),
     "media_features_pipeline": (media_features_pipeline, None),
