@@ -576,7 +576,8 @@ def _attach_pair_payloads(
     distributed double hash join attaches each side.  All shuffles are
     candidate-sized.
     """
-    members = _member_id_array(pairs.materialize())
+    pairs = pairs.materialize()  # consumed twice: member scan + join
+    members = _member_id_array(pairs)
     if members is None or len(members) == 0:
         return None
     members_ref = ray.put(members)

@@ -884,6 +884,86 @@ FROM samp GROUP BY lang
 """
 
 
+def events_hopping_windows(sf_dir: str):
+    """Hopping-window aggregate (2 h windows, 1 h hop) over events: each
+    event lands in exactly 2 windows; map-side k-fold explode + the
+    partial-combined grouped aggregate (relational.hopping_window_aggregate
+    — tumbling is the size==hop special case)."""
+    from .relational import hopping_window_aggregate
+
+    HOP = 3_600_000_000  # 1 h in epoch microseconds
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return hopping_window_aggregate(
+        ev,
+        ts_col="ts",
+        size=2 * HOP,
+        hop=HOP,
+        keys=["event_type"],
+        aggs=[("n", "event_type", "count")],
+    )
+
+
+SQL_EVENTS_HOPPING_WINDOWS = """
+WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+x AS (SELECT ((t // 3600000000) - s.i) * 3600000000 AS window_start, event_type
+      FROM e CROSS JOIN (VALUES (0), (1)) s(i))
+SELECT window_start, event_type, count(*) AS n
+FROM x GROUP BY window_start, event_type
+"""
+
+
+def click_purchase_pairs(sf_dir: str):
+    """Range join (interval join): every (click, purchase) pair of the
+    same user with the purchase in (click, click + 1 h] — time-bucketed
+    co-partition, one shuffle, in-group searchsorted
+    (relational.range_join)."""
+    from .relational import range_join
+
+    HOUR = 3_600_000_000
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pick(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("event_type"), kind)
+            ).select(["event_id", "user_id", "ts"])
+
+        return f
+
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    out = range_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lo=1,
+        hi=HOUR,
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "click_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "purchase_id": pc.cast(batch.column("event_id_r"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CLICK_PURCHASE_PAIRS = """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) + 1 AND epoch_us(a.ts) + 3600000000
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 def events_last_order_asof(sf_dir: str):
     """Backward as-of join events→orders on (user, time): one co-shuffle,
     in-group vectorized searchsorted (relational.asof_join)."""
@@ -1559,6 +1639,8 @@ QUERIES = {
     "high_qty_items": (high_qty_items, SQL_HIGH_QTY_ITEMS),
     "events_by_type": (events_by_type, SQL_EVENTS_BY_TYPE),
     "events_hourly_windows": (events_hourly_windows, SQL_EVENTS_HOURLY_WINDOWS),
+    "events_hopping_windows": (events_hopping_windows, SQL_EVENTS_HOPPING_WINDOWS),
+    "click_purchase_pairs": (click_purchase_pairs, SQL_CLICK_PURCHASE_PAIRS),
     "user_session_stats": (user_session_stats, SQL_USER_SESSION_STATS),
     "sample_events": (sample_events, SQL_SAMPLE_EVENTS),
     "events_top3_per_user": (events_top3_per_user, SQL_EVENTS_TOP3_PER_USER),

@@ -400,6 +400,161 @@ def sessionize(
     return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
 
 
+def hopping_window_aggregate(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str,
+    size: int,
+    hop: int,
+    keys: Sequence[str] = (),
+    aggs: Sequence[tuple[str, str, str]],
+    window_col: str = "window_start",
+) -> ray.data.Dataset:
+    """Hopping (sliding) windowed aggregate: windows of ``size`` ticks
+    starting every ``hop`` ticks (``size % hop == 0``); each row lands
+    in exactly ``size // hop`` windows.
+
+    Map-side explode to (window_start, row) — a k-fold fan-out of only
+    the columns the aggregate needs — then the same partial-combined
+    ``grouped_aggregate`` as tumbling windows: the shuffle moves one
+    row per (block, window, key), never per event.  Tumbling windows
+    are the ``size == hop`` special case.
+    """
+    if size % hop != 0:
+        raise ValueError("hopping_window_aggregate requires size % hop == 0")
+    k = size // hop
+    need = list(
+        dict.fromkeys([*keys, *(col for _, col, _ in aggs if col)])
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column(ts_col), pa.int64()).to_numpy()
+        base = np.floor_divide(ts, hop)
+        outs = []
+        for i in range(k):
+            cols = {c: batch.column(c) for c in need}
+            cols[window_col] = pa.array((base - i) * hop)
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    return grouped_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        [window_col, *keys],
+        aggs,
+    )
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lo: int,
+    hi: int,
+    right_on: str | None = None,
+    left_cols: Sequence[str] | None = None,
+    right_cols: Sequence[str] | None = None,
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Interval/range join: every (left, right) pair with equal key and
+    ``left_ts + lo <= right_ts <= left_ts + hi`` (integer timestamps,
+    inclusive bounds).
+
+    Scale shape — time-bucketed co-partition, one shuffle, no
+    quadratic blow-up outside a bucket: the time axis is cut into
+    buckets of width ``hi - lo + 1``; each RIGHT row lands in exactly
+    its own bucket, each LEFT row is replicated to the ≤2 buckets its
+    window can reach, and a ``groupby(key, bucket)`` co-locates them.
+    The in-group match is two vectorized ``searchsorted`` calls over
+    the bucket's sorted right timestamps.  Every qualifying pair is
+    emitted exactly once (right rows are never replicated).  This is
+    the windowed generalization of ``asof_join``'s tag-union single
+    co-shuffle.
+
+    Returns ``left_cols`` + ``right_cols`` (right names suffixed on
+    collision).  Like asof_join, carried integer columns may come back
+    float64 via the union's typed nulls — cast downstream if needed.
+    """
+    if hi < lo:
+        raise ValueError("range_join requires lo <= hi")
+    right_on = right_on or on
+    width = int(hi - lo + 1)
+
+    lcols = list(left_cols) if left_cols else [c for c in left.schema().names]
+    rcols = list(right_cols) if right_cols else [c for c in right.schema().names]
+    rout = {c: (c + right_suffix if c in lcols else c) for c in rcols}
+
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ts = pc.cast(batch.column(left_ts), pa.int64()).to_numpy()
+        b0 = np.floor_divide(ts + lo, width)
+        b1 = np.floor_divide(ts + hi, width)
+        cols = {c: batch.column(c) for c in lcols}
+        out0 = dict(cols)
+        out0["__key"] = pc.cast(batch.column(on), pa.int64())
+        out0["__ts"] = pa.array(ts)
+        out0["__bucket"] = pa.array(b0)
+        out0["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        for c in rcols:
+            out0[rout[c]] = pa.nulls(n, rtypes[c])
+        t0 = pa.table(out0)
+        dup = b1 != b0
+        if not dup.any():
+            return t0
+        t1 = t0.filter(pa.array(dup)).set_column(
+            t0.schema.get_field_index("__bucket"), "__bucket", pa.array(b1[dup])
+        )
+        return pa.concat_tables([t0, t1])
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ts = pc.cast(batch.column(right_ts), pa.int64()).to_numpy()
+        out = {c: pa.nulls(n, ltypes[c]) for c in lcols}
+        out["__key"] = pc.cast(batch.column(right_on), pa.int64())
+        out["__ts"] = pa.array(ts)
+        out["__bucket"] = pa.array(np.floor_divide(ts, width))
+        out["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        for c in rcols:
+            out[rout[c]] = batch.column(c)
+        return pa.table(out)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    rnames = [rout[c] for c in rcols]
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        lrows = df[df["__side"] == 0]
+        rrows = df[df["__side"] == 1].sort_values("__ts", kind="stable")
+        if not len(lrows) or not len(rrows):
+            return df.iloc[0:0][lcols + rnames]
+        rts = rrows["__ts"].to_numpy()
+        lts = lrows["__ts"].to_numpy()
+        a = np.searchsorted(rts, lts + lo, side="left")
+        b = np.searchsorted(rts, lts + hi, side="right")
+        counts = b - a
+        li = np.repeat(np.arange(len(lts)), counts)
+        offs = np.arange(int(counts.sum())) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        ri = np.repeat(a, counts) + offs
+        out = lrows.iloc[li][lcols].reset_index(drop=True)
+        for c in rnames:
+            out[c] = rrows.iloc[ri][c].to_numpy()
+        return out
+
+    return unioned.groupby(["__key", "__bucket"]).map_groups(
+        match, batch_format="pandas"
+    )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

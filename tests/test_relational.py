@@ -329,3 +329,93 @@ def test_pivot_counts_matches_filter_sql(ray_session, db):
     assert got.equals(want)
     # row sums partition the events
     assert got[["click", "error", "purchase", "signup", "view"]].to_numpy().sum() == ev.count()
+
+
+def test_range_join_matches_sql(ray_session, db):
+    """Interval join vs DuckDB: same-user purchase within (click, +1h]."""
+    from rastertiler_rs_ray.pipelines.relational import range_join
+
+    HOUR = 3_600_000_000
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def pick(kind):
+        def f(batch):
+            return batch.filter(pc.equal(batch.column("event_type"), kind)).select(
+                ["event_id", "user_id", "ts"]
+            )
+        return f
+
+    out = range_join(
+        ev.map_batches(pick("click"), batch_format="pyarrow"),
+        ev.map_batches(pick("purchase"), batch_format="pyarrow"),
+        on="user_id", left_ts="ts", right_ts="ts", lo=1, hi=HOUR,
+        left_cols=["event_id"], right_cols=["event_id"],
+    ).to_pandas()
+    got = sorted(
+        (int(a), int(b)) for a, b in zip(out["event_id"], out["event_id_r"])
+    )
+    want = db.execute(
+        """SELECT a.event_id, b.event_id FROM events a JOIN events b
+           ON a.user_id = b.user_id
+           AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) + 1 AND epoch_us(a.ts) + 3600000000
+           WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+           ORDER BY 1, 2"""
+    ).fetchall()
+    assert got == [(int(a), int(b)) for a, b in want]
+    assert len(got) > 0, "fixture produced no in-range pairs — widen the window"
+
+
+def test_range_join_bucket_boundaries(ray_session):
+    """Pairs spanning a bucket boundary are found exactly once; out-of-
+    range and cross-key pairs are excluded (hand-built oracle)."""
+    from rastertiler_rs_ray.pipelines.relational import range_join
+
+    left = pa.table({
+        "lid": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([7, 7, 7, 8], pa.int64()),
+        "t": pa.array([0, 95, 200, 95], pa.int64()),
+    })
+    right = pa.table({
+        "rid": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "k": pa.array([7, 7, 7, 7, 8], pa.int64()),
+        "t": pa.array([5, 100, 104, 106, 100], pa.int64()),
+    })
+    out = range_join(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right).repartition(2),
+        on="k", left_ts="t", right_ts="t", lo=0, hi=10,
+        left_cols=["lid"], right_cols=["rid"],
+    ).to_pandas()
+    got = sorted((int(a), int(b)) for a, b in zip(out["lid"], out["rid"]))
+    # lid1@0:[0,10]→rid10@5; lid2@95:[95,105]→rid11@100,rid12@104 (106 out);
+    # lid3@200: none; lid4(k=8)@95:[95,105]→rid14@100
+    assert got == [(1, 10), (2, 11), (2, 12), (4, 14)]
+
+
+def test_hopping_window_aggregate(ray_session, db):
+    """2h/1h hopping windows: every event in exactly 2 windows; counts
+    match the shifted-tumbling SQL mirror; tumbling = size==hop case."""
+    from rastertiler_rs_ray.pipelines.relational import hopping_window_aggregate
+
+    HOP = 3_600_000_000
+    ev = ray.data.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    got = (
+        hopping_window_aggregate(
+            ev, ts_col="ts", size=2 * HOP, hop=HOP,
+            keys=["event_type"], aggs=[("n", "event_type", "count")],
+        )
+        .to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    want = db.execute(
+        """WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+           x AS (SELECT ((t // 3600000000) - s.i) * 3600000000 AS window_start, event_type
+                 FROM e CROSS JOIN (VALUES (0), (1)) s(i))
+           SELECT window_start, event_type, count(*) AS n
+           FROM x GROUP BY window_start, event_type ORDER BY window_start, event_type"""
+    ).df()
+    assert got["n"].to_numpy().tolist() == want["n"].to_numpy().tolist()
+    assert got["window_start"].to_numpy().tolist() == want["window_start"].to_numpy().tolist()
+    # total window memberships = 2 x events
+    assert int(got["n"].sum()) == 2 * ev.count()
