@@ -240,3 +240,126 @@ def ivf_topk(
 
     rows = corpus.map_batches(score, batch_format="pyarrow").take_all()
     return _merge_partials(rows, k)
+
+
+def build_ivf_index(
+    corpus: ray.data.Dataset,
+    index_dir: str,
+    *,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the IVF index: corpus written to Parquet
+    hive-partitioned by nearest-centroid cell (one pass), quantizer
+    saved alongside.  This is the scale path ``ivf_topk``'s docstring
+    promises — at 100 TB the index is built once and every query set
+    after that reads only its probed partitions."""
+    import os
+
+    if centroids is None:
+        centroids = train_centroids(corpus, nlist=nlist, vec_col=vec_col)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    cents_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        cm = _normalize(_as_matrix(batch, vec_col))
+        cell = np.argmax(cm @ cents.T, axis=1).astype(np.int32)
+        t = batch.select([id_col, vec_col])
+        # cell stored BOTH as partition key (pruning) and column (the
+        # probe mask needs it without re-deriving per row)
+        t = t.append_column("cell", pa.array(cell))
+        return t.append_column("__cell", pa.array(cell))
+
+    corpus.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "cells"), partition_cols=["__cell"]
+    )
+    return centroids
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+    stats: dict | None = None,
+) -> pa.Table:
+    """ANN over a ``build_ivf_index`` layout: ONLY the partitions probed
+    by some query are read from storage — genuine partition pruning,
+    the remaining cells never leave disk.  ``stats`` receives
+    {partitions_read, partitions_total, rows_read}."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    qm = _normalize(_as_matrix(queries, vec_col))
+    qids = np.asarray(queries.column(query_id_col))
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+
+    cells_root = os.path.join(index_dir, "cells")
+    all_parts = sorted(d for d in os.listdir(cells_root) if d.startswith("__cell="))
+    wanted = set(int(c) for c in probe.ravel())
+    part_files = [
+        os.path.join(cells_root, d, f)
+        for d in all_parts
+        if int(d.split("=", 1)[1]) in wanted
+        for f in sorted(os.listdir(os.path.join(cells_root, d)))
+        if f.endswith(".parquet")
+    ]
+    if stats is not None:
+        import pyarrow.dataset as pads
+
+        stats.update(
+            partitions_read=sum(
+                1 for d in all_parts if int(d.split("=", 1)[1]) in wanted
+            ),
+            partitions_total=len(all_parts),
+            rows_read=(
+                pads.dataset(part_files, format="parquet").count_rows()
+                if part_files
+                else 0
+            ),
+        )
+    if not part_files:
+        return _merge_partials([], k)
+
+    q_ref = ray.put((qm, qids, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qmat, qid, probes = ray.get(q_ref)
+        cm = _normalize(_as_matrix(batch, vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cell = batch.column("cell").to_numpy()
+        sims = cm @ qmat.T
+        probed = (cell[:, None, None] == probes[None, :, :]).any(axis=2)
+        sims[~probed] = -np.inf
+        if exclude_self:
+            sims[ids[:, None] == qid[None, :]] = -np.inf
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        nq = sims.shape[1]
+        out_q = np.repeat(qid, kk)
+        out_n = ids[part.T.reshape(-1)]
+        out_s = sims[part.T.reshape(-1), np.repeat(np.arange(nq), kk)]
+        keep = np.isfinite(out_s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q[keep]),
+                "neighbor_id": pa.array(out_n[keep]),
+                "score": pa.array(out_s[keep], pa.float64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(part_files, columns=[id_col, vec_col, "cell"])
+        .map_batches(score, batch_format="pyarrow")
+        .take_all()
+    )
+    return _merge_partials(rows, k)

@@ -1544,6 +1544,25 @@ def ivf_ann_topk(sf_dir: str):
     return out.select(["query_id", "neighbor_id"])
 
 
+def ivf_ann_topk_indexed(sf_dir: str):
+    """The materialized-IVF scale path: build (or reuse) the
+    cell-partitioned index under /tmp, answer queries reading only the
+    probed partitions (ann.build_ivf_index / ivf_topk_indexed)."""
+    import os
+    import shutil
+
+    from .ann import build_ivf_index, ivf_topk_indexed
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 4)
+    idx = os.path.join("/tmp/graft_ivf_index", os.path.basename(sf_dir.rstrip("/")))
+    if os.path.isdir(idx):
+        shutil.rmtree(idx)
+    build_ivf_index(emb, idx, nlist=8)
+    out = ivf_topk_indexed(idx, q, k=5, nprobe=4)
+    return out.select(["query_id", "neighbor_id"])
+
+
 def annotate_docs(sf_dir: str):
     from .textstats import annotate_text
 
@@ -1684,6 +1703,7 @@ QUERIES = {
     "ngram_dedup_docs": (ngram_dedup_docs, None),
     "embedding_dedup": (embedding_dedup, None),
     "embedding_dedup_exact": (embedding_dedup_exact, SQL_EMBEDDING_DEDUP_EXACT),
+    "ivf_ann_topk_indexed": (ivf_ann_topk_indexed, None),
     "ivf_ann_topk": (ivf_ann_topk, None),
     "annotate_docs": (annotate_docs, None),
     "media_features_pipeline": (media_features_pipeline, None),

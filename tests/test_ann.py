@@ -89,3 +89,33 @@ def test_label_centroids_match_numpy(ray_session):
         ref = np.round(mat[labels == lab].mean(axis=0) * 1e4).astype(np.int64)
         sub = got[got["label"] == lab].sort_values("dim")["mean_e4"].to_numpy()
         assert (sub == ref).all(), lab
+
+
+def test_ivf_indexed_matches_inline_and_prunes(ray_session, tmp_path):
+    """build_ivf_index + ivf_topk_indexed: same results as the inline
+    ivf_topk with the same quantizer, and each query set reads only its
+    probed partitions from storage."""
+    from rastertiler_rs_ray.pipelines.ann import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_centroids,
+    )
+
+    tbl, _ = _clustered()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    queries = tbl.slice(0, 20)
+    cents = train_centroids(ds, nlist=8)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, nlist=8, centroids=cents)
+
+    stats = {}
+    got = ivf_topk_indexed(idx, queries, k=5, nprobe=2, stats=stats)
+    want = ivf_topk(ds, queries, k=5, nlist=8, nprobe=2, centroids=cents)
+    gp = {(r["query_id"], r["neighbor_id"]) for r in got.to_pylist()}
+    wp = {(r["query_id"], r["neighbor_id"]) for r in want.to_pylist()}
+    assert gp == wp
+    # pruning: probed cells < all cells, rows read < corpus
+    assert stats["partitions_read"] < stats["partitions_total"], stats
+    assert stats["rows_read"] < len(tbl), stats
