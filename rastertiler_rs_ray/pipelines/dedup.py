@@ -149,19 +149,22 @@ def compute_drop_ids(
     pairs: ray.data.Dataset,
     *,
     shard_threshold: int = 2_000_000,
-    num_shards: int = 64,
+    num_shards: int | None = None,
 ) -> pa.Array | None:
     """Duplicate-pair Dataset (columns ``u``, ``v``) → ids to drop
     (every node that is not the min of its connected component).
 
     Small pair sets (≤ ``shard_threshold``) resolve in ONE worker task.
     Larger sets use the sharded two-level scheme: hash(u)-range shards
-    each run a local union-find in ``map_groups`` emitting
-    (node, local-min-label); a node landing in several shards links its
-    labels, and that far smaller label graph resolves in one worker
-    task whose root map is broadcast back over the assignments.
-    Duplicate edges (the same pair found by several bands) are harmless
-    — union-find is idempotent — so callers never pre-dedupe pairs.
+    (count adaptive, ~1M pairs/shard) each run a local union-find in
+    ``map_groups`` emitting (node, local-min-label); a node landing in
+    several shards links its labels, and that far smaller label graph
+    resolves in one worker task whose root map is broadcast back over
+    the assignments.  Level 2 re-keys by hash(node) into shard-sized
+    groups processed with vectorized pandas (never one Python call per
+    node).  Duplicate edges (the same pair found by several bands) are
+    harmless — union-find is idempotent — so callers never pre-dedupe
+    pairs.
 
     Returns a sorted id array (driver-resident, O(duplicates)) for the
     broadcast filter, or None when there are no duplicates.
@@ -172,6 +175,8 @@ def compute_drop_ids(
         return None
     if n_pairs <= shard_threshold:
         return ray.get(_uf_drop_task.remote(*pairs.to_arrow_refs()))
+    if num_shards is None:
+        num_shards = max(64, n_pairs // 1_000_000)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
@@ -196,27 +201,44 @@ def compute_drop_ids(
         .map_groups(local_uf, batch_format="pyarrow")
     )
 
-    # per node: assignment = min label; links = pairs among its labels
+    def add_node_shard(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch.column("node").to_pandas().to_numpy(dtype=object)
+        ).astype(np.int64)
+        return batch.append_column("__nshard", pa.array(h % num_shards))
+
+    # per node (vectorized over a whole hash-shard of nodes):
+    # assignment = min label; links = (min label, each other label)
     def assign_and_link(group: pa.Table) -> pa.Table:
-        labels = sorted(set(group.column("label").to_pylist()))
-        node = group.column("node")[0].as_py()
         t = group.column("node").type
-        kinds, us, vs = [0], [node], [labels[0]]
-        for extra in labels[1:]:
-            kinds.append(1)
-            us.append(labels[0])
-            vs.append(extra)
+        df = pd.DataFrame(
+            {
+                "node": group.column("node").to_pandas(),
+                "label": group.column("label").to_pandas(),
+            }
+        ).drop_duplicates()
+        mins = df.groupby("node", sort=False)["label"].transform("min")
+        assign = df[df["label"] == mins]
+        extras = df[df["label"] != mins]
+        kinds = np.concatenate(
+            [np.zeros(len(assign), np.int8), np.ones(len(extras), np.int8)]
+        )
+        us = pd.concat([assign["node"], mins[extras.index]])
+        vs = pd.concat([assign["label"], extras["label"]])
         return pa.table(
             {
                 "kind": pa.array(kinds, pa.int8()),
-                "u": pa.array(us, t),
-                "v": pa.array(vs, t),
+                "u": pa.array(us.to_numpy(), t),
+                "v": pa.array(vs.to_numpy(), t),
             }
         )
 
-    merged = local.groupby("node").map_groups(
-        assign_and_link, batch_format="pyarrow"
-    ).materialize()
+    merged = (
+        local.map_batches(add_node_shard, batch_format="pyarrow")
+        .groupby("__nshard")
+        .map_groups(assign_and_link, batch_format="pyarrow")
+        .materialize()
+    )
 
     def links_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.compute.equal(batch.column("kind"), 1)).select(["u", "v"])
