@@ -35,8 +35,10 @@ Scale contract (what never happens on the driver):
   (the "shard the union-find by pair-hash range" scheme).
 - Payload verification (exact n-gram Jaccard, exact cosine) moves the
   payload only for candidate-pair members: texts/vectors are
-  semi-filtered map-side against a broadcast candidate-id set, then a
-  distributed double hash join attaches both sides to each pair.
+  semi-filtered map-side against a broadcast candidate-id set, then
+  attached to each pair by a broadcast lookup (candidate payloads ≤
+  ``_BROADCAST_PAYLOAD_LIMIT``) or, beyond that, a distributed double
+  hash join — both candidate-sized, never corpus-sized.
 - The only driver-resident artifacts are the candidate-id and drop-id
   arrays — O(duplicates), not O(corpus).  For corpora where even the
   duplicate-id set exceeds driver memory, swap ``_filter_dropped``'s
@@ -361,6 +363,62 @@ def _empty_pairs(id_type: pa.DataType) -> pa.Table:
     return pa.table({"u": empty, "v": empty})
 
 
+# Broadcast candidate payloads when they fit in this many bytes of the
+# object store; beyond it, fall back to the candidate-sized shuffle join.
+_BROADCAST_PAYLOAD_LIMIT = 256 << 20
+
+
+def _col_type(ds: ray.data.Dataset, col: str) -> pa.DataType:
+    """Arrow type of ``col`` from a Dataset's (Ray) schema wrapper."""
+    s = ds.schema()
+    return s.types[s.names.index(col)]
+
+
+def _apply_per_bucket(
+    buckets: ray.data.Dataset,
+    per_bucket,
+    id_type: pa.DataType,
+    *,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Run ``per_bucket(bucket_table) -> pairs`` over every multi-member
+    ``__bucket`` group WITHOUT one map_groups call per bucket.
+
+    LSH bucket keys are nearly unique (most buckets hold one doc), so a
+    ``groupby(__bucket).map_groups`` pays one Python call per bucket —
+    one per DOCUMENT×band at scale.  Instead the shuffle groups by
+    hash(bucket) into ``num_shards`` coarse shards; inside a shard one
+    sort + run-length slicing visits only the multi-member buckets
+    (exactly the candidate-bearing ones), so Python call count tracks
+    candidates, not corpus size.
+    """
+
+    def shard(batch: pa.Table) -> pa.Table:
+        b = batch.column("__bucket").to_numpy()
+        return batch.append_column(
+            "__bshard", pa.array((b % num_shards).astype(np.int64))
+        )
+
+    def run(group: pa.Table) -> pa.Table:
+        t = group.sort_by("__bucket")
+        b = t.column("__bucket").to_numpy()
+        # run boundaries over the sorted bucket column
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                outs.append(per_bucket(t.slice(s, e - s)))
+        outs = [o for o in outs if len(o)]
+        return pa.concat_tables(outs) if outs else _empty_pairs(id_type)
+
+    return (
+        buckets.map_batches(shard, batch_format="pyarrow")
+        .groupby("__bshard")
+        .map_groups(run, batch_format="pyarrow")
+    )
+
+
 def minhash_lsh_dedup(
     docs: ray.data.Dataset,
     *,
@@ -370,7 +428,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
-    concurrency=(1, 4),
+    concurrency=(1, 16),
     max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """MinHash + LSH near-dedup: keep one representative (min id) per
@@ -434,10 +492,10 @@ def minhash_lsh_dedup(
             }
         )
 
-    pairs = (
-        signed.map_batches(explode, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(verify_group, batch_format="pyarrow")
+    pairs = _apply_per_bucket(
+        signed.map_batches(explode, batch_format="pyarrow"),
+        verify_group,
+        _col_type(signed, id_col),
     )
     drop = compute_drop_ids(pairs)
     return _filter_dropped(signed.drop_columns(["__minhash"]), drop, id_col)
@@ -477,7 +535,7 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
-    concurrency=(1, 4),
+    concurrency=(1, 16),
     max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """SimHash near-dedup: 4×16-bit prefix tables bucket candidates
@@ -530,10 +588,10 @@ def simhash_dedup(
             }
         )
 
-    pairs = (
-        signed.map_batches(explode, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(verify_group, batch_format="pyarrow")
+    pairs = _apply_per_bucket(
+        signed.map_batches(explode, batch_format="pyarrow"),
+        verify_group,
+        _col_type(signed, id_col),
     )
     drop = compute_drop_ids(pairs)
     return _filter_dropped(signed.drop_columns(["__simhash"]), drop, id_col)
@@ -543,12 +601,11 @@ def simhash_dedup(
 
 
 def _candidate_pairs_from_buckets(
-    buckets: ray.data.Dataset, id_col: str, *, max_bucket: int
+    buckets: ray.data.Dataset, id_col: str, *, max_bucket: int, id_type: pa.DataType
 ) -> ray.data.Dataset:
     """Bucketed (id, __bucket) rows → distinct candidate-pair Dataset."""
 
     def emit(group: pa.Table) -> pa.Table:
-        id_type = group.column(id_col).type
         ids = sorted(set(group.column(id_col).to_pylist()))
         if len(ids) < 2 or len(ids) > max_bucket:
             return _empty_pairs(id_type)
@@ -560,7 +617,7 @@ def _candidate_pairs_from_buckets(
             }
         )
 
-    return buckets.groupby("__bucket").map_groups(emit, batch_format="pyarrow")
+    return _apply_per_bucket(buckets, emit, id_type)
 
 
 def _member_id_array(pairs: ray.data.Dataset) -> pa.Array | None:
@@ -627,6 +684,39 @@ def _attach_pair_payloads(
         return t
 
     small = source.map_batches(fetch, batch_format="pyarrow").materialize()
+
+    # Candidate payloads are O(candidate members), not O(corpus).  When
+    # they fit comfortably in the object store (per-node shared-memory
+    # copy), attach them with a broadcast lookup — zero shuffle, one
+    # vectorized index_in+take per pairs block.  The double shuffle
+    # join below remains the fallback for candidate sets too large to
+    # broadcast (e.g. a pathological corpus that is mostly duplicates).
+    if small.size_bytes() <= _BROADCAST_PAYLOAD_LIMIT:
+
+        @ray.remote
+        def _combine(*blocks: pa.Table) -> pa.Table:
+            blocks = [b for b in blocks if len(b)]
+            t = pa.concat_tables(blocks) if blocks else None
+            return t.combine_chunks() if t is not None else None
+
+        tbl_ref = _combine.remote(*small.to_arrow_refs())
+
+        def attach(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if len(batch) == 0 or "u" not in batch.schema.names:
+                return batch
+            tbl = ray.get(tbl_ref)
+            ids = tbl.column(id_col)
+            pay = tbl.column(payload_col)
+            iu = pc.index_in(batch.column("u"), value_set=ids)
+            iv = pc.index_in(batch.column("v"), value_set=ids)
+            return batch.append_column("__payload_u", pc.take(pay, iu)).append_column(
+                "__payload_v", pc.take(pay, iv)
+            )
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
+
     from .relational import shuffle_hash_join
 
     left_side = small.map_batches(
@@ -657,7 +747,7 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 16,
-    concurrency=(1, 4),
+    concurrency=(1, 16),
     max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """Word-n-gram Jaccard dedup: minhash-LSH candidate generation over
@@ -701,7 +791,9 @@ def ngram_jaccard_dedup(
         return pa.table({id_col: pa.concat_arrays(out_ids), "__bucket": pa.concat_arrays(out_buckets)})
 
     buckets = signed.map_batches(explode, batch_format="pyarrow")
-    pairs = _candidate_pairs_from_buckets(buckets, id_col, max_bucket=max_bucket)
+    pairs = _candidate_pairs_from_buckets(
+        buckets, id_col, max_bucket=max_bucket, id_type=_col_type(docs, id_col)
+    )
     with_texts = _attach_pair_payloads(pairs, docs, id_col=id_col, payload_col=text_col)
 
     if with_texts is None:
@@ -766,7 +858,9 @@ def embedding_cosine_dedup(
         return pa.table({id_col: pa.concat_arrays(out_ids), "__bucket": pa.concat_arrays(out_codes)})
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
-    pairs = _candidate_pairs_from_buckets(buckets, id_col, max_bucket=max_bucket)
+    pairs = _candidate_pairs_from_buckets(
+        buckets, id_col, max_bucket=max_bucket, id_type=_col_type(ds, id_col)
+    )
     with_vecs = _attach_pair_payloads(pairs, ds, id_col=id_col, payload_col=vec_col)
 
     if with_vecs is None:
