@@ -5,7 +5,13 @@ Reference parity:
   (/root/reference/src/png/grayscale.rs:29-49).
 - ColormapEncoder: indexed PNG, bit depth auto-selected from palette
   size (≤2→1, ≤4→2, ≤16→4, else 8), PLTE from colormap, tRNS=[0]
-  (/root/reference/src/png/colormap.rs:95-133).
+  (/root/reference/src/png/colormap.rs:95-133).  Like the reference's
+  ``ColormapEncoder<T: PixelValue>`` — the one encoder generic over
+  u8/u16/u32 (/root/reference/src/png/mod.rs:15-19) — it accepts any
+  integer pixel dtype: ``Colormap.index_of`` maps values through an
+  int64 sorted-key LUT, so u16 buffers encode without a cast.  (The
+  render entry still rejects u16 rasters, matching
+  /root/reference/src/render.rs:43-48, where u16 is equally dead.)
 - RGBEncoder: 8-bit RGB, tRNS = [0,r,0,g,0,b] of the nodata color
   (/root/reference/src/png/rgb.rs:30-56).
 - build_dynamic_palette: per-tile insertion-ordered palette with the

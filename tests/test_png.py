@@ -83,6 +83,24 @@ def test_indexed_unknown_value_maps_to_zero():
     assert cm.palette_bytes() == bytes([0, 0, 0, 255, 0, 0, 0, 255, 0])
 
 
+def test_indexed_u16_pixels():
+    """ColormapEncoder is pixel-dtype generic, like the reference's
+    ColormapEncoder<T: PixelValue> with `impl PixelValue for u16`
+    (src/png/mod.rs:15-19): a uint16 buffer with values beyond the u8
+    range encodes byte-identically to the same values as uint32."""
+    cm = Colormap(nodata=0)
+    cm.add_color(1000, (255, 0, 0))
+    cm.add_color(40000, (0, 255, 0))
+    buf16 = np.array([[1000, 40000], [0, 1000]], dtype=np.uint16)
+    enc = ColormapEncoder(2, 2, cm)
+    png16 = enc.encode(buf16)
+    png32 = enc.encode(buf16.astype(np.uint32))
+    assert png16 == png32
+    d = decode_png(png16)
+    assert d["color_type"] == 3  # indexed
+    np.testing.assert_array_equal(cm.index_of(buf16), [[1, 2], [0, 1]])
+
+
 def test_rgb_roundtrip():
     rng = np.random.default_rng(3)
     buf = rng.integers(0, 2**24, size=(8, 8), dtype=np.uint32)
