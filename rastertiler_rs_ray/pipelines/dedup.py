@@ -66,31 +66,39 @@ from ..functions.text import _FP_BASE, _FP_OFF, char_shingles, word_ngrams
 
 
 def exact_dedup(
-    docs: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_shards: int = 64,
 ) -> ray.data.Dataset:
     """Keep the min-id row per exact (whitespace-normalized) text.
 
-    Hash-partition on a 64-bit content hash of the normalized text,
-    keep-first inside each group — one shuffle of (id, hash) width.
+    Content hashes are nearly unique (most documents are NOT
+    duplicates), so ``groupby(hash).map_groups`` would pay one Python
+    call per distinct document.  Instead the shuffle co-locates rows by
+    hash(content) into ``num_shards`` coarse shards — equal hashes
+    still land together — and each shard elects winners with one
+    vectorized pandas ``groupby(hash).idxmin`` pass.
     """
 
     def add_hash(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("")
         norm = s.str.split().str.join(" ")
         h = pd.util.hash_array(norm.to_numpy(dtype=object)).astype(np.int64)
-        return batch.append_column("__content_hash", pa.array(h))
+        return batch.append_column("__content_hash", pa.array(h)).append_column(
+            "__cshard", pa.array(h % num_shards)
+        )
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        i = pc.index(group.column(id_col), pc.min(group.column(id_col)))
-        return group.slice(i.as_py(), 1)
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__content_hash", id_col], kind="mergesort")
+        g = g.drop_duplicates("__content_hash", keep="first")
+        return g.drop(columns=["__content_hash", "__cshard"])
 
     return (
         docs.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__content_hash")
-        .map_groups(keep_min, batch_format="pyarrow")
-        .drop_columns(["__content_hash"])
+        .groupby("__cshard")
+        .map_groups(keep_min, batch_format="pandas")
     )
 
 
