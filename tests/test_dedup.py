@@ -172,3 +172,55 @@ def test_dedup_deterministic_across_parallelism(ray_session):
     a = set(minhash_lsh_dedup(ray.data.from_arrow(tbl).repartition(1), jaccard_threshold=0.6, concurrency=1).to_pandas()["doc_id"])
     b = set(minhash_lsh_dedup(ray.data.from_arrow(tbl).repartition(4), jaccard_threshold=0.6, concurrency=2).to_pandas()["doc_id"])
     assert a == b
+
+
+def test_apply_per_bucket_matches_naive_groupby(ray_session):
+    """_apply_per_bucket (hash-sharded run-length slicing) emits the
+    same pair set as a literal groupby(__bucket).map_groups, for a
+    bucket table with singletons, multi-member buckets, and a
+    degenerate hot bucket."""
+    from rastertiler_rs_ray.pipelines.dedup import _apply_per_bucket, _empty_pairs
+
+    rng = np.random.RandomState(11)
+    # ~half singletons, a few buckets of 2-5, one hot bucket of 40
+    buckets = np.concatenate([
+        np.arange(200),                         # singletons
+        np.repeat(np.arange(1000, 1040), rng.randint(2, 6, 40)),
+        np.full(40, 7777),                      # hot bucket
+    ])
+    n = len(buckets)
+    rng.shuffle(buckets)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "__bucket": pa.array(buckets.astype(np.int64)),
+        }
+    )
+    max_bucket = 30  # hot bucket must be skipped by per_bucket itself
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return _empty_pairs(pa.int64())
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pa.table(
+            {
+                "u": pa.array([ids[i] for i in iu], pa.int64()),
+                "v": pa.array([ids[j] for j in ju], pa.int64()),
+            }
+        )
+
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    fast = _apply_per_bucket(ds, per_bucket, pa.int64(), num_shards=7)
+    naive = ds.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+    fp = sorted(map(tuple, fast.to_pandas()[["u", "v"]].itertuples(index=False)))
+    np_ = sorted(map(tuple, naive.to_pandas()[["u", "v"]].itertuples(index=False)))
+    assert fp == np_ and len(fp) > 0
+
+
+def test_exact_dedup_shard_invariance(ray_session):
+    """Survivors are independent of shard count and input partitioning."""
+    tbl = _doc_table()
+    a = exact_dedup(ray.data.from_arrow(tbl).repartition(1), num_shards=1)
+    b = exact_dedup(ray.data.from_arrow(tbl).repartition(5), num_shards=17)
+    assert set(a.to_pandas()["doc_id"]) == set(b.to_pandas()["doc_id"]) == {0, 3, 4, 5, 6, 7}
