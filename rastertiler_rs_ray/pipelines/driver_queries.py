@@ -1352,6 +1352,172 @@ def raster_vector_join_z8(sf_dir: str):
     )
 
 
+def _sql_mix64(gx: str, gy: str, seed: int, out: str) -> list[str]:
+    """SQL column definitions evaluating raster/synthetic.py ``_mix``
+    (the per-pixel splitmix-style hash) over non-negative BIGINT pixel
+    coordinate expressions — one list entry per chained CTE stage.
+
+    64-bit *wrapping* multiplies, unreachable directly in DuckDB
+    (HUGEINT is signed 128-bit, so h*K at h,K < 2^64 can overflow),
+    are evaluated by 32-bit splitting:
+    ``(h*K) mod 2^64 = (h*K_lo + ((h*K_hi) mod 2^32) * 2^32) mod 2^64``
+    — every intermediate stays < 2^97.  The stage-1 multiplies need no
+    split (pixel coords < 2^13 keep gx*K < 2^77).
+    """
+    c1 = 0x9E3779B97F4A7C15
+    c2 = 0xC2B2AE3D27D4EB4F
+    c3 = 0xD6E8FEB86659FD93
+    m64, m32 = 1 << 64, 1 << 32
+    s = (seed * c3) & (m64 - 1)
+    return [
+        f"""xor(xor(CAST((CAST({gx} AS HUGEINT) * {c1}) % {m64} AS UBIGINT),
+                CAST((CAST({gy} AS HUGEINT) * {c2}) % {m64} AS UBIGINT)),
+            CAST({s} AS UBIGINT)) AS {out}0""",
+        f"xor({out}0, {out}0 >> 32) AS {out}1",
+        f"""CAST((CAST({out}1 AS HUGEINT) * {c3 & (m32 - 1)}
+              + ((CAST({out}1 AS HUGEINT) * {c3 >> 32}) % {m32}) * {m32})
+             % {m64} AS UBIGINT) AS {out}2""",
+        f"xor({out}2, {out}2 >> 29) AS {out}",
+    ]
+
+
+def _sql_raster_vector_join_z8() -> str:
+    """DuckDB mirror of raster_vector_join_z8: per-doc closed form of
+    tile assignment + the M17 read_tile window/padding/NN-decimation
+    arithmetic (raster/kernel.py:55-106) + the synthetic pixel function
+    (raster/synthetic.py:67-101), operation-for-operation in float64.
+
+    Per-raster constants (inverse affine, bounds) are folded in Python
+    float64 and embedded via repr (exact round-trip); every per-doc
+    float expression keeps the numpy kernel's parenthesization so both
+    engines evaluate the same IEEE-double tree.  The group-level
+    all-nodata skip (kernel.py:96-97) needs no mirror: per-pixel nodata
+    evaluation yields the same NULL for every doc it affects.
+    """
+    import math
+
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    t = r.transform
+    a, c, e, f = t.a, t.c, t.e, t.f  # b = d = 0 (north-up, square px)
+    w, h = float(r.width), float(r.height)
+
+    origin = 6378137.0 * math.pi
+    ce = 2.0 * origin
+    tile_m = ce / 256.0  # z8 tile span in mercator meters
+
+    # constant-folded inverse affine (geo/affine.py:34-49 with b=d=0)
+    inv_det = 1.0 / (a * e)
+    ia, ie = e * inv_det, a * inv_det
+    ic, if_ = -c * ia, -f * ie
+    vxmin, vymax = c, f
+    vxmax, vymin = c + a * w, f + e * h
+
+    lon0, lat0, lon1, lat1 = (-59.9, 26.7, -48.8, 33.6)
+
+    def rha(v: str) -> str:
+        """_round_half_away (kernel.py:28-30): half away from zero."""
+        return f"(CASE WHEN ({v}) < 0 THEN -floor(-({v}) + 0.5) ELSE floor(({v}) + 0.5) END)"
+
+    blk_stages = _sql_mix64("sc // 512", "sr // 512", r.seed + 1, "bh")
+    px_stages = _sql_mix64("sc", "sr", r.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["spx", "m0", "m1", "m2"])
+        )
+    )
+
+    return f"""
+WITH pos AS (
+    SELECT doc_id,
+           {lon0!r} + (((doc_id * {LON_MULT}) % {LON_MOD}) / {float(LON_MOD)!r}) * {lon1 - lon0!r} AS lon,
+           {lat0!r} + (((doc_id * {LAT_MULT}) % {LAT_MOD}) / {float(LAT_MOD)!r}) * {lat1 - lat0!r} AS lat
+    FROM documents
+),
+merc AS (
+    SELECT doc_id,
+           lon * ((6378137.0 * pi()) / 180.0) AS mx,
+           6378137.0 * ln(tan(pi() * 0.25 + 0.5 * (lat * (pi() / 180.0)))) AS my
+    FROM pos
+),
+tl AS (
+    SELECT doc_id, mx, my,
+           least(greatest(floor(((mx + {origin!r}) / {ce!r}) * 256.0), 0.0), 255.0) AS tx,
+           least(greatest(floor((1.0 - ((my + {origin!r}) / {ce!r})) * 256.0), 0.0), 255.0) AS ty
+    FROM merc
+),
+tb AS (  -- tile mercator bounds (geo/tileid.py:44-53)
+    SELECT *, tx * {tile_m!r} - {ce / 2.0!r} AS bxmin,
+              {ce / 2.0!r} - ty * {tile_m!r} AS bymax
+    FROM tl
+),
+win AS (  -- fractional window (geo/window.py:25-39, inverse affine folded)
+    SELECT *, bxmin + {tile_m!r} AS bxmax, bymax - {tile_m!r} AS bymin,
+           bxmin * {ia!r} + {ic!r} AS wx,
+           bymax * {ie!r} + {if_!r} AS wy,
+           (bxmin + {tile_m!r}) * {ia!r} + {ic!r} - (bxmin * {ia!r} + {ic!r}) AS ww,
+           (bymax - {tile_m!r}) * {ie!r} + {if_!r} - (bymax * {ie!r} + {if_!r}) AS wh
+    FROM tb
+),
+pad AS (  -- edge paddings + read window (raster/kernel.py:68-94)
+    SELECT *,
+           {rha(f"({vxmin!r} - bxmin) / abs({a!r} * (ww / 256.0))")} AS padl,
+           {rha(f"(bxmax - {vxmax!r}) / abs({a!r} * (ww / 256.0))")} AS padr,
+           {rha(f"(bymax - {vymax!r}) / abs({e!r} * (wh / 256.0))")} AS padt,
+           {rha(f"({vymin!r} - bymin) / abs({e!r} * (wh / 256.0))")} AS padb,
+           {rha(f"least(greatest(wx, 0.0), {w!r})")} AS x_off,
+           {rha(f"least(greatest(wy, 0.0), {h!r})")} AS y_off,
+           greatest(least(wx + ww, {w!r}), 0.0) AS x_stop,
+           greatest(least(wy + wh, {h!r}), 0.0) AS y_stop
+    FROM win
+),
+geom AS (
+    SELECT *, greatest(padl, 0.0) AS lft, greatest(padt, 0.0) AS top,
+           {rha("256.0 - greatest(padl, 0.0) - greatest(padr, 0.0)")} AS dw,
+           {rha("256.0 - greatest(padt, 0.0) - greatest(padb, 0.0)")} AS dh,
+           floor((x_stop - x_off) + 0.5) AS read_w,
+           floor((y_stop - y_off) + 0.5) AS read_h
+    FROM pad
+),
+px AS (  -- doc's pixel within the tile (pipelines/spatial.py:191-203)
+    SELECT *,
+           least(greatest(floor((mx - bxmin) / ((bxmax - bxmin) / 256.0)), 0.0), 255.0) AS pcol,
+           least(greatest(floor((bymax - my) / ((bxmax - bxmin) / 256.0)), 0.0), 255.0) AS prow
+    FROM geom
+),
+v AS (
+    SELECT *, (read_w > 0 AND read_h > 0 AND dw > 0 AND dh > 0
+               AND pcol >= lft AND pcol < lft + dw
+               AND prow >= top AND prow < top + dh) AS valid
+    FROM px
+),
+src AS (  -- NN decimation to source pixel (raster/kernel.py:33-53)
+    SELECT doc_id, tx, ty, valid,
+           CAST(x_off AS BIGINT) + least(
+             CAST(floor(((pcol - lft) + 0.5) * read_w / greatest(dw, 1.0)) AS BIGINT),
+             CAST(read_w AS BIGINT) - 1) AS sc0,
+           CAST(y_off AS BIGINT) + least(
+             CAST(floor(((prow - top) + 0.5) * read_h / greatest(dh, 1.0)) AS BIGINT),
+             CAST(read_h AS BIGINT) - 1) AS sr0
+    FROM v
+),
+spx AS (SELECT *, greatest(sc0, 0) AS sc, greatest(sr0, 0) AS sr FROM src),
+{hash_ctes}
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 8 AS zoom,
+       CAST(tx AS BIGINT) AS x, CAST(ty AS BIGINT) AS y,
+       CASE WHEN NOT valid THEN NULL
+            WHEN bh % 5 = 0 THEN NULL
+            WHEN bh % 7 = 1 THEN 42
+            ELSE 1 + CAST(ph % 255 AS BIGINT) END AS raster_value
+FROM m3
+"""
+
+
+SQL_RASTER_VECTOR_JOIN_Z8 = _sql_raster_vector_join_z8()
+
+
 def point_in_polygon_docs(sf_dir: str):
     from ..sources.polygons import generate_polygons
     from .spatial import point_in_polygon
@@ -1544,6 +1710,19 @@ def ivf_ann_topk(sf_dir: str):
     return out.select(["query_id", "neighbor_id"])
 
 
+def ivf_ann_topk_exhaustive(sf_dir: str):
+    """IVF with ``nprobe == nlist``: every cell probed, so the result
+    is EXACTLY the brute-force top-k — which is SQL-expressible.  This
+    puts the IVF scoring/merge path itself under the full value-hash
+    oracle (the pruned variants stay rows-only + recall-tested)."""
+    from .ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 4)
+    out = ivf_topk(emb, q, k=5, nlist=8, nprobe=8)
+    return out.select(["query_id", "neighbor_id"])
+
+
 def ivf_ann_topk_indexed(sf_dir: str):
     """The materialized-IVF scale path: build (or reuse) the
     cell-partitioned index under /tmp, answer queries reading only the
@@ -1695,7 +1874,7 @@ QUERIES = {
         render_pyramid_colormap_map,
         SQL_RENDER_PYRAMID_COLORMAP_MAP,
     ),
-    "raster_vector_join_z8": (raster_vector_join_z8, None),
+    "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
     "point_in_polygon_docs": (point_in_polygon_docs, SQL_POINT_IN_POLYGON),
     "point_in_polygon_cells_docs": (point_in_polygon_cells_docs, SQL_POINT_IN_POLYGON),
     "minhash_dedup_docs": (minhash_dedup_docs, None),
@@ -1705,6 +1884,7 @@ QUERIES = {
     "embedding_dedup_exact": (embedding_dedup_exact, SQL_EMBEDDING_DEDUP_EXACT),
     "ivf_ann_topk_indexed": (ivf_ann_topk_indexed, None),
     "ivf_ann_topk": (ivf_ann_topk, None),
+    "ivf_ann_topk_exhaustive": (ivf_ann_topk_exhaustive, SQL_ANN_EMBEDDINGS_TOPK),
     "annotate_docs": (annotate_docs, None),
     "media_features_pipeline": (media_features_pipeline, None),
     "video_frame_sample": (video_frame_sample, None),

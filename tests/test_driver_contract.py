@@ -23,7 +23,10 @@ def db():
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype) == "Int64":  # nullable int ↔ DuckDB NULL-able BIGINT
+            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -44,7 +47,7 @@ def test_every_query_has_callable(ray_session):
 @pytest.mark.parametrize(
     "name",
     ["q1_pricing_summary", "tile_assign_z10", "cell_index_z12", "exact_dedup_docs",
-     "knn_docs_k5", "text_stats"],
+     "knn_docs_k5", "text_stats", "raster_vector_join_z8"],
 )
 def test_oracle_subset(ray_session, db, name):
     qs, sqls = E.queries(), E.oracle_sql()
@@ -62,6 +65,33 @@ def test_oracle_subset(ray_session, db, name):
     assert len(got) == len(want)
     for c in got.columns:
         if str(got[c].dtype).startswith("float"):
-            assert (got[c] - want[c]).abs().max() < 1e-6, c
+            both_na = got[c].isna() & want[c].isna()
+            assert (both_na | ((got[c] - want[c]).abs() < 1e-6)).all(), c
         else:
             assert (got[c].astype(str) == want[c].astype(str)).all(), c
+
+
+def test_sql_mix64_matches_numpy_hash(db):
+    """The 32-bit-split wrapping-multiply SQL evaluation of the
+    synthetic pixel hash (driver_queries._sql_mix64) is bit-identical
+    to raster/synthetic._mix — the primitive that makes the raster
+    join SQL-oracle-able at all."""
+    import numpy as np
+
+    from rastertiler_rs_ray.pipelines.driver_queries import _sql_mix64
+    from rastertiler_rs_ray.raster.synthetic import _mix
+
+    rng = np.random.RandomState(3)
+    gx = rng.randint(0, 1 << 20, 64).astype(np.int64)
+    gy = rng.randint(0, 1 << 20, 64).astype(np.int64)
+    for seed in (42, 43):
+        stages = _sql_mix64("gx", "gy", seed, "h")
+        vals = ",".join(f"({int(a)},{int(b)})" for a, b in zip(gx, gy))
+        sql = f"WITH g(gx, gy) AS (VALUES {vals}), " + ",".join(
+            f"m{i} AS (SELECT *, {s} FROM {p})"
+            for i, (s, p) in enumerate(zip(stages, ["g", "m0", "m1", "m2"]))
+        ) + " SELECT gx, gy, h FROM m3 ORDER BY gx, gy"
+        out = db.execute(sql).df().sort_values(["gx", "gy"])
+        order = np.lexsort((gy, gx))
+        exp = _mix(gx[order], gy[order], seed)
+        assert (out["h"].to_numpy().astype(np.uint64) == exp).all()
