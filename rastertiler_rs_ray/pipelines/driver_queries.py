@@ -1050,6 +1050,49 @@ def approx_distinct_users(sf_dir: str):
     return pa.table({"metric": ["approx_distinct_users"], "estimate": [round(est, 1)]})
 
 
+def _sql_approx_distinct_users(p: int = 12) -> str:
+    """DuckDB mirror of the full HLL path (pipelines/sketch.py): the
+    splitmix64 finalizer via split wrapping multiplies, per-bucket max
+    clz registers, and the alpha/linear-counting estimate.  Register
+    contents are integer-exact on both sides; the estimate differs only
+    in float sum order, absorbed by the shared round(·, 1)."""
+    m = 1 << p
+    tail = 64 - p
+    m64, m32 = 1 << 64, 1 << 32
+    alpha_mm = 0.7213 / (1 + 1.079 / m) * m * m
+
+    def wrapmul(h: str, k: int) -> str:
+        return (
+            f"CAST((CAST({h} AS HUGEINT) * {k & (m32 - 1)}"
+            f" + ((CAST({h} AS HUGEINT) * {k >> 32}) % {m32}) * {m32})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH u AS (SELECT DISTINCT CAST(user_id AS UBIGINT) AS x FROM events),
+s1 AS (SELECT xor(x, x >> 30) AS a FROM u),
+s2 AS (SELECT {wrapmul('a', 0xBF58476D1CE4E5B9)} AS b FROM s1),
+s3 AS (SELECT xor(b, b >> 27) AS c FROM s2),
+s4 AS (SELECT {wrapmul('c', 0x94D049BB133111EB)} AS d FROM s3),
+s5 AS (SELECT xor(d, d >> 31) AS h FROM s4),
+reg AS (
+  SELECT h >> {tail} AS bucket,
+         max({tail} - (CASE WHEN (h & {(1 << tail) - 1}) = 0 THEN 0
+                            ELSE length(bin(h & {(1 << tail) - 1})) END) + 1) AS rho
+  FROM s5 GROUP BY bucket),
+agg AS (SELECT count(*) AS nz, sum(power(2.0, -rho)) AS s FROM reg),
+est AS (
+  SELECT CASE WHEN {alpha_mm!r} / (s + ({m} - nz) * 1.0) <= {2.5 * m!r} AND nz < {m}
+              THEN {m} * ln({float(m)!r} / ({m} - nz))
+              ELSE {alpha_mm!r} / (s + ({m} - nz) * 1.0) END AS e
+  FROM agg)
+SELECT 'approx_distinct_users' AS metric, round(e, 1) AS estimate FROM est
+"""
+
+
+SQL_APPROX_DISTINCT_USERS = _sql_approx_distinct_users()
+
+
 def user_sessions_gap(sf_dir: str):
     """Gap-based session windows (30-min gap), per-event session ids."""
     from .relational import sessionize
@@ -1750,6 +1793,76 @@ def annotate_docs(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens", "quality", "lang_guess", "fingerprint"])
 
 
+def _sql_annotate_docs() -> str:
+    """DuckDB mirror of the TextAnnotator columns (functions/text.py):
+
+    - quality: the exact float expression tree of quality_score
+      (clips via least/greatest, same left-association) — bitwise-equal
+      doubles, no rounding needed;
+    - lang_guess: one regexp count per LANG_PROFILES entry over
+      lower(text), first-max in profile order (np.argmax tie rule);
+    - fingerprint: FNV-1a 64-bit via a recursive CTE over character
+      positions.  The 40-bit FNV prime keeps h*prime < 2^104 inside
+      HUGEINT, so no split-multiply is needed; `unicode(substr(..))`
+      equals the UTF-8 byte because the testdata text is ASCII (the
+      Ray side hashes raw UTF-8 bytes — a non-ASCII corpus would need
+      byte-level access instead).
+    """
+    from ..functions.text import LANG_PROFILES, STOPWORDS
+
+    sw = r"(?i)\b(?:" + "|".join(sorted(STOPWORDS)) + r")\b"
+    langs = list(LANG_PROFILES)
+    lang_counts = ",\n       ".join(
+        "len(regexp_extract_all(lower(text), '\\b(?:"
+        + "|".join(sorted(LANG_PROFILES[lg]))
+        + ")\\b')) AS c_" + lg
+        for lg in langs
+    )
+    gmax = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    pick = " ".join(f"WHEN c_{lg} = {gmax} THEN '{lg}'" for lg in langs)
+    m63, m64 = 1 << 63, 1 << 64
+
+    return f"""
+WITH RECURSIVE fp(doc_id, txt, i, h) AS (
+  SELECT doc_id, text, 1, CAST(14695981039346656037 AS UBIGINT) FROM documents
+  UNION ALL
+  SELECT doc_id, txt, i + 1,
+         CAST((CAST(xor(h, CAST(unicode(substr(txt, i, 1)) AS UBIGINT)) AS HUGEINT)
+               * 1099511628211) % {m64} AS UBIGINT)
+  FROM fp WHERE i <= length(txt)
+),
+fin AS (SELECT doc_id, h FROM fp WHERE i = length(txt) + 1),
+stats AS (
+  SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       length(text) AS n,
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+       len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+       len(regexp_extract_all(text, '{sw}')) AS n_sw,
+       {lang_counts}
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         least(greatest(
+           0.35 * least(greatest(n / 200.0, 0.0), 1.0)
+           + 0.35 * (n_alpha / greatest(n, 1) * 1.0)
+           + 0.2 * least(greatest((n_sw / greatest(n_tokens, 1) * 1.0) * 3, 0.0), 1.0)
+           + 0.1 * (1.0 - least(greatest((n_punct / greatest(n, 1) * 1.0) * 4, 0.0), 1.0)),
+           0.0), 1.0) AS quality,
+         CASE WHEN {gmax} = 0 THEN 'und' {pick} END AS lang_guess
+  FROM stats
+)
+SELECT q.doc_id, n_tokens, quality, lang_guess,
+       CAST(CAST(h AS HUGEINT) - CASE WHEN h >= {m63} THEN {m64} ELSE 0 END AS BIGINT)
+         AS fingerprint
+FROM q JOIN fin ON q.doc_id = fin.doc_id
+"""
+
+
+SQL_ANNOTATE_DOCS = _sql_annotate_docs()
+
+
 def media_features_pipeline(sf_dir: str):
     from ..stages.multimodal import decode_media, extract_media_features, synthesize_media_table
 
@@ -1776,6 +1889,20 @@ def video_frame_sample(sf_dir: str):
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# Independent SQL recomputation of the frame-sampling contract: the
+# synthetic table's frame count (stages/multimodal.py:240) and the
+# FrameSampler's center-of-target index rule (multimodal.py:150-153)
+# are both closed-form, so DuckDB can re-derive first/last of K=4.
+SQL_VIDEO_FRAME_SAMPLE = """
+WITH g AS (SELECT range AS media_id FROM range(256)),
+f AS (SELECT media_id, 8 + (media_id * 11 + 5) % 120 AS nf FROM g)
+SELECT media_id,
+       least(CAST(floor((0.0 + 0.5) * nf / 4.0) AS BIGINT), nf - 1) AS first_frame,
+       least(CAST(floor((3.0 + 0.5) * nf / 4.0) AS BIGINT), nf - 1) AS last_frame
+FROM f
+"""
 
 
 def audio_features_pipeline(sf_dir: str):
@@ -1885,10 +2012,10 @@ QUERIES = {
     "ivf_ann_topk_indexed": (ivf_ann_topk_indexed, None),
     "ivf_ann_topk": (ivf_ann_topk, None),
     "ivf_ann_topk_exhaustive": (ivf_ann_topk_exhaustive, SQL_ANN_EMBEDDINGS_TOPK),
-    "annotate_docs": (annotate_docs, None),
+    "annotate_docs": (annotate_docs, SQL_ANNOTATE_DOCS),
     "media_features_pipeline": (media_features_pipeline, None),
-    "video_frame_sample": (video_frame_sample, None),
+    "video_frame_sample": (video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "audio_features_pipeline": (audio_features_pipeline, None),
-    "approx_distinct_users": (approx_distinct_users, None),
+    "approx_distinct_users": (approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "interleaved_span_check": (interleaved_span_check, None),
 }
