@@ -317,7 +317,10 @@ class MinHasher:
 
     State (hash params) built once per actor (§2.3 pattern); __call__
     vectorizes over the shingle sets with one (num_hashes × shingles)
-    numpy broadcast per doc.
+    numpy broadcast per doc.  A fully batch-flattened reduceat variant
+    was measured 20x SLOWER (a (total_windows × num_hashes) broadcast
+    blows the cache; the per-doc arrays stay L2-resident) — re-measure
+    before "optimizing" this into flattened form again.
     """
 
     def __init__(self, num_hashes: int = 64, shingle_k: int = 5, text_col: str = "text"):
@@ -335,10 +338,6 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # per-doc loop, but each doc's shingling + 64-hash min is one
-        # numpy sliding-window pass — measured FASTER than a fully
-        # batch-flattened reduceat variant (cache-local per-doc arrays,
-        # set-dedup before the 64×|shingles| broadcast)
         texts = batch.column(self.text_col).to_pylist()
         sigs = np.stack(
             [self.signature(char_shingles(t or "", self.k)) for t in texts]
@@ -445,6 +444,17 @@ def minhash_lsh_dedup(
     The full signature rides the band explode (num_hashes×8 B × bands
     per doc) so each bucket verifies its own candidates in
     ``map_groups`` — nothing per-document ever lands on the driver.
+
+    A narrow-explode variant (only (id, bucket) rows shuffle; distinct
+    candidate pairs verified via the ngram/embedding payload-attach
+    path) was MEASURED WORSE at sf0.1 and is not an asymptotic win
+    either: with 4-row bands the candidate set is false-positive
+    dominated (~8 candidate pairs/doc, 400k pairs → 255 verified), so
+    attaching 2×num_hashes×8 B per candidate pair moves the SAME ~8
+    KB/doc the signature ride costs, plus three extra stages (pair
+    dedup shuffle, member scan, attach) — 12.5 s vs 8.2 s warm end to
+    end.  In-bucket verify amortizes false positives at vectorized
+    speed; re-measure candidate density before reviving the variant.
     """
     rows_per_band = num_hashes // bands
     signed = docs.map_batches(
@@ -676,18 +686,29 @@ def _attach_pair_payloads(
             pc.is_in(batch.column(id_col), value_set=ray.get(members_ref))
         )
         # Arrow's hash join rejects list-typed non-key fields — ship
-        # vector payloads as float64 row bytes instead (decoded with
-        # np.frombuffer by the verifier).
-        if pa.types.is_list(t.column(payload_col).type) or pa.types.is_large_list(
-            t.column(payload_col).type
+        # vector payloads as row bytes instead (decoded with
+        # np.frombuffer by the verifier).  Variable-length lists go as
+        # float64 (embedding verify contract); fixed-size lists keep
+        # their native dtype — int64 minhash signatures would corrupt
+        # through a float64 round-trip (53-bit mantissa).
+        ptype = t.column(payload_col).type
+        if (
+            pa.types.is_list(ptype)
+            or pa.types.is_large_list(ptype)
+            or pa.types.is_fixed_size_list(ptype)
         ):
-            col = t.column(payload_col).combine_chunks()
             n = len(t)
-            mat = np.asarray(col.flatten(), dtype=np.float64).reshape(n, -1)
+            if n == 0:
+                rows = pa.array([], pa.binary())
+            else:
+                col = t.column(payload_col).combine_chunks()
+                flat = np.asarray(col.flatten())
+                if not pa.types.is_fixed_size_list(ptype):
+                    flat = flat.astype(np.float64)
+                mat = flat.reshape(n, -1)
+                rows = pa.array([row.tobytes() for row in mat], pa.binary())
             t = t.set_column(
-                t.schema.get_field_index(payload_col),
-                payload_col,
-                pa.array([row.tobytes() for row in mat], pa.binary()),
+                t.schema.get_field_index(payload_col), payload_col, rows
             )
         return t
 
