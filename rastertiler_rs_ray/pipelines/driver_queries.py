@@ -1927,6 +1927,107 @@ def audio_features_pipeline(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def pii_scrub_docs(sf_dir: str):
+    """PII redaction over documents: deterministic PII injection (so the
+    scrub has real spans to remove at every SF), then the map-only
+    RE2-compatible PIIScrubber actor stage; oracled byte-for-byte by
+    chained ``regexp_replace(..., 'g')``."""
+    from .textstats import pii_scrub
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch.column("doc_id").to_numpy()
+        s = batch.column("text").to_pandas()
+        sid = pd.Series(ids.astype(str))
+        ip = pd.Series((ids % 256).astype(str))
+        suffix = pd.Series(
+            np.where(
+                ids % 3 == 0,
+                " contact user" + sid + "@example.com from 10." + ip + ".0.1",
+                np.where(ids % 3 == 1, " call 555-123-4567", ""),
+            )
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(s + suffix, pa.string())}
+        )
+
+    out = pii_scrub(docs.map_batches(inject, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "clean_text", "had_pii"]), batch_format="pyarrow"
+    )
+
+
+SQL_PII_SCRUB_DOCS = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || doc_id || '@example.com from 10.' || (doc_id % 256) || '.0.1'
+                      WHEN doc_id % 3 = 1 THEN ' call 555-123-4567'
+                      ELSE '' END AS text
+  FROM documents),
+c AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean_text
+  FROM d)
+SELECT doc_id, clean_text, clean_text <> text AS had_pii FROM c
+"""
+
+
+def tfidf_top_terms_docs(sf_dir: str):
+    """Per-doc top TF-IDF term via the two-pass broadcast-IDF stage."""
+    from .textstats import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.word,
+             tf.tf * ln(((SELECT n FROM n) * 1.0) / df.df) AS score
+      FROM tf JOIN df USING (word))
+SELECT doc_id, word AS top_term, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_e4
+FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) = 1
+"""
+
+
+_MIX_WEIGHTS = {"en": 1.5, "zh": 0.25, "es": 1.0, "de": 0.5, "fr": 2.0}
+
+
+def mix_corpora_by_lang(sf_dir: str):
+    """Training-mix construction: per-lang sampling ratios (epochs +
+    fractional hash membership), map-only."""
+    from .textstats import mix_corpora
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return mix_corpora(docs, _MIX_WEIGHTS)
+
+
+SQL_MIX_CORPORA_BY_LANG = """
+WITH w(lang, base, frac_milli) AS (
+  VALUES ('en', 1, 500), ('zh', 0, 250), ('es', 1, 0), ('de', 0, 500), ('fr', 2, 0)),
+c AS (
+  SELECT d.doc_id, d.lang, d.source,
+         w.base + CASE WHEN (d.doc_id * 2654435761) % 1000 < w.frac_milli
+                       THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN w ON d.lang = w.lang)
+SELECT doc_id, lang, source, t.r AS copy_idx
+FROM c CROSS JOIN range(0, 4) t(r)
+WHERE t.r < n_copies
+"""
+
+
 def interleaved_span_check(sf_dir: str):
     """Interleaved-doc invariant pipeline: generate docs, run the cell
     encoder, verify span sequences survive, return (doc_id, cell_ok)."""
@@ -1985,6 +2086,9 @@ QUERIES = {
     "embedding_label_centroids": (embedding_label_centroids, SQL_EMBEDDING_LABEL_CENTROIDS),
     "text_stats": (text_stats, SQL_TEXT_STATS),
     "token_totals_by_lang": (token_totals_by_lang, SQL_TOKEN_TOTALS_BY_LANG),
+    "pii_scrub_docs": (pii_scrub_docs, SQL_PII_SCRUB_DOCS),
+    "tfidf_top_terms": (tfidf_top_terms_docs, SQL_TFIDF_TOP_TERMS),
+    "mix_corpora_by_lang": (mix_corpora_by_lang, SQL_MIX_CORPORA_BY_LANG),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "tile_assign_z10": (tile_assign_z10, SQL_TILE_ASSIGN_Z10),
     "tile_counts_z10": (tile_counts_z10, SQL_TILE_COUNTS_Z10),

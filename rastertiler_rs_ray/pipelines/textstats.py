@@ -96,6 +96,176 @@ def word_counts(docs: ray.data.Dataset, *, text_col: str = "text") -> ray.data.D
     )
 
 
+class PIIScrubber:
+    """Actor-pool stage: redact email / IPv4 / phone-shaped spans from a
+    text column, appending ``had_pii``.
+
+    Patterns are compiled once per actor (§2.3 stateful-stage pattern)
+    and kept RE2-compatible (no lookaround) so a SQL engine's
+    ``regexp_replace(..., 'g')`` reproduces the output byte-for-byte —
+    parity is pinned by the pii_scrub oracle query.  Redaction is the
+    canonical pre-training cleanup stage: map-only, zero shuffle, and
+    trivially resumable at 100 TB.
+    """
+
+    PATTERNS: list[tuple[str, str]] = [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+        (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ]
+
+    def __init__(self, text_col: str = "text", out_col: str = "clean_text"):
+        import re
+
+        self.text_col = text_col
+        self.out_col = out_col
+        self.compiled = [(re.compile(p), r) for p, r in self.PATTERNS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column(self.text_col).to_pandas().fillna("")
+        clean = s
+        for pat, repl in self.compiled:
+            clean = clean.str.replace(pat, repl, regex=True)
+        out = batch.append_column(self.out_col, pa.array(clean, pa.string()))
+        return out.append_column(
+            "had_pii", pa.array((clean != s).to_numpy(), pa.bool_())
+        )
+
+
+def pii_scrub(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    return docs.map_batches(
+        PIIScrubber,
+        fn_constructor_kwargs=dict(text_col=text_col, out_col=out_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-doc highest-TF-IDF term (ties → lexicographically smallest).
+
+    Same two-pass broadcast-state shape as ``unigram_logprob_scores``:
+    pass 1 aggregates document frequency from map-side unique-per-doc
+    partials (the exchange is vocab-sized, never token-rows); the tiny
+    IDF table broadcasts once via ``ray.put``; pass 2 scores each doc
+    with one explode + vectorized ``Series.map`` + per-doc argmax.
+    ``score_e4`` is the scaled-integer form (``floor(score·10⁴+0.5)``,
+    non-negative scores) so the oracle compare is ulp-robust.
+    """
+    import ray as _ray
+
+    from .relational import grouped_aggregate
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.findall(r"\S+")
+        if not len(df):
+            return pd.DataFrame({"word": pd.Series([], dtype=str), "df": pd.Series([], dtype=np.int64)})
+        ex = pd.DataFrame(
+            {
+                "doc": df[id_col].to_numpy().repeat(toks.str.len().to_numpy()),
+                "word": np.concatenate([np.asarray(t, dtype=object) for t in toks]),
+            }
+        )
+        vc = ex.drop_duplicates()["word"].value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str), "df": vc.to_numpy()})
+
+    dfreq = grouped_aggregate(
+        docs.map_batches(df_partial, batch_format="pandas"), ["word"], [("df", "df", "sum")]
+    ).to_pandas()
+    n_docs = float(docs.count())
+    idf = pd.Series(
+        np.log(n_docs / dfreq["df"].to_numpy(dtype=np.float64)),
+        index=dfreq["word"].astype(str),
+    )
+    ref = _ray.put(idf)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = _ray.get(ref)
+        toks = df[text_col].str.findall(r"\S+")
+        if not len(df):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64), "top_term": pd.Series([], dtype=str),
+                 "score_e4": pd.Series([], dtype=np.int64)}
+            )
+        g = (
+            pd.DataFrame(
+                {
+                    "doc": df[id_col].to_numpy().repeat(toks.str.len().to_numpy()),
+                    "word": np.concatenate([np.asarray(t, dtype=object) for t in toks]),
+                }
+            )
+            .groupby(["doc", "word"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["score"] = g["tf"].to_numpy(dtype=np.float64) * g["word"].map(tbl).to_numpy(
+            dtype=np.float64
+        )
+        g = g.sort_values(
+            ["doc", "score", "word"], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates("doc", keep="first")
+        return pd.DataFrame(
+            {
+                id_col: g["doc"].to_numpy(),
+                "top_term": g["word"].astype(str).to_numpy(),
+                # floor(x+0.5) == SQL round() for the non-negative scores
+                "score_e4": np.floor(g["score"].to_numpy() * 1e4 + 0.5).astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def mix_corpora(
+    docs: ray.data.Dataset,
+    weights: dict[str, float],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    mult: int = 2654435761,
+) -> ray.data.Dataset:
+    """Deterministic training-mix construction: per ``group_col`` value,
+    repeat each doc ``floor(w)`` times plus one more with probability
+    ``frac(w)`` (decided by the same ``(id·mult) % 1000`` hash family as
+    ``hash_sample`` — reproducible, resumable, and SQL-mirrorable).
+    Output rows gain a ``copy_idx`` column (0-based repeat index).
+
+    This is the sampling-ratio corpus mixing of large-scale LM data
+    recipes ("N epochs of corpus A, 0.3 of corpus B") as a map-only
+    stage: no shuffle, groups absent from ``weights`` drop out, and the
+    fractional hash decides membership identically on every run.
+    """
+    base = {k: int(np.floor(w)) for k, w in weights.items()}
+    frac_milli = {k: int(round((w - np.floor(w)) * 1000)) for k, w in weights.items()}
+
+    def expand(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_pandas()
+        ids = batch.column(id_col).to_numpy().astype(np.int64, copy=False)
+        b = g.map(base).fillna(0).to_numpy(dtype=np.int64)
+        fm = g.map(frac_milli).fillna(0).to_numpy(dtype=np.int64)
+        extra = ((ids * np.int64(mult)) % np.int64(1000) < fm).astype(np.int64)
+        known = g.map(lambda x: x in base).to_numpy(dtype=bool)
+        copies = np.where(known, b + extra, 0)
+        take = np.repeat(np.arange(len(batch), dtype=np.int64), copies)
+        out = batch.take(pa.array(take))
+        # 0..copies-1 per source row, vectorized: global arange minus
+        # each row's segment start
+        starts = np.repeat(np.cumsum(copies) - copies, copies)
+        copy_idx = np.arange(len(take), dtype=np.int64) - starts
+        return out.append_column("copy_idx", pa.array(copy_idx))
+
+    return docs.map_batches(expand, batch_format="pyarrow")
+
+
 def unigram_logprob_scores(
     docs: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

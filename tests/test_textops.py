@@ -205,3 +205,84 @@ def test_audio_resample_deterministic_and_featured(ray_session):
     # real codec path stays gated
     with pytest.raises(NotImplementedError):
         AudioResampler(fake=False)._decode(b"xx", 100)
+
+
+def test_pii_scrubber_redacts_and_flags(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import pii_scrub
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail bob.smith+x@corp.example.co.uk soon",
+                    "host 192.168.0.17 rebooted",
+                    "dial 555-123-4567 or 555.987.6543",
+                    "nothing sensitive here",
+                ]
+            ),
+        }
+    )
+    out = (
+        pii_scrub(ray.data.from_arrow(rows), concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == [
+        "mail <EMAIL> soon",
+        "host <IP> rebooted",
+        "dial <PHONE> or <PHONE>",
+        "nothing sensitive here",
+    ]
+    assert out["had_pii"].tolist() == [True, True, True, False]
+    # original text column preserved alongside
+    assert out["text"][0].startswith("mail bob.smith")
+
+
+def test_tfidf_top_terms_matches_pandas_oracle(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import tfidf_top_terms
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    got = tfidf_top_terms(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[["doc_id", "text"]]
+    toks = pdf.set_index("doc_id")["text"].str.findall(r"\S+").explode().rename("word")
+    ex = toks.reset_index()
+    n_docs = float(len(pdf))
+    dfreq = ex.drop_duplicates().groupby("word").size()
+    idf = np.log(n_docs / dfreq.astype(np.float64))
+    tf = ex.groupby(["doc_id", "word"]).size().reset_index(name="tf")
+    tf["score"] = tf["tf"].astype(np.float64) * tf["word"].map(idf).to_numpy()
+    tf = tf.sort_values(["doc_id", "score", "word"], ascending=[True, False, True], kind="mergesort")
+    want = tf.drop_duplicates("doc_id", keep="first").reset_index(drop=True)
+
+    assert len(got) == len(want) == len(pdf)
+    assert got["top_term"].tolist() == want["word"].tolist()
+    assert got["score_e4"].tolist() == np.floor(want["score"].to_numpy() * 1e4 + 0.5).astype(np.int64).tolist()
+
+
+def test_mix_corpora_copies_and_determinism(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import mix_corpora
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {"en": 1.5, "zh": 0.25, "es": 1.0, "de": 0.5, "fr": 2.0}
+    out = mix_corpora(docs, weights).to_pandas()
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[["doc_id", "lang"]]
+    base = {k: int(np.floor(w)) for k, w in weights.items()}
+    fm = {k: int(round((w - np.floor(w)) * 1000)) for k, w in weights.items()}
+    ids = pdf["doc_id"].to_numpy().astype(np.int64)
+    extra = (ids * np.int64(2654435761)) % 1000 < pdf["lang"].map(fm).to_numpy(dtype=np.int64)
+    want_copies = pdf["lang"].map(base).to_numpy(dtype=np.int64) + extra.astype(np.int64)
+
+    got_counts = out.groupby("doc_id").size().reindex(pdf["doc_id"], fill_value=0).to_numpy()
+    assert (got_counts == want_copies).all()
+    # fr weight 2.0 → exactly two copies of every fr doc, copy_idx 0 and 1
+    fr = out[out["lang"] == "fr"]
+    assert set(fr["copy_idx"]) == {0, 1}
+    # deterministic across runs
+    out2 = mix_corpora(docs, weights).to_pandas()
+    a = out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    assert a.equals(b)
