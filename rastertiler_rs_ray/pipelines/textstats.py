@@ -253,7 +253,7 @@ def mix_corpora(
         b = g.map(base).fillna(0).to_numpy(dtype=np.int64)
         fm = g.map(frac_milli).fillna(0).to_numpy(dtype=np.int64)
         extra = ((ids * np.int64(mult)) % np.int64(1000) < fm).astype(np.int64)
-        known = g.map(lambda x: x in base).to_numpy(dtype=bool)
+        known = g.isin(base).to_numpy(dtype=bool)
         copies = np.where(known, b + extra, 0)
         take = np.repeat(np.arange(len(batch), dtype=np.int64), copies)
         out = batch.take(pa.array(take))
