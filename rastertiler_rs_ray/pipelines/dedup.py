@@ -65,38 +65,57 @@ from ..functions.text import _FP_BASE, _FP_OFF, char_shingles, word_ngrams
 # ---------------------------------------------------------------- exact
 
 
+def _adaptive_shards(ds: ray.data.Dataset, *, floor: int = 64) -> tuple[ray.data.Dataset, int]:
+    """Materialize ``ds`` and derive a shard count targeting
+    ``_TARGET_SHARD_BYTES`` per ``map_groups`` group, so one group holds
+    a bounded slice of the data instead of a fixed 1/64 of the corpus
+    (which OOMs a worker at cluster scale).  The shuffle that follows
+    pays the materialization cost anyway; the object store spills."""
+    ds = ds.materialize()
+    return ds, max(floor, int(ds.size_bytes() // _TARGET_SHARD_BYTES))
+
+
+_TARGET_SHARD_BYTES = 256 << 20
+
+
 def exact_dedup(
     docs: ray.data.Dataset,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_shards: int = 64,
+    num_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Keep the min-id row per exact (whitespace-normalized) text.
 
     Content hashes are nearly unique (most documents are NOT
     duplicates), so ``groupby(hash).map_groups`` would pay one Python
     call per distinct document.  Instead the shuffle co-locates rows by
-    hash(content) into ``num_shards`` coarse shards — equal hashes
-    still land together — and each shard elects winners with one
-    vectorized pandas ``groupby(hash).idxmin`` pass.
+    hash(content) into coarse shards — equal hashes still land
+    together — and each shard elects winners with one vectorized
+    pandas ``groupby(hash).idxmin`` pass.  ``num_shards`` defaults to
+    size-adaptive (~256 MB of rows per shard).
     """
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        s = batch.column(text_col).to_pandas().fillna("")
-        norm = s.str.split().str.join(" ")
-        h = pd.util.hash_array(norm.to_numpy(dtype=object)).astype(np.int64)
-        return batch.append_column("__content_hash", pa.array(h)).append_column(
-            "__cshard", pa.array(h % num_shards)
-        )
+    def add_hash(shards: int):
+        def f(batch: pa.Table) -> pa.Table:
+            s = batch.column(text_col).to_pandas().fillna("")
+            norm = s.str.split().str.join(" ")
+            h = pd.util.hash_array(norm.to_numpy(dtype=object)).astype(np.int64)
+            return batch.append_column("__content_hash", pa.array(h)).append_column(
+                "__cshard", pa.array(h % shards)
+            )
+
+        return f
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["__content_hash", id_col], kind="mergesort")
         g = g.drop_duplicates("__content_hash", keep="first")
         return g.drop(columns=["__content_hash", "__cshard"])
 
+    if num_shards is None:
+        docs, num_shards = _adaptive_shards(docs)
     return (
-        docs.map_batches(add_hash, batch_format="pyarrow")
+        docs.map_batches(add_hash(num_shards), batch_format="pyarrow")
         .groupby("__cshard")
         .map_groups(keep_min, batch_format="pandas")
     )
@@ -386,7 +405,7 @@ def _apply_per_bucket(
     per_bucket,
     id_type: pa.DataType,
     *,
-    num_shards: int = 64,
+    num_shards: int | None = None,
 ) -> ray.data.Dataset:
     """Run ``per_bucket(bucket_table) -> pairs`` over every multi-member
     ``__bucket`` group WITHOUT one map_groups call per bucket.
@@ -394,11 +413,15 @@ def _apply_per_bucket(
     LSH bucket keys are nearly unique (most buckets hold one doc), so a
     ``groupby(__bucket).map_groups`` pays one Python call per bucket —
     one per DOCUMENT×band at scale.  Instead the shuffle groups by
-    hash(bucket) into ``num_shards`` coarse shards; inside a shard one
-    sort + run-length slicing visits only the multi-member buckets
-    (exactly the candidate-bearing ones), so Python call count tracks
-    candidates, not corpus size.
+    hash(bucket) into coarse shards; inside a shard one sort +
+    run-length slicing visits only the multi-member buckets (exactly
+    the candidate-bearing ones), so Python call count tracks
+    candidates, not corpus size.  ``num_shards`` defaults to
+    size-adaptive so a shard group stays ~256 MB regardless of corpus
+    size.
     """
+    if num_shards is None:
+        buckets, num_shards = _adaptive_shards(buckets)
 
     def shard(batch: pa.Table) -> pa.Table:
         b = batch.column("__bucket").to_numpy()
@@ -687,10 +710,11 @@ def _attach_pair_payloads(
         )
         # Arrow's hash join rejects list-typed non-key fields — ship
         # vector payloads as row bytes instead (decoded with
-        # np.frombuffer by the verifier).  Variable-length lists go as
-        # float64 (embedding verify contract); fixed-size lists keep
-        # their native dtype — int64 minhash signatures would corrupt
-        # through a float64 round-trip (53-bit mantissa).
+        # np.frombuffer by the verifier).  Float-valued lists (any
+        # layout, incl. fixed_size_list<float32>) go as float64 — the
+        # embedding verifier decodes float64 unconditionally; integer
+        # lists keep their native dtype, since int64 minhash signatures
+        # would corrupt through a float64 round-trip (53-bit mantissa).
         ptype = t.column(payload_col).type
         if (
             pa.types.is_list(ptype)
@@ -703,7 +727,7 @@ def _attach_pair_payloads(
             else:
                 col = t.column(payload_col).combine_chunks()
                 flat = np.asarray(col.flatten())
-                if not pa.types.is_fixed_size_list(ptype):
+                if not np.issubdtype(flat.dtype, np.integer):
                     flat = flat.astype(np.float64)
                 mat = flat.reshape(n, -1)
                 rows = pa.array([row.tobytes() for row in mat], pa.binary())
@@ -820,8 +844,9 @@ def ngram_jaccard_dedup(
         return pa.table({id_col: pa.concat_arrays(out_ids), "__bucket": pa.concat_arrays(out_buckets)})
 
     buckets = signed.map_batches(explode, batch_format="pyarrow")
+    id_type = _col_type(docs, id_col)
     pairs = _candidate_pairs_from_buckets(
-        buckets, id_col, max_bucket=max_bucket, id_type=_col_type(docs, id_col)
+        buckets, id_col, max_bucket=max_bucket, id_type=id_type
     )
     with_texts = _attach_pair_payloads(pairs, docs, id_col=id_col, payload_col=text_col)
 
@@ -830,6 +855,11 @@ def ngram_jaccard_dedup(
     else:
 
         def verify(batch: pa.Table) -> pa.Table:
+            # the >broadcast-limit join fallback emits zero-row blocks
+            # with EMPTY schemas (see _uf_over_tables) — skip them with
+            # the pair id type preserved
+            if "u" not in batch.schema.names or len(batch) == 0:
+                return _empty_pairs(id_type)
             keep = []
             tu = batch.column("__payload_u").to_pylist()
             tv = batch.column("__payload_v").to_pylist()
@@ -887,8 +917,9 @@ def embedding_cosine_dedup(
         return pa.table({id_col: pa.concat_arrays(out_ids), "__bucket": pa.concat_arrays(out_codes)})
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+    id_type = _col_type(ds, id_col)
     pairs = _candidate_pairs_from_buckets(
-        buckets, id_col, max_bucket=max_bucket, id_type=_col_type(ds, id_col)
+        buckets, id_col, max_bucket=max_bucket, id_type=id_type
     )
     with_vecs = _attach_pair_payloads(pairs, ds, id_col=id_col, payload_col=vec_col)
 
@@ -897,9 +928,8 @@ def embedding_cosine_dedup(
     else:
 
         def verify(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            if n == 0 or "u" not in batch.schema.names:
-                return _empty_pairs(pa.int64() if n == 0 else batch.column("u").type)
+            if "u" not in batch.schema.names or len(batch) == 0:
+                return _empty_pairs(id_type)
             va = np.stack(
                 [np.frombuffer(b, dtype=np.float64) for b in batch.column("__payload_u").to_pylist()]
             )

@@ -103,19 +103,6 @@ def plan_zoom_groups(
     return groups
 
 
-def _dedup_hash_in_batch(batch: pa.Table) -> pa.Table:
-    """Map-side partial dedup: keep first row per tile_hash within a batch
-    (shrinks the shuffle for the global images dedup; G5 skew note in
-    SURVEY.md §7.6: the all-equal/constant-tile hash is hot)."""
-    hashes = batch.column("tile_hash").to_numpy()
-    _, first_idx = np.unique(hashes, return_index=True)
-    return batch.take(pa.array(np.sort(first_idx)))
-
-
-def _keep_first_group(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
-
-
 def render_pyramid(
     raster,  # any raster/kernel.TileReadMixin source (synthetic, GeoTIFF, warp)
     out_dir: str,

@@ -668,6 +668,11 @@ def _bucket_corpus_by_cell(
     encoded.map_batches(keyed, batch_format="pyarrow").write_parquet(
         scratch_dir, partition_cols=["__pcell"]
     )
+    import json
+    import os
+
+    with open(os.path.join(scratch_dir, "_knn_bucket_meta.json"), "w") as f:
+        json.dump({"level": int(level), "parent_level": int(parent_level)}, f)
 
 
 def knn_cell_join(
@@ -686,7 +691,11 @@ def knn_cell_join(
     The corpus is bucketed ONCE into a narrow Parquet layout
     hive-partitioned by the parent cell at ``parent_level`` (one
     corpus pass; at 100 TB this materialization is the spatial index
-    and is reused across queries).  Round r then reads ONLY the
+    and is reused across queries).  A reused ``scratch_dir`` is
+    validated against its recorded (level, parent_level) — a mismatch
+    raises rather than silently gathering nothing; pointing it at a
+    DIFFERENT corpus than ``encoded`` remains the caller's contract.
+    Round r then reads ONLY the
     partitions whose parent cell intersects some live query's
     Chebyshev-radius ring — partition pruning, not a corpus rescan.
     A query's answer is final when its k-th distance is smaller than
@@ -720,6 +729,26 @@ def knn_cell_join(
             d.startswith("__pcell=") for d in _os.listdir(scratch_dir)
         ):
             _bucket_corpus_by_cell(encoded, level, scratch_dir, parent_level)
+        else:
+            # a pre-bucketed scratch keyed at a different level would
+            # silently match nothing — refuse instead of returning
+            # empty neighbors (corpus identity remains the caller's
+            # responsibility, documented above)
+            import json as _json
+
+            meta_path = _os.path.join(scratch_dir, "_knn_bucket_meta.json")
+            if not _os.path.isfile(meta_path):
+                raise ValueError(
+                    f"scratch_dir {scratch_dir!r} has __pcell= partitions but no "
+                    "_knn_bucket_meta.json — not produced by knn_cell_join"
+                )
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            if meta != {"level": int(level), "parent_level": int(parent_level)}:
+                raise ValueError(
+                    f"scratch_dir {scratch_dir!r} was bucketed with {meta}, "
+                    f"but this call uses level={level} parent_level={parent_level}"
+                )
         all_parts = sorted(
             d for d in _os.listdir(scratch_dir) if d.startswith("__pcell=")
         )

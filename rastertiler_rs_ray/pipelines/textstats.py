@@ -165,6 +165,10 @@ def tfidf_top_terms(
 
     from .relational import grouped_aggregate
 
+    # consumed three times (DF aggregate, count, scoring) — pin the
+    # upstream pipeline's output once instead of re-executing it
+    docs = docs.materialize()
+
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.findall(r"\S+")
         if not len(df):

@@ -190,8 +190,17 @@ class GeoTiffRaster(TileReadMixin):
     def __init__(self, path: str, *, disable_overviews: bool = False, cache_chunks: int = 256):
         self.path = path
         self.disable_overviews = bool(disable_overviews)
-        with open(path, "rb") as f:
-            self._data = f.read()
+        # mmap, not read(): every TileRenderer actor opens its own
+        # GeoTiffRaster, so a full read() would duplicate the file in
+        # each actor's heap — the mapping shares one page-cached copy
+        # and chunk decodes slice only the bytes they touch.
+        import mmap
+
+        self._file = open(path, "rb")
+        try:
+            self._data = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # zero-length or mmap-less fs
+            self._data = self._file.read()
         bo, ifds = _read_ifds(self._data)
         if not ifds:
             raise ValueError(f"{path}: no IFDs")

@@ -224,3 +224,40 @@ def test_exact_dedup_shard_invariance(ray_session):
     a = exact_dedup(ray.data.from_arrow(tbl).repartition(1), num_shards=1)
     b = exact_dedup(ray.data.from_arrow(tbl).repartition(5), num_shards=17)
     assert set(a.to_pandas()["doc_id"]) == set(b.to_pandas()["doc_id"]) == {0, 3, 4, 5, 6, 7}
+
+
+def test_embedding_dedup_fixed_size_list(ray_session):
+    """Regression: fixed_size_list<float32> embeddings must round-trip the
+    pair-payload attach as float64 row bytes (the verifier decodes float64
+    unconditionally) — an earlier version shipped them as float32 bytes,
+    corrupting every decoded vector."""
+    rng = np.random.RandomState(1)
+    base = rng.standard_normal((15, 8)).astype(np.float32)
+    vecs = np.concatenate([base, base[:2] + np.float32(0.005)])  # 15,16 ~ 0,1
+    flat = pa.array(vecs.reshape(-1))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(17), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(flat, 8),
+        }
+    )
+    out = embedding_cosine_dedup(ray.data.from_arrow(tbl), threshold=0.98)
+    ids = set(out.to_pandas()["vec_id"])
+    assert 0 in ids and 15 not in ids
+    assert 1 in ids and 16 not in ids
+    assert len(ids) == 15
+
+
+def test_adaptive_shards_scale_with_size(ray_session):
+    """num_shards defaults to ~256 MB per shard with a floor, so a group
+    never holds a fixed 1/64 of an arbitrarily large corpus."""
+    from rastertiler_rs_ray.pipelines.dedup import _TARGET_SHARD_BYTES, _adaptive_shards
+
+    small = ray.data.from_arrow(_doc_table())
+    _, n_small = _adaptive_shards(small, floor=8)
+    assert n_small == 8  # tiny input hits the floor
+    est = small.materialize().size_bytes()
+    expected = max(8, int((est * 3) // _TARGET_SHARD_BYTES))
+    big = small.union(small).union(small)
+    _, n_big = _adaptive_shards(big, floor=8)
+    assert n_big == expected

@@ -357,3 +357,48 @@ def test_knn_cell_join_finalizes_at_max_rounds(ray_session):
     for qid in range(len(qpts)):
         got = out[out.query_id == qid]
         assert len(got) > 0, f"query {qid} returned no rows after max_rounds"
+
+
+def test_knn_cell_join_scratch_dir_validation(ray_session, tmp_path):
+    """A reused scratch_dir bucketed at a different (level, parent_level)
+    must raise instead of silently matching zero partitions; the same
+    parameters reuse the bucketed layout without re-bucketing."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pytest as _pytest
+
+    from rastertiler_rs_ray.geo.mercator import geo_to_mercator
+    from rastertiler_rs_ray.pipelines.driver_queries import synthetic_positions_dataset
+    from rastertiler_rs_ray.pipelines.spatial import knn_cell_join
+
+    pos = synthetic_positions_dataset(2000)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("doc_id")
+        return batch.set_column(i, "doc_id", pc.cast(batch.column("doc_id"), pa.string()))
+
+    enc = pos.map_batches(stringify, batch_format="pyarrow").materialize()
+    qx, qy = geo_to_mercator(np.array([-122.4]), np.array([37.7]))
+    qpts = np.stack([qx, qy], axis=1)
+    scratch = str(tmp_path / "knn_cells")
+
+    first = knn_cell_join(enc, qpts, k=3, level=6, scratch_dir=scratch)
+    assert len(first) == 3
+    meta = os.path.join(scratch, "_knn_bucket_meta.json")
+    assert os.path.isfile(meta)
+
+    # reuse with the same parameters: no re-bucketing, same answer
+    mtime = os.path.getmtime(meta)
+    again = knn_cell_join(enc, qpts, k=3, level=6, scratch_dir=scratch)
+    assert os.path.getmtime(meta) == mtime
+    assert set(again["doc_id"]) == set(first["doc_id"])
+
+    with _pytest.raises(ValueError, match="bucketed with"):
+        knn_cell_join(enc, qpts, k=3, level=7, scratch_dir=scratch)
+
+    os.remove(meta)
+    with _pytest.raises(ValueError, match="_knn_bucket_meta"):
+        knn_cell_join(enc, qpts, k=3, level=6, scratch_dir=scratch)
