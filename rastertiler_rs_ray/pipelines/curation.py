@@ -1,0 +1,245 @@
+"""Training-data curation operators: decontamination, sequence packing,
+and repetition-based quality stats.
+
+These are the corpus-preparation stages that sit between the cleanup
+ops (``textstats``: annotate / scrub / mix) and the dedup families
+(``dedup``): drop eval-set leakage, pack documents into fixed-capacity
+training sequences, and score repetition so downstream filters can cut
+degenerate documents (the Gopher-style rules).
+
+Scale contracts (100 TB):
+
+- ``ngram_contamination`` is the canonical decontamination shape: the
+  EVAL side is small by definition (benchmark suites are MBs), so its
+  distinct n-gram set is collected once, broadcast via ``ray.put``, and
+  the unbounded TRAIN side is probed map-only — zero shuffle, fully
+  resumable.
+- ``pack_sequences`` packs greedily WITHIN doc-id shards: packing is
+  inherently sequential, so the global problem is sharded into
+  independent bounded groups (one ``map_groups`` call each, Python loop
+  bounded by ``shard_size``, not corpus size) — the same contract real
+  pre-training pipelines use (pack per input file/shard).
+- ``repetition_stats`` is per-document and batch-local: tokens explode
+  inside the map task and aggregate back to one row per doc before the
+  batch leaves the worker — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_TOKEN_RE = r"\S+"
+
+
+def _flat_tokens(s: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Explode whitespace tokens of a text Series.
+
+    Returns (tokens, doc_pos, doc_lens): flat object array of tokens,
+    the positional doc index of each token, and tokens-per-doc.  All
+    numpy/pandas kernels — no per-row Python loop.
+    """
+    toks = s.fillna("").str.findall(_TOKEN_RE)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64), lens
+    ex = toks.explode().dropna()
+    flat = ex.to_numpy(dtype=object)
+    pos = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+    return flat, pos, lens
+
+
+def _ngram_strings(flat: np.ndarray, pos: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Join-with-space n-grams over the flat token array, masked so no
+    gram crosses a document boundary.  Returns (grams, gram_doc_pos)."""
+    if len(flat) < n:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    valid = pos[: len(pos) - n + 1] == pos[n - 1 :]
+    grams = flat[: len(flat) - n + 1][valid]
+    for j in range(1, n):
+        grams = grams + " "
+        grams = grams + flat[j : len(flat) - n + 1 + j][valid]
+    return grams, pos[: len(pos) - n + 1][valid]
+
+
+# ------------------------------------------------------------ contamination
+
+
+def ngram_contamination(
+    train: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    *,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Train/eval decontamination: (id, n_hits) for every TRAIN document
+    that shares at least one word ``n``-gram with the EVAL corpus.
+
+    ``n_hits`` counts contaminated gram POSITIONS in the train doc
+    (duplicates counted), so filters can threshold on overlap mass,
+    not just membership.
+
+    The eval side's distinct gram set is aggregated per block map-side,
+    union'd on the driver (eval sets are small — this is the
+    decontamination contract, mirrored from the broadcast side of
+    ``relational.broadcast_semi_join``), and shipped once via
+    ``ray.put``; the train scan is map-only.
+    """
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        flat, pos, _ = _flat_tokens(batch.column(text_col).to_pandas())
+        grams, _ = _ngram_strings(flat, pos, n)
+        return pa.table({"ng": pa.array(pd.unique(grams), pa.string())})
+
+    gram_blocks = eval_ds.select_columns([text_col]).map_batches(
+        eval_grams, batch_format="pyarrow"
+    )
+    gram_set = pd.unique(gram_blocks.to_pandas()["ng"].to_numpy(dtype=object))
+    gram_ref = ray.put(pd.Index(gram_set))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        idx: pd.Index = ray.get(gram_ref)
+        flat, pos, _ = _flat_tokens(batch.column(text_col).to_pandas())
+        grams, gpos = _ngram_strings(flat, pos, n)
+        if not len(grams):
+            return pa.table(
+                {id_col: pa.array([], batch.column(id_col).type), "n_hits": pa.array([], pa.int64())}
+            )
+        hit = pd.Series(grams).isin(idx).to_numpy()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hits_per_doc = np.bincount(gpos[hit], minlength=len(ids))
+        keep = hits_per_doc > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], batch.column(id_col).type),
+                "n_hits": pa.array(hits_per_doc[keep], pa.int64()),
+            }
+        )
+
+    return train.select_columns([id_col, text_col]).map_batches(probe, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ packing
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    *,
+    capacity: int = 256,
+    shard_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Greedy first-fit sequence packing: assign each document (in
+    ``id_col`` order within a shard of ``shard_size`` consecutive ids)
+    to a training sequence of token ``capacity``; a document that does
+    not fit the open sequence starts a new one (even when it alone
+    exceeds ``capacity``).
+
+    Output: (id, seq_id, seq_offset, n_tokens) with
+    ``seq_id = shard * 1_000_000 + local_seq`` and ``seq_offset`` the
+    token offset of the doc inside its sequence.
+
+    Shards pack independently (the map_groups parallelism unit); the
+    per-group greedy loop is O(shard_size) — bounded by a constant, not
+    the corpus.  Requires an integer ``id_col``.
+    """
+
+    def add_meta(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        nt = s.fillna("").str.count(_TOKEN_RE).to_numpy(dtype=np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "__pshard": pa.array(ids // shard_size, pa.int64()),
+            }
+        )
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort")
+        nt = g["n_tokens"].to_numpy()
+        seq_local = np.zeros(len(g), dtype=np.int64)
+        offset = np.zeros(len(g), dtype=np.int64)
+        fill = 0
+        seq = 0
+        for i, t in enumerate(nt):  # bounded by shard_size, not corpus
+            if i and fill + t > capacity:
+                seq += 1
+                fill = 0
+            seq_local[i] = seq
+            offset[i] = fill
+            fill += t
+        shard = int(g["__pshard"].iloc[0])
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "seq_id": shard * 1_000_000 + seq_local,
+                "seq_offset": offset,
+                "n_tokens": nt,
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(add_meta, batch_format="pyarrow")
+        .groupby("__pshard")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------ repetition
+
+
+def repetition_stats(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Gopher-style repetition signals, one row per document:
+
+    - ``n_tokens``: whitespace token count
+    - ``distinct_frac_e4``: 10000 * distinct_tokens // n_tokens
+    - ``top_token_frac_e4``: 10000 * max_token_count // n_tokens
+    - ``top_bigram_frac_e4``: 10000 * max_bigram_count // n_bigrams
+
+    Scaled-integer outputs (floor division) are bitwise-stable across
+    engines (oracle contract).  Entirely batch-local map work.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        nrows = len(batch)
+        flat, pos, lens = _flat_tokens(batch.column(text_col).to_pandas())
+        distinct = np.zeros(nrows, dtype=np.int64)
+        top_tok = np.zeros(nrows, dtype=np.int64)
+        if len(flat):
+            tc = pd.DataFrame({"d": pos, "w": flat}).groupby(["d", "w"], sort=False).size()
+            per_doc = tc.groupby(level=0)
+            distinct[per_doc.size().index.to_numpy()] = per_doc.size().to_numpy()
+            top_tok[per_doc.max().index.to_numpy()] = per_doc.max().to_numpy()
+        grams, gpos = _ngram_strings(flat, pos, 2)
+        n_bg = np.maximum(lens - 1, 0)
+        top_bg = np.zeros(nrows, dtype=np.int64)
+        if len(grams):
+            bc = pd.DataFrame({"d": gpos, "b": grams}).groupby(["d", "b"], sort=False).size()
+            bmax = bc.groupby(level=0).max()
+            top_bg[bmax.index.to_numpy()] = bmax.to_numpy()
+        safe_nt = np.maximum(lens, 1)
+        safe_bg = np.maximum(n_bg, 1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "distinct_frac_e4": pa.array(10000 * distinct // safe_nt, pa.int64()),
+                "top_token_frac_e4": pa.array(10000 * top_tok // safe_nt, pa.int64()),
+                "top_bigram_frac_e4": pa.array(10000 * top_bg // safe_bg, pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(stats, batch_format="pyarrow")

@@ -2028,6 +2028,99 @@ WHERE t.r < n_copies
 """
 
 
+def ngram_contamination_docs(sf_dir: str):
+    """Train/eval decontamination: eval = every 20th doc, train = rest;
+    report train docs sharing any word 4-gram with the eval corpus
+    (broadcast eval-gram set, map-only train probe)."""
+    from .curation import ngram_contamination
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(keep_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            mask = (ids % 20 == 0) == keep_eval
+            return batch.filter(pa.array(mask))
+
+        return f
+
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    eval_ds = docs.map_batches(split(True), batch_format="pyarrow")
+    return ngram_contamination(train, eval_ds, n=4)
+
+
+SQL_NGRAM_CONTAMINATION = r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
+g AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS ng
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr)-3)) AS i) s
+      WHERE len(arr) >= 4),
+ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM g JOIN ev USING (ng) WHERE g.doc_id % 20 != 0 GROUP BY g.doc_id
+"""
+
+
+def pack_sequences_docs(sf_dir: str):
+    """Greedy sequence packing (capacity 256 tokens, doc-id shards of
+    100): the training-sequence construction stage."""
+    from .curation import pack_sequences
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(docs, capacity=256, shard_size=100)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id // 100 AS shard,
+         row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq_local, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN r.fill + t.n_tokens <= 256 THEN r.seq_local ELSE r.seq_local + 1 END,
+         CASE WHEN r.fill + t.n_tokens <= 256 THEN r.fill + t.n_tokens ELSE t.n_tokens END
+  FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+SELECT doc_id, CAST(shard * 1000000 + seq_local AS BIGINT) AS seq_id,
+       CAST(fill - n_tokens AS BIGINT) AS seq_offset, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r
+"""
+
+
+def repetition_stats_docs(sf_dir: str):
+    """Gopher-style repetition/quality signals per document (map-only,
+    scaled-integer outputs)."""
+    from .curation import repetition_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
+SQL_REPETITION_STATS = r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
+tok AS (SELECT doc_id, unnest(arr) AS w FROM d),
+tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+ts AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+       FROM tc GROUP BY doc_id),
+bg AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS b
+       FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr)-1)) AS i) s
+       WHERE len(arr) >= 2),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_b FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN coalesce(ts.n_tokens, 0) = 0 THEN 0
+            ELSE (10000 * ts.n_distinct) // ts.n_tokens END AS BIGINT) AS distinct_frac_e4,
+  CAST(CASE WHEN coalesce(ts.n_tokens, 0) = 0 THEN 0
+            ELSE (10000 * ts.top_c) // ts.n_tokens END AS BIGINT) AS top_token_frac_e4,
+  CAST(CASE WHEN coalesce(bs.n_bg, 0) = 0 THEN 0
+            ELSE (10000 * bs.top_b) // bs.n_bg END AS BIGINT) AS top_bigram_frac_e4
+FROM d LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)
+"""
+
+
 def interleaved_span_check(sf_dir: str):
     """Interleaved-doc invariant pipeline: generate docs, run the cell
     encoder, verify span sequences survive, return (doc_id, cell_ok)."""
@@ -2089,6 +2182,9 @@ QUERIES = {
     "pii_scrub_docs": (pii_scrub_docs, SQL_PII_SCRUB_DOCS),
     "tfidf_top_terms": (tfidf_top_terms_docs, SQL_TFIDF_TOP_TERMS),
     "mix_corpora_by_lang": (mix_corpora_by_lang, SQL_MIX_CORPORA_BY_LANG),
+    "ngram_contamination_docs": (ngram_contamination_docs, SQL_NGRAM_CONTAMINATION),
+    "pack_sequences_docs": (pack_sequences_docs, SQL_PACK_SEQUENCES),
+    "repetition_stats_docs": (repetition_stats_docs, SQL_REPETITION_STATS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "tile_assign_z10": (tile_assign_z10, SQL_TILE_ASSIGN_Z10),
     "tile_counts_z10": (tile_counts_z10, SQL_TILE_COUNTS_Z10),

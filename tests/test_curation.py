@@ -1,0 +1,113 @@
+"""Curation operators: decontamination, sequence packing, repetition."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from rastertiler_rs_ray.pipelines.curation import (
+    ngram_contamination,
+    pack_sequences,
+    repetition_stats,
+)
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_ngram_contamination_counts_positions(ray_session):
+    eval_ds = _docs([(100, "a b c d e")])
+    train = _docs(
+        [
+            (0, "x a b c d y a b c d"),  # two hits of "a b c d"
+            (1, "b c d e"),              # one hit
+            (2, "a b x c d"),            # no 4-gram overlap
+            (3, "short"),                # too short for any 4-gram
+            (4, ""),                     # empty
+        ]
+    )
+    out = (
+        ngram_contamination(train, eval_ds, n=4)
+        .to_pandas()
+        .set_index("doc_id")["n_hits"]
+        .to_dict()
+    )
+    assert out == {0: 2, 1: 1}
+
+
+def test_ngram_contamination_no_cross_doc_grams(ray_session):
+    # tokens spanning two documents must not form a gram: doc 0 ends
+    # "a b", doc 1 starts "c d" — eval gram "a b c d" must NOT match
+    eval_ds = _docs([(100, "a b c d")])
+    train = _docs([(0, "z z a b"), (1, "c d z z")])
+    assert ngram_contamination(train, eval_ds, n=4).count() == 0
+
+
+def test_pack_sequences_greedy(ray_session):
+    rows = [
+        (0, "t " * 100),  # 100 tokens -> seq 0 (fill 100)
+        (1, "t " * 100),  # fits -> seq 0, offset 100
+        (2, "t " * 100),  # 300 > 256 -> seq 1, offset 0
+        (3, "t " * 300),  # oversize alone -> seq 2
+        (4, "t " * 10),   # after oversize -> seq 3
+        (150, "t " * 5),  # different shard (shard_size=100) -> own seq 0
+    ]
+    out = (
+        pack_sequences(_docs(rows), capacity=256, shard_size=100)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "seq_id"] == 0 and out.loc[0, "seq_offset"] == 0
+    assert out.loc[1, "seq_id"] == 0 and out.loc[1, "seq_offset"] == 100
+    assert out.loc[2, "seq_id"] == 1 and out.loc[2, "seq_offset"] == 0
+    assert out.loc[3, "seq_id"] == 2
+    assert out.loc[4, "seq_id"] == 3
+    assert out.loc[150, "seq_id"] == 1 * 1_000_000 + 0
+    assert out.loc[150, "n_tokens"] == 5
+    # every sequence respects capacity unless it holds a single oversize doc
+    for sid, g in out.groupby("seq_id"):
+        assert g["n_tokens"].sum() <= 256 or len(g) == 1
+
+
+def test_pack_sequences_partition_invariance(ray_session):
+    rng = np.random.RandomState(7)
+    rows = [(i, "w " * int(rng.randint(1, 120))) for i in range(97)]
+    a = pack_sequences(_docs(rows), capacity=200, shard_size=25).to_pandas()
+    b = (
+        pack_sequences(
+            _docs(rows).repartition(7), capacity=200, shard_size=25
+        ).to_pandas()
+    )
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_repetition_stats_values(ray_session):
+    out = (
+        repetition_stats(
+            _docs(
+                [
+                    (0, "a a a a"),      # 4 tokens, 1 distinct, bigram "a a" x3
+                    (1, "a b c d"),      # all distinct, all bigrams unique
+                    (2, ""),             # empty
+                    (3, "x"),            # single token, no bigrams
+                ]
+            )
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0].tolist() == [4, 2500, 10000, 10000]
+    assert out.loc[1].tolist() == [4, 10000, 2500, 3333]
+    assert out.loc[2].tolist() == [0, 0, 0, 0]
+    assert out.loc[3].tolist() == [1, 10000, 10000, 0]
