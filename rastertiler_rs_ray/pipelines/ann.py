@@ -363,3 +363,85 @@ def ivf_topk_indexed(
         .take_all()
     )
     return _merge_partials(rows, k)
+
+
+def lsh_topk(
+    corpus: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    bits: int = 6,
+    hamming_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+    seed: int = 11,
+) -> pa.Table:
+    """Random-hyperplane LSH-bucketed ANN (the SimHash-style scale path,
+    complementing ``ivf_topk``).
+
+    ``bits`` signed projections hash every vector to a 2^bits bucket
+    code; each query multi-probes its own bucket plus all codes within
+    Hamming distance ``hamming_probe`` (flipped-bit neighborhood), so a
+    corpus row is scored only when its code lands in some query's probe
+    set — the expected scan fraction is |probe set| / 2^bits.  Unlike
+    IVF there is NO training pass: the hyperplanes are seeded constants,
+    which makes the bucket assignment reproducible across runs and
+    engines (the property the dedup family's SimHash relies on too).
+    At scale the bucket code becomes the Parquet partition key exactly
+    as ``build_ivf_index`` does for cells.
+
+    Recall is tested against ``brute_force_topk`` (same contract as the
+    IVF path).
+    """
+    rng = np.random.RandomState(seed)
+    dim = _as_matrix(queries.slice(0, 1), vec_col).shape[1]
+    planes = rng.standard_normal((dim, bits))
+
+    def code_of(mat: np.ndarray) -> np.ndarray:
+        sgn = (mat @ planes) > 0  # (n, bits)
+        return (sgn.astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(axis=1)
+
+    qm = _normalize(_as_matrix(queries, vec_col))
+    qids = np.asarray(queries.column(query_id_col))
+    qcode = code_of(qm)  # (nq,)
+    # multi-probe neighborhood: own code + every code within the
+    # Hamming ball of radius `hamming_probe`
+    probes = [qcode]
+    if hamming_probe >= 1:
+        probes.extend(qcode ^ (1 << b) for b in range(bits))
+    if hamming_probe >= 2:
+        for b1 in range(bits):
+            for b2 in range(b1 + 1, bits):
+                probes.append(qcode ^ (1 << b1) ^ (1 << b2))
+    probe = np.stack(probes, axis=1)  # (nq, n_probe)
+    q_ref = ray.put((qm, qids, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qmat, qid, prb = ray.get(q_ref)
+        cm = _normalize(_as_matrix(batch, vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        code = code_of(cm)
+        sims = cm @ qmat.T  # (batch, nq)
+        probed = (code[:, None, None] == prb[None, :, :]).any(axis=2)
+        sims[~probed] = -np.inf
+        if exclude_self:
+            sims[ids[:, None] == qid[None, :]] = -np.inf
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        nq = sims.shape[1]
+        out_q = np.repeat(qid, kk)
+        out_n = ids[part.T.reshape(-1)]
+        out_s = sims[part.T.reshape(-1), np.repeat(np.arange(nq), kk)]
+        keep = np.isfinite(out_s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q[keep]),
+                "neighbor_id": pa.array(out_n[keep]),
+                "score": pa.array(out_s[keep], pa.float64()),
+            }
+        )
+
+    rows = corpus.map_batches(score, batch_format="pyarrow").take_all()
+    return _merge_partials(rows, k)

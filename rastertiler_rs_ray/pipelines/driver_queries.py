@@ -1753,6 +1753,17 @@ def ivf_ann_topk(sf_dir: str):
     return out.select(["query_id", "neighbor_id"])
 
 
+def lsh_ann_topk(sf_dir: str):
+    """Random-hyperplane LSH-bucketed ANN (training-free scale path;
+    recall vs brute force pinned in test_ann)."""
+    from .ann import lsh_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 4)
+    out = lsh_topk(emb, q, k=5, bits=6, hamming_probe=2)
+    return out.select(["query_id", "neighbor_id"])
+
+
 def ivf_ann_topk_exhaustive(sf_dir: str):
     """IVF with ``nprobe == nlist``: every cell probed, so the result
     is EXACTLY the brute-force top-k — which is SQL-expressible.  This
@@ -2211,6 +2222,7 @@ QUERIES = {
     "embedding_dedup_exact": (embedding_dedup_exact, SQL_EMBEDDING_DEDUP_EXACT),
     "ivf_ann_topk_indexed": (ivf_ann_topk_indexed, None),
     "ivf_ann_topk": (ivf_ann_topk, None),
+    "lsh_ann_topk": (lsh_ann_topk, None),
     "ivf_ann_topk_exhaustive": (ivf_ann_topk_exhaustive, SQL_ANN_EMBEDDINGS_TOPK),
     "annotate_docs": (annotate_docs, SQL_ANNOTATE_DOCS),
     "media_features_pipeline": (media_features_pipeline, None),

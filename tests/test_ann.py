@@ -119,3 +119,27 @@ def test_ivf_indexed_matches_inline_and_prunes(ray_session, tmp_path):
     # pruning: probed cells < all cells, rows read < corpus
     assert stats["partitions_read"] < stats["partitions_total"], stats
     assert stats["rows_read"] < len(tbl), stats
+
+
+def test_lsh_recall_on_clustered(ray_session):
+    from rastertiler_rs_ray.pipelines.ann import lsh_topk
+
+    tbl, _ = _clustered()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    queries = tbl.slice(0, 20)
+    bf = brute_force_topk(ds, queries, k=5)
+    ls = lsh_topk(ds, queries, k=5, bits=6, hamming_probe=2)
+    bfp = {(r["query_id"], r["neighbor_id"]) for r in bf.to_pylist()}
+    lsp = {(r["query_id"], r["neighbor_id"]) for r in ls.to_pylist()}
+    recall = len(bfp & lsp) / len(bfp)
+    assert recall >= 0.85, recall
+
+
+def test_lsh_deterministic_across_partitioning(ray_session):
+    from rastertiler_rs_ray.pipelines.ann import lsh_topk
+
+    tbl, _ = _clustered()
+    queries = tbl.slice(0, 10)
+    a = lsh_topk(ray.data.from_arrow(tbl).repartition(2), queries, k=5)
+    b = lsh_topk(ray.data.from_arrow(tbl).repartition(9), queries, k=5)
+    assert a.to_pylist() == b.to_pylist()
