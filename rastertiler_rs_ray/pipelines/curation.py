@@ -196,6 +196,34 @@ def pack_sequences(
 # ------------------------------------------------------------ repetition
 
 
+def _repetition_arrays(s: pd.Series) -> dict[str, np.ndarray]:
+    """Per-row repetition signals for a text Series (batch-local)."""
+    nrows = len(s)
+    flat, pos, lens = _flat_tokens(s)
+    distinct = np.zeros(nrows, dtype=np.int64)
+    top_tok = np.zeros(nrows, dtype=np.int64)
+    if len(flat):
+        tc = pd.DataFrame({"d": pos, "w": flat}).groupby(["d", "w"], sort=False).size()
+        per_doc = tc.groupby(level=0)
+        distinct[per_doc.size().index.to_numpy()] = per_doc.size().to_numpy()
+        top_tok[per_doc.max().index.to_numpy()] = per_doc.max().to_numpy()
+    grams, gpos = _ngram_strings(flat, pos, 2)
+    n_bg = np.maximum(lens - 1, 0)
+    top_bg = np.zeros(nrows, dtype=np.int64)
+    if len(grams):
+        bc = pd.DataFrame({"d": gpos, "b": grams}).groupby(["d", "b"], sort=False).size()
+        bmax = bc.groupby(level=0).max()
+        top_bg[bmax.index.to_numpy()] = bmax.to_numpy()
+    safe_nt = np.maximum(lens, 1)
+    safe_bg = np.maximum(n_bg, 1)
+    return {
+        "n_tokens": lens,
+        "distinct_frac_e4": 10000 * distinct // safe_nt,
+        "top_token_frac_e4": 10000 * top_tok // safe_nt,
+        "top_bigram_frac_e4": 10000 * top_bg // safe_bg,
+    }
+
+
 def repetition_stats(
     docs: ray.data.Dataset,
     *,
@@ -214,32 +242,65 @@ def repetition_stats(
     """
 
     def stats(batch: pa.Table) -> pa.Table:
-        nrows = len(batch)
-        flat, pos, lens = _flat_tokens(batch.column(text_col).to_pandas())
-        distinct = np.zeros(nrows, dtype=np.int64)
-        top_tok = np.zeros(nrows, dtype=np.int64)
-        if len(flat):
-            tc = pd.DataFrame({"d": pos, "w": flat}).groupby(["d", "w"], sort=False).size()
-            per_doc = tc.groupby(level=0)
-            distinct[per_doc.size().index.to_numpy()] = per_doc.size().to_numpy()
-            top_tok[per_doc.max().index.to_numpy()] = per_doc.max().to_numpy()
-        grams, gpos = _ngram_strings(flat, pos, 2)
-        n_bg = np.maximum(lens - 1, 0)
-        top_bg = np.zeros(nrows, dtype=np.int64)
-        if len(grams):
-            bc = pd.DataFrame({"d": gpos, "b": grams}).groupby(["d", "b"], sort=False).size()
-            bmax = bc.groupby(level=0).max()
-            top_bg[bmax.index.to_numpy()] = bmax.to_numpy()
-        safe_nt = np.maximum(lens, 1)
-        safe_bg = np.maximum(n_bg, 1)
+        arrs = _repetition_arrays(batch.column(text_col).to_pandas())
         return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_tokens": pa.array(lens, pa.int64()),
-                "distinct_frac_e4": pa.array(10000 * distinct // safe_nt, pa.int64()),
-                "top_token_frac_e4": pa.array(10000 * top_tok // safe_nt, pa.int64()),
-                "top_bigram_frac_e4": pa.array(10000 * top_bg // safe_bg, pa.int64()),
-            }
+            {id_col: batch.column(id_col)}
+            | {k: pa.array(v, pa.int64()) for k, v in arrs.items()}
         )
 
     return docs.select_columns([id_col, text_col]).map_batches(stats, batch_format="pyarrow")
+
+
+def filter_repetitive(
+    docs: ray.data.Dataset,
+    *,
+    min_distinct_frac_e4: int = 4000,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Quality gate: keep documents whose distinct-token fraction is at
+    least ``min_distinct_frac_e4`` (scaled-e4).  Batch-local map filter
+    over all original columns — the composable form of
+    ``repetition_stats`` for pipeline use."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        arrs = _repetition_arrays(batch.column(text_col).to_pandas())
+        return batch.filter(pa.array(arrs["distinct_frac_e4"] >= min_distinct_frac_e4))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def decontaminate(
+    train: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    *,
+    n: int = 4,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Drop every TRAIN document sharing a word ``n``-gram with the EVAL
+    corpus; all original train columns pass through.  Same broadcast
+    eval-gram topology as ``ngram_contamination`` (which reports instead
+    of dropping)."""
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        flat, pos, _ = _flat_tokens(batch.column(text_col).to_pandas())
+        grams, _ = _ngram_strings(flat, pos, n)
+        return pa.table({"ng": pa.array(pd.unique(grams), pa.string())})
+
+    gram_blocks = eval_ds.select_columns([text_col]).map_batches(
+        eval_grams, batch_format="pyarrow"
+    )
+    gram_set = pd.unique(gram_blocks.to_pandas()["ng"].to_numpy(dtype=object))
+    gram_ref = ray.put(pd.Index(gram_set))
+
+    def drop_contaminated(batch: pa.Table) -> pa.Table:
+        idx: pd.Index = ray.get(gram_ref)
+        flat, pos, _ = _flat_tokens(batch.column(text_col).to_pandas())
+        grams, gpos = _ngram_strings(flat, pos, n)
+        if not len(grams):
+            return batch
+        hit = pd.Series(grams).isin(idx).to_numpy()
+        bad = np.zeros(len(batch), dtype=bool)
+        bad[np.unique(gpos[hit])] = True
+        return batch.filter(pa.array(~bad))
+
+    return train.map_batches(drop_contaminated, batch_format="pyarrow")

@@ -2045,7 +2045,12 @@ def ngram_contamination_docs(sf_dir: str):
     (broadcast eval-gram set, map-only train probe)."""
     from .curation import ngram_contamination
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    train, eval_ds = _train_eval_split(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return ngram_contamination(train, eval_ds, n=4)
+
+
+def _train_eval_split(docs):
+    """Deterministic split: every 20th doc_id is the eval corpus."""
 
     def split(keep_eval: bool):
         def f(batch: pa.Table) -> pa.Table:
@@ -2055,9 +2060,10 @@ def ngram_contamination_docs(sf_dir: str):
 
         return f
 
-    train = docs.map_batches(split(False), batch_format="pyarrow")
-    eval_ds = docs.map_batches(split(True), batch_format="pyarrow")
-    return ngram_contamination(train, eval_ds, n=4)
+    return (
+        docs.map_batches(split(False), batch_format="pyarrow"),
+        docs.map_batches(split(True), batch_format="pyarrow"),
+    )
 
 
 SQL_NGRAM_CONTAMINATION = r"""
@@ -2132,6 +2138,60 @@ FROM d LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)
 """
 
 
+def curated_training_corpus(sf_dir: str):
+    """The composed curation flagship, one streaming pipeline:
+    quality-gate (distinct-token fraction ≥ 0.4) → decontaminate
+    against the eval split (broadcast 4-gram set) → exact dedup
+    (hash-sharded winner election) → greedy sequence packing.  Only the
+    dedup exchange and the bounded pack groupby shuffle; everything
+    else is map-only."""
+    from .curation import decontaminate, filter_repetitive, pack_sequences
+    from .dedup import exact_dedup
+
+    train, eval_ds = _train_eval_split(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    quality = filter_repetitive(train, min_distinct_frac_e4=4000)
+    clean = decontaminate(quality, eval_ds, n=4)
+    survivors = exact_dedup(clean)
+    return pack_sequences(survivors, capacity=256, shard_size=100)
+
+
+SQL_CURATED_TRAINING_CORPUS = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
+tok AS (SELECT doc_id, unnest(arr) AS w FROM d),
+tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+ts AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct FROM tc GROUP BY doc_id),
+quality AS (SELECT doc_id FROM ts WHERE (10000 * n_distinct) // n_tokens >= 4000),
+g AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS ng
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr)-3)) AS i) s
+      WHERE len(arr) >= 4),
+ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (ng) WHERE g.doc_id % 20 != 0),
+clean AS (
+  SELECT d.doc_id, array_to_string(d.arr, ' ') AS norm, len(d.arr) AS n_tokens
+  FROM d JOIN quality USING (doc_id)
+  WHERE d.doc_id % 20 != 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+dedup AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY norm),
+surv AS (
+  SELECT c.doc_id, c.n_tokens, c.doc_id // 100 AS shard,
+         row_number() OVER (PARTITION BY c.doc_id // 100 ORDER BY c.doc_id) AS rn
+  FROM clean c JOIN dedup USING (doc_id)),
+r AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq_local, n_tokens AS fill
+  FROM surv WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN r.fill + t.n_tokens <= 256 THEN r.seq_local ELSE r.seq_local + 1 END,
+         CASE WHEN r.fill + t.n_tokens <= 256 THEN r.fill + t.n_tokens ELSE t.n_tokens END
+  FROM r JOIN surv t ON t.shard = r.shard AND t.rn = r.rn + 1)
+SELECT doc_id, CAST(shard * 1000000 + seq_local AS BIGINT) AS seq_id,
+       CAST(fill - n_tokens AS BIGINT) AS seq_offset, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r
+"""
+
+
 def interleaved_span_check(sf_dir: str):
     """Interleaved-doc invariant pipeline: generate docs, run the cell
     encoder, verify span sequences survive, return (doc_id, cell_ok)."""
@@ -2196,6 +2256,7 @@ QUERIES = {
     "ngram_contamination_docs": (ngram_contamination_docs, SQL_NGRAM_CONTAMINATION),
     "pack_sequences_docs": (pack_sequences_docs, SQL_PACK_SEQUENCES),
     "repetition_stats_docs": (repetition_stats_docs, SQL_REPETITION_STATS),
+    "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "tile_assign_z10": (tile_assign_z10, SQL_TILE_ASSIGN_Z10),
     "tile_counts_z10": (tile_counts_z10, SQL_TILE_COUNTS_Z10),

@@ -111,3 +111,29 @@ def test_repetition_stats_values(ray_session):
     assert out.loc[1].tolist() == [4, 10000, 2500, 3333]
     assert out.loc[2].tolist() == [0, 0, 0, 0]
     assert out.loc[3].tolist() == [1, 10000, 10000, 0]
+
+
+def test_filter_repetitive_keeps_varied_text(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import filter_repetitive
+
+    ds = _docs(
+        [
+            (0, "a a a a a a a a a b"),  # distinct 2/10 = 2000
+            (1, "one two three four five"),  # 10000
+            (2, ""),  # 0 tokens -> distinct_frac 0, dropped
+        ]
+    )
+    out = filter_repetitive(ds, min_distinct_frac_e4=4000).to_pandas()
+    assert set(out["doc_id"]) == {1}
+    assert list(out.columns) == ["doc_id", "text"]  # original columns pass through
+
+
+def test_decontaminate_drops_only_contaminated(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import decontaminate
+
+    eval_ds = _docs([(100, "p q r s")])
+    train = _docs([(0, "x p q r s y"), (1, "p q x r s"), (2, "totally other words here")])
+    out = decontaminate(train, eval_ds, n=4).to_pandas()
+    assert set(out["doc_id"]) == {1, 2}
+    # full rows survive, not just ids
+    assert "text" in out.columns
