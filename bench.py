@@ -156,6 +156,7 @@ def run_full() -> dict:
     timed("exact_dedup", lambda: Q.exact_dedup_docs(SF_DIR))
     timed("ann_topk", lambda: Q.ann_embeddings_topk(SF_DIR))
     timed("annotate_text", lambda: Q.annotate_docs(SF_DIR))
+    timed("curated_corpus", lambda: Q.curated_training_corpus(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {
