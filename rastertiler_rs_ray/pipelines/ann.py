@@ -61,6 +61,96 @@ def _merge_partials(rows: list[dict], k: int) -> pa.Table:
     )
 
 
+def _query_state(queries: pa.Table, vec_col: str, query_id_col: str) -> dict:
+    return {
+        "qm": _normalize(_as_matrix(queries, vec_col)),
+        "qids": np.asarray(queries.column(query_id_col)),
+        "qid_type": queries.column(query_id_col).type,
+    }
+
+
+def _probe_lut(probe: np.ndarray, n_codes: int) -> np.ndarray:
+    """(n_codes, nq) bool membership table from per-query probe lists —
+    lets the scorer derive the (rows, nq) probe mask with one fancy
+    index instead of a (rows, nq, n_probe) broadcast."""
+    nq = probe.shape[0]
+    lut = np.zeros((n_codes, nq), dtype=bool)
+    lut[probe.ravel(), np.repeat(np.arange(nq), probe.shape[1])] = True
+    return lut
+
+
+def _scan_topk(
+    ds: ray.data.Dataset,
+    state: dict,
+    *,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    exclude_self: bool,
+    mask_fn=None,
+) -> pa.Table:
+    """Shared ANN scan: per-batch (pruned) matmul + partial top-k,
+    driver heap-merge of the tiny partials.
+
+    ``mask_fn(state, batch, cm) -> (row_keep | None, probed | None)``
+    supplies the bucketed paths' probe mask; rows outside every query's
+    probe set are DROPPED before the matmul, so the scored fraction
+    really is |probe set| / n_buckets, not a post-hoc mask over a full
+    brute-force scan.  Empty and fully-pruned batches return an empty
+    block with a stable schema."""
+    ref = ray.put(state)
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        qmat, qid = st["qm"], st["qids"]
+        nid_type = batch.column(id_col).type
+
+        def empty() -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": pa.array([], st["qid_type"]),
+                    "neighbor_id": pa.array([], nid_type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+
+        if len(batch) == 0:
+            return empty()
+        cm = _normalize(_as_matrix(batch, vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        probed = None
+        if mask_fn is not None:
+            row_keep, probed = mask_fn(st, batch, cm)
+            if row_keep is not None:
+                cm, ids = cm[row_keep], ids[row_keep]
+                if probed is not None:
+                    probed = probed[row_keep]
+            if cm.shape[0] == 0:
+                return empty()
+        sims = cm @ qmat.T  # (rows, nq)
+        if probed is not None:
+            sims[~probed] = -np.inf
+        if exclude_self:
+            sims[ids[:, None] == qid[None, :]] = -np.inf
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        nq = sims.shape[1]
+        out_q = np.repeat(qid, kk)
+        out_n = ids[part.T.reshape(-1)]
+        out_s = sims[part.T.reshape(-1), np.repeat(np.arange(nq), kk)]
+        keep = np.isfinite(out_s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q[keep], st["qid_type"]),
+                "neighbor_id": pa.array(out_n[keep], nid_type),
+                "score": pa.array(out_s[keep], pa.float64()),
+            }
+        )
+
+    rows = ds.map_batches(score, batch_format="pyarrow").take_all()
+    return _merge_partials(rows, k)
+
+
 def brute_force_topk(
     corpus: ray.data.Dataset,
     queries: pa.Table,
@@ -73,34 +163,10 @@ def brute_force_topk(
 ) -> pa.Table:
     """Exact cosine top-k: broadcast queries, per-batch matmul + partial
     top-k, driver heap-merge.  Returns (query_id, neighbor_id, score, rank)."""
-    qm = _normalize(_as_matrix(queries, vec_col))
-    qids = np.asarray(queries.column(query_id_col))
-    q_ref = ray.put((qm, qids))
-
-    def score(batch: pa.Table) -> pa.Table:
-        qmat, qid = ray.get(q_ref)
-        cm = _normalize(_as_matrix(batch, vec_col))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        sims = cm @ qmat.T  # (batch, nq)
-        if exclude_self:
-            sims[ids[:, None] == qid[None, :]] = -np.inf
-        kk = min(k, sims.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
-        nq = sims.shape[1]
-        out_q = np.repeat(qid, kk)
-        out_n = ids[part.T.reshape(-1)]
-        out_s = sims[part.T.reshape(-1), np.repeat(np.arange(nq), kk)]
-        keep = np.isfinite(out_s)
-        return pa.table(
-            {
-                "query_id": pa.array(out_q[keep]),
-                "neighbor_id": pa.array(out_n[keep]),
-                "score": pa.array(out_s[keep], pa.float64()),
-            }
-        )
-
-    rows = corpus.map_batches(score, batch_format="pyarrow").take_all()
-    return _merge_partials(rows, k)
+    state = _query_state(queries, vec_col, query_id_col)
+    return _scan_topk(
+        corpus, state, k=k, vec_col=vec_col, id_col=id_col, exclude_self=exclude_self
+    )
 
 
 def label_centroids(
@@ -201,45 +267,27 @@ def ivf_topk(
     """IVF-style ANN: bucket corpus by nearest centroid, scan only the
     ``nprobe`` cells nearest each query.
 
-    One map pass assigns cells; scoring masks each (row, query) pair to
-    the query's probed cells — rows outside every probe list cost only
-    the mask, not a scan, and at scale the cell id becomes the Parquet
-    partition key so unprobed cells are never read at all.
+    One map pass assigns cells; rows whose cell no query probes are
+    dropped before the matmul (only the cell assignment touches them),
+    and at scale the cell id becomes the Parquet partition key so
+    unprobed cells are never read at all (``build_ivf_index``).
     """
     if centroids is None:
         centroids = train_centroids(corpus, nlist=nlist, vec_col=vec_col)
-    qm = _normalize(_as_matrix(queries, vec_col))
-    qids = np.asarray(queries.column(query_id_col))
-    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    q_ref = ray.put((qm, qids, centroids, probe))
+    state = _query_state(queries, vec_col, query_id_col)
+    probe = np.argsort(-(state["qm"] @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    state["cents"] = centroids
+    state["lut"] = _probe_lut(probe, len(centroids))
 
-    def score(batch: pa.Table) -> pa.Table:
-        qmat, qid, cents, probes = ray.get(q_ref)
-        cm = _normalize(_as_matrix(batch, vec_col))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        cell = np.argmax(cm @ cents.T, axis=1)  # (batch,)
-        sims = cm @ qmat.T  # (batch, nq)
-        probed = (cell[:, None, None] == probes[None, :, :]).any(axis=2)  # (batch, nq)
-        sims[~probed] = -np.inf
-        if exclude_self:
-            sims[ids[:, None] == qid[None, :]] = -np.inf
-        kk = min(k, sims.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-        nq = sims.shape[1]
-        out_q = np.repeat(qid, kk)
-        out_n = ids[part.T.reshape(-1)]
-        out_s = sims[part.T.reshape(-1), np.repeat(np.arange(nq), kk)]
-        keep = np.isfinite(out_s)
-        return pa.table(
-            {
-                "query_id": pa.array(out_q[keep]),
-                "neighbor_id": pa.array(out_n[keep]),
-                "score": pa.array(out_s[keep], pa.float64()),
-            }
-        )
+    def mask(st: dict, batch: pa.Table, cm: np.ndarray):
+        cell = np.argmax(cm @ st["cents"].T, axis=1)  # (rows,)
+        probed = st["lut"][cell]  # (rows, nq)
+        return probed.any(axis=1), probed
 
-    rows = corpus.map_batches(score, batch_format="pyarrow").take_all()
-    return _merge_partials(rows, k)
+    return _scan_topk(
+        corpus, state, k=k, vec_col=vec_col, id_col=id_col,
+        exclude_self=exclude_self, mask_fn=mask,
+    )
 
 
 def build_ivf_index(
@@ -299,8 +347,8 @@ def ivf_topk_indexed(
     import os
 
     centroids = np.load(os.path.join(index_dir, "centroids.npy"))
-    qm = _normalize(_as_matrix(queries, vec_col))
-    qids = np.asarray(queries.column(query_id_col))
+    state = _query_state(queries, vec_col, query_id_col)
+    qm = state["qm"]
     probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
 
     cells_root = os.path.join(index_dir, "cells")
@@ -330,39 +378,18 @@ def ivf_topk_indexed(
     if not part_files:
         return _merge_partials([], k)
 
-    q_ref = ray.put((qm, qids, probe))
+    state["lut"] = _probe_lut(probe, len(centroids))
 
-    def score(batch: pa.Table) -> pa.Table:
-        qmat, qid, probes = ray.get(q_ref)
-        cm = _normalize(_as_matrix(batch, vec_col))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    def mask(st: dict, batch: pa.Table, cm: np.ndarray):
         cell = batch.column("cell").to_numpy()
-        sims = cm @ qmat.T
-        probed = (cell[:, None, None] == probes[None, :, :]).any(axis=2)
-        sims[~probed] = -np.inf
-        if exclude_self:
-            sims[ids[:, None] == qid[None, :]] = -np.inf
-        kk = min(k, sims.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-        nq = sims.shape[1]
-        out_q = np.repeat(qid, kk)
-        out_n = ids[part.T.reshape(-1)]
-        out_s = sims[part.T.reshape(-1), np.repeat(np.arange(nq), kk)]
-        keep = np.isfinite(out_s)
-        return pa.table(
-            {
-                "query_id": pa.array(out_q[keep]),
-                "neighbor_id": pa.array(out_n[keep]),
-                "score": pa.array(out_s[keep], pa.float64()),
-            }
-        )
+        probed = st["lut"][cell]  # (rows, nq)
+        return probed.any(axis=1), probed
 
-    rows = (
-        ray.data.read_parquet(part_files, columns=[id_col, vec_col, "cell"])
-        .map_batches(score, batch_format="pyarrow")
-        .take_all()
+    return _scan_topk(
+        ray.data.read_parquet(part_files, columns=[id_col, vec_col, "cell"]),
+        state, k=k, vec_col=vec_col, id_col=id_col,
+        exclude_self=exclude_self, mask_fn=mask,
     )
-    return _merge_partials(rows, k)
 
 
 def lsh_topk(
@@ -395,53 +422,41 @@ def lsh_topk(
     Recall is tested against ``brute_force_topk`` (same contract as the
     IVF path).
     """
+    from itertools import combinations
+
+    if not 0 <= hamming_probe <= bits:
+        raise ValueError(f"hamming_probe must be in [0, {bits}], got {hamming_probe}")
     rng = np.random.RandomState(seed)
     dim = _as_matrix(queries.slice(0, 1), vec_col).shape[1]
     planes = rng.standard_normal((dim, bits))
 
-    def code_of(mat: np.ndarray) -> np.ndarray:
-        sgn = (mat @ planes) > 0  # (n, bits)
-        return (sgn.astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(axis=1)
-
-    qm = _normalize(_as_matrix(queries, vec_col))
-    qids = np.asarray(queries.column(query_id_col))
-    qcode = code_of(qm)  # (nq,)
-    # multi-probe neighborhood: own code + every code within the
-    # Hamming ball of radius `hamming_probe`
+    state = _query_state(queries, vec_col, query_id_col)
+    state["planes"] = planes
+    state["bits"] = bits
+    qcode = _lsh_codes(state["qm"], planes, bits)  # (nq,)
+    # multi-probe neighborhood: own code + every code within the full
+    # Hamming ball of radius `hamming_probe` (any radius up to `bits`)
     probes = [qcode]
-    if hamming_probe >= 1:
-        probes.extend(qcode ^ (1 << b) for b in range(bits))
-    if hamming_probe >= 2:
-        for b1 in range(bits):
-            for b2 in range(b1 + 1, bits):
-                probes.append(qcode ^ (1 << b1) ^ (1 << b2))
+    for r in range(1, hamming_probe + 1):
+        for flip_bits in combinations(range(bits), r):
+            m = 0
+            for b in flip_bits:
+                m |= 1 << b
+            probes.append(qcode ^ m)
     probe = np.stack(probes, axis=1)  # (nq, n_probe)
-    q_ref = ray.put((qm, qids, probe))
+    state["lut"] = _probe_lut(probe, 1 << bits)
 
-    def score(batch: pa.Table) -> pa.Table:
-        qmat, qid, prb = ray.get(q_ref)
-        cm = _normalize(_as_matrix(batch, vec_col))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        code = code_of(cm)
-        sims = cm @ qmat.T  # (batch, nq)
-        probed = (code[:, None, None] == prb[None, :, :]).any(axis=2)
-        sims[~probed] = -np.inf
-        if exclude_self:
-            sims[ids[:, None] == qid[None, :]] = -np.inf
-        kk = min(k, sims.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-        nq = sims.shape[1]
-        out_q = np.repeat(qid, kk)
-        out_n = ids[part.T.reshape(-1)]
-        out_s = sims[part.T.reshape(-1), np.repeat(np.arange(nq), kk)]
-        keep = np.isfinite(out_s)
-        return pa.table(
-            {
-                "query_id": pa.array(out_q[keep]),
-                "neighbor_id": pa.array(out_n[keep]),
-                "score": pa.array(out_s[keep], pa.float64()),
-            }
-        )
+    def mask(st: dict, batch: pa.Table, cm: np.ndarray):
+        code = _lsh_codes(cm, st["planes"], st["bits"])
+        probed = st["lut"][code]  # (rows, nq)
+        return probed.any(axis=1), probed
 
-    rows = corpus.map_batches(score, batch_format="pyarrow").take_all()
-    return _merge_partials(rows, k)
+    return _scan_topk(
+        corpus, state, k=k, vec_col=vec_col, id_col=id_col,
+        exclude_self=exclude_self, mask_fn=mask,
+    )
+
+
+def _lsh_codes(mat: np.ndarray, planes: np.ndarray, bits: int) -> np.ndarray:
+    sgn = (mat @ planes) > 0  # (n, bits)
+    return (sgn.astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(axis=1)

@@ -68,6 +68,23 @@ def _ngram_strings(flat: np.ndarray, pos: np.ndarray, n: int) -> tuple[np.ndarra
 # ------------------------------------------------------------ contamination
 
 
+def _broadcast_eval_grams(eval_ds: ray.data.Dataset, n: int, text_col: str):
+    """Distinct eval-corpus n-grams → one ``ray.put`` pd.Index (the
+    shared broadcast side of ngram_contamination / decontaminate; a
+    drift between the two would silently split their oracle parity)."""
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        flat, pos, _ = _flat_tokens(batch.column(text_col).to_pandas())
+        grams, _ = _ngram_strings(flat, pos, n)
+        return pa.table({"ng": pa.array(pd.unique(grams), pa.string())})
+
+    gram_blocks = eval_ds.select_columns([text_col]).map_batches(
+        eval_grams, batch_format="pyarrow"
+    )
+    gram_set = pd.unique(gram_blocks.to_pandas()["ng"].to_numpy(dtype=object))
+    return ray.put(pd.Index(gram_set))
+
+
 def ngram_contamination(
     train: ray.data.Dataset,
     eval_ds: ray.data.Dataset,
@@ -89,17 +106,7 @@ def ngram_contamination(
     ``relational.broadcast_semi_join``), and shipped once via
     ``ray.put``; the train scan is map-only.
     """
-
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        flat, pos, _ = _flat_tokens(batch.column(text_col).to_pandas())
-        grams, _ = _ngram_strings(flat, pos, n)
-        return pa.table({"ng": pa.array(pd.unique(grams), pa.string())})
-
-    gram_blocks = eval_ds.select_columns([text_col]).map_batches(
-        eval_grams, batch_format="pyarrow"
-    )
-    gram_set = pd.unique(gram_blocks.to_pandas()["ng"].to_numpy(dtype=object))
-    gram_ref = ray.put(pd.Index(gram_set))
+    gram_ref = _broadcast_eval_grams(eval_ds, n, text_col)
 
     def probe(batch: pa.Table) -> pa.Table:
         idx: pd.Index = ray.get(gram_ref)
@@ -280,17 +287,7 @@ def decontaminate(
     corpus; all original train columns pass through.  Same broadcast
     eval-gram topology as ``ngram_contamination`` (which reports instead
     of dropping)."""
-
-    def eval_grams(batch: pa.Table) -> pa.Table:
-        flat, pos, _ = _flat_tokens(batch.column(text_col).to_pandas())
-        grams, _ = _ngram_strings(flat, pos, n)
-        return pa.table({"ng": pa.array(pd.unique(grams), pa.string())})
-
-    gram_blocks = eval_ds.select_columns([text_col]).map_batches(
-        eval_grams, batch_format="pyarrow"
-    )
-    gram_set = pd.unique(gram_blocks.to_pandas()["ng"].to_numpy(dtype=object))
-    gram_ref = ray.put(pd.Index(gram_set))
+    gram_ref = _broadcast_eval_grams(eval_ds, n, text_col)
 
     def drop_contaminated(batch: pa.Table) -> pa.Table:
         idx: pd.Index = ray.get(gram_ref)

@@ -143,3 +143,50 @@ def test_lsh_deterministic_across_partitioning(ray_session):
     a = lsh_topk(ray.data.from_arrow(tbl).repartition(2), queries, k=5)
     b = lsh_topk(ray.data.from_arrow(tbl).repartition(9), queries, k=5)
     assert a.to_pylist() == b.to_pylist()
+
+
+def test_scan_topk_handles_empty_blocks(ray_session):
+    """A filter that empties some blocks must not crash the scorers
+    (reshape(0, -1) regression) and the schema must stay stable."""
+    import pyarrow.compute as pc
+
+    from rastertiler_rs_ray.pipelines.ann import ivf_topk, lsh_topk
+
+    tbl, _ = _clustered()
+    queries = tbl.slice(0, 5)
+    ds = (
+        ray.data.from_arrow(tbl)
+        .repartition(8)
+        .filter(lambda r: r["vec_id"] < 40)  # most blocks end up empty
+    )
+    bf = brute_force_topk(ds, queries, k=3)
+    assert len(bf) == 15 and bf.column("neighbor_id").null_count == 0
+    for out in (
+        ivf_topk(ds, queries, k=3, nlist=8, nprobe=8),
+        lsh_topk(ds, queries, k=3, bits=4, hamming_probe=4),
+    ):
+        assert out.column_names == ["query_id", "neighbor_id", "score", "rank"]
+        assert len(out) > 0
+
+
+def test_lsh_full_hamming_ball_equals_brute_force(ray_session):
+    """hamming_probe == bits probes every code, so results must equal
+    the exact brute-force top-k (also pins radius>2 generalization)."""
+    from rastertiler_rs_ray.pipelines.ann import lsh_topk
+
+    tbl, _ = _clustered()
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    queries = tbl.slice(0, 10)
+    bf = brute_force_topk(ds, queries, k=5)
+    ls = lsh_topk(ds, queries, k=5, bits=5, hamming_probe=5)
+    assert bf.to_pylist() == ls.to_pylist()
+
+
+def test_lsh_rejects_bad_hamming_probe(ray_session):
+    import pytest as _pytest
+
+    from rastertiler_rs_ray.pipelines.ann import lsh_topk
+
+    tbl, _ = _clustered()
+    with _pytest.raises(ValueError, match="hamming_probe"):
+        lsh_topk(ray.data.from_arrow(tbl), tbl.slice(0, 2), bits=6, hamming_probe=7)
