@@ -2192,6 +2192,41 @@ FROM r
 """
 
 
+def span_explode_roundtrip(sf_dir: str):
+    """Interleaved-payload surface end-to-end: generate the interleaved
+    doc table, explode to span rows, reassemble (hash-shard shuffle),
+    bridge to text, and report per-doc (n_spans, n_tokens).  Rows-only:
+    the span generator is hash-based, not SQL-expressible."""
+    from ..functions import text as T
+    from ..sources.docs import generate_documents
+    from .spans import explode_spans, reassemble_spans, spans_to_text
+
+    docs = generate_documents(2000, override_num_blocks=8)
+    back = reassemble_spans(explode_spans(docs), num_shards=16)
+
+    def count_spans(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "n_spans", pc.cast(pc.list_value_length(batch.column("spans")), pa.int64())
+        )
+
+    def tok(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_spans": batch.column("n_spans"),
+                "n_tokens": pa.array(T.whitespace_token_count(s), pa.int64()),
+            }
+        )
+
+    texts = spans_to_text(
+        back.map_batches(count_spans, batch_format="pyarrow"), keep_cols=("n_spans",)
+    )
+    return texts.map_batches(tok, batch_format="pyarrow")
+
+
 def interleaved_span_check(sf_dir: str):
     """Interleaved-doc invariant pipeline: generate docs, run the cell
     encoder, verify span sequences survive, return (doc_id, cell_ok)."""
@@ -2291,4 +2326,5 @@ QUERIES = {
     "audio_features_pipeline": (audio_features_pipeline, None),
     "approx_distinct_users": (approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "interleaved_span_check": (interleaved_span_check, None),
+    "span_explode_roundtrip": (span_explode_roundtrip, None),
 }

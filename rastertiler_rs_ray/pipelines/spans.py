@@ -1,0 +1,148 @@
+"""First-class operators over the interleaved span payload.
+
+The engine's input table (input_hint) is
+``(doc_id: string, spans: list<struct<kind, text, media_ref, offset>>)``
+— interleaved text + media documents.  These operators flatten that
+nesting for span-level processing and rebuild it bit-exactly, with the
+per-row invariant (ordered (kind, text, media_ref) span-sequence
+equality, ``sources.docs.span_signatures``) pinned by a round-trip
+test.
+
+Scale contracts:
+
+- ``explode_spans`` is batch-local: the list offsets and child arrays
+  of a block flatten with Arrow kernels (zero per-row Python); a doc's
+  spans never leave the block that holds the doc.
+- ``spans_to_text`` is likewise batch-local (per-doc ordered join of
+  the text spans).
+- ``reassemble_spans`` is the one shuffle: span rows co-locate by a
+  coarse hash(doc) shard (same topology as ``dedup.exact_dedup``),
+  and each shard rebuilds its docs with one vectorized sort +
+  run-length ListArray construction — Python cost per shard, not per
+  document.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+def explode_spans(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> ray.data.Dataset:
+    """One row per span: (id, span_idx, kind, text, media_ref, offset).
+
+    ``span_idx`` is the span's position within its document — the
+    ordering key ``reassemble_spans`` needs to restore the sequence.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        spans = batch.column(spans_col).combine_chunks()
+        flat = spans.flatten()
+        parents = pc.list_parent_indices(spans)
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        span_idx = np.arange(len(flat), dtype=np.int64) - starts
+        cols = {
+            id_col: batch.column(id_col).take(parents),
+            "span_idx": pa.array(span_idx, pa.int64()),
+        }
+        for name in SPAN_FIELDS:
+            cols[name] = flat.field(name)
+        return pa.table(cols)
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def reassemble_spans(
+    exploded: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Inverse of ``explode_spans``: group span rows back into
+    ``(id, spans: list<struct>)`` with the original in-document order.
+
+    Span rows shuffle once by hash(id) into ``num_shards`` coarse
+    shards; a shard sorts by (id, span_idx) and rebuilds every one of
+    its documents with a single run-length ``ListArray.from_arrays``
+    pass — no per-document Python call.
+    """
+
+    def shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pandas()
+        h = pd.util.hash_array(ids.to_numpy(dtype=object)).astype(np.int64)
+        return batch.append_column("__sshard", pa.array(h % num_shards))
+
+    def rebuild(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([id_col, "span_idx"], kind="mergesort")
+        gids = g[id_col].to_numpy(dtype=object)
+        # run-length list offsets over the sorted (id, span_idx) rows
+        change = np.flatnonzero(np.concatenate(([True], gids[1:] != gids[:-1])))
+        offsets = np.concatenate((change, [len(gids)])).astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(g["kind"], pa.string()),
+                pa.array(g["text"], pa.string()),
+                pa.array(g["media_ref"], pa.string()),
+                pa.array(g["offset"].to_numpy(), pa.int32()),
+            ],
+            names=list(SPAN_FIELDS),
+        )
+        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+        return pa.table(
+            {id_col: pa.array(gids[change], pa.string()), spans_col: spans}
+        )
+
+    return (
+        exploded.map_batches(shard, batch_format="pyarrow")
+        .groupby("__sshard")
+        .map_groups(rebuild, batch_format="pandas")
+    )
+
+
+def spans_to_text(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    sep: str = " ",
+    out_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Per-document ordered join of the TEXT spans — the bridge from the
+    interleaved payload to every text operator (annotate / dedup /
+    curation).  Media spans contribute nothing; a doc with no text
+    spans yields the empty string.  ``keep_cols`` ride along unchanged.
+    Batch-local."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        spans = batch.column(spans_col).combine_chunks()
+        flat = spans.flatten()
+        parents = pc.list_parent_indices(spans).to_numpy()
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
+        texts = pd.Series(flat.field("text").to_pandas()[is_text])
+        joined = (
+            texts.groupby(parents[is_text]).agg(sep.join)
+            if len(texts)
+            else pd.Series(dtype=object)
+        )
+        out = np.full(len(batch), "", dtype=object)
+        out[joined.index.to_numpy()] = joined.to_numpy(dtype=object)
+        cols = {id_col: batch.column(id_col), out_col: pa.array(out, pa.string())}
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return docs.map_batches(f, batch_format="pyarrow")
