@@ -2227,6 +2227,29 @@ def span_explode_roundtrip(sf_dir: str):
     return texts.map_batches(tok, batch_format="pyarrow")
 
 
+def interleaved_raster_join(sf_dir: str):
+    """THE north-star composition in one pipeline: interleaved text+media
+    documents → geo positions parsed from the media spans' geo:// refs
+    (stateful CellEncoder pool) → Raptor-style raster↔vector join on the
+    tile key against the synthetic raster.  Rows-only (hash-based span
+    generator); output counts/schema are deterministic."""
+    import pyarrow.compute as pc_
+
+    from ..raster.synthetic import world_u8_raster
+    from ..sources.docs import generate_documents
+    from .spatial import encode_cells, raster_vector_join
+
+    docs = generate_documents(5000, override_num_blocks=8)
+    enc = encode_cells(docs, level=12, concurrency=(1, 4))
+    geo = enc.map_batches(
+        lambda b: b.filter(pc_.equal(b.column("has_geo"), True)).select(
+            ["doc_id", "mx", "my", "has_geo"]
+        ),
+        batch_format="pyarrow",
+    )
+    return raster_vector_join(geo, world_u8_raster(), zoom=7)
+
+
 def interleaved_span_check(sf_dir: str):
     """Interleaved-doc invariant pipeline: generate docs, run the cell
     encoder, verify span sequences survive, return (doc_id, cell_ok)."""
@@ -2327,4 +2350,5 @@ QUERIES = {
     "approx_distinct_users": (approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "interleaved_span_check": (interleaved_span_check, None),
     "span_explode_roundtrip": (span_explode_roundtrip, None),
+    "interleaved_raster_join": (interleaved_raster_join, None),
 }
