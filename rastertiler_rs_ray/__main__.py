@@ -61,6 +61,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     i.add_argument("mbtiles_path")
     i.add_argument("out_dir")
+
+    c = sub.add_parser(
+        "curate",
+        help="training-data curation: quality gate -> decontaminate -> "
+             "dedup -> pack sequences, resumable partitioned parquet out",
+    )
+    c.add_argument("input", help="parquet file/dir with (doc_id: int64, text: string)")
+    c.add_argument("out_dir")
+    c.add_argument("--capacity", type=int, default=256, help="tokens per training sequence")
+    c.add_argument("--shard-size", type=int, default=100, help="doc ids per pack shard")
+    c.add_argument("--min-distinct-frac-e4", type=int, default=4000,
+                   help="drop docs with distinct-token fraction below this (e4 scale)")
+    c.add_argument("--eval-mod", type=int, default=20,
+                   help="doc_id %% MOD == 0 rows form the held-out eval corpus")
+    c.add_argument("--ngram", type=int, default=4, help="decontamination n-gram size")
+    c.add_argument("--no-resume", action="store_true")
     return p
 
 
@@ -132,6 +148,63 @@ def main(argv=None) -> int:
             manifest = import_mbtiles(args.mbtiles_path, args.out_dir)
             print(json.dumps({"out_dir": args.out_dir,
                               "rows": manifest.partition("tiles/imported").get("rows")}))
+        elif args.command == "curate":
+            if args.eval_mod < 2:
+                raise ValueError("--eval-mod must be >= 2")
+            import pyarrow as pa
+            import ray.data
+
+            from .pipelines.curation import (
+                decontaminate,
+                filter_repetitive,
+                pack_sequences,
+            )
+            from .pipelines.dedup import exact_dedup
+            from .pipelines.sink import checkpointed_write
+
+            docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+
+            def split(keep_eval):
+                def f(batch: "pa.Table") -> "pa.Table":
+                    ids = batch.column("doc_id").to_numpy()
+                    return batch.filter(pa.array((ids % args.eval_mod == 0) == keep_eval))
+
+                return f
+
+            train = docs.map_batches(split(False), batch_format="pyarrow")
+            eval_ds = docs.map_batches(split(True), batch_format="pyarrow")
+            packed = pack_sequences(
+                exact_dedup(
+                    decontaminate(
+                        filter_repetitive(
+                            train, min_distinct_frac_e4=args.min_distinct_frac_e4
+                        ),
+                        eval_ds,
+                        n=args.ngram,
+                    )
+                ),
+                capacity=args.capacity,
+                shard_size=args.shard_size,
+            )
+
+            def add_part(batch: "pa.Table") -> "pa.Table":
+                shards = batch.column("seq_id").to_numpy() // 1_000_000
+                return batch.append_column("part", pa.array(shards, pa.int64()))
+
+            manifest = checkpointed_write(
+                packed.map_batches(add_part, batch_format="pyarrow"),
+                args.out_dir,
+                partition_col="part",
+                resume=not args.no_resume,
+                meta={"capacity": args.capacity, "eval_mod": args.eval_mod,
+                      "ngram": args.ngram, "input": args.input},
+            )
+            parts = manifest.data.get("partitions", {})
+            print(json.dumps({
+                "out_dir": args.out_dir,
+                "rows": sum(v.get("rows", 0) for v in parts.values()),
+                "partitions": len(parts),
+            }))
     except ValueError as e:  # validation parity: clean error, nonzero exit
         print(f"error: {e}", file=sys.stderr)
         return 2

@@ -137,3 +137,34 @@ def test_decontaminate_drops_only_contaminated(ray_session):
     assert set(out["doc_id"]) == {1, 2}
     # full rows survive, not just ids
     assert "text" in out.columns
+
+
+def test_cli_curate_resumable(ray_session, tmp_path):
+    """CLI curate runs the composed pipeline to a checkpointed layout;
+    a second run resumes and rewrites nothing."""
+    import json
+    import os
+
+    from rastertiler_rs_ray.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "/root/testdata/sf0.001/documents.parquet", out,
+               "--capacity", "200", "--shard-size", "50"])
+    assert rc == 0
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    parts = manifest["partitions"]
+    assert parts and all(v["status"] == "complete" for v in parts.values())
+    total = sum(v["rows"] for v in parts.values())
+    assert total > 0
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, "data", d))
+        for d in os.listdir(os.path.join(out, "data"))
+    }
+    rc = main(["curate", "/root/testdata/sf0.001/documents.parquet", out,
+               "--capacity", "200", "--shard-size", "50"])
+    assert rc == 0
+    after = {
+        d: os.path.getmtime(os.path.join(out, "data", d))
+        for d in os.listdir(os.path.join(out, "data"))
+    }
+    assert after == mtimes  # resume: no partition rewritten
