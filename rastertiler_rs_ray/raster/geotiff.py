@@ -48,7 +48,7 @@ from collections import OrderedDict
 
 import numpy as np
 
-from ..geo import Affine, Bounds, ORIGIN, geo_to_mercator, mercator_to_geo
+from ..geo import Affine, Bounds, geo_to_mercator, mercator_to_geo
 from .kernel import TileReadMixin, nn_decimation_indices
 
 # TIFF tag ids
