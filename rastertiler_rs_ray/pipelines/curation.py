@@ -282,20 +282,58 @@ def decontaminate(
     *,
     n: int = 4,
     text_col: str = "text",
+    mode: str = "exact",
+    bits_log2: int = 24,
 ) -> ray.data.Dataset:
     """Drop every TRAIN document sharing a word ``n``-gram with the EVAL
     corpus; all original train columns pass through.  Same broadcast
     eval-gram topology as ``ngram_contamination`` (which reports instead
-    of dropping)."""
-    gram_ref = _broadcast_eval_grams(eval_ds, n, text_col)
+    of dropping).
+
+    ``mode="exact"`` (default) collects the eval corpus's distinct gram
+    STRINGS on the driver — right whenever the eval side is a benchmark
+    suite (MBs).  ``mode="bloom"`` is the scale escape hatch for an
+    eval side too large to union exactly: per-block partial Bloom
+    filters over the HASHED grams OR-merge into one ``2^bits_log2``-bit
+    filter (a few MB regardless of eval size, never the gram strings),
+    broadcast once; the probe is identical map-only work.  Bloom false
+    positives OVER-scrub (a clean train doc can be dropped, rate
+    ≈ (1 - e^{-k·n_grams/m})^k) but can never leak a contaminated doc —
+    the conservative direction for decontamination.
+    """
+    if mode == "exact":
+        gram_ref = _broadcast_eval_grams(eval_ds, n, text_col)
+    elif mode == "bloom":
+        from ..functions.bloom import Bloom
+
+        def partial(batch: pa.Table) -> pa.Table:
+            flat, pos, _ = _flat_tokens(batch.column(text_col).to_pandas())
+            grams, _ = _ngram_strings(flat, pos, n)
+            b = Bloom(bits_log2, 4)
+            if len(grams):
+                b.add_many(pd.util.hash_array(grams).astype(np.int64))
+            return pa.table({"bloom": pa.array([b.to_bytes()], pa.binary())})
+
+        parts = eval_ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ).take_all()
+        merged = Bloom(bits_log2, 4)
+        for row in parts:
+            merged = merged.merge(Bloom.from_bytes(row["bloom"], bits_log2, 4))
+        gram_ref = ray.put(merged)
+    else:
+        raise ValueError(f"mode must be 'exact' or 'bloom', got {mode!r}")
 
     def drop_contaminated(batch: pa.Table) -> pa.Table:
-        idx: pd.Index = ray.get(gram_ref)
+        membership = ray.get(gram_ref)
         flat, pos, _ = _flat_tokens(batch.column(text_col).to_pandas())
         grams, gpos = _ngram_strings(flat, pos, n)
         if not len(grams):
             return batch
-        hit = pd.Series(grams).isin(idx).to_numpy()
+        if isinstance(membership, pd.Index):
+            hit = pd.Series(grams).isin(membership).to_numpy()
+        else:  # Bloom
+            hit = membership.contains(pd.util.hash_array(grams).astype(np.int64))
         bad = np.zeros(len(batch), dtype=bool)
         bad[np.unique(gpos[hit])] = True
         return batch.filter(pa.array(~bad))

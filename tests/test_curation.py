@@ -168,3 +168,23 @@ def test_cli_curate_resumable(ray_session, tmp_path):
         for d in os.listdir(os.path.join(out, "data"))
     }
     assert after == mtimes  # resume: no partition rewritten
+
+
+def test_decontaminate_bloom_mode_matches_exact(ray_session):
+    """The Bloom scale path must drop the same docs as exact mode on a
+    small corpus (FP rate ~0 at 2^24 bits for a handful of grams) and
+    must reject unknown modes."""
+    import pytest as _pytest
+
+    from rastertiler_rs_ray.pipelines.curation import decontaminate
+
+    eval_ds = _docs([(100, "p q r s t u")])
+    train = _docs(
+        [(i, f"w{i} p q r s y z{i}") for i in range(0, 6, 2)]
+        + [(i, f"clean doc number {i} with different words") for i in range(1, 7, 2)]
+    )
+    exact = set(decontaminate(train, eval_ds, n=4).to_pandas()["doc_id"])
+    bloom = set(decontaminate(train, eval_ds, n=4, mode="bloom").to_pandas()["doc_id"])
+    assert exact == bloom == {1, 3, 5}
+    with _pytest.raises(ValueError, match="mode"):
+        decontaminate(train, eval_ds, mode="nope")
