@@ -2138,6 +2138,36 @@ FROM d LEFT JOIN ts USING (doc_id) LEFT JOIN bs USING (doc_id)
 """
 
 
+def top_words_cms(sf_dir: str):
+    """Count-Min heavy hitters over the exploded token stream: block-local
+    candidates + tree-reduced CMS partials, keys never shuffle.  At this
+    vocab/width the estimates are collision-free, so the oracle is the
+    exact SQL top-10 (deterministic (n DESC, word) tie-break both
+    sides)."""
+    from .sketch import heavy_hitters
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = (
+            batch.column("text").to_pandas().str.findall(r"\S+").explode().dropna()
+        )
+        return pa.table({"word": pa.array(words.to_numpy(dtype=object), pa.string())})
+
+    return heavy_hitters(
+        docs.map_batches(explode, batch_format="pyarrow"), "word", k=10, width_log2=16
+    )
+
+
+SQL_TOP_WORDS_CMS = r"""
+SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+GROUP BY w
+ORDER BY n DESC, w
+LIMIT 10
+"""
+
+
 def curated_training_corpus(sf_dir: str):
     """The composed curation flagship, one streaming pipeline:
     quality-gate (distinct-token fraction ≥ 0.4) → decontaminate
@@ -2315,6 +2345,7 @@ QUERIES = {
     "pack_sequences_docs": (pack_sequences_docs, SQL_PACK_SEQUENCES),
     "repetition_stats_docs": (repetition_stats_docs, SQL_REPETITION_STATS),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
+    "top_words_cms": (top_words_cms, SQL_TOP_WORDS_CMS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "tile_assign_z10": (tile_assign_z10, SQL_TILE_ASSIGN_Z10),
     "tile_counts_z10": (tile_counts_z10, SQL_TILE_COUNTS_Z10),

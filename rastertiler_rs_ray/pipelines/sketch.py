@@ -77,3 +77,152 @@ def approx_distinct(ds: ray.data.Dataset, col: str, *, p: int = 12) -> float:
     regs = hll_registers(ds, col, p=p)
     tbl = pa.Table.from_pandas(regs.to_pandas()).replace_schema_metadata(None)
     return hll_estimate(tbl, p=p)
+
+
+# ---------------------------------------------------------------- count-min
+
+
+class CountMinSketch:
+    """Vectorized Count-Min over string/int keys: ``depth`` hash rows ×
+    ``2^width_log2`` uint64 counters.  add/estimate are numpy passes;
+    partials merge by elementwise ``+`` (associative), so per-block
+    sketches tree-reduce without ever shuffling the keys themselves.
+    Estimates only ever OVERcount (min over rows bounds the error by
+    ~N/width per row)."""
+
+    def __init__(self, width_log2: int = 14, depth: int = 4, counts: np.ndarray | None = None):
+        self.width_log2 = int(width_log2)
+        self.depth = int(depth)
+        self.w = np.uint64(1 << width_log2)
+        self.counts = (
+            counts
+            if counts is not None
+            else np.zeros((depth, 1 << width_log2), dtype=np.uint64)
+        )
+
+    def _cols(self, hashed: np.ndarray) -> np.ndarray:
+        h = hashed.astype(np.uint64)
+        rows = []
+        for d in range(self.depth):
+            salt = np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF)
+            rows.append(_mix64(h ^ salt) % self.w)
+        return np.stack(rows)  # (depth, n)
+
+    def add_many(self, hashed: np.ndarray, weights: np.ndarray) -> None:
+        cols = self._cols(hashed)
+        wts = weights.astype(np.uint64)
+        for d in range(self.depth):
+            np.add.at(self.counts[d], cols[d].astype(np.int64), wts)
+
+    def estimate(self, hashed: np.ndarray) -> np.ndarray:
+        cols = self._cols(hashed)
+        est = self.counts[0][cols[0].astype(np.int64)]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.counts[d][cols[d].astype(np.int64)])
+        return est.astype(np.int64)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.width_log2 == other.width_log2 and self.depth == other.depth
+        return CountMinSketch(self.width_log2, self.depth, self.counts + other.counts)
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, width_log2: int, depth: int) -> "CountMinSketch":
+        arr = np.frombuffer(data, dtype=np.uint64).reshape(depth, 1 << width_log2).copy()
+        return cls(width_log2, depth, arr)
+
+
+def _hash_keys(keys: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return pd.util.hash_array(keys).astype(np.uint64)
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    k: int = 10,
+    width_log2: int = 14,
+    depth: int = 4,
+    candidates_per_block: int = 256,
+    reduce_fan_in: int = 64,
+) -> pa.Table:
+    """Approximate top-``k`` most frequent values of ``col``.
+
+    One corpus pass emits, per block, (a) the block's local top
+    ``candidates_per_block`` values with exact in-block counts and (b)
+    one Count-Min partial over ALL the block's values.  Candidate rows
+    take a vocab-bounded grouped-sum (a true heavy hitter is a local
+    heavy hitter in the blocks that hold its mass); CMS partials
+    tree-reduce in groups of ``reduce_fan_in`` so the driver merges
+    ``B/fan_in`` sketches, not ``B``.  Final ranking re-estimates every
+    surviving candidate against the merged sketch — estimates never
+    undercount, so rank inversions only occur between near-ties.
+    Deterministic end to end (seeded hashes, no RNG).
+    """
+    import pandas as pd
+
+    from .relational import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pandas()
+        vc = vals.value_counts()
+        cms = CountMinSketch(width_log2, depth)
+        cms.add_many(
+            _hash_keys(vc.index.to_numpy()), vc.to_numpy().astype(np.uint64)
+        )
+        top = vc.iloc[:candidates_per_block]
+        return pa.table(
+            {
+                "word": pa.array(
+                    list(top.index.astype(str)) + [""], pa.string()
+                ),
+                "n": pa.array(list(top.to_numpy().astype(np.int64)) + [0], pa.int64()),
+                "cms": pa.array([None] * len(top) + [cms.to_bytes()], pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def only_cand(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("cms").is_null()).drop_columns(["cms"])
+
+    def only_cms(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("cms").is_valid()).select(["cms"])
+
+    cand = grouped_aggregate(
+        parts.map_batches(only_cand, batch_format="pyarrow"),
+        ["word"],
+        [("n", "n", "sum")],
+    )
+
+    def reduce_block(batch: pa.Table) -> pa.Table:
+        merged = CountMinSketch(width_log2, depth)
+        for b in batch.column("cms").to_pylist():
+            if b is not None:
+                merged = merged.merge(CountMinSketch.from_bytes(b, width_log2, depth))
+        return pa.table({"cms": pa.array([merged.to_bytes()], pa.binary())})
+
+    sketches = parts.map_batches(only_cms, batch_format="pyarrow")
+    n_parts = sketches.count()
+    if n_parts > reduce_fan_in:
+        sketches = sketches.repartition(max(1, n_parts // reduce_fan_in)).map_batches(
+            reduce_block, batch_format="pyarrow"
+        )
+    merged = CountMinSketch(width_log2, depth)
+    for row in sketches.take_all():
+        merged = merged.merge(CountMinSketch.from_bytes(row["cms"], width_log2, depth))
+
+    cdf = cand.to_pandas()
+    est = merged.estimate(_hash_keys(cdf["word"].to_numpy()))
+    cdf["n"] = est
+    top = cdf.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(k)
+    return pa.table(
+        {
+            "word": pa.array(top["word"].to_numpy(dtype=object), pa.string()),
+            "n": pa.array(top["n"].to_numpy(), pa.int64()),
+        }
+    )

@@ -44,3 +44,51 @@ def test_hll_estimate_registers_roundtrip():
     h = _mix64(np.arange(10000, dtype=np.uint64))
     buckets = h >> np.uint64(52)
     assert len(np.unique(buckets)) > 3500
+
+
+def test_cms_heavy_hitters_match_exact_topk(ray_session):
+    """On skewed data with ample width, heavy_hitters returns the exact
+    top-k with exact counts, invariant to partitioning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.sketch import heavy_hitters
+
+    rng = np.random.RandomState(3)
+    words = [f"w{i:03d}" for i in range(200)]
+    # zipf-ish frequencies
+    freqs = (2000 / (np.arange(200) + 1)).astype(int) + 1
+    vals = np.repeat(words, freqs)
+    rng.shuffle(vals)
+    tbl = pa.table({"word": pa.array(vals, pa.string())})
+    exact = (
+        pd.Series(vals).value_counts().reset_index()
+        .rename(columns={"index": "word", 0: "n"})
+    )
+    for parts in (1, 7):
+        out = heavy_hitters(
+            ray.data.from_arrow(tbl).repartition(parts), "word", k=10, width_log2=14
+        ).to_pandas()
+        assert list(out["word"]) == list(exact["word"].head(10))
+        assert list(out["n"]) == list(exact.iloc[:, 1].head(10))
+
+
+def test_cms_overcounts_only_and_merges(ray_session):
+    import numpy as np
+
+    from rastertiler_rs_ray.pipelines.sketch import CountMinSketch, _hash_keys
+
+    keys = np.array([f"k{i}" for i in range(5000)], dtype=object)
+    counts = np.arange(1, 5001, dtype=np.uint64)
+    a = CountMinSketch(width_log2=10)  # deliberately tight -> collisions
+    half = 2500
+    a.add_many(_hash_keys(keys[:half]), counts[:half])
+    b = CountMinSketch(width_log2=10)
+    b.add_many(_hash_keys(keys[half:]), counts[half:])
+    m = a.merge(b)
+    est = m.estimate(_hash_keys(keys))
+    assert (est >= counts.astype(np.int64)).all()  # never undercounts
+    rt = CountMinSketch.from_bytes(m.to_bytes(), 10, 4)
+    assert (rt.estimate(_hash_keys(keys)) == est).all()
