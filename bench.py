@@ -257,7 +257,7 @@ def run_scaling() -> dict:
     # throughput, so each (level, kind) child runs REPEATS times and the
     # best run estimates the uncontended value; applied identically at
     # both levels it cannot bias the ratio (raw runs reported alongside)
-    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
+    repeats = max(1, int(os.environ.get("BENCH_SCALE_REPEATS", "2")))
     results = {n: {} for n in levels}
     raw_runs = {n: {"render": [], "join": []} for n in levels}
     for n in levels:

@@ -151,6 +151,10 @@ def main(argv=None) -> int:
         elif args.command == "curate":
             if args.eval_mod < 2:
                 raise ValueError("--eval-mod must be >= 2")
+            if args.capacity < 1:
+                raise ValueError("--capacity must be >= 1")
+            if args.shard_size < 1:
+                raise ValueError("--shard-size must be >= 1")
             import pyarrow as pa
             import ray.data
 

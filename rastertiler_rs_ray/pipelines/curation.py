@@ -155,6 +155,10 @@ def pack_sequences(
     per-group greedy loop is O(shard_size) — bounded by a constant, not
     the corpus.  Requires an integer ``id_col``.
     """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
 
     def add_meta(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas()
@@ -267,11 +271,18 @@ def filter_repetitive(
     """Quality gate: keep documents whose distinct-token fraction is at
     least ``min_distinct_frac_e4`` (scaled-e4).  Batch-local map filter
     over all original columns — the composable form of
-    ``repetition_stats`` for pipeline use."""
+    ``repetition_stats`` for pipeline use.  Computes ONLY the distinct
+    count (not the unused top-token/bigram signals) — this is the
+    flagship curate pipeline's hot path."""
 
     def f(batch: pa.Table) -> pa.Table:
-        arrs = _repetition_arrays(batch.column(text_col).to_pandas())
-        return batch.filter(pa.array(arrs["distinct_frac_e4"] >= min_distinct_frac_e4))
+        flat, pos, lens = _flat_tokens(batch.column(text_col).to_pandas())
+        distinct = np.zeros(len(batch), dtype=np.int64)
+        if len(flat):
+            nu = pd.DataFrame({"d": pos, "w": flat}).groupby("d", sort=False)["w"].nunique()
+            distinct[nu.index.to_numpy()] = nu.to_numpy()
+        frac = 10000 * distinct // np.maximum(lens, 1)
+        return batch.filter(pa.array(frac >= min_distinct_frac_e4))
 
     return docs.map_batches(f, batch_format="pyarrow")
 

@@ -163,11 +163,10 @@ def heavy_hitters(
     undercount, so rank inversions only occur between near-ties.
     Deterministic end to end (seeded hashes, no RNG).
     """
-    import pandas as pd
-
     from .relational import grouped_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.column(col).type
         vals = batch.column(col).to_pandas()
         vc = vals.value_counts()
         cms = CountMinSketch(width_log2, depth)
@@ -175,17 +174,21 @@ def heavy_hitters(
             _hash_keys(vc.index.to_numpy()), vc.to_numpy().astype(np.uint64)
         )
         top = vc.iloc[:candidates_per_block]
+        # candidates keep the column's NATIVE type (stringifying int keys
+        # would desync the final estimate's hashes from the sketch's);
+        # the per-block sketch rides a null-keyed sentinel row
         return pa.table(
             {
-                "word": pa.array(
-                    list(top.index.astype(str)) + [""], pa.string()
-                ),
+                "word": pa.array(list(top.index) + [None], key_type),
                 "n": pa.array(list(top.to_numpy().astype(np.int64)) + [0], pa.int64()),
                 "cms": pa.array([None] * len(top) + [cms.to_bytes()], pa.binary()),
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # parts feeds both the candidate aggregate and the sketch reduce —
+    # pin the (small: ≤candidates+1 rows per block) result so the
+    # corpus scan runs exactly once
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
 
     def only_cand(batch: pa.Table) -> pa.Table:
         return batch.filter(batch.column("cms").is_null()).drop_columns(["cms"])
@@ -216,13 +219,15 @@ def heavy_hitters(
     for row in sketches.take_all():
         merged = merged.merge(CountMinSketch.from_bytes(row["cms"], width_log2, depth))
 
+    sch = parts.schema()  # materialized: metadata-only
+    key_type = sch.types[sch.names.index("word")]
     cdf = cand.to_pandas()
     est = merged.estimate(_hash_keys(cdf["word"].to_numpy()))
     cdf["n"] = est
     top = cdf.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(k)
     return pa.table(
         {
-            "word": pa.array(top["word"].to_numpy(dtype=object), pa.string()),
+            "word": pa.array(list(top["word"]), key_type),
             "n": pa.array(top["n"].to_numpy(), pa.int64()),
         }
     )

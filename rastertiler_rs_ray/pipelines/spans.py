@@ -44,13 +44,22 @@ def explode_spans(
 
     ``span_idx`` is the span's position within its document — the
     ordering key ``reassemble_spans`` needs to restore the sequence.
+    A document whose spans list is empty (or null) contributes no rows,
+    so it does NOT survive an explode→reassemble round trip — the round
+    trip is exact over documents with ≥1 span (always true for the
+    engine's generator, ``sources/docs.py``); callers with possibly
+    span-less docs must re-attach them from the input.
     """
 
     def f(batch: pa.Table) -> pa.Table:
         spans = batch.column(spans_col).combine_chunks()
         flat = spans.flatten()
         parents = pc.list_parent_indices(spans)
-        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = (
+            pc.fill_null(pc.list_value_length(spans), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
         span_idx = np.arange(len(flat), dtype=np.int64) - starts
         cols = {
@@ -77,7 +86,8 @@ def reassemble_spans(
     Span rows shuffle once by hash(id) into ``num_shards`` coarse
     shards; a shard sorts by (id, span_idx) and rebuilds every one of
     its documents with a single run-length ``ListArray.from_arrays``
-    pass — no per-document Python call.
+    pass — no per-document Python call.  The id column keeps its input
+    type (string per the input_hint, but integer ids work too).
     """
 
     def shard(batch: pa.Table) -> pa.Table:
@@ -96,13 +106,13 @@ def reassemble_spans(
                 pa.array(g["kind"], pa.string()),
                 pa.array(g["text"], pa.string()),
                 pa.array(g["media_ref"], pa.string()),
-                pa.array(g["offset"].to_numpy(), pa.int32()),
+                pa.array(g["offset"].to_numpy().astype(np.int32), pa.int32()),
             ],
             names=list(SPAN_FIELDS),
         )
         spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
         return pa.table(
-            {id_col: pa.array(gids[change], pa.string()), spans_col: spans}
+            {id_col: pa.array(list(gids[change])), spans_col: spans}
         )
 
     return (

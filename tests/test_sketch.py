@@ -92,3 +92,22 @@ def test_cms_overcounts_only_and_merges(ray_session):
     assert (est >= counts.astype(np.int64)).all()  # never undercounts
     rt = CountMinSketch.from_bytes(m.to_bytes(), 10, 4)
     assert (rt.estimate(_hash_keys(keys)) == est).all()
+
+
+def test_cms_heavy_hitters_integer_keys(ray_session):
+    """Non-string key columns must rank correctly: candidate values keep
+    their native type so final estimates hash the same keys the sketch
+    counted (a stringified-candidate regression returned noise)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.sketch import heavy_hitters
+
+    vals = np.concatenate([np.repeat(7, 500), np.repeat(42, 300), np.arange(1000, 1200)])
+    rng = np.random.RandomState(1)
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals, pa.int64())})).repartition(5)
+    out = heavy_hitters(ds, "k", k=2).to_pandas()
+    assert out["word"].dtype == np.int64
+    assert list(out["word"]) == [7, 42] and list(out["n"]) == [500, 300]

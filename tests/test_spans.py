@@ -63,3 +63,46 @@ def test_spans_to_text_joins_text_spans_in_order(ray_session):
         .to_dict()
     )
     assert out == {"a": "hello world", "b": "", "c": ""}  # b: media-only, c: empty
+
+
+def test_explode_handles_empty_and_null_spans(ray_session):
+    """Empty/null spans contribute no rows WITHOUT misaligning span_idx
+    for following docs; round trip is exact over span-bearing docs."""
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(["text", "text"], pa.string()),
+            pa.array(["aa", "bb"], pa.string()),
+            pa.array(["", ""], pa.string()),
+            pa.array([0, 3], pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array([0, 0, 1, 2], pa.int32()), struct)
+    tbl = pa.table(
+        {"doc_id": pa.array(["empty", "a", "b"], pa.string()), "spans": spans}
+    )
+    ex = explode_spans(ray.data.from_arrow(tbl)).to_pandas()
+    assert list(ex["doc_id"]) == ["a", "b"]
+    assert list(ex["span_idx"]) == [0, 0]
+    back = reassemble_spans(ray.data.from_pandas(ex), num_shards=2).to_pandas()
+    assert set(back["doc_id"]) == {"a", "b"}  # documented: span-less doc drops
+
+
+def test_reassemble_integer_ids(ray_session):
+    """reassemble_spans must not hardcode string ids."""
+    import pandas as pd
+
+    ex = pd.DataFrame(
+        {
+            "doc_id": [5, 5, 9],
+            "span_idx": [0, 1, 0],
+            "kind": ["text", "media", "text"],
+            "text": ["x", "", "y"],
+            "media_ref": ["", "geo://1.0,2.0/a", ""],
+            "offset": [0, 2, 0],
+        }
+    )
+    back = reassemble_spans(ray.data.from_pandas(ex), num_shards=3).to_pandas()
+    assert sorted(back["doc_id"]) == [5, 9]
+    row5 = back[back.doc_id == 5].iloc[0]["spans"]
+    assert [s["kind"] for s in row5] == ["text", "media"]
