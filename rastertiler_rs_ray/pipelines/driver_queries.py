@@ -1881,6 +1881,28 @@ def media_features_pipeline(sf_dir: str):
     return ds.select_columns(["media_id", "media_hash"])
 
 
+def span_media_features(sf_dir: str):
+    """Interleaved → multimodal bridge: media spans of the generated doc
+    table → blob-store fetch stub → decode + feature actor pools.
+    (doc_id, span_idx) identifies each media item; rows-only (hash-based
+    generator + payload hashes)."""
+    import pyarrow.compute as pc_
+
+    from ..sources.docs import generate_documents
+    from ..stages.multimodal import decode_media, extract_media_features, fetch_media_payloads
+    from .spans import explode_spans
+
+    docs = generate_documents(1000, override_num_blocks=4)
+    media = explode_spans(docs).map_batches(
+        lambda b: b.filter(pc_.equal(b.column("kind"), "media")).select(
+            ["doc_id", "span_idx", "media_ref"]
+        ),
+        batch_format="pyarrow",
+    )
+    feats = extract_media_features(decode_media(fetch_media_payloads(media)))
+    return feats.select_columns(["doc_id", "span_idx", "media_hash"])
+
+
 def video_frame_sample(sf_dir: str):
     """Frame-sampling actor pool over opaque video payloads (fake codec,
     real plumbing): K frames per row, deterministic frame indices."""
@@ -2376,6 +2398,7 @@ QUERIES = {
     "ivf_ann_topk_exhaustive": (ivf_ann_topk_exhaustive, SQL_ANN_EMBEDDINGS_TOPK),
     "annotate_docs": (annotate_docs, SQL_ANNOTATE_DOCS),
     "media_features_pipeline": (media_features_pipeline, None),
+    "span_media_features": (span_media_features, None),
     "video_frame_sample": (video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "audio_features_pipeline": (audio_features_pipeline, None),
     "approx_distinct_users": (approx_distinct_users, SQL_APPROX_DISTINCT_USERS),

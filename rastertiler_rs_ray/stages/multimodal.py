@@ -343,3 +343,37 @@ def synthesize_audio_table(n: int, seed: int = 9) -> ray.data.Dataset:
         )
 
     return ray.data.range(n).map_batches(gen, batch_format="pyarrow")
+
+
+def fetch_media_payloads(
+    ds: ray.data.Dataset,
+    *,
+    ref_col: str = "media_ref",
+    seed: int = 5,
+) -> ray.data.Dataset:
+    """Resolve media refs to opaque payload bytes — the blob-store read.
+
+    In production this stage is an actor pool doing ranged GETs against
+    the object store the refs point at; in this environment (no network,
+    no codecs) it synthesizes the SAME deterministic payload shape as
+    ``synthesize_media_table`` from the ref string, so every downstream
+    decode/feature stage exercises the real plumbing.  Appends
+    (payload, media_kind, media_w, media_h)."""
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        refs = batch.column(ref_col).to_pylist()
+        payloads = [
+            hashlib.sha256(f"media-{seed}-{r}".encode()).digest() * 4 for r in refs
+        ]
+        h = np.array(
+            [int.from_bytes(hashlib.sha256(r.encode()).digest()[:4], "big") for r in refs],
+            dtype=np.int64,
+        )
+        return (
+            batch.append_column("payload", pa.array(payloads, pa.binary()))
+            .append_column("media_kind", pa.array(["image"] * len(refs), pa.string()))
+            .append_column("media_w", pa.array(16 + h % 48, pa.int64()))
+            .append_column("media_h", pa.array(16 + (h // 48) % 48, pa.int64()))
+        )
+
+    return ds.map_batches(fetch, batch_format="pyarrow", batch_size=256)
