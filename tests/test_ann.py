@@ -142,7 +142,17 @@ def test_lsh_deterministic_across_partitioning(ray_session):
     queries = tbl.slice(0, 10)
     a = lsh_topk(ray.data.from_arrow(tbl).repartition(2), queries, k=5)
     b = lsh_topk(ray.data.from_arrow(tbl).repartition(9), queries, k=5)
-    assert a.to_pylist() == b.to_pylist()
+    # Neighbor identities and ranks must be partition-invariant exactly.
+    # Scores are deterministic only up to BLAS accumulation order (the
+    # matmul blocking depends on the batch's matrix shape), so compare
+    # them with a last-ulp tolerance instead of bitwise.
+    ra, rb = a.to_pylist(), b.to_pylist()
+    assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in ra] == [
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in rb
+    ]
+    assert np.allclose(
+        [r["score"] for r in ra], [r["score"] for r in rb], rtol=0, atol=1e-12
+    )
 
 
 def test_scan_topk_handles_empty_blocks(ray_session):
