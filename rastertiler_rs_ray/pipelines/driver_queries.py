@@ -2325,6 +2325,100 @@ def interleaved_span_check(sf_dir: str):
     return enc.map_batches(project, batch_format="pyarrow")
 
 
+def interleaved_spans_docs(sf_dir: str):
+    """FULLY-ORACLED interleaved-span pipeline: build an interleaved
+    text+media table from `documents` with SQL-expressible rules (two
+    text spans — the text and its uppercase — plus a geo:// media span
+    in between when doc_id % 3 == 0), then run the real first-class
+    span operators: explode_spans (Arrow list flatten) →
+    reassemble_spans (hash-shard shuffle + run-length rebuild) →
+    spans_to_text (ordered text-span join).  Output per doc:
+    (doc_id, n_spans, media_ref, text) — DuckDB reproduces every
+    column directly from `documents`, so the whole span surface gets a
+    rows+schema+hash oracle instead of the rows-only check the
+    hash-generator variants allow."""
+    import pandas as pd
+
+    from .spans import explode_spans, reassemble_spans, spans_to_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pandas().astype(object)
+        has_media = (ids % 3) == 0
+        n = np.where(has_media, 3, 2).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        total = int(n.sum())
+        kind = np.full(total, "text", dtype=object)
+        stext = np.full(total, "", dtype=object)
+        ref = np.full(total, "", dtype=object)
+        off = (np.arange(total, dtype=np.int64) - np.repeat(starts, n)).astype(np.int32)
+        stext[starts] = texts.to_numpy(dtype=object)
+        stext[starts + n - 1] = texts.str.upper().to_numpy(dtype=object)
+        mid = starts[has_media] + 1
+        kind[mid] = "image"
+        stext[mid] = ""
+        mids = ids[has_media]
+        ref[mid] = (
+            "geo://"
+            + pd.Series(mids * 37 % 360 - 180).astype(str)
+            + ","
+            + pd.Series(mids * 53 % 170 - 85).astype(str)
+        ).to_numpy(dtype=object)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(kind, pa.string()),
+                pa.array(stext, pa.string()),
+                pa.array(ref, pa.string()),
+                pa.array(off, pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.concatenate((starts, [total])), pa.int32()), struct
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "spans": spans})
+
+    inter = docs.map_batches(to_spans, batch_format="pyarrow")
+    back = reassemble_spans(explode_spans(inter), num_shards=16)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans").combine_chunks()
+        flat = spans.flatten()
+        parents = pc.list_parent_indices(spans).to_numpy()
+        is_img = pc.equal(flat.field("kind"), "image").to_numpy(zero_copy_only=False)
+        ref_out = np.full(len(batch), "", dtype=object)
+        ref_out[parents[is_img]] = flat.field("media_ref").to_numpy(
+            zero_copy_only=False
+        )[is_img]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "spans": spans,
+                "n_spans": pc.cast(pc.list_value_length(spans), pa.int64()),
+                "media_ref": pa.array(ref_out, pa.string()),
+            }
+        )
+
+    return spans_to_text(
+        back.map_batches(stats, batch_format="pyarrow"),
+        keep_cols=("n_spans", "media_ref"),
+    )
+
+
+SQL_INTERLEAVED_SPANS_DOCS = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_spans,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'geo://' || CAST(doc_id * 37 % 360 - 180 AS VARCHAR)
+                 || ',' || CAST(doc_id * 53 % 170 - 85 AS VARCHAR)
+            ELSE '' END AS media_ref,
+       text || ' ' || upper(text) AS text
+FROM documents
+"""
+
+
 QUERIES = {
     # SQL-oracled
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
@@ -2403,6 +2497,7 @@ QUERIES = {
     "audio_features_pipeline": (audio_features_pipeline, None),
     "approx_distinct_users": (approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "interleaved_span_check": (interleaved_span_check, None),
+    "interleaved_spans_docs": (interleaved_spans_docs, SQL_INTERLEAVED_SPANS_DOCS),
     "span_explode_roundtrip": (span_explode_roundtrip, None),
     "interleaved_raster_join": (interleaved_raster_join, None),
 }
