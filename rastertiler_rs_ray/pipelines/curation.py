@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -350,3 +351,127 @@ def decontaminate(
         return batch.filter(pa.array(~bad))
 
     return train.map_batches(drop_contaminated, batch_format="pyarrow")
+
+
+# ------------------------------------------------- duplicate substrings
+
+
+def dup_ngram_coverage(
+    docs: ray.data.Dataset,
+    *,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_shards: int = 32,
+    join_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Substring-level duplication signal (the hashed analog of the
+    suffix-array pass in Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): per document, how many of its tokens are
+    covered by a word ``n``-gram that occurs MORE THAN ONCE in the whole
+    corpus (including a second time inside the same document).  Output:
+    ``(id, n_tokens, covered_tokens)`` — scaled-integer columns only,
+    bitwise-stable across engines.
+
+    Scale contract (no driver-side state, texts never shuffle):
+
+    1. map: explode word n-grams with their in-document token position
+       → narrow rows ``(ng, id, pos)``.
+    2. one ``groupby(ng)`` shuffle; a group emits its ``(id, pos)``
+       members only when the gram occurs >1 time — output is bounded by
+       the duplicated fraction of the corpus.
+    3. duplicated positions hash-shard by id (same coarse topology as
+       ``reassemble_spans``); each shard computes the interval-union
+       coverage with one vectorized diff pass (positions sorted per
+       doc; position i contributes ``min(next_i - i, n)``, the last of
+       a doc contributes ``n``).
+    4. per-doc token counts (map-only) LEFT JOIN the covered counts on
+       a hash-partitioned key exchange (`relational.shuffle_hash_join`)
+       — both sides are one narrow row per doc.
+    """
+    from .relational import shuffle_hash_join
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        flat, pos, lens = _flat_tokens(batch.column(text_col).to_pandas())
+        grams, gdoc = _ngram_strings(flat, pos, n)
+        starts = np.cumsum(lens) - lens
+        indoc = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        valid = pos[: len(pos) - n + 1] == pos[n - 1 :] if len(flat) >= n else np.empty(0, bool)
+        gpos = indoc[: len(indoc) - n + 1][valid] if len(flat) >= n else np.empty(0, np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ng": pa.array(grams, pa.string()),
+                id_col: pa.array(ids[gdoc]),
+                "pos": pa.array(gpos, pa.int64()),
+            }
+        )
+
+    def gram_shard(batch: pa.Table) -> pa.Table:
+        grams = batch.column("ng").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
+        return batch.append_column("__gshard", pa.array(h % num_shards))
+
+    def dup_only(shard_df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per COARSE shard (not per gram): every
+        # occurrence of a gram hash-lands in the same shard, so a
+        # shard-local value_counts is the exact global count
+        cnt = shard_df["ng"].map(shard_df["ng"].value_counts())
+        return shard_df.loc[cnt.to_numpy() > 1, [id_col, "pos"]]
+
+    dup_pos = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .map_batches(gram_shard, batch_format="pyarrow")
+        .groupby("__gshard")
+        .map_groups(dup_only, batch_format="pandas")
+    )
+
+    def shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(ids, dtype=object)).astype(np.int64)
+        return batch.append_column("__cshard", pa.array(h % num_shards))
+
+    def coverage(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        contrib = np.full(len(g), n, dtype=np.int64)
+        if len(g) > 1:
+            same = ids[1:] == ids[:-1]
+            d = pos[1:] - pos[:-1]
+            contrib[:-1][same] = np.minimum(d[same], n)
+        out = pd.DataFrame({id_col: ids, "covered_tokens": contrib})
+        return out.groupby(id_col, sort=False, as_index=False)["covered_tokens"].sum()
+
+    covered = (
+        dup_pos.map_batches(shard, batch_format="pyarrow")
+        .groupby("__cshard")
+        .map_groups(coverage, batch_format="pandas")
+    )
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        _, _, lens = _flat_tokens(batch.column(text_col).to_pandas())
+        return pa.table(
+            {id_col: batch.column(id_col), "n_tokens": pa.array(lens, pa.int64())}
+        )
+
+    counts = docs.select_columns([id_col, text_col]).map_batches(
+        tok_counts, batch_format="pyarrow"
+    )
+    joined = shuffle_hash_join(
+        counts, covered, on=id_col, join_type="left_outer",
+        num_partitions=join_partitions,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cov = pc.fill_null(pc.cast(batch.column("covered_tokens"), pa.int64()), 0)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pc.cast(batch.column("n_tokens"), pa.int64()),
+                "covered_tokens": cov,
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

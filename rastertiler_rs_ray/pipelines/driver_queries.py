@@ -2419,6 +2419,104 @@ FROM documents
 """
 
 
+def dup_ngram_coverage_docs(sf_dir: str):
+    """Substring-level duplication signal (hashed analog of the
+    Lee-et-al. suffix-array dedup pass): per doc, tokens covered by a
+    word 4-gram occurring >1 time corpus-wide.  Integer-only output."""
+    from .curation import dup_ngram_coverage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_ngram_coverage(docs, n=4, num_shards=16, join_partitions=8)
+
+
+SQL_DUP_NGRAM_COVERAGE = r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS ng
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr) - 3)) AS i) s
+      WHERE len(arr) >= 4),
+dup AS (SELECT ng FROM g GROUP BY ng HAVING count(*) > 1),
+cov AS (SELECT doc_id, pos, lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM g JOIN dup USING (ng)),
+cc AS (SELECT doc_id,
+              sum(CASE WHEN nxt IS NULL THEN 4 ELSE least(nxt - pos, 4) END) AS covered
+       FROM cov GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.arr) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cc.covered, 0) AS BIGINT) AS covered_tokens
+FROM d LEFT JOIN cc USING (doc_id)
+"""
+
+
+def building_urgent_full_outer(sf_dir: str):
+    """Genuine FULL OUTER join (each side holds keys the other lacks):
+    BUILDING-segment customers vs per-customer URGENT order counts,
+    via the partitioned shuffle hash join."""
+    import pyarrow.compute as pc_
+
+    from .relational import grouped_aggregate, shuffle_hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc_.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow",
+    )
+    urgent = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc_.equal(b.column("o_orderpriority"), "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    counts = grouped_aggregate(urgent, ["o_custkey"], [("n_urgent", "o_custkey", "count")])
+    joined = shuffle_hash_join(
+        cust, counts, on="c_custkey", right_on="o_custkey",
+        join_type="full_outer", num_partitions=8,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # Ray's full outer coalesces on/right_on into the left key column;
+        # left-presence survives via the non-key c_mktsegment column.
+        return pa.table(
+            {
+                "custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "has_building": pc.cast(
+                    pc.is_valid(batch.column("c_mktsegment")), pa.int64()
+                ),
+                "n_urgent": pc.fill_null(pc.cast(batch.column("n_urgent"), pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_BUILDING_URGENT_FULL_OUTER = """
+WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+u AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
+      WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+SELECT CAST(coalesce(b.c_custkey, u.o_custkey) AS BIGINT) AS custkey,
+       CAST(CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_building,
+       CAST(coalesce(u.n_urgent, 0) AS BIGINT) AS n_urgent
+FROM b FULL OUTER JOIN u ON b.c_custkey = u.o_custkey
+"""
+
+
+def inverted_index_docs(sf_dir: str):
+    """Distributed inverted-index build over documents: word -> (df,
+    first-10 posting list as a comma-joined string)."""
+    from .textstats import inverted_index
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(docs, postings_cap=10, num_shards=16)
+
+
+SQL_INVERTED_INDEX_DOCS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents),
+u AS (SELECT DISTINCT word, doc_id FROM tok)
+SELECT word, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',') AS postings
+FROM u GROUP BY word
+"""
+
+
 QUERIES = {
     # SQL-oracled
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
@@ -2498,6 +2596,9 @@ QUERIES = {
     "approx_distinct_users": (approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "interleaved_span_check": (interleaved_span_check, None),
     "interleaved_spans_docs": (interleaved_spans_docs, SQL_INTERLEAVED_SPANS_DOCS),
+    "dup_ngram_coverage_docs": (dup_ngram_coverage_docs, SQL_DUP_NGRAM_COVERAGE),
+    "building_urgent_full_outer": (building_urgent_full_outer, SQL_BUILDING_URGENT_FULL_OUTER),
+    "inverted_index_docs": (inverted_index_docs, SQL_INVERTED_INDEX_DOCS),
     "span_explode_roundtrip": (span_explode_roundtrip, None),
     "interleaved_raster_join": (interleaved_raster_join, None),
 }

@@ -307,3 +307,61 @@ def unigram_logprob_scores(
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def inverted_index(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_cap: int = 10,
+    num_shards: int = 32,
+) -> ray.data.Dataset:
+    """Distributed inverted-index build: one row per word with its
+    document frequency and the first ``postings_cap`` doc ids (sorted,
+    comma-joined string — a bounded posting-list preview; the cap keeps
+    hot words from producing multi-GB rows).
+
+    Scale contract: the explode never leaves the map task — each block
+    emits its DISTINCT (word, id) pairs, so the exchange moves
+    per-block vocabulary pairs, not one row per token.  Pairs
+    hash-shard by word into ``num_shards`` coarse groups; a shard
+    resolves all of its words with vectorized pandas passes (the only
+    per-word Python is the ','.join over the <= ``postings_cap``
+    retained ids).
+    """
+    import pandas as pd
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.findall(r"\S+")
+        ex = toks.explode().dropna()
+        out = pd.DataFrame(
+            {"word": ex.to_numpy(dtype=object), id_col: df[id_col].to_numpy()[ex.index]}
+        ).drop_duplicates()
+        h = pd.util.hash_array(out["word"].to_numpy(dtype=object)).astype(np.int64)
+        return out.assign(__wshard=h % num_shards)
+
+    def build(shard_df: pd.DataFrame) -> pd.DataFrame:
+        u = shard_df[["word", id_col]].drop_duplicates().sort_values(["word", id_col])
+        g = u.groupby("word", sort=False)
+        df_counts = g.size()
+        head = u.groupby("word", sort=False).head(postings_cap)
+        post = (
+            head.assign(s=head[id_col].astype(str))
+            .groupby("word", sort=False)["s"]
+            .agg(",".join)
+        )
+        return pd.DataFrame(
+            {
+                "word": df_counts.index.to_numpy(dtype=object),
+                "df": df_counts.to_numpy(np.int64),
+                "postings": post.reindex(df_counts.index).to_numpy(dtype=object),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("__wshard")
+        .map_groups(build, batch_format="pandas")
+    )

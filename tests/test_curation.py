@@ -188,3 +188,56 @@ def test_decontaminate_bloom_mode_matches_exact(ray_session):
     assert exact == bloom == {1, 3, 5}
     with _pytest.raises(ValueError, match="mode"):
         decontaminate(train, eval_ds, mode="nope")
+
+
+def test_dup_ngram_coverage_hand_cases(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import dup_ngram_coverage
+
+    docs = _docs(
+        [
+            (0, "a b c d x y z w"),      # "a b c d" also in doc 1 -> 4 covered
+            (1, "q a b c d r s t"),      # same dup gram -> 4 covered
+            (2, "u v w x"),              # unique 4-gram -> 0
+            (3, "m n o p m n o p m"),    # self-repeat "m n o p" at 0 and 4,
+                                          #   plus "n o p m" at 1 and 5 -> covers 0..8 = 9
+            (4, "tiny"),                 # <4 tokens -> 0
+        ]
+    )
+    out = (
+        dup_ngram_coverage(docs, n=4, num_shards=4, join_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_tokens"].to_dict() == {0: 8, 1: 8, 2: 4, 3: 9, 4: 1}
+    assert out["covered_tokens"].to_dict() == {0: 4, 1: 4, 2: 0, 3: 9, 4: 0}
+
+
+def test_dup_ngram_coverage_shard_invariance(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import dup_ngram_coverage
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(["a", "b", "c", "d", "e"], dtype=object)
+    rows = [
+        (i, " ".join(vocab[rng.integers(0, 5, rng.integers(4, 30))]))
+        for i in range(40)
+    ]
+    a = (
+        dup_ngram_coverage(_docs(rows), n=3, num_shards=2, join_partitions=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dup_ngram_coverage(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows], pa.string()),
+                    }
+                )
+            ).repartition(7),
+            n=3, num_shards=9, join_partitions=5,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)

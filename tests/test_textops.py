@@ -286,3 +286,36 @@ def test_mix_corpora_copies_and_determinism(ray_session):
     a = out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
     b = out2.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_inverted_index_matches_naive(ray_session):
+    import pandas as pd
+
+    from rastertiler_rs_ray.pipelines.textstats import inverted_index
+
+    rows = [
+        (0, "the cat sat"),
+        (1, "the dog sat sat"),   # repeated token: one posting per doc
+        (2, "cat"),
+        (3, ""),
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = (
+        inverted_index(docs, postings_cap=2, num_shards=3)
+        .to_pandas().sort_values("word").reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "word": ["cat", "dog", "sat", "the"],
+            "df": [2, 1, 2, 2],
+            "postings": ["0,2", "1", "0,1", "0,1"],
+        }
+    )
+    assert out.equals(expect.astype({"df": "int64"}))
