@@ -356,6 +356,58 @@ def decontaminate(
 # ------------------------------------------------- duplicate substrings
 
 
+def _dup_gram_positions(
+    docs: ray.data.Dataset,
+    *,
+    n: int,
+    id_col: str,
+    text_col: str,
+    num_shards: int,
+) -> ray.data.Dataset:
+    """Narrow ``(id, pos)`` rows for every word n-gram occurrence whose
+    gram appears MORE THAN ONCE corpus-wide (the shared discovery stage
+    of ``dup_ngram_coverage`` and ``remove_dup_ngrams``).  One
+    ``groupby`` exchange of (ng, id, pos) rows, counted exactly with a
+    vectorized value_counts per COARSE hash(ng) shard — output is
+    bounded by the duplicated fraction of the corpus."""
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        flat, pos, lens = _flat_tokens(batch.column(text_col).to_pandas())
+        grams, gdoc = _ngram_strings(flat, pos, n)
+        starts = np.cumsum(lens) - lens
+        indoc = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        valid = pos[: len(pos) - n + 1] == pos[n - 1 :] if len(flat) >= n else np.empty(0, bool)
+        gpos = indoc[: len(indoc) - n + 1][valid] if len(flat) >= n else np.empty(0, np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ng": pa.array(grams, pa.string()),
+                id_col: pa.array(ids[gdoc]),
+                "pos": pa.array(gpos, pa.int64()),
+            }
+        )
+
+    def gram_shard(batch: pa.Table) -> pa.Table:
+        grams = batch.column("ng").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
+        return batch.append_column("__gshard", pa.array(h % num_shards))
+
+    def dup_only(shard_df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per COARSE shard (not per gram): every
+        # occurrence of a gram hash-lands in the same shard, so a
+        # shard-local value_counts is the exact global count
+        cnt = shard_df["ng"].map(shard_df["ng"].value_counts())
+        return shard_df.loc[cnt.to_numpy() > 1, [id_col, "pos"]]
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .map_batches(gram_shard, batch_format="pyarrow")
+        .groupby("__gshard")
+        .map_groups(dup_only, batch_format="pandas")
+    )
+
+
 def dup_ngram_coverage(
     docs: ray.data.Dataset,
     *,
@@ -391,40 +443,8 @@ def dup_ngram_coverage(
     """
     from .relational import shuffle_hash_join
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        flat, pos, lens = _flat_tokens(batch.column(text_col).to_pandas())
-        grams, gdoc = _ngram_strings(flat, pos, n)
-        starts = np.cumsum(lens) - lens
-        indoc = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
-        valid = pos[: len(pos) - n + 1] == pos[n - 1 :] if len(flat) >= n else np.empty(0, bool)
-        gpos = indoc[: len(indoc) - n + 1][valid] if len(flat) >= n else np.empty(0, np.int64)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "ng": pa.array(grams, pa.string()),
-                id_col: pa.array(ids[gdoc]),
-                "pos": pa.array(gpos, pa.int64()),
-            }
-        )
-
-    def gram_shard(batch: pa.Table) -> pa.Table:
-        grams = batch.column("ng").to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.int64)
-        return batch.append_column("__gshard", pa.array(h % num_shards))
-
-    def dup_only(shard_df: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized pass per COARSE shard (not per gram): every
-        # occurrence of a gram hash-lands in the same shard, so a
-        # shard-local value_counts is the exact global count
-        cnt = shard_df["ng"].map(shard_df["ng"].value_counts())
-        return shard_df.loc[cnt.to_numpy() > 1, [id_col, "pos"]]
-
-    dup_pos = (
-        docs.select_columns([id_col, text_col])
-        .map_batches(gram_rows, batch_format="pyarrow")
-        .map_batches(gram_shard, batch_format="pyarrow")
-        .groupby("__gshard")
-        .map_groups(dup_only, batch_format="pandas")
+    dup_pos = _dup_gram_positions(
+        docs, n=n, id_col=id_col, text_col=text_col, num_shards=num_shards
     )
 
     def shard(batch: pa.Table) -> pa.Table:
@@ -475,3 +495,93 @@ def dup_ngram_coverage(
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def remove_dup_ngrams(
+    docs: ray.data.Dataset,
+    *,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_shards: int = 32,
+) -> ray.data.Dataset:
+    """Exact-substring deduplication REWRITE (the apply step of Lee et
+    al.): drop every token covered by a word ``n``-gram that occurs
+    more than once corpus-wide; keep the rest in order.  Output:
+    ``(id, text, n_removed)`` where ``text`` is the surviving tokens
+    joined by single spaces (whitespace is normalized even for
+    untouched documents — deterministic on both engines) and documents
+    with no surviving tokens yield the empty string.
+
+    Scale contract: duplicated positions come from the shared
+    ``_dup_gram_positions`` exchange; the rewrite co-locates each doc's
+    text with its (sparse) duplicated positions via ONE tag-union
+    shuffle on a coarse hash(id) shard (the ``asof_join`` topology —
+    no driver state, no broadcast of O(corpus) positions).  Within a
+    shard everything is vectorized except the per-doc ' '.join of
+    surviving tokens (same cost shape as ``spans_to_text``)."""
+    dup_pos = _dup_gram_positions(
+        docs, n=n, id_col=id_col, text_col=text_col, num_shards=num_shards
+    )
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(ids, dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "__rshard": pa.array(h % num_shards),
+                "__tag": pa.array(np.zeros(len(batch), np.int8)),
+                text_col: batch.column(text_col),
+                "pos": pa.array(np.full(len(batch), -1, np.int64)),
+            }
+        )
+
+    def tag_pos(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(ids, dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "__rshard": pa.array(h % num_shards),
+                "__tag": pa.array(np.ones(len(batch), np.int8)),
+                text_col: pa.array(np.full(len(batch), "", dtype=object), pa.string()),
+                "pos": pc.cast(batch.column("pos"), pa.int64()),
+            }
+        )
+
+    tagged = docs.select_columns([id_col, text_col]).map_batches(
+        tag_text, batch_format="pyarrow"
+    ).union(dup_pos.map_batches(tag_pos, batch_format="pyarrow"))
+
+    def rewrite(group: pd.DataFrame) -> pd.DataFrame:
+        t = group[group["__tag"].to_numpy() == 0]
+        p = group[group["__tag"].to_numpy() == 1]
+        flat, rowpos, lens = _flat_tokens(t[text_col])
+        starts = np.cumsum(lens) - lens
+        # map each duplicated position to its doc's row in t
+        row_of = pd.Series(np.arange(len(t)), index=t[id_col].to_numpy())
+        prows = row_of.loc[p[id_col].to_numpy()].to_numpy() if len(p) else np.empty(0, np.int64)
+        gstart = starts[prows] + p["pos"].to_numpy() if len(p) else np.empty(0, np.int64)
+        diff = np.zeros(len(flat) + n, dtype=np.int64)
+        np.add.at(diff, gstart, 1)
+        np.add.at(diff, gstart + n, -1)
+        covered = np.cumsum(diff)[: len(flat)] > 0
+        kept, kparents = flat[~covered], rowpos[~covered]
+        joined = (
+            pd.Series(kept).groupby(kparents).agg(" ".join)
+            if len(kept)
+            else pd.Series(dtype=object)
+        )
+        out_text = np.full(len(t), "", dtype=object)
+        out_text[joined.index.to_numpy()] = joined.to_numpy(dtype=object)
+        kept_counts = np.bincount(kparents, minlength=len(t)) if len(kept) else np.zeros(len(t), np.int64)
+        return pd.DataFrame(
+            {
+                id_col: t[id_col].to_numpy(),
+                text_col: out_text,
+                "n_removed": (lens - kept_counts).astype(np.int64),
+            }
+        )
+
+    return tagged.groupby("__rshard").map_groups(rewrite, batch_format="pandas")

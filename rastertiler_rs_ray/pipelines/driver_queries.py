@@ -2447,6 +2447,38 @@ FROM d LEFT JOIN cc USING (doc_id)
 """
 
 
+def remove_dup_ngrams_docs(sf_dir: str):
+    """The APPLY step of Lee-et-al. exact-substring dedup: rewrite each
+    doc with corpus-duplicated 4-gram tokens removed (whitespace
+    normalized on both engines)."""
+    from .curation import remove_dup_ngrams
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_dup_ngrams(docs, n=4, num_shards=16)
+
+
+SQL_REMOVE_DUP_NGRAMS = r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
+tok AS (SELECT doc_id, i - 1 AS ti, arr[i] AS w
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s),
+g AS (SELECT doc_id, i - 1 AS pos,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS ng
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr) - 3)) AS i) s
+      WHERE len(arr) >= 4),
+dup AS (SELECT ng FROM g GROUP BY ng HAVING count(*) > 1),
+covpos AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 3)) AS ti
+           FROM g JOIN dup USING (ng)),
+kept AS (SELECT t.doc_id, t.ti, t.w
+         FROM tok t LEFT JOIN covpos c ON t.doc_id = c.doc_id AND t.ti = c.ti
+         WHERE c.ti IS NULL),
+k AS (SELECT doc_id, string_agg(w, ' ' ORDER BY ti) AS text, count(*) AS nk
+      FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(k.text, '') AS text,
+       CAST(len(d.arr) - coalesce(k.nk, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN k USING (doc_id)
+"""
+
+
 def building_urgent_full_outer(sf_dir: str):
     """Genuine FULL OUTER join (each side holds keys the other lacks):
     BUILDING-segment customers vs per-customer URGENT order counts,
@@ -2597,6 +2629,7 @@ QUERIES = {
     "interleaved_span_check": (interleaved_span_check, None),
     "interleaved_spans_docs": (interleaved_spans_docs, SQL_INTERLEAVED_SPANS_DOCS),
     "dup_ngram_coverage_docs": (dup_ngram_coverage_docs, SQL_DUP_NGRAM_COVERAGE),
+    "remove_dup_ngrams_docs": (remove_dup_ngrams_docs, SQL_REMOVE_DUP_NGRAMS),
     "building_urgent_full_outer": (building_urgent_full_outer, SQL_BUILDING_URGENT_FULL_OUTER),
     "inverted_index_docs": (inverted_index_docs, SQL_INVERTED_INDEX_DOCS),
     "span_explode_roundtrip": (span_explode_roundtrip, None),

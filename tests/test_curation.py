@@ -241,3 +241,48 @@ def test_dup_ngram_coverage_shard_invariance(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_remove_dup_ngrams_hand_case(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import remove_dup_ngrams
+
+    docs = _docs(
+        [
+            (0, "a b c d x y z w"),
+            (1, "q a b c d r s t"),
+            (2, "u v w x"),
+            (4, "tiny"),
+        ]
+    )
+    out = (
+        remove_dup_ngrams(docs, n=4, num_shards=3)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "text"] == "x y z w" and out.loc[0, "n_removed"] == 4
+    assert out.loc[1, "text"] == "q r s t" and out.loc[1, "n_removed"] == 4
+    assert out.loc[2, "text"] == "u v w x" and out.loc[2, "n_removed"] == 0
+    assert out.loc[4, "text"] == "tiny" and out.loc[4, "n_removed"] == 0
+
+
+def test_remove_dup_ngrams_matches_coverage(ray_session):
+    # n_removed must equal dup_ngram_coverage's covered_tokens doc-by-doc
+    from rastertiler_rs_ray.pipelines.curation import (
+        dup_ngram_coverage,
+        remove_dup_ngrams,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = np.array(["a", "b", "c", "d"], dtype=object)
+    rows = [
+        (i, " ".join(vocab[rng.integers(0, 4, rng.integers(3, 25))]))
+        for i in range(30)
+    ]
+    cov = (
+        dup_ngram_coverage(_docs(rows), n=3, num_shards=4, join_partitions=4)
+        .to_pandas().set_index("doc_id")["covered_tokens"].sort_index()
+    )
+    rem = (
+        remove_dup_ngrams(_docs(rows), n=3, num_shards=5)
+        .to_pandas().set_index("doc_id")["n_removed"].sort_index()
+    )
+    assert cov.to_dict() == rem.to_dict()
