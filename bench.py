@@ -157,6 +157,7 @@ def run_full() -> dict:
     timed("ann_topk", lambda: Q.ann_embeddings_topk(SF_DIR))
     timed("annotate_text", lambda: Q.annotate_docs(SF_DIR))
     timed("curated_corpus", lambda: Q.curated_training_corpus(SF_DIR))
+    timed("dup_ngram_rewrite", lambda: Q.remove_dup_ngrams_docs(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -2530,6 +2530,32 @@ FROM b FULL OUTER JOIN u ON b.c_custkey = u.o_custkey
 """
 
 
+def price_percentiles(sf_dir: str):
+    """Exact percentile_disc over the CONTINUOUS l_extendedprice column
+    via distributed iterative range-refinement selection (the
+    all-distinct-values regime where discrete_quantiles' value-count
+    shuffle degenerates).  Answers are actual data elements, so they
+    hash bit-exactly against DuckDB."""
+    from .relational import continuous_percentiles
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return continuous_percentiles(
+        li, "l_extendedprice", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+SQL_PRICE_PERCENTILES = """
+SELECT percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice) AS p1,
+       percentile_disc(0.1)  WITHIN GROUP (ORDER BY l_extendedprice) AS p10,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+FROM lineitem
+"""
+
+
 def inverted_index_docs(sf_dir: str):
     """Distributed inverted-index build over documents: word -> (df,
     first-10 posting list as a comma-joined string)."""
@@ -2632,6 +2658,7 @@ QUERIES = {
     "remove_dup_ngrams_docs": (remove_dup_ngrams_docs, SQL_REMOVE_DUP_NGRAMS),
     "building_urgent_full_outer": (building_urgent_full_outer, SQL_BUILDING_URGENT_FULL_OUTER),
     "inverted_index_docs": (inverted_index_docs, SQL_INVERTED_INDEX_DOCS),
+    "price_percentiles": (price_percentiles, SQL_PRICE_PERCENTILES),
     "span_explode_roundtrip": (span_explode_roundtrip, None),
     "interleaved_raster_join": (interleaved_raster_join, None),
 }

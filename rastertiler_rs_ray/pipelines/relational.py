@@ -716,3 +716,153 @@ def shuffle_hash_join(
         on=(on,),
         right_on=(right_on,) if right_on else None,
     )
+
+
+def continuous_percentiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: Sequence[float],
+    *,
+    sample_per_block: int = 4096,
+    collect_budget: int = 200_000,
+    max_rounds: int = 8,
+) -> "pd.DataFrame":
+    """EXACT percentile_disc over a continuous (all-distinct) column via
+    distributed iterative range-refinement selection — the selection
+    counterpart of ``discrete_quantiles`` (whose value-counting shuffle
+    degenerates when every value is distinct).
+
+    Round 0 scans once for per-block ``(count, min, max, hash-picked
+    sample)`` partials; the driver brackets each target rank
+    ``ceil(q*n)`` with a DKW-style sample-rank margin.  Each later
+    round scans once, counting ``x < lo`` exactly and sampling inside
+    each bracket; a bracket whose exact member count fits
+    ``collect_budget`` is collected and answered exactly
+    (``sorted(members)[rank - count_below]``), otherwise the in-range
+    sample re-brackets it.  Every round's driver state is bounded:
+    per-block partials + capped samples — never O(n).  Typically 2
+    scans end-to-end; raises after ``max_rounds`` (never silently
+    approximate).
+
+    Returns a one-row pandas DataFrame with a float64 column per q
+    (``p{q*100:g}`` with '.' -> '_'); values are actual data elements,
+    so they compare bit-exactly against DuckDB's percentile_disc.
+    """
+    import pandas as pd
+
+    qs = list(qs)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()),
+                 "lo": pa.array([np.inf]), "hi": pa.array([-np.inf]),
+                 "sample": pa.array([np.empty(0, np.float64).tobytes()], pa.binary())}
+            )
+        if len(v) > sample_per_block:
+            h = pd.util.hash_array(v.view(np.uint64).copy())
+            keep = np.argsort(h, kind="stable")[:sample_per_block]
+            samp = v[keep]
+        else:
+            samp = v
+        return pa.table(
+            {"n": pa.array([len(v)], pa.int64()),
+             "lo": pa.array([float(v.min())]), "hi": pa.array([float(v.max())]),
+             "sample": pa.array([samp.tobytes()], pa.binary())}
+        )
+
+    part = ds.select_columns([col]).map_batches(partials, batch_format="pyarrow").to_pandas()
+    n = int(part["n"].sum())
+    if n == 0:
+        raise ValueError(f"continuous_percentiles: no non-null values in {col!r}")
+    gmin, gmax = float(part["lo"].min()), float(part["hi"].max())
+    sample = np.sort(np.concatenate(
+        [np.frombuffer(b, np.float64) for b in part["sample"]]
+    ))
+    ranks = [max(int(np.ceil(q * n)), 1) - 1 for q in qs]  # 0-based
+
+    def bracket(rank, s):
+        if len(s) == 0:
+            return gmin, gmax
+        est = rank / n * len(s)
+        d = 3.0 * np.sqrt(len(s)) + 2
+        lo_i = int(np.clip(np.floor(est - d), 0, len(s) - 1))
+        hi_i = int(np.clip(np.ceil(est + d), 0, len(s) - 1))
+        return float(s[lo_i]), float(s[hi_i])
+
+    brackets = [bracket(r, sample) for r in ranks]
+    answers: dict[int, float] = {}
+
+    for _ in range(max_rounds):
+        live = [i for i in range(len(qs)) if i not in answers]
+        if not live:
+            break
+        los = np.array([brackets[i][0] for i in live])
+        his = np.array([brackets[i][1] for i in live])
+        los_ref, his_ref = ray.put(los), ray.put(his)
+
+        def scan(batch: pa.Table, _lo=los_ref, _hi=his_ref) -> pa.Table:
+            lo, hi = ray.get(_lo), ray.get(_hi)
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            below = np.array([(v < l).sum() for l in lo], np.int64)
+            cols = {"below": pa.array([below.tobytes()], pa.binary())}
+            mids, nin = [], []
+            for l, h in zip(lo, hi):
+                m = v[(v >= l) & (v <= h)]
+                nin.append(len(m))
+                if len(m) > sample_per_block:
+                    hh = pd.util.hash_array(m.view(np.uint64).copy())
+                    m = m[np.argsort(hh, kind="stable")[:sample_per_block]]
+                mids.append(m)
+            cols["nin"] = pa.array([np.array(nin, np.int64).tobytes()], pa.binary())
+            cols["mids"] = pa.array([np.concatenate(mids).tobytes() if mids else b""], pa.binary())
+            cols["midlens"] = pa.array(
+                [np.array([len(m) for m in mids], np.int64).tobytes()], pa.binary()
+            )
+            return pa.table(cols)
+
+        res = ds.select_columns([col]).map_batches(scan, batch_format="pyarrow").to_pandas()
+        below_tot = sum(np.frombuffer(b, np.int64) for b in res["below"])
+        nin_tot = sum(np.frombuffer(b, np.int64) for b in res["nin"])
+        mid_vals: list[np.ndarray] = [np.empty(0)] * len(live)
+        for _, row in res.iterrows():
+            lens = np.frombuffer(row["midlens"], np.int64)
+            vals = np.frombuffer(row["mids"], np.float64)
+            off = 0
+            for j, L in enumerate(lens):
+                mid_vals[j] = np.concatenate([mid_vals[j], vals[off:off + L]])
+                off += L
+
+        for j, i in enumerate(live):
+            rank, nb, ni = ranks[i], int(below_tot[j]), int(nin_tot[j])
+            if not (nb <= rank < nb + ni):
+                # sample misbracketed (vanishing probability): widen fully
+                brackets[i] = (gmin, gmax)
+                continue
+            if ni <= collect_budget and ni == len(mid_vals[j]):
+                answers[i] = float(np.sort(mid_vals[j])[rank - nb])
+            elif len(mid_vals[j]):
+                # rank within range maps through the in-range sample
+                s = np.sort(mid_vals[j])
+                est = (rank - nb) / max(ni, 1) * len(s)
+                d = 3.0 * np.sqrt(len(s)) + 2
+                lo_i = int(np.clip(np.floor(est - d), 0, len(s) - 1))
+                hi_i = int(np.clip(np.ceil(est + d), 0, len(s) - 1))
+                brackets[i] = (float(s[lo_i]), float(s[hi_i]))
+            else:
+                brackets[i] = (gmin, gmax)
+
+    missing = [qs[i] for i in range(len(qs)) if i not in answers]
+    if missing:
+        raise RuntimeError(
+            f"continuous_percentiles: {missing} unresolved after {max_rounds} rounds"
+        )
+
+    def name(q):
+        s = ("%g" % (q * 100)).replace(".", "_")
+        return f"p{s}"
+
+    return pd.DataFrame({name(q): [answers[i]] for i, q in enumerate(qs)})

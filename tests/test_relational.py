@@ -419,3 +419,41 @@ def test_hopping_window_aggregate(ray_session, db):
     assert got["window_start"].to_numpy().tolist() == want["window_start"].to_numpy().tolist()
     # total window memberships = 2 x events
     assert int(got["n"].sum()) == 2 * ev.count()
+
+
+def test_continuous_percentiles_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.relational import continuous_percentiles
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(1000.0, 250.0, 20_000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v)})).repartition(8)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    out = continuous_percentiles(ds, "x", qs)
+    sv = np.sort(v)
+    for q in qs:
+        rank = max(int(np.ceil(q * len(v))), 1) - 1
+        name = "p" + ("%g" % (q * 100)).replace(".", "_")
+        assert out[name].iloc[0] == sv[rank], (q, out[name].iloc[0], sv[rank])
+
+
+def test_continuous_percentiles_multi_round(ray_session):
+    # force the refinement loop: collect budget far below n
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.relational import continuous_percentiles
+
+    rng = np.random.default_rng(5)
+    v = rng.exponential(10.0, 30_000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(v)})).repartition(6)
+    out = continuous_percentiles(
+        ds, "x", [0.5, 0.999], sample_per_block=256, collect_budget=500
+    )
+    sv = np.sort(v)
+    assert out["p50"].iloc[0] == sv[max(int(np.ceil(0.5 * len(v))), 1) - 1]
+    assert out["p99_9"].iloc[0] == sv[max(int(np.ceil(0.999 * len(v))), 1) - 1]
