@@ -2348,7 +2348,10 @@ def interleaved_spans_docs(sf_dir: str):
         texts = batch.column("text").to_pandas().astype(object)
         has_media = (ids % 3) == 0
         n = np.where(has_media, 3, 2).astype(np.int64)
-        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        # cumsum-minus-n keeps len(starts) == len(n) even for a
+        # zero-row batch (the concatenate([0], ...) form emitted a
+        # spurious [0] there and np.repeat raised)
+        starts = np.cumsum(n) - n
         total = int(n.sum())
         kind = np.full(total, "text", dtype=object)
         stext = np.full(total, "", dtype=object)
@@ -2506,6 +2509,14 @@ def building_urgent_full_outer(sf_dir: str):
     def finalize(batch: pa.Table) -> pa.Table:
         # Ray's full outer coalesces on/right_on into the left key column;
         # left-presence survives via the non-key c_mktsegment column.
+        # Guard the coalescing contract loudly (a Ray upgrade that emits
+        # both key columns would otherwise silently null right-only rows).
+        if "o_custkey" in batch.column_names:
+            raise AssertionError(
+                "full_outer no longer coalesces right_on into the left key"
+            )
+        if batch.num_rows and pc.any(pc.is_null(batch.column("c_custkey"))).as_py():
+            raise AssertionError("full_outer left key column has nulls")
         return pa.table(
             {
                 "custkey": pc.cast(batch.column("c_custkey"), pa.int64()),

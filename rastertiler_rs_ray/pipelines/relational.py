@@ -781,6 +781,11 @@ def continuous_percentiles(
     sample = np.sort(np.concatenate(
         [np.frombuffer(b, np.float64) for b in part["sample"]]
     ))
+    # NOTE: the float np.ceil(q * n) rank INTENTIONALLY mirrors DuckDB's
+    # percentile_disc float rank arithmetic (the correctness oracle) —
+    # e.g. q=0.1, n=30 yields 0-based index 3 where exact rational ceil
+    # gives 2.  Do not "fix" this to Fraction math without changing the
+    # oracle in lockstep; the convention is float-rank by design.
     ranks = [max(int(np.ceil(q * n)), 1) - 1 for q in qs]  # 0-based
 
     def bracket(rank, s):

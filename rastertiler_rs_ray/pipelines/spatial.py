@@ -492,18 +492,25 @@ class _BroadcastRasterSampler:
         ri = np.zeros(n, dtype=np.int64)
         bi[in_cover] = self.block_of[gx[in_cover], gy[in_cover]]
         ri[in_cover] = self.row_of[gx[in_cover], gy[in_cover]]
-        vals = np.full(n, -1, dtype=np.int64)
-        for b in np.unique(bi[bi >= 0]):
+        # gather in the cover's NATIVE dtype (1 byte/doc for a u8 cover
+        # instead of 8) with validity kept as a separate mask; the int64
+        # promote happens once at the output boundary, not per block
+        native = self.blocks[0].dtype if self.blocks else np.dtype(np.uint8)
+        vals = np.zeros(n, dtype=native)
+        hit = bi >= 0
+        for b in np.unique(bi[hit]):
             m = bi == b
-            vals[m] = self.blocks[b][ri[m], row[m], col[m]].astype(np.int64)
-        vals[vals == self.nodata] = -1
+            vals[m] = self.blocks[b][ri[m], row[m], col[m]]
+        invalid = ~hit | (vals == self.nodata)
         return pa.table(
             {
                 "doc_id": doc_ids,
                 "zoom": pa.array(np.full(n, z, dtype=np.uint8)),
                 "x": pa.array(x.astype(np.uint32)),
                 "y": pa.array(y.astype(np.uint32)),
-                "raster_value": pa.array(vals, pa.int64(), mask=vals == -1),
+                "raster_value": pa.array(
+                    vals.astype(np.int64), pa.int64(), mask=invalid
+                ),
             }
         )
 
@@ -514,7 +521,7 @@ def raster_vector_join_broadcast(
     zoom: int,
     *,
     tilesize: int = 256,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 262144,
 ) -> ray.data.Dataset:
     """Shuffle-free raster↔vector join: every tile window covering the

@@ -333,6 +333,10 @@ def inverted_index(
     import pandas as pd
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # explode() labels survive from the pre-explode index; they are
+        # only valid positional indices into the id column on a default
+        # RangeIndex, so pin that here rather than assume the caller's
+        df = df.reset_index(drop=True)
         toks = df[text_col].str.findall(r"\S+")
         ex = toks.explode().dropna()
         out = pd.DataFrame(
