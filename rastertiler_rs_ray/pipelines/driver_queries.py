@@ -27,6 +27,10 @@ import ray
 import ray.data
 
 from ..geo.cell import cell_from_mercator
+from ..raylog import install_empty_schema_warning_filter
+# Driver/bench runs import this module first; silence ONLY the benign
+# empty-new-schema executor warning (see raylog.py for the Ray repro).
+install_empty_schema_warning_filter()
 from ..geo.mercator import geo_to_mercator
 from ..geo.tileid import point_to_tile
 from .relational import (

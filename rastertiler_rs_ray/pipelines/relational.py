@@ -62,9 +62,18 @@ def _partial_agg_fn(keys: list[str], aggs: list[tuple[str, str, str]]):
         # strip the pandas schema metadata from_pandas attaches: it makes
         # the schema unhashable and trips Ray's shuffle-sampling schema
         # dedup into warnings
-        return pa.Table.from_pandas(out_df, preserve_index=False).replace_schema_metadata(
+        out = pa.Table.from_pandas(out_df, preserve_index=False).replace_schema_metadata(
             None
         )
+        # a zero-row batch infers null-typed key columns; pin them to the
+        # input dtype so every partial block carries ONE stable schema
+        # (Ray's aggregate emits schema-less empty bundles otherwise)
+        for k in keys:
+            idx = out.schema.get_field_index(k)
+            want = batch.schema.field(k).type
+            if out.schema.field(idx).type != want:
+                out = out.set_column(idx, k, pc.cast(out.column(k), want))
+        return out
 
     return partial
 

@@ -1,0 +1,43 @@
+"""Targeted filter for a benign Ray Data executor warning.
+
+Ray's sort/aggregate exchange emits ZERO-COLUMN empty blocks for empty
+reduce partitions (reproducible with a stock ``groupby().map_groups``
+over 64 blocks and 2 keys — no user code involved), and the streaming
+executor then logs::
+
+    Operator produced a RefBundle with a different schema than the
+    previous one. Previous schema: <real schema>, new schema: .
+
+Ray itself treats the symmetric case (empty OLD schema → real schema)
+as benign and silent (``dedupe_schemas_with_validation`` returns early
+when ``_is_empty_schema(old_schema)``); the real→empty direction is the
+same no-op — the executor keeps the old schema — but logs a scary
+warning once per operator.  Our own stages are schema-stable (pinned by
+tests); this filter drops ONLY the empty-new-schema variant so real
+schema divergences still surface.
+"""
+
+from __future__ import annotations
+
+import logging
+
+_EXECUTOR_LOGGER = "ray.data._internal.execution.streaming_executor_state"
+_EMPTY_SCHEMA_MARK = "new schema: . This may lead"
+
+
+class _EmptySchemaDivergenceFilter(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        try:
+            return _EMPTY_SCHEMA_MARK not in record.getMessage()
+        except Exception:
+            return True
+
+
+_FILTER = _EmptySchemaDivergenceFilter()
+
+
+def install_empty_schema_warning_filter() -> None:
+    """Idempotently attach the filter to the executor-state logger."""
+    logger = logging.getLogger(_EXECUTOR_LOGGER)
+    if _FILTER not in logger.filters:
+        logger.addFilter(_FILTER)

@@ -457,3 +457,49 @@ def test_continuous_percentiles_multi_round(ray_session):
     sv = np.sort(v)
     assert out["p50"].iloc[0] == sv[max(int(np.ceil(0.5 * len(v))), 1) - 1]
     assert out["p99_9"].iloc[0] == sv[max(int(np.ceil(0.999 * len(v))), 1) - 1]
+
+
+def test_partial_agg_schema_stable_on_empty_batch():
+    # a zero-row batch must carry the SAME key dtype as data batches —
+    # null-typed keys destabilize Ray's aggregate exchange schema
+    import pyarrow as pa
+
+    from rastertiler_rs_ray.pipelines.relational import _partial_agg_fn
+
+    fn = _partial_agg_fn(["lang"], [("n", "v", "count"), ("s", "v", "sum")])
+    empty = pa.table({"lang": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    full = pa.table({"lang": pa.array(["en"]), "v": pa.array([3], pa.int64())})
+    assert fn(empty).schema == fn(full).schema
+
+
+def test_empty_schema_warning_filter_is_selective():
+    import logging
+
+    from rastertiler_rs_ray.raylog import (
+        _EmptySchemaDivergenceFilter,
+        install_empty_schema_warning_filter,
+    )
+
+    f = _EmptySchemaDivergenceFilter()
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "f", 1, msg, None, None)
+
+    benign = (
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: k: int64, new schema: . This may "
+        "lead to unexpected behavior."
+    )
+    real = (
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: k: int64, new schema: k: string. "
+        "This may lead to unexpected behavior."
+    )
+    assert not f.filter(rec(benign))  # dropped
+    assert f.filter(rec(real))  # kept: real divergences must surface
+    install_empty_schema_warning_filter()
+    install_empty_schema_warning_filter()  # idempotent
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    assert sum(isinstance(x, _EmptySchemaDivergenceFilter) for x in lg.filters) == 1
