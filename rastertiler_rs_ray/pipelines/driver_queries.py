@@ -794,19 +794,27 @@ def doc_lm_scores(sf_dir: str):
 
 
 SQL_DOC_LM_SCORES = r"""
-WITH counts AS (
+WITH counts0 AS (
   SELECT w, count(*) AS c
   FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
   GROUP BY w
 ),
-tot AS (SELECT sum(c) AS t FROM counts),
+tot AS (SELECT sum(c) AS t FROM counts0),
+-- LM vocab cap (top-V by count desc, word asc) mirrors
+-- unigram_logprob_scores(max_vocab=1<<20); capped words score at the
+-- OOV floor ln(0.5/t); t stays the FULL corpus token count
+counts AS (
+  SELECT w, c FROM counts0
+  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 1048576
+),
 docwords AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
 )
 SELECT d.doc_id,
-       CAST(round(avg(ln(c / (SELECT t FROM tot))) * 10000.0, 0) AS BIGINT)
-           AS mean_lp_e4
-FROM docwords d JOIN counts USING (w)
+       CAST(round(avg(coalesce(ln(c / (SELECT t FROM tot)),
+                               ln(0.5 / (SELECT t FROM tot)))) * 10000.0, 0)
+            AS BIGINT) AS mean_lp_e4
+FROM docwords d LEFT JOIN counts USING (w)
 GROUP BY d.doc_id
 """
 
@@ -2028,7 +2036,12 @@ SQL_TFIDF_TOP_TERMS = r"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents),
 tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
-df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+-- bounded-vocab contract of tfidf_top_terms: hapax prune (min_df=2)
+-- plus the top-2^20 cap by (df desc, word asc); docs whose every word
+-- is pruned drop out via the inner join
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word
+       HAVING count(DISTINCT doc_id) >= 2
+       QUALIFY row_number() OVER (ORDER BY df DESC, word) <= 1048576),
 n AS (SELECT count(*) AS n FROM documents),
 s AS (SELECT tf.doc_id, tf.word,
              tf.tf * ln(((SELECT n FROM n) * 1.0) / df.df) AS score

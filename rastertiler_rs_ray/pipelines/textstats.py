@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions import text as T
@@ -148,18 +149,60 @@ def pii_scrub(
     )
 
 
+def _bounded_vocab(
+    vocab: ray.data.Dataset,
+    *,
+    value_col: str,
+    word_col: str = "word",
+    min_count: int = 1,
+    max_vocab: int = 1 << 20,
+) -> "pd.DataFrame":
+    """Materialize a vocab-keyed aggregate onto the driver with a HARD
+    bound: distributed ``min_count`` prune (kills the hapax tail — web
+    vocab grows ~O(corpus^0.7) and is hapax-dominated) then a top-
+    ``max_vocab`` cut by (count desc, word asc) — the sort/limit runs
+    distributed, so the driver heap holds at most ``max_vocab`` rows no
+    matter the corpus."""
+    import pandas as pd
+
+    if min_count > 1:
+        lo = min_count
+
+        def prune(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.greater_equal(batch.column(value_col), lo))
+
+        vocab = vocab.map_batches(prune, batch_format="pyarrow")
+    capped = vocab.sort([value_col, word_col], descending=[True, False]).limit(
+        max_vocab
+    )
+    out = capped.to_pandas()
+    assert len(out) <= max_vocab
+    return out
+
+
 def tfidf_top_terms(
-    docs: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_vocab: int = 1 << 20,
 ) -> ray.data.Dataset:
     """Per-doc highest-TF-IDF term (ties → lexicographically smallest).
 
     Same two-pass broadcast-state shape as ``unigram_logprob_scores``:
     pass 1 aggregates document frequency from map-side unique-per-doc
-    partials (the exchange is vocab-sized, never token-rows); the tiny
-    IDF table broadcasts once via ``ray.put``; pass 2 scores each doc
+    partials (the exchange is vocab-sized, never token-rows); the IDF
+    table broadcasts once via ``ray.put``; pass 2 scores each doc
     with one explode + vectorized ``Series.map`` + per-doc argmax.
     ``score_e4`` is the scaled-integer form (``floor(score·10⁴+0.5)``,
     non-negative scores) so the oracle compare is ulp-robust.
+
+    Vocabulary contract (keeps the driver heap bounded at web scale):
+    words with document frequency < ``min_df`` are not index terms
+    (standard hapax pruning), and at most ``max_vocab`` terms survive,
+    cut by (df desc, word asc).  Documents containing no surviving term
+    emit no row — the SQL oracle mirrors both rules.
     """
     import ray as _ray
 
@@ -182,9 +225,16 @@ def tfidf_top_terms(
         vc = ex.drop_duplicates()["word"].value_counts()
         return pd.DataFrame({"word": vc.index.astype(str), "df": vc.to_numpy()})
 
-    dfreq = grouped_aggregate(
-        docs.map_batches(df_partial, batch_format="pandas"), ["word"], [("df", "df", "sum")]
-    ).to_pandas()
+    dfreq = _bounded_vocab(
+        grouped_aggregate(
+            docs.map_batches(df_partial, batch_format="pandas"),
+            ["word"],
+            [("df", "df", "sum")],
+        ),
+        value_col="df",
+        min_count=min_df,
+        max_vocab=max_vocab,
+    )
     n_docs = float(docs.count())
     idf = pd.Series(
         np.log(n_docs / dfreq["df"].to_numpy(dtype=np.float64)),
@@ -214,6 +264,9 @@ def tfidf_top_terms(
         g["score"] = g["tf"].to_numpy(dtype=np.float64) * g["word"].map(tbl).to_numpy(
             dtype=np.float64
         )
+        # words pruned from the bounded vocab (df < min_df or beyond
+        # max_vocab) are not index terms; docs with none left emit no row
+        g = g.dropna(subset=["score"])
         g = g.sort_values(
             ["doc", "score", "word"], ascending=[True, False, True], kind="mergesort"
         ).drop_duplicates("doc", keep="first")
@@ -271,26 +324,37 @@ def mix_corpora(
 
 
 def unigram_logprob_scores(
-    docs: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 1 << 20,
 ) -> ray.data.Dataset:
     """Per-doc mean unigram log-probability (LM-perplexity-style quality
     score): pass 1 builds corpus word counts (map-side partials — the
-    "training" aggregate), the tiny logprob table broadcasts once via
+    "training" aggregate), the logprob table broadcasts once via
     ray.put, pass 2 scores each doc vectorized.  The classic two-pass
     broadcast-state shape of model-based quality filtering at 10^12
     docs: the model state is aggregate-sized, never the corpus.
+
+    The LM keeps at most ``max_vocab`` words, cut distributed by
+    (count desc, word asc); everything else scores at the OOV floor
+    ``log(0.5 / total)``.  ``total`` stays the FULL corpus token count
+    (a scalar aggregate), so probabilities are unaffected for words
+    that survive the cut — only the tail collapses onto the floor.
     """
     import math
 
     import ray as _ray
 
-    counts = word_counts(docs, text_col=text_col).to_pandas()
-    total = float(counts["n"].sum())
+    counts_ds = word_counts(docs, text_col=text_col).materialize()
+    total = float(counts_ds.sum("n"))
+    counts = _bounded_vocab(counts_ds, value_col="n", max_vocab=max_vocab)
     table = pd.Series(
         np.log(counts["n"].to_numpy(dtype=np.float64) / total),
         index=counts["word"].astype(str),
     )
-    oov = math.log(0.5 / total)  # unseen-word floor (absent when self-scoring)
+    oov = math.log(0.5 / total)  # unseen/capped-word floor
     ref = _ray.put((table, oov))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:

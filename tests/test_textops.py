@@ -251,15 +251,101 @@ def test_tfidf_top_terms_matches_pandas_oracle(ray_session):
     ex = toks.reset_index()
     n_docs = float(len(pdf))
     dfreq = ex.drop_duplicates().groupby("word").size()
+    dfreq = dfreq[dfreq >= 2]  # bounded-vocab contract: hapax prune
     idf = np.log(n_docs / dfreq.astype(np.float64))
     tf = ex.groupby(["doc_id", "word"]).size().reset_index(name="tf")
     tf["score"] = tf["tf"].astype(np.float64) * tf["word"].map(idf).to_numpy()
+    tf = tf.dropna(subset=["score"])
     tf = tf.sort_values(["doc_id", "score", "word"], ascending=[True, False, True], kind="mergesort")
     want = tf.drop_duplicates("doc_id", keep="first").reset_index(drop=True)
 
-    assert len(got) == len(want) == len(pdf)
+    assert len(got) == len(want)
     assert got["top_term"].tolist() == want["word"].tolist()
     assert got["score_e4"].tolist() == np.floor(want["score"].to_numpy() * 1e4 + 0.5).astype(np.int64).tolist()
+
+
+def test_tfidf_hapax_prune_and_vocab_cap(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import tfidf_top_terms
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # 'rare' is a hapax: without min_df it would win doc 1 with
+            # the max possible idf; with min_df=2 'beta' wins instead
+            "text": pa.array(
+                ["rare beta beta", "beta alpha", "alpha alpha alpha gamma unique"]
+            ),
+        }
+    )
+    out = (
+        tfidf_top_terms(ray.data.from_arrow(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1: hapax 'rare' pruned -> beta wins; doc 2: alpha/beta tie on
+    # score -> lexicographic tie-break; doc 3: alpha dominates
+    assert out["top_term"].tolist() == ["beta", "alpha", "alpha"]
+    # cap the vocab to ONE term (df desc, word asc -> 'alpha' df=2 ties
+    # 'beta' df=2, 'alpha' wins the word tie-break); doc 1 has no alpha
+    # so it emits no row
+    capped = (
+        tfidf_top_terms(ray.data.from_arrow(rows), max_vocab=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert capped["doc_id"].tolist() == [2, 3]
+    assert set(capped["top_term"]) == {"alpha"}
+
+
+def test_unigram_lm_vocab_cap_floors_tail(ray_session):
+    import math
+
+    from rastertiler_rs_ray.pipelines.textstats import unigram_logprob_scores
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a a b", "b c"]),
+        }
+    )
+    # counts: a=3, b=2, c=1; total=6.  Cap at 2 words -> c scores at the
+    # OOV floor log(0.5/6)
+    out = (
+        unigram_logprob_scores(ray.data.from_arrow(rows), max_vocab=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    t = 6.0
+    want1 = (3 * math.log(3 / t) + math.log(2 / t)) / 4
+    want2 = (math.log(2 / t) + math.log(0.5 / t)) / 2
+    assert abs(out["mean_lp"][0] - want1) < 1e-12
+    assert abs(out["mean_lp"][1] - want2) < 1e-12
+
+
+def test_bounded_vocab_is_bounded(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import _bounded_vocab
+
+    tbl = pa.table(
+        {
+            "word": pa.array([f"w{i:03d}" for i in range(100)]),
+            "n": pa.array([1 + (i % 7) for i in range(100)], pa.int64()),
+        }
+    )
+    out = _bounded_vocab(
+        ray.data.from_arrow(tbl).repartition(8), value_col="n", max_vocab=10
+    )
+    assert len(out) == 10
+    # top by (n desc, word asc): all n==7 rows first, lexicographic
+    want = (
+        tbl.to_pandas()
+        .sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert out.reset_index(drop=True).equals(want)
 
 
 def test_mix_corpora_copies_and_determinism(ray_session):
