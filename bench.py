@@ -38,6 +38,19 @@ def _sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _loadavg() -> float:
+    """1-min loadavg — stamped around every headline phase so a graded
+    artifact taken under co-tenant burst is self-evidently noisy (the
+    r02 bench recorded a 9x phantom join regression with no way to tell
+    load from code)."""
+    return round(os.getloadavg()[0], 2)
+
+
+def _spread(runs: list[dict], key: str) -> float:
+    vals = [r[key] for r in runs]
+    return max(vals) / max(min(vals), 1e-9)
+
+
 def warm_workers() -> None:
     """Warm the Ray worker pool WITH the package imported, so measured
     time is pipeline, not cluster cold-start (a fixed cluster is already
@@ -132,19 +145,30 @@ def run_full() -> dict:
     # best-of-N per headline metric, phase-grouped (renders then joins)
     # so later runs reuse warm actor processes: the shared sandbox has
     # bursty external load (±2x observed on identical code); the min is
-    # the machine's capability, the raw runs record the spread
+    # the machine's capability, the raw runs record the spread.  When
+    # the spread exceeds 1.5x the phase re-runs (up to BENCH_MAX_REPEAT)
+    # so a burst-corrupted artifact self-heals instead of shipping a
+    # phantom regression.
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    max_repeat = int(os.environ.get("BENCH_MAX_REPEAT", "5"))
+    loadavg = {"start": _loadavg()}
     warm_workers()
     renders = [headline_render(NUM_CPUS) for _ in range(repeat)]
+    while _spread(renders, "render_sec") > 1.5 and len(renders) < max_repeat:
+        renders.append(headline_render(NUM_CPUS))
+    loadavg["after_render"] = _loadavg()
     joins = [headline_join(NUM_CPUS, SF_DIR) for _ in range(repeat)]
+    while _spread(joins, "join_sec") > 1.5 and len(joins) < max_repeat:
+        joins.append(headline_join(NUM_CPUS, SF_DIR))
+    loadavg["after_join"] = _loadavg()
     hl = dict(min(renders, key=lambda r: r["render_sec"]))
     hl.update(min(joins, key=lambda r: r["join_sec"]))
     timings["render_pyramid"] = round(hl["render_sec"], 3)
     timings["raster_vector_join"] = round(hl["join_sec"], 3)
-    headline_runs = [
-        {"render_sec": round(r["render_sec"], 3), "join_sec": round(j["join_sec"], 3)}
-        for r, j in zip(renders, joins)
-    ]
+    headline_raw = {
+        "render_sec": [round(r["render_sec"], 3) for r in renders],
+        "join_sec": [round(j["join_sec"], 3) for j in joins],
+    }
 
     timed("q1_pricing_summary", lambda: Q.q1_pricing_summary(SF_DIR))
     timed("orders_by_mktsegment", lambda: Q.orders_by_mktsegment(SF_DIR))
@@ -174,7 +198,8 @@ def run_full() -> dict:
             "join_rows": hl["join_rows"],
             "join_rows_per_sec": round(hl["join_rows_per_sec"], 1),
         },
-        "headline_runs": headline_runs,
+        "headline_raw_runs": headline_raw,
+        "loadavg_1min": loadavg,
     }
     ray.shutdown()
     return result
@@ -261,6 +286,7 @@ def run_scaling() -> dict:
     repeats = max(1, int(os.environ.get("BENCH_SCALE_REPEATS", "2")))
     results = {n: {} for n in levels}
     raw_runs = {n: {"render": [], "join": []} for n in levels}
+    load_runs = {n: {"render": [], "join": []} for n in levels}
     for n in levels:
         for kind in ("render", "join"):
             # scaling runs use a larger workload (z0-14 pyramid,
@@ -277,6 +303,7 @@ def run_scaling() -> dict:
             metric = "tiles_per_sec" if kind == "render" else "join_rows_per_sec"
             best = None
             for _ in range(repeats):
+                load_runs[n][kind].append(_loadavg())
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--headline-child"],
                     env=env, capture_output=True, text=True, timeout=3000,
@@ -316,6 +343,7 @@ def run_scaling() -> dict:
         "num_cpus": hi,
         "repeats_per_level": repeats,
         "raw_runs": raw_runs,
+        "loadavg_1min_before_each_run": load_runs,
     }
 
 
