@@ -1692,6 +1692,175 @@ def embedding_dedup(sf_dir: str):
     return embedding_cosine_dedup(emb, threshold=0.97).select_columns(["vec_id"])
 
 
+# ------------------------------------------------ planted dedup oracles
+#
+# The LSH dedup families are rows-only on the NATURAL corpus (their
+# verify predicates — estimated Jaccard, simhash Hamming — depend on
+# seeded hash machinery no SQL engine reproduces, and the natural
+# corpus carries borderline near-dup pairs either engine could
+# legitimately resolve differently).  These _planted variants run the
+# SAME pipelines end to end (signatures, banding, bucket grouping,
+# in-group verify, off-driver components, min-id survivor election)
+# over a corpus CONSTRUCTED so the result is provably the connected
+# components of an exactly-SQL-computable relation:
+#
+#   * exact-dup groups {5g, 5g+1, 5g+2} share an identical text built
+#     from a group-unique vocabulary -> identical shingle sets ->
+#     identical minhash signature / simhash (candidacy guaranteed,
+#     verify passes at any threshold);
+#   * every cross-group pair draws from DISJOINT vocabularies ->
+#     (near-)disjoint shingle sets -> estimated Jaccard ~0 and simhash
+#     Hamming >> 3, so verify kills any accidental bucket collision;
+#   * the ngram variant additionally plants true NEAR-dups (one word
+#     of 50 edited -> word-3-gram Jaccard 47/49) whose EXACT-Jaccard
+#     verify is mirrored verbatim in DuckDB list algebra; LSH recall
+#     for those pairs is deterministic under the seeded hash params
+#     and pinned by test_dedup.
+#
+# Pattern follows embedding_dedup_exact (recursive-CTE components).
+
+
+def _vocab_tag(x: int) -> int:
+    """Knuth-hash vocab tag: raw ids collide at the CHAR-shingle level
+    (u33 vs u333 share every aligned digit window → char-Jaccard 0.77,
+    estimated-Jaccard past the 0.8 verify threshold); scattering through
+    a multiplicative hash mod a large prime makes distinct ids share at
+    most a few accidental windows.  Mirrored verbatim in the oracles."""
+    return (x * 2654435761) % 1000000007
+
+
+def _planted_exact_texts(batch: pa.Table) -> pa.Table:
+    """doc_id spine → corpus of exact-dup triples {5g,5g+1,5g+2} plus
+    singletons, from per-group / per-doc disjoint vocabularies."""
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = [
+        " ".join(
+            (
+                f"m{_vocab_tag(di // 5)}w{j}"
+                if di % 5 < 3
+                else f"u{_vocab_tag(di)}w{j}"
+            )
+            for j in range(20)
+        )
+        for di in d.tolist()
+    ]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "text": pa.array(texts, pa.string())}
+    )
+
+
+def _planted_ngram_texts(batch: pa.Table) -> pa.Table:
+    """doc_id spine → near-dup families for word-3-gram Jaccard:
+    r=0 leader (50 group words), r=1 last word edited (J = 47/49),
+    r=2 exact copy (J = 1), r=3 every 5th word edited (J = 20/76),
+    r=4 fully distinct vocabulary (J = 0)."""
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = []
+    for di in d.tolist():
+        g, r = di // 5, di % 5
+        if r == 0 or r == 2:
+            words = [f"t{g}w{j}" for j in range(50)]
+        elif r == 1:
+            words = [f"t{g}w{j}" for j in range(49)] + [f"alt{g}"]
+        elif r == 3:
+            words = [
+                f"x{di}w{j}" if j % 5 == 0 else f"t{g}w{j}" for j in range(50)
+            ]
+        else:
+            words = [f"u{di}w{j}" for j in range(50)]
+        texts.append(" ".join(words))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "text": pa.array(texts, pa.string())}
+    )
+
+
+def _planted_corpus(sf_dir: str, builder) -> ray.data.Dataset:
+    ids = _read(sf_dir, "documents", columns=["doc_id"])
+    return ids.map_batches(builder, batch_format="pyarrow")
+
+
+def minhash_dedup_planted(sf_dir: str):
+    """MinHash-LSH dedup over the planted exact-dup corpus — full
+    value-hash oracle for the signature/band/verify/survivor chain."""
+    from .dedup import minhash_lsh_dedup
+
+    corpus = _planted_corpus(sf_dir, _planted_exact_texts)
+    return minhash_lsh_dedup(corpus, jaccard_threshold=0.8).select_columns(["doc_id"])
+
+
+def simhash_dedup_planted(sf_dir: str):
+    """SimHash dedup over the same planted corpus (pigeonhole-complete
+    candidates, Hamming-0 within groups)."""
+    from .dedup import simhash_dedup
+
+    corpus = _planted_corpus(sf_dir, _planted_exact_texts)
+    return simhash_dedup(corpus, hamming_threshold=3).select_columns(["doc_id"])
+
+
+# identical-text groups are exactly the dedup clusters on this corpus;
+# survivor = min doc_id per text
+SQL_PLANTED_EXACT_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, 20), j ->
+           CASE WHEN doc_id % 5 < 3
+                THEN concat('m', ((doc_id // 5) * 2654435761) % 1000000007, 'w', j)
+                ELSE concat('u', (doc_id * 2654435761) % 1000000007, 'w', j) END),
+           ' ') AS text
+  FROM documents)
+SELECT doc_id FROM corpus
+WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY text)
+"""
+
+
+def ngram_dedup_planted(sf_dir: str):
+    """Word-3-gram Jaccard dedup over the planted near-dup corpus; the
+    exact-Jaccard verify is mirrored verbatim in the DuckDB oracle."""
+    from .dedup import ngram_jaccard_dedup
+
+    corpus = _planted_corpus(sf_dir, _planted_ngram_texts)
+    return ngram_jaccard_dedup(corpus, threshold=0.8).select_columns(["doc_id"])
+
+
+SQL_NGRAM_DEDUP_PLANTED = """
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 1 THEN array_to_string(list_concat(
+                list_transform(range(0, 49), j -> concat('t', doc_id // 5, 'w', j)),
+                [concat('alt', doc_id // 5)]), ' ')
+           WHEN 3 THEN array_to_string(list_transform(range(0, 50), j ->
+                CASE WHEN j % 5 = 0 THEN concat('x', doc_id, 'w', j)
+                     ELSE concat('t', doc_id // 5, 'w', j) END), ' ')
+           WHEN 4 THEN array_to_string(list_transform(range(0, 50), j ->
+                concat('u', doc_id, 'w', j)), ' ')
+           ELSE array_to_string(list_transform(range(0, 50), j ->
+                concat('t', doc_id // 5, 'w', j)), ' ')
+         END AS text
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(words) - 1), i ->
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gs
+  FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS words
+        FROM corpus)),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS w
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),
+edges AS (SELECT u, w FROM pairs UNION ALL SELECT w AS u, u AS w FROM pairs),
+reach(node, x) AS (
+    SELECT u, w FROM edges
+    UNION
+    SELECT r.node, e.w FROM reach r JOIN edges e ON e.u = r.x
+)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT node FROM reach WHERE x < node)
+"""
+
+
 def embedding_dedup_exact(sf_dir: str):
     """Exact-threshold cosine dedup over a 300-vector slice — the
     SQL-expressible member of the dedup family: distributed brute-force
@@ -2626,6 +2795,9 @@ QUERIES = {
         SQL_RENDER_PYRAMID_COLORMAP_MAP,
     ),
     "embedding_dedup_exact": (embedding_dedup_exact, SQL_EMBEDDING_DEDUP_EXACT),
+    "minhash_dedup_planted": (minhash_dedup_planted, SQL_PLANTED_EXACT_DEDUP),
+    "simhash_dedup_planted": (simhash_dedup_planted, SQL_PLANTED_EXACT_DEDUP),
+    "ngram_dedup_planted": (ngram_dedup_planted, SQL_NGRAM_DEDUP_PLANTED),
     "ivf_ann_topk_exhaustive": (ivf_ann_topk_exhaustive, SQL_ANN_EMBEDDINGS_TOPK),
     "annotate_docs": (annotate_docs, SQL_ANNOTATE_DOCS),
     "video_frame_sample": (video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),

@@ -261,3 +261,73 @@ def test_adaptive_shards_scale_with_size(ray_session):
     big = small.union(small).union(small)
     _, n_big = _adaptive_shards(big, floor=8)
     assert n_big == expected
+
+
+def test_planted_dedup_corpus_margins_and_survivors(ray_session):
+    """The planted-oracle corpora (driver_queries) rest on deterministic
+    safety margins: cross-group estimated Jaccard FAR below the 0.8
+    verify threshold and simhash Hamming far above 3, so the dedup
+    result is exactly the identical-text grouping the SQL oracle
+    computes.  Pin the margins and the survivor set."""
+    import numpy as np
+
+    from rastertiler_rs_ray.functions.text import char_shingles
+    from rastertiler_rs_ray.pipelines.dedup import MinHasher, SimHasher
+    from rastertiler_rs_ray.pipelines.driver_queries import (
+        _planted_exact_texts,
+        minhash_dedup_planted,
+        simhash_dedup_planted,
+    )
+
+    spine = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    texts = _planted_exact_texts(spine).column("text").to_pylist()
+    sh = [char_shingles(t, 5) for t in texts]
+    mh, sm = MinHasher(64, 5), SimHasher()
+    sigs = np.stack([mh.signature(s) for s in sh])
+    sims = np.array([sm.simhash(s) for s in sh], dtype=np.uint64)
+    iu, ju = np.triu_indices(len(texts), 1)
+    cross = np.array([texts[i] != texts[j] for i, j in zip(iu, ju)])
+    est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)[iu, ju][cross]
+    x = sims[:, None] ^ sims[None, :]
+    ham = np.unpackbits(
+        np.ascontiguousarray(x).view(np.uint8).reshape(len(texts), len(texts), 8),
+        axis=2,
+    ).sum(axis=2)[iu, ju][cross]
+    assert est.max() < 0.7, est.max()
+    assert ham.min() > 3, ham.min()
+
+    # survivor set = {5g} ∪ singletons {5g+3, 5g+4} over the sf0.001 spine
+    want = {d for d in range(500) if d % 5 in (0, 3, 4)}
+    got_mh = set(minhash_dedup_planted("/root/testdata/sf0.001").to_pandas()["doc_id"])
+    got_sh = set(simhash_dedup_planted("/root/testdata/sf0.001").to_pandas()["doc_id"])
+    assert got_mh == want
+    assert got_sh == want
+
+
+def test_planted_ngram_family_jaccards(ray_session):
+    """The ngram planted family's pairwise word-3-gram Jaccards sit at
+    engineered values (47/49, 1, 20/76, 0) — nowhere near the 0.8
+    threshold boundary — and the pipeline keeps exactly the component
+    minima plus the below-threshold singletons."""
+    from rastertiler_rs_ray.functions.text import word_ngrams
+    from rastertiler_rs_ray.pipelines.driver_queries import (
+        _planted_ngram_texts,
+        ngram_dedup_planted,
+    )
+
+    spine = pa.table({"doc_id": pa.array(range(10), pa.int64())})
+    t = _planted_ngram_texts(spine).column("text").to_pylist()
+
+    def jac(a, b):
+        ga, gb = word_ngrams(a, 3), word_ngrams(b, 3)
+        return len(ga & gb) / len(ga | gb)
+
+    assert jac(t[0], t[1]) == 47 / 49
+    assert jac(t[0], t[2]) == 1.0
+    assert jac(t[0], t[3]) == 20 / 76
+    assert jac(t[0], t[4]) == 0.0
+    assert jac(t[0], t[5]) == 0.0  # next group leader: disjoint vocab
+
+    got = set(ngram_dedup_planted("/root/testdata/sf0.001").to_pandas()["doc_id"])
+    want = {d for d in range(500) if d % 5 in (0, 3, 4)}
+    assert got == want
