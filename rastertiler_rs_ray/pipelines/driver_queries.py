@@ -1436,7 +1436,7 @@ def _sql_mix64(gx: str, gy: str, seed: int, out: str) -> list[str]:
     ]
 
 
-def _sql_raster_vector_join_z8() -> str:
+def _sql_raster_vector_join_z8(doc_filter: str = "") -> str:
     """DuckDB mirror of raster_vector_join_z8: per-doc closed form of
     tile assignment + the M17 read_tile window/padding/NN-decimation
     arithmetic (raster/kernel.py:55-106) + the synthetic pixel function
@@ -1489,7 +1489,7 @@ WITH pos AS (
     SELECT doc_id,
            {lon0!r} + (((doc_id * {LON_MULT}) % {LON_MOD}) / {float(LON_MOD)!r}) * {lon1 - lon0!r} AS lon,
            {lat0!r} + (((doc_id * {LAT_MULT}) % {LAT_MOD}) / {float(LAT_MOD)!r}) * {lat1 - lat0!r} AS lat
-    FROM documents
+    FROM documents {doc_filter}
 ),
 merc AS (
     SELECT doc_id,
@@ -1571,6 +1571,72 @@ FROM m3
 
 
 SQL_RASTER_VECTOR_JOIN_Z8 = _sql_raster_vector_join_z8()
+
+
+def interleaved_raster_join_docs(sf_dir: str):
+    """FULLY-ORACLED north-star composition: interleaved text+media
+    documents (SQL-expressible construction over the `documents` spine:
+    every doc_id % 3 == 0 carries a geo:// media span whose lon/lat are
+    the extent-mapped modular-hash positions, serialized with exact
+    round-trip repr) → the REAL stateful CellEncoder actor pool parses
+    the refs back → Raptor-style raster↔vector join at z8 against the
+    synthetic raster.  The DuckDB oracle is the z8 closed form
+    restricted to the media-bearing docs — the whole chain (span
+    schema, geo-ref parse, mercator, tile assign, M17 window math,
+    splitmix pixel hash) lands under one rows+schema+hash row.
+    The hash-generator variant (interleaved_raster_join) stays as the
+    rows-only scale probe."""
+    from ..raster.synthetic import default_u8_raster
+    from .spatial import encode_cells, raster_vector_join
+
+    lon0, lat0, lon1, lat1 = (-59.9, 26.7, -48.8, 33.6)
+    span_type = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string())]
+        )
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        ulon = ((did * LON_MULT) % LON_MOD) / float(LON_MOD)
+        ulat = ((did * LAT_MULT) % LAT_MOD) / float(LAT_MOD)
+        lon = lon0 + ulon * (lon1 - lon0)
+        lat = lat0 + ulat * (lat1 - lat0)
+        spans = []
+        for i, d in enumerate(did.tolist()):
+            s = [{"kind": "text", "text": f"doc {d} intro", "media_ref": ""}]
+            if d % 3 == 0:
+                # repr(float) round-trips exactly; CellEncoder's parse
+                # recovers bit-identical lon/lat
+                s.append(
+                    {
+                        "kind": "media",
+                        "text": "",
+                        "media_ref": f"geo://{float(lon[i])!r},{float(lat[i])!r}/asset{d}",
+                    }
+                )
+            s.append({"kind": "text", "text": f"doc {d} outro", "media_ref": ""})
+            spans.append(s)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.string()),
+                "spans": pa.array(spans, span_type),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    enc = encode_cells(docs, level=12, concurrency=(1, 4))
+    geo = enc.map_batches(
+        lambda b: b.select(["doc_id", "mx", "my", "has_geo"]), batch_format="pyarrow"
+    )
+    return raster_vector_join(geo, default_u8_raster(), zoom=8, tilesize=256)
+
+
+SQL_INTERLEAVED_RASTER_JOIN = _sql_raster_vector_join_z8(
+    doc_filter="WHERE doc_id % 3 = 0"
+)
 
 
 def point_in_polygon_docs(sf_dir: str):
@@ -2803,6 +2869,10 @@ QUERIES = {
     "video_frame_sample": (video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "approx_distinct_users": (approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "interleaved_spans_docs": (interleaved_spans_docs, SQL_INTERLEAVED_SPANS_DOCS),
+    "interleaved_raster_join_docs": (
+        interleaved_raster_join_docs,
+        SQL_INTERLEAVED_RASTER_JOIN,
+    ),
     "dup_ngram_coverage_docs": (dup_ngram_coverage_docs, SQL_DUP_NGRAM_COVERAGE),
     "remove_dup_ngrams_docs": (remove_dup_ngrams_docs, SQL_REMOVE_DUP_NGRAMS),
     "building_urgent_full_outer": (building_urgent_full_outer, SQL_BUILDING_URGENT_FULL_OUTER),
