@@ -51,6 +51,18 @@ def _spread(runs: list[dict], key: str) -> float:
     return max(vals) / max(min(vals), 1e-9)
 
 
+def _wait_quiet() -> None:
+    """Gate a scaling child on a quiet window: co-tenant bursts on this
+    shared box swing identical code 2-6x, and the N->4N efficiency ratio
+    is only meaningful when both levels run uncontended.  Waits (up to
+    BENCH_LOAD_WAIT s) for 1-min loadavg to drop below BENCH_LOAD_GATE;
+    proceeds anyway on timeout — the per-run loadavg stamp records it."""
+    gate = float(os.environ.get("BENCH_LOAD_GATE", "6"))
+    deadline = time.time() + float(os.environ.get("BENCH_LOAD_WAIT", "600"))
+    while os.getloadavg()[0] > gate and time.time() < deadline:
+        time.sleep(10)
+
+
 def warm_workers() -> None:
     """Warm the Ray worker pool WITH the package imported, so measured
     time is pipeline, not cluster cold-start (a fixed cluster is already
@@ -96,7 +108,8 @@ def headline_join(num_cpus: int, sf_dir: str) -> dict:
 
     n_docs = int(JOIN_DOCS_PER_SF * _sf(sf_dir))
     pos = synthetic_positions_dataset(
-        n_docs, extent=(-59.9, 26.7, -48.8, 33.6), override_num_blocks=max(num_cpus * 2, 16)
+        n_docs, extent=(-59.9, 26.7, -48.8, 33.6),
+        override_num_blocks=max(num_cpus * 2, 16), slim=True,
     )
 
     t0 = time.time()
@@ -240,7 +253,8 @@ def _child_join(sf_dir: str) -> dict:
     # the steady state); production clusters run warm
     raster_vector_join_broadcast(
         synthetic_positions_dataset(int(JOIN_DOCS_PER_SF * _sf(sf_dir)), extent=ext,
-                                    override_num_blocks=nb, concurrency=gen_conc),
+                                    override_num_blocks=nb, concurrency=gen_conc,
+                                    slim=True),
         default_u8_raster(), zoom=JOIN_ZOOM, tilesize=256, concurrency=conc,
     ).count()
     # min of 3 in-session runs (timeit practice): in-session repeats are stable (<15%)
@@ -250,7 +264,7 @@ def _child_join(sf_dir: str) -> dict:
     n = 0
     for _ in range(3):
         pos = synthetic_positions_dataset(n_docs, extent=ext, override_num_blocks=nb,
-                                          concurrency=gen_conc)
+                                          concurrency=gen_conc, slim=True)
         t0 = time.time()
         n = raster_vector_join_broadcast(
             pos, default_u8_raster(), zoom=JOIN_ZOOM, tilesize=256, concurrency=conc
@@ -303,6 +317,7 @@ def run_scaling() -> dict:
             metric = "tiles_per_sec" if kind == "render" else "join_rows_per_sec"
             best = None
             for _ in range(repeats):
+                _wait_quiet()
                 load_runs[n][kind].append(_loadavg())
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--headline-child"],

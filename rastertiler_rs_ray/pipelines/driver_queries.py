@@ -121,10 +121,17 @@ def synthetic_positions_dataset(
     *,
     override_num_blocks: int | None = None,
     concurrency: int | None = None,
+    slim: bool = False,
 ) -> ray.data.Dataset:
     """Pure-synthetic doc-position table (doc_id = 0..n-1) using the
     same modular-hash position math as ``doc_positions_dataset`` —
-    lazily generated, any scale, for benches and scaling runs."""
+    lazily generated, any scale, for benches and scaling runs.
+
+    ``slim=True`` prunes at the source to exactly what the broadcast
+    raster sampler consumes — int64 doc_id + (mx, my, has_geo) — so a
+    join probe's memory traffic is the join's, not the fixture's
+    (column pruning belongs at the read, not after a full-width
+    generate)."""
 
     def f(batch: pa.Table) -> pa.Table:
         did = batch.column("id").to_numpy()
@@ -139,16 +146,20 @@ def synthetic_positions_dataset(
             lat = lat0 + ulat * (lat1 - lat0)
         mx, my = geo_to_mercator(lon, lat)
         nb = len(did)
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch.column("id"), pa.string()),
-                "lon": pa.array(lon, pa.float64()),
-                "lat": pa.array(lat, pa.float64()),
-                "mx": pa.array(mx, pa.float64()),
-                "my": pa.array(my, pa.float64()),
-                "has_geo": pa.array(np.ones(nb, dtype=bool)),
-            }
-        )
+        cols = {
+            "doc_id": (
+                batch.column("id")
+                if slim
+                else pc.cast(batch.column("id"), pa.string())
+            )
+        }
+        if not slim:
+            cols["lon"] = pa.array(lon, pa.float64())
+            cols["lat"] = pa.array(lat, pa.float64())
+        cols["mx"] = pa.array(mx, pa.float64())
+        cols["my"] = pa.array(my, pa.float64())
+        cols["has_geo"] = pa.array(np.ones(nb, dtype=bool))
+        return pa.table(cols)
 
     # cap generator task concurrency when a downstream actor pool must
     # co-exist: task pools grab every free slot at job start and the

@@ -402,3 +402,27 @@ def test_knn_cell_join_scratch_dir_validation(ray_session, tmp_path):
     os.remove(meta)
     with _pytest.raises(ValueError, match="_knn_bucket_meta"):
         knn_cell_join(enc, qpts, k=3, level=6, scratch_dir=scratch)
+
+
+def test_synthetic_positions_slim_parity(ray_session):
+    """slim=True prunes fixture columns at the source; the broadcast
+    join result must be identical modulo the doc_id dtype (int64 vs
+    string)."""
+    from rastertiler_rs_ray.pipelines.driver_queries import synthetic_positions_dataset
+    from rastertiler_rs_ray.pipelines.spatial import raster_vector_join_broadcast
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    ext = (-59.9, 26.7, -48.8, 33.6)
+    full = raster_vector_join_broadcast(
+        synthetic_positions_dataset(3000, extent=ext), default_u8_raster(), zoom=9
+    ).to_pandas()
+    slim = raster_vector_join_broadcast(
+        synthetic_positions_dataset(3000, extent=ext, slim=True),
+        default_u8_raster(),
+        zoom=9,
+    ).to_pandas()
+    assert list(slim.columns) == list(full.columns)
+    full["doc_id"] = full["doc_id"].astype("int64")
+    a = full.sort_values("doc_id").reset_index(drop=True)
+    b = slim.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
