@@ -51,16 +51,38 @@ def _spread(runs: list[dict], key: str) -> float:
     return max(vals) / max(min(vals), 1e-9)
 
 
+def _steal_pct(interval: float = 1.0) -> float:
+    """CPU steal %% over a short sample — co-tenant VMs on the shared
+    physical host are INVISIBLE to loadavg (r3 measured throughput
+    halved at 1-min loadavg 0.2) but show up as steal time."""
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:9]]
+        return sum(vals), vals[7]  # total, steal
+
+    t0, s0 = snap()
+    time.sleep(interval)
+    t1, s1 = snap()
+    dt = max(t1 - t0, 1)
+    return round(100.0 * (s1 - s0) / dt, 1)
+
+
 def _wait_quiet() -> None:
     """Gate a scaling child on a quiet window: co-tenant bursts on this
     shared box swing identical code 2-6x, and the N->4N efficiency ratio
     is only meaningful when both levels run uncontended.  Waits (up to
-    BENCH_LOAD_WAIT s) for 1-min loadavg to drop below BENCH_LOAD_GATE;
-    proceeds anyway on timeout — the per-run loadavg stamp records it."""
+    BENCH_LOAD_WAIT s) for 1-min loadavg below BENCH_LOAD_GATE AND CPU
+    steal below BENCH_STEAL_GATE %%; proceeds anyway on timeout — the
+    per-run stamps record the conditions either way."""
     gate = float(os.environ.get("BENCH_LOAD_GATE", "6"))
+    steal_gate = float(os.environ.get("BENCH_STEAL_GATE", "3"))
     deadline = time.time() + float(os.environ.get("BENCH_LOAD_WAIT", "600"))
-    while os.getloadavg()[0] > gate and time.time() < deadline:
-        time.sleep(10)
+    while time.time() < deadline:
+        if os.getloadavg()[0] <= gate and _steal_pct() <= steal_gate:
+            return
+        time.sleep(9)
 
 
 def warm_workers() -> None:
@@ -301,6 +323,7 @@ def run_scaling() -> dict:
     results = {n: {} for n in levels}
     raw_runs = {n: {"render": [], "join": []} for n in levels}
     load_runs = {n: {"render": [], "join": []} for n in levels}
+    steal_runs = {n: {"render": [], "join": []} for n in levels}
     for n in levels:
         for kind in ("render", "join"):
             # scaling runs use a larger workload (z0-14 pyramid,
@@ -319,6 +342,7 @@ def run_scaling() -> dict:
             for _ in range(repeats):
                 _wait_quiet()
                 load_runs[n][kind].append(_loadavg())
+                steal_runs[n][kind].append(_steal_pct())
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--headline-child"],
                     env=env, capture_output=True, text=True, timeout=3000,
@@ -359,6 +383,7 @@ def run_scaling() -> dict:
         "repeats_per_level": repeats,
         "raw_runs": raw_runs,
         "loadavg_1min_before_each_run": load_runs,
+        "steal_pct_before_each_run": steal_runs,
     }
 
 
