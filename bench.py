@@ -51,22 +51,22 @@ def _spread(runs: list[dict], key: str) -> float:
     return max(vals) / max(min(vals), 1e-9)
 
 
+def _steal_snap() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]
+    return vals[7], sum(vals)
+
+
 def _steal_pct(interval: float = 1.0) -> float:
     """CPU steal %% over a short sample — co-tenant VMs on the shared
     physical host are INVISIBLE to loadavg (r3 measured throughput
     halved at 1-min loadavg 0.2) but show up as steal time."""
-
-    def snap():
-        with open("/proc/stat") as f:
-            parts = f.readline().split()
-        vals = [int(x) for x in parts[1:9]]
-        return sum(vals), vals[7]  # total, steal
-
-    t0, s0 = snap()
+    s0, t0 = _steal_snap()
     time.sleep(interval)
-    t1, s1 = snap()
-    dt = max(t1 - t0, 1)
-    return round(100.0 * (s1 - s0) / dt, 1)
+    s1, t1 = _steal_snap()
+    return round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
 
 
 def _wait_quiet() -> None:
@@ -338,14 +338,29 @@ def run_scaling() -> dict:
                 BENCH_DOCS_PER_SF=os.environ.get("BENCH_DOCS_PER_SF", "1000000000"),
             )
             metric = "tiles_per_sec" if kind == "render" else "join_rows_per_sec"
+            # a child whose lifetime-average steal exceeds the gate was
+            # measurably contended by OTHER tenants of the physical host
+            # (invisible to loadavg) — retry it, keeping every attempt's
+            # raw numbers + steal stamps in the artifact.  The best
+            # throughput among attempts is used either way: contention
+            # only ever deflates, so max is the uncontended estimator.
+            steal_gate = float(os.environ.get("BENCH_STEAL_GATE", "4"))
+            extra = int(os.environ.get("BENCH_STEAL_RETRIES", "2"))
             best = None
-            for _ in range(repeats):
+            attempts = 0
+            budget = repeats + extra
+            while attempts < budget and (attempts < repeats or best is None or steal_runs[n][kind][-1] > steal_gate):
+                attempts += 1
                 _wait_quiet()
                 load_runs[n][kind].append(_loadavg())
-                steal_runs[n][kind].append(_steal_pct())
+                s0, t0 = _steal_snap()
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--headline-child"],
                     env=env, capture_output=True, text=True, timeout=3000,
+                )
+                s1, t1 = _steal_snap()
+                steal_runs[n][kind].append(
+                    round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
                 )
                 line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
                 if not line:
