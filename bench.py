@@ -279,12 +279,14 @@ def _child_join(sf_dir: str) -> dict:
                                     slim=True),
         default_u8_raster(), zoom=JOIN_ZOOM, tilesize=256, concurrency=conc,
     ).count()
-    # min of 3 in-session runs (timeit practice): in-session repeats are stable (<15%)
-    # while cross-process runs vary 2-3x with system cache state
+    # min of 4 in-session runs (timeit practice): the object-store mmap
+    # pool keeps warming over the first ~3 runs at large data volumes
+    # (measured 37.7 -> 33.0 -> 19.2 -> ~14 s at 400M docs / 32 CPUs),
+    # so 3 trials under-reported steady state by ~35%
     n_docs = int(JOIN_DOCS_PER_SF * _sf(sf_dir))
     walls = []
     n = 0
-    for _ in range(3):
+    for _ in range(4):
         pos = synthetic_positions_dataset(n_docs, extent=ext, override_num_blocks=nb,
                                           concurrency=gen_conc, slim=True)
         t0 = time.time()
@@ -335,7 +337,11 @@ def run_scaling() -> dict:
                 GRAFT_SF_DIR=SF_DIR,
                 BENCH_CHILD_KIND=kind,
                 BENCH_ZMAX=os.environ.get("BENCH_ZMAX", "14"),
-                BENCH_DOCS_PER_SF=os.environ.get("BENCH_DOCS_PER_SF", "1000000000"),
+                # 4e9·sf docs: at 1e9·sf (100M) the 32-CPU join is
+                # fixed-cost-bound (pool spin-up + first-run warming eat
+                # ~40% of a 5 s wall) and the ratio measures overhead,
+                # not the engine; 400M docs amortizes it at both levels
+                BENCH_DOCS_PER_SF=os.environ.get("BENCH_DOCS_PER_SF", "4000000000"),
             )
             metric = "tiles_per_sec" if kind == "render" else "join_rows_per_sec"
             # a child whose lifetime-average steal exceeds the gate was

@@ -170,3 +170,98 @@ def word_ngrams(text: str, n: int = 3) -> set[int]:
     if len(words) < n:
         return {fnv1a_bytes(" ".join(words).encode())} if words else set()
     return {fnv1a_bytes(" ".join(words[i : i + n]).encode()) for i in range(len(words) - n + 1)}
+
+
+# ---------------------------------------------------------------------------
+# packed character n-grams — shared kernel for the trained language-ID
+# classifier and the winnowing fingerprinter.  A batch's texts are encoded
+# ONCE to a flat uint32 codepoint array (utf-32-le: one lane per codepoint,
+# exactly Python's str indexing semantics, so positions line up with SQL
+# substr()); n-grams are sliding windows over that flat array with windows
+# crossing a document boundary masked out.  No Python loop over rows.
+# ---------------------------------------------------------------------------
+
+
+def flat_codepoints(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, doc_of): flat uint32 codepoints of all texts concatenated,
+    and the document index owning each lane."""
+    s = texts.fillna("")
+    joined = "".join(s.tolist())
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    doc_of = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+    return codes, doc_of
+
+
+def packed_char_ngrams(
+    texts: pd.Series, n: int = 3
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(grams, doc_idx, pos): every within-document character ``n``-gram,
+    packed into one uint64 (21 bits per codepoint — covers all of Unicode;
+    n ≤ 3), the batch-local row index of its document, and its 0-based
+    character start position.  Bijective with the substring, and packed
+    FIRST-codepoint-high so uint64 numeric order equals codepoint-
+    lexicographic string order (= DuckDB's binary UTF-8 collation) — the
+    SQL oracle's deterministic tie-breaks then agree with the engine's.
+    """
+    assert 1 <= n <= 3, "packing budget is 3 codepoints x 21 bits"
+    codes, doc_of = flat_codepoints(texts)
+    if len(codes) < n:
+        e = np.empty(0, dtype=np.uint64)
+        i = np.empty(0, dtype=np.int64)
+        return e, i, i.copy()
+    win = np.lib.stride_tricks.sliding_window_view(codes, n)
+    grams = np.zeros(len(win), dtype=np.uint64)
+    for j in range(n):
+        grams = grams | (win[:, j].astype(np.uint64) << np.uint64(21 * (n - 1 - j)))
+    valid = doc_of[: len(grams)] == doc_of[n - 1 :]
+    doc_idx = doc_of[: len(grams)][valid]
+    starts = np.concatenate([[0], np.cumsum(np.bincount(doc_of, minlength=int(doc_of[-1]) + 1 if len(doc_of) else 0))[:-1]]) if len(doc_of) else np.empty(0, np.int64)
+    gpos = np.arange(len(grams), dtype=np.int64)[valid]
+    pos = gpos - starts[doc_idx]
+    return grams[valid], doc_idx, pos
+
+
+# polynomial k-gram hash parameters shared with the SQL oracle: each term
+# is (codepoint * B^j mod 2^32), summed, mod 2^32 — every intermediate fits
+# a BIGINT exactly, so DuckDB reproduces the engine bit-for-bit.
+KGRAM_HASH_BASE = 1000003
+KGRAM_HASH_MOD = 1 << 32
+
+
+def kgram_hash_powers(k: int) -> np.ndarray:
+    """B^j mod 2^32 for j = 0..k-1 (uint64)."""
+    out = np.empty(k, dtype=np.uint64)
+    p = 1
+    for j in range(k):
+        out[j] = p
+        p = (p * KGRAM_HASH_BASE) % KGRAM_HASH_MOD
+    return out
+
+
+def kgram_hashes(
+    texts: pd.Series, k: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hashes, doc_idx, pos): polynomial hash of every within-document
+    character ``k``-gram: sum_j (code[p+j] * B^j mod 2^32) mod 2^32.
+
+    Exact-integer throughout (codepoint < 2^21, power < 2^32 → each
+    product < 2^53; the k-term sum of mod-reduced terms < k*2^32), so the
+    same arithmetic is expressible in SQL BIGINTs for the oracle.
+    """
+    codes, doc_of = flat_codepoints(texts)
+    if len(codes) < k:
+        e = np.empty(0, dtype=np.uint64)
+        i = np.empty(0, dtype=np.int64)
+        return e, i, i.copy()
+    win = np.lib.stride_tricks.sliding_window_view(codes, k).astype(np.uint64)
+    powers = kgram_hash_powers(k)
+    mod = np.uint64(KGRAM_HASH_MOD - 1)  # 2^32-1 bitmask == % 2^32
+    terms = (win * powers[None, :]) & mod
+    h = terms.sum(axis=1) & mod
+    valid = doc_of[: len(h)] == doc_of[k - 1 :]
+    doc_idx = doc_of[: len(h)][valid]
+    starts = np.concatenate([[0], np.cumsum(np.bincount(doc_of, minlength=int(doc_of[-1]) + 1 if len(doc_of) else 0))[:-1]]) if len(doc_of) else np.empty(0, np.int64)
+    gpos = np.arange(len(h), dtype=np.int64)[valid]
+    pos = gpos - starts[doc_idx]
+    return h[valid], doc_idx, pos

@@ -128,3 +128,30 @@ def cell_from_lonlat(level, lon, lat):
     """lon/lat point(s) → cell id at ``level``. Vectorized."""
     mx, my = geo_to_mercator(lon, lat)
     return cell_from_mercator(level, mx, my)
+
+
+_MORTON_SPREAD = (
+    (np.uint64(16), np.uint64(0x0000FFFF0000FFFF)),
+    (np.uint64(8), np.uint64(0x00FF00FF00FF00FF)),
+    (np.uint64(4), np.uint64(0x0F0F0F0F0F0F0F0F)),
+    (np.uint64(2), np.uint64(0x3333333333333333)),
+    (np.uint64(1), np.uint64(0x5555555555555555)),
+)
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Interleave zeros between the low 32 bits of each uint64 lane
+    (0b1011 -> 0b1000101), the standard shift-mask spread."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    for shift, mask in _MORTON_SPREAD:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+def morton_interleave(x, y):
+    """Z-order (Morton) key: bit-interleave of x (even bits) and y (odd
+    bits), vectorized — the space-filling-curve sort key that makes a
+    range shuffle place spatially-near tiles/cells in the same output
+    partitions (locality for the resumable parquet sink and for
+    range-pruned readers).  x, y < 2^32."""
+    return _spread_bits(np.asarray(x)) | (_spread_bits(np.asarray(y)) << np.uint64(1))

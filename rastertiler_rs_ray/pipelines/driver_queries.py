@@ -2849,6 +2849,177 @@ FROM u GROUP BY word
 """
 
 
+def language_id_docs(sf_dir: str):
+    """Trained char-trigram language classifier (train -> broadcast ->
+    score): per-lang top-32 gram profiles from the labeled corpus, then
+    integer count-overlap argmax per doc.  Exercises the distributed
+    train-aggregate + broadcast-model + vectorized-score pattern with a
+    full value-hash oracle (integer scoring, no float-order ambiguity)."""
+    from .textstats import language_id_trained
+
+    return language_id_trained(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    )
+
+
+SQL_LANGUAGE_ID_DOCS = r"""
+WITH g AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS gm
+  FROM (SELECT doc_id, lang, text,
+               unnest(generate_series(1, length(text) - 2)) AS i
+        FROM documents)
+),
+cnt AS (SELECT lang, gm, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+prof AS (
+  SELECT lang, gm, c FROM (
+    SELECT lang, gm, c,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, gm) AS rn
+    FROM cnt
+  ) WHERE rn <= 32
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+sc AS (
+  SELECT gr.doc_id, l.lang, CAST(COALESCE(SUM(p.c), 0) AS BIGINT) AS score
+  FROM g gr CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.gm = gr.gm
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM sc
+)
+SELECT r1.doc_id, r1.lang AS pred_lang, r1.score,
+       CAST(r1.score - COALESCE(r2.score, 0) AS BIGINT) AS margin
+FROM ranked r1 LEFT JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+WHERE r1.rn = 1
+"""
+
+
+def winnow_fingerprints_docs(sf_dir: str):
+    """Winnowing fingerprints (Schleimer-Wilkerson-Aiken) over documents:
+    polynomial k=8-gram hashes mod 2^32, rightmost-min of each w=4 hash
+    window, distinct (doc_id, pos, fp).  Map-only, zero shuffle."""
+    from .textstats import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=8, w=4
+    )
+
+
+def _winnow_sql(k: int = 8, w: int = 4) -> str:
+    from ..functions.text import kgram_hash_powers
+
+    pw = ",".join(f"({j}, {int(p)})" for j, p in enumerate(kgram_hash_powers(k)))
+    return f"""
+WITH pw(j, p) AS (VALUES {pw}),
+h AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(SUM((CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT) * p)
+                  % 4294967296) % 4294967296 AS BIGINT) AS fp
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {k - 1})) AS i
+        FROM documents), pw
+  GROUP BY doc_id, i
+),
+win AS (
+  SELECT doc_id, pos,
+         min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mn,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cnt
+  FROM h
+),
+sel AS (
+  SELECT w.doc_id, max(h2.pos) AS pos, w.mn AS fp
+  FROM win w JOIN h h2 ON h2.doc_id = w.doc_id
+                      AND h2.pos BETWEEN w.pos AND w.pos + {w - 1}
+                      AND h2.fp = w.mn
+  WHERE w.cnt = {w}
+  GROUP BY w.doc_id, w.pos, w.mn
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+"""
+
+
+SQL_WINNOW_FINGERPRINTS = _winnow_sql(8, 4)
+
+
+def zorder_docs_z12(sf_dir: str):
+    """Z-order locality sort: doc positions keyed by the Morton
+    interleave of their z12 tile (x, y), globally range-sorted — the
+    layout pass that makes a partitioned write range-prunable.  The
+    oracle verifies the bit-interleave key for every doc; the global
+    ordering contract is pinned by tests/test_spatial.py's
+    block-iteration assert (row order is invisible to the driver's
+    sorted-hash compare)."""
+    from .spatial import zorder_sort
+
+    pos = doc_positions_dataset(sf_dir)
+    return zorder_sort(pos, zoom=12).select_columns(["doc_id", "zkey"])
+
+
+def _morton_sql_terms(xcol: str, ycol: str, bits: int = 12) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({xcol} >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"(({ycol} >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+SQL_ZORDER_DOCS_Z12 = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}), xy AS (
+  SELECT doc_id,
+    CAST(least(greatest(floor(((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS x,
+    CAST(least(greatest(floor((1.0 - ((my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS y
+  FROM merc)
+SELECT doc_id, CAST({_morton_sql_terms("x", "y")} AS BIGINT) AS zkey FROM xy
+"""
+
+
+def orders_price_band_join(sf_dir: str):
+    """KEYLESS interval-containment join (classic range join): orders
+    against overlapping price bands derived deterministically from the
+    nation table — lo = nationkey*20k, hi = lo+30k, so consecutive bands
+    overlap and most orders match 1-2 bands.  Bucket width = band span
+    (replication factor ~2)."""
+    from .relational import interval_contains_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+
+    def bands(b: pa.Table) -> pa.Table:
+        lo = pc.multiply(pc.cast(b.column("n_nationkey"), pa.float64()), 20000.0)
+        return pa.table(
+            {"n_name": b.column("n_name"), "lo": lo, "hi": pc.add(lo, 30000.0)}
+        )
+
+    out = interval_contains_join(
+        orders,
+        nation.map_batches(bands, batch_format="pyarrow"),
+        val_col="o_totalprice",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=30000.0,
+    )
+    # the tag-union carries left ints through typed nulls -> float64;
+    # restore the key dtype for the schema gate
+    return out.map_batches(
+        lambda df: df.astype({"o_orderkey": "int64"}), batch_format="pandas"
+    )
+
+
+SQL_ORDERS_PRICE_BAND_JOIN = r"""
+WITH iv AS (
+  SELECT n_name, n_nationkey * 20000.0 AS lo,
+         n_nationkey * 20000.0 + 30000.0 AS hi
+  FROM nation
+)
+SELECT o.o_orderkey, o.o_totalprice, iv.n_name, iv.lo, iv.hi
+FROM orders o JOIN iv ON o.o_totalprice >= iv.lo AND o.o_totalprice <= iv.hi
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -2889,6 +3060,10 @@ QUERIES = {
     "building_urgent_full_outer": (building_urgent_full_outer, SQL_BUILDING_URGENT_FULL_OUTER),
     "inverted_index_docs": (inverted_index_docs, SQL_INVERTED_INDEX_DOCS),
     "price_percentiles": (price_percentiles, SQL_PRICE_PERCENTILES),
+    "language_id_docs": (language_id_docs, SQL_LANGUAGE_ID_DOCS),
+    "winnow_fingerprints_docs": (winnow_fingerprints_docs, SQL_WINNOW_FINGERPRINTS),
+    "orders_price_band_join": (orders_price_band_join, SQL_ORDERS_PRICE_BAND_JOIN),
+    "zorder_docs_z12": (zorder_docs_z12, SQL_ZORDER_DOCS_Z12),
     # --- group 2: STANDARD oracled (first ~33 complete the window) ---
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
@@ -2915,6 +3090,7 @@ QUERIES = {
     "events_top3_per_user": (events_top3_per_user, SQL_EVENTS_TOP3_PER_USER),
     "user_session_stats": (user_session_stats, SQL_USER_SESSION_STATS),
     "customer_order_counts_outer": (customer_order_counts_outer, SQL_CUSTOMER_ORDER_COUNTS_OUTER),
+    # ---------------- window boundary (50) ----------------
     "parts_never_ordered_full": (parts_never_ordered_full, SQL_PARTS_NEVER_ORDERED),
     "customers_with_orders": (customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "q3_top_revenue": (q3_top_revenue, SQL_Q3_TOP_REVENUE),
@@ -2923,7 +3099,6 @@ QUERIES = {
     "pii_scrub_docs": (pii_scrub_docs, SQL_PII_SCRUB_DOCS),
     "word_counts_docs": (word_counts_docs, SQL_WORD_COUNTS_DOCS),
     "training_corpus_stats": (training_corpus_stats, SQL_TRAINING_CORPUS_STATS),
-    # ---------------- window boundary (50) ----------------
     "distinct_doc_dims": (distinct_doc_dims, SQL_DISTINCT_DOC_DIMS),
     "customers_with_orders_bloom": (customers_with_orders_bloom, SQL_CUSTOMERS_WITH_ORDERS),
     "orders_by_mktsegment": (orders_by_mktsegment, SQL_ORDERS_BY_SEGMENT),

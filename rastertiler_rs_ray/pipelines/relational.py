@@ -880,3 +880,94 @@ def continuous_percentiles(
         return f"p{s}"
 
     return pd.DataFrame({name(q): [answers[i]] for i, q in enumerate(qs)})
+
+
+def interval_contains_join(
+    left: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    *,
+    val_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    left_cols: Sequence[str] | None = None,
+    interval_cols: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """KEYLESS interval-containment join: every (left, interval) pair
+    with ``lo <= left.val <= hi`` (inclusive), no equi-key — the classic
+    range join Ray Data has no native operator for.
+
+    Scale shape: the value axis is cut into buckets of ``bucket_width``;
+    each left row lands in exactly ONE bucket (val // width), each
+    interval is replicated to every bucket its [lo, hi] span overlaps,
+    and a single ``groupby(bucket)`` co-locates them.  Because a left
+    row exists in only one bucket, each qualifying pair is emitted
+    exactly once — interval replication cannot duplicate output.  The
+    in-group match sorts the bucket's intervals by ``lo`` once and uses
+    searchsorted to bound candidates before the hi-filter.
+
+    Partitioning assumption (document per call site): replication factor
+    is ~interval_span / bucket_width, and per-bucket work is
+    O(L_b · R_b) worst case — pick ``bucket_width`` near the typical
+    interval span so R_b stays small; skewed value clusters land in one
+    bucket and should be salted upstream if a bucket outgrows a task.
+    """
+    lcols = list(left_cols) if left_cols else list(left.schema().names)
+    rcols = list(interval_cols) if interval_cols else list(intervals.schema().names)
+    lschema, rschema = left.schema(), intervals.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    width = float(bucket_width)
+    if width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(val_col), pa.float64()).to_numpy(zero_copy_only=False)
+        out = {c: batch.column(c) for c in lcols}
+        out["__bucket"] = pa.array(np.floor_divide(v, width).astype(np.int64))
+        out["__side"] = pa.array(np.zeros(len(batch), dtype=np.int8))
+        for c in rcols:
+            out[c] = pa.nulls(len(batch), rtypes[c])
+        return pa.table(out)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        lo = pc.cast(batch.column(lo_col), pa.float64()).to_numpy(zero_copy_only=False)
+        hi = pc.cast(batch.column(hi_col), pa.float64()).to_numpy(zero_copy_only=False)
+        b0 = np.floor_divide(lo, width).astype(np.int64)
+        b1 = np.floor_divide(hi, width).astype(np.int64)
+        reps = np.maximum(b1 - b0 + 1, 0)
+        idx = np.repeat(np.arange(len(batch)), reps)
+        offs = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+        buckets = b0[idx] + offs
+        t = batch.select([c for c in rcols]).take(pa.array(idx))
+        out = {c: pa.nulls(len(idx), ltypes[c]) for c in lcols}
+        out["__bucket"] = pa.array(buckets)
+        out["__side"] = pa.array(np.ones(len(idx), dtype=np.int8))
+        for c in rcols:
+            out[c] = t.column(c)
+        return pa.table(out)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        intervals.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        lrows = df[df["__side"] == 0]
+        rrows = df[df["__side"] == 1]
+        if not len(lrows) or not len(rrows):
+            return df.iloc[0:0][lcols + rcols]
+        rrows = rrows.sort_values(lo_col, kind="stable")
+        rlo = rrows[lo_col].to_numpy(dtype=np.float64)
+        rhi = rrows[hi_col].to_numpy(dtype=np.float64)
+        v = lrows[val_col].to_numpy(dtype=np.float64)
+        end = np.searchsorted(rlo, v, side="right")  # intervals with lo <= v
+        li = np.repeat(np.arange(len(v)), end)
+        offs = np.arange(int(end.sum())) - np.repeat(np.cumsum(end) - end, end)
+        ok = rhi[offs] >= v[li]
+        li, ri = li[ok], offs[ok]
+        out = lrows.iloc[li][lcols].reset_index(drop=True)
+        for c in rcols:
+            out[c] = rrows.iloc[ri][c].to_numpy()
+        return out
+
+    return unioned.groupby("__bucket").map_groups(match, batch_format="pandas")

@@ -883,3 +883,40 @@ def knn_cell_join(
         for rank, (dist, doc) in enumerate(results[i]):
             rows.append((i, rank, doc, dist))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "dist"])
+
+
+def zorder_sort(
+    pos: ray.data.Dataset,
+    *,
+    zoom: int,
+    mx_col: str = "mx",
+    my_col: str = "my",
+    key_col: str = "zkey",
+) -> ray.data.Dataset:
+    """Sort a Mercator-position dataset along the Z-order (Morton)
+    space-filling curve at ``zoom``: append the bit-interleaved tile-xy
+    key, then one ``Dataset.sort`` range shuffle.
+
+    This is the locality pass before a partitioned write: after it,
+    consecutive output blocks hold spatially-adjacent points, so a
+    hive-partitioned parquet layout keyed on zkey ranges gives readers
+    real range pruning (a bbox query touches O(boundary) partitions,
+    not all of them) and the tile renderer's per-tile gathers hit few
+    blocks.  The sort is Ray Data's sample-partition-merge shuffle —
+    the ONE intentionally-global exchange in the layout path; everything
+    downstream preserves its order.
+    """
+    from ..geo.cell import morton_interleave
+    from ..geo.tileid import point_to_tile
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        x, y = point_to_tile(
+            zoom,
+            batch.column(mx_col).to_numpy(),
+            batch.column(my_col).to_numpy(),
+        )
+        return batch.append_column(
+            key_col, pa.array(morton_interleave(x, y).astype(np.int64))
+        )
+
+    return pos.map_batches(add_key, batch_format="pyarrow").sort(key_col)

@@ -433,3 +433,203 @@ def inverted_index(
         .groupby("__wshard")
         .map_groups(build, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# trained character-n-gram language classifier
+#
+# Two-phase distributed "train a model, broadcast it, score everything"
+# pattern: phase 1 is a (lang, gram) count aggregate over the labeled rows
+# with per-batch pandas partials (so the exchange moves per-block distinct
+# (lang, gram) pairs, not per-occurrence rows), capped to a top-V profile
+# per language — the driver-side model is ≤ n_langs x top_v rows BY
+# CONSTRUCTION, never vocabulary-sized.  Phase 2 broadcasts the profile
+# matrix once via ray.put and scores each batch with searchsorted +
+# np.add.at — integer count-overlap scoring (a Cavnar-Trenkle-style
+# profile heuristic simplified to exact integer arithmetic) so the SQL
+# oracle reproduces the argmax bit-for-bit with no float-sum-order
+# ambiguity.  Docs shorter than n chars have no grams and are dropped,
+# matching the oracle's FROM-grams semantics.
+# ---------------------------------------------------------------------------
+
+
+def train_char_ngram_profiles(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+    top_v: int = 32,
+) -> pd.DataFrame:
+    """(lang, gram, cnt) top-``top_v`` character-n-gram profile per
+    language; grams packed uint64-as-int64 (see packed_char_ngrams).
+    Ties broken (cnt DESC, gram ASC) to match the oracle's row_number."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        grams, di, _ = T.packed_char_ngrams(batch[text_col], n)
+        df = pd.DataFrame(
+            {"lang": batch[lang_col].to_numpy()[di], "gram": grams.astype(np.int64)}
+        )
+        return df.groupby(["lang", "gram"], sort=False).size().reset_index(name="cnt")
+
+    def top_per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "gram"], ascending=[False, True], kind="mergesort")
+        return g.head(top_v)
+
+    counts = (
+        docs.map_batches(partials, batch_format="pandas")
+        .groupby(["lang", "gram"])
+        .sum("cnt")
+    )
+    counts = counts.map_batches(
+        lambda b: b.rename(columns={"sum(cnt)": "cnt"}), batch_format="pandas"
+    )
+    prof = counts.groupby("lang").map_groups(top_per_lang, batch_format="pandas")
+    # bounded: <= n_langs x top_v rows by construction
+    return prof.to_pandas()
+
+
+class _LangScorer:
+    """Actor: broadcast profile matrix in __init__, score batches with one
+    searchsorted + one scatter-add; integer scores, deterministic argmax
+    (langs sorted ascending, np.argmax first-max = smallest lang)."""
+
+    def __init__(self, profiles_ref, *, text_col, id_col, n):
+        prof: pd.DataFrame = ray.get(profiles_ref)
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self.langs = np.array(sorted(prof["lang"].unique()), dtype=object)
+        lang_idx = {l: i for i, l in enumerate(self.langs)}
+        grams = np.sort(prof["gram"].unique().astype(np.uint64))
+        self.grams = grams
+        self.counts = np.zeros((len(grams), len(self.langs)), dtype=np.int64)
+        gi = np.searchsorted(grams, prof["gram"].to_numpy().astype(np.uint64))
+        li = np.array([lang_idx[l] for l in prof["lang"]])
+        self.counts[gi, li] = prof["cnt"].to_numpy()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        g, di, _ = T.packed_char_ngrams(batch[self.text_col], self.n)
+        nb, nl = len(batch), len(self.langs)
+        if nl == 0:  # degenerate: no trainable gram in the labeled set
+            return pd.DataFrame(
+                {self.id_col: batch[self.id_col].iloc[0:0],
+                 "pred_lang": pd.Series([], dtype=object),
+                 "score": pd.Series([], dtype=np.int64),
+                 "margin": pd.Series([], dtype=np.int64)}
+            )
+        scores = np.zeros((nb, nl), dtype=np.int64)
+        if len(g):
+            idx = np.searchsorted(self.grams, g)
+            idx_c = np.minimum(idx, len(self.grams) - 1)
+            found = self.grams[idx_c] == g
+            np.add.at(scores, di[found], self.counts[idx_c[found]])
+        has_grams = np.zeros(nb, dtype=bool)
+        has_grams[di] = True
+        best = scores.argmax(axis=1)
+        top = scores[np.arange(nb), best]
+        if nl > 1:
+            second = -np.partition(-scores, 1, axis=1)[:, 1]
+        else:
+            second = np.zeros(nb, dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "pred_lang": self.langs[best],
+                "score": top,
+                "margin": top - second,
+            }
+        )
+        return out.loc[has_grams]
+
+
+def language_id_trained(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+    top_v: int = 32,
+    labeled: ray.data.Dataset | None = None,
+    batch_size: int = 8192,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Train-then-classify language ID: per-language top-V char-n-gram
+    profiles from the ``labeled`` rows (default: self-train on ``docs``),
+    broadcast once, integer count-overlap argmax per doc.
+
+    Returns (id_col, pred_lang, score, margin); docs with < n chars are
+    dropped (no grams).  Scale: the train exchange moves per-block
+    distinct (lang, gram) pairs; the model is ≤ n_langs·top_v rows; the
+    scoring pass is map-only over a broadcast model.
+    """
+    prof = train_char_ngram_profiles(
+        labeled if labeled is not None else docs,
+        text_col=text_col,
+        lang_col=lang_col,
+        n=n,
+        top_v=top_v,
+    )
+    ref = ray.put(prof)
+    return docs.map_batches(
+        _LangScorer,
+        fn_constructor_kwargs={"profiles_ref": ref, "text_col": text_col,
+                               "id_col": id_col, "n": n},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Position-level winnowing fingerprints: polynomial hash of every
+    character k-gram (exact-integer mod 2^32, see kgram_hashes), then for
+    each window of ``w`` consecutive hashes keep the minimum (rightmost
+    on ties), deduplicated — the classic local fingerprinting scheme that
+    guarantees any shared substring of length ≥ k+w-1 yields a shared
+    fingerprint.  Returns distinct (id_col, pos, fp) with 1-based char
+    positions.  Docs with fewer than k+w-1 chars produce no rows (no full
+    window).  Map-only: zero shuffle, batch-local numpy throughout.
+    """
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        h, di, pos = T.kgram_hashes(batch[text_col], k)
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=batch[id_col].dtype),
+                "pos": pd.Series([], dtype=np.int64),
+                "fp": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(h) < w:
+            return empty
+        hw = np.lib.stride_tricks.sliding_window_view(h, w)
+        valid = di[: len(hw)] == di[w - 1 :]
+        if not valid.any():
+            return empty
+        rev = hw[valid][:, ::-1]
+        off = (w - 1) - np.argmin(rev, axis=1)
+        sel = np.flatnonzero(valid) + off
+        key = di[sel].astype(np.uint64) << np.uint64(32) | pos[sel].astype(np.uint64)
+        sel = sel[np.unique(key, return_index=True)[1]]
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[di[sel]],
+                "pos": pos[sel] + 1,
+                "fp": h[sel].astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pandas", batch_size=batch_size)

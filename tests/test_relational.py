@@ -503,3 +503,36 @@ def test_empty_schema_warning_filter_is_selective():
         "ray.data._internal.execution.streaming_executor_state"
     )
     assert sum(isinstance(x, _EmptySchemaDivergenceFilter) for x in lg.filters) == 1
+
+
+def test_interval_contains_join_brute(ray_session):
+    """Keyless range join vs a brute-force nested-loop oracle, with
+    intervals spanning multiple buckets and values on exact bounds."""
+    import numpy as np
+
+    from rastertiler_rs_ray.pipelines.relational import interval_contains_join
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(-50, 150, size=200), 3)
+    left = ray.data.from_arrow(
+        pa.table({"pid": pa.array(range(200), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    )
+    ivs = [(-10.0, 25.0, "a"), (20.0, 21.0, "b"), (25.0, 90.0, "c"),
+           (100.0, 100.0, "point"), (140.0, 160.0, "edge"), (60.0, 55.0, "empty")]
+    intervals = ray.data.from_arrow(
+        pa.table({"lo": pa.array([i[0] for i in ivs], pa.float64()),
+                  "hi": pa.array([i[1] for i in ivs], pa.float64()),
+                  "tag": pa.array([i[2] for i in ivs], pa.string())})
+    )
+    out = interval_contains_join(
+        left, intervals, val_col="v", lo_col="lo", hi_col="hi", bucket_width=13.0
+    ).to_pandas()
+    got = sorted(zip(out["pid"].astype(int), out["tag"]))
+    exp = sorted(
+        (pid, tag)
+        for pid, v in enumerate(vals)
+        for lo, hi, tag in ivs
+        if lo <= v <= hi
+    )
+    assert got == exp

@@ -426,3 +426,48 @@ def test_synthetic_positions_slim_parity(ray_session):
     a = full.sort_values("doc_id").reset_index(drop=True)
     b = slim.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_zorder_sort_global_order_and_locality(ray_session):
+    """The Morton sort's global ordering contract (invisible to the
+    driver's sorted-hash compare): iterating the sorted dataset's
+    batches in order yields a globally non-decreasing zkey, and the
+    curve actually buys locality — mean |tile-space jump| between
+    consecutive rows beats the unsorted layout by a wide margin."""
+    import numpy as np
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.spatial import zorder_sort
+
+    rng = np.random.default_rng(42)
+    n = 5000
+    ext = 6378137.0 * np.pi * 0.8
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "mx": pa.array(rng.uniform(-ext, ext, n), pa.float64()),
+                "my": pa.array(rng.uniform(-ext, ext, n), pa.float64()),
+            }
+        )
+    ).repartition(8)
+    out = zorder_sort(ds, zoom=10)
+    keys = []
+    xs = []
+    ys = []
+    for b in out.iter_batches(batch_format="pandas", batch_size=512):
+        keys.append(b["zkey"].to_numpy())
+        xs.append(b["mx"].to_numpy())
+        ys.append(b["my"].to_numpy())
+    keys = np.concatenate(keys)
+    assert len(keys) == n
+    assert (np.diff(keys) >= 0).all(), "global Z-order violated across blocks"
+    # locality: consecutive-row euclidean jumps, sorted vs original
+    def mean_jump(mx, my):
+        return float(np.hypot(np.diff(mx), np.diff(my)).mean())
+
+    sorted_jump = mean_jump(np.concatenate(xs), np.concatenate(ys))
+    rnd_jump = mean_jump(
+        *(c.to_numpy() for c in (ds.to_pandas()["mx"], ds.to_pandas()["my"]))
+    )
+    assert sorted_jump < rnd_jump / 4

@@ -405,3 +405,114 @@ def test_inverted_index_matches_naive(ray_session):
         }
     )
     assert out.equals(expect.astype({"df": "int64"}))
+
+
+# ---------------------------------------------------------------------------
+# trained language-ID + winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _docs_ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _brute_langid(rows, n=3, top_v=32):
+    """Scalar reference: top-V gram profiles, count-overlap argmax."""
+    from collections import Counter
+
+    prof = {}
+    for _, t, lg in rows:
+        c = prof.setdefault(lg, Counter())
+        for i in range(len(t) - n + 1):
+            c[t[i : i + n]] += 1
+    tops = {
+        lg: dict(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v])
+        for lg, c in prof.items()
+    }
+    langs = sorted(tops)
+    out = {}
+    for did, t, _ in rows:
+        grams = [t[i : i + n] for i in range(len(t) - n + 1)]
+        if not grams:
+            continue
+        scores = [sum(tops[lg].get(g, 0) for g in grams) for lg in langs]
+        best = max(range(len(langs)), key=lambda i: (scores[i], -i))
+        second = sorted(scores, reverse=True)[1] if len(langs) > 1 else 0
+        out[did] = (langs[best], scores[best], scores[best] - second)
+    return out
+
+
+def test_language_id_trained_matches_brute(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import language_id_trained
+
+    rows = [
+        (0, "aaa bbb aaa ccc aaa", "xx"),
+        (1, "zzz yyy zzz www zzz", "yy"),
+        (2, "aaa zzz aaa yyy bbb", "xx"),
+        (3, "yyy www yyy zzz qqq", "yy"),
+        (4, "aaa aaa aaa", "xx"),
+        (5, "ab", "xx"),  # < 3 chars: dropped
+        (6, "mno pqr stu vwx", "yy"),
+    ]
+    out = (
+        language_id_trained(_docs_ds(rows), top_v=8, batch_size=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    exp = _brute_langid(rows, top_v=8)
+    assert set(out.index) == set(exp)
+    for did, (lg, sc, mg) in exp.items():
+        assert out.loc[did, "pred_lang"] == lg, did
+        assert out.loc[did, "score"] == sc, did
+        assert out.loc[did, "margin"] == mg, did
+
+
+def test_language_id_profile_bounded(ray_session):
+    """The broadcast model is <= n_langs * top_v rows BY CONSTRUCTION."""
+    from rastertiler_rs_ray.pipelines.textstats import train_char_ngram_profiles
+
+    rows = [(i, f"doc {i} unique tokens {i*7} {i*13} {i*31}", "ab"[i % 2] * 2)
+            for i in range(40)]
+    prof = train_char_ngram_profiles(_docs_ds(rows), top_v=5)
+    assert len(prof) <= 2 * 5
+    assert set(prof["lang"]) == {"aa", "bb"}
+
+
+def test_winnow_shared_substring_guarantee(ray_session):
+    """Winnowing's core property: any shared substring of length >=
+    k + w - 1 chars yields at least one shared (fp) fingerprint."""
+    from rastertiler_rs_ray.pipelines.textstats import winnow_fingerprints
+
+    shared = "the common shared run of text!"  # 30 chars >= 8+4-1
+    rows = [
+        (0, "prefix one %s suffix alpha" % shared, ""),
+        (1, "completely different head %s and tail" % shared, ""),
+        (2, "no overlap here at all, unrelated words entirely", ""),
+    ]
+    out = winnow_fingerprints(
+        _docs_ds(rows).drop_columns(["lang"]), k=8, w=4, batch_size=2
+    ).to_pandas()
+    f0 = set(out[out.doc_id == 0].fp)
+    f1 = set(out[out.doc_id == 1].fp)
+    f2 = set(out[out.doc_id == 2].fp)
+    assert f0 & f1, "shared substring must share a fingerprint"
+    assert not (f0 & f2) and not (f1 & f2)
+
+
+def test_winnow_short_doc_no_rows(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import winnow_fingerprints
+
+    rows = [(0, "0123456789", "")]  # 10 chars: 3 kgram hashes < w=4 windows
+    out = winnow_fingerprints(
+        _docs_ds(rows).drop_columns(["lang"]), k=8, w=4
+    ).to_pandas()
+    assert len(out) == 0
