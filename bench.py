@@ -217,6 +217,12 @@ def run_full() -> dict:
     timed("annotate_text", lambda: Q.annotate_docs(SF_DIR))
     timed("curated_corpus", lambda: Q.curated_training_corpus(SF_DIR))
     timed("dup_ngram_rewrite", lambda: Q.remove_dup_ngrams_docs(SF_DIR))
+    # round-3 additions (suite keys 15-18; earlier keys unchanged for
+    # cross-round comparability)
+    timed("language_id", lambda: Q.language_id_docs(SF_DIR))
+    timed("winnow_fingerprints", lambda: Q.winnow_fingerprints_docs(SF_DIR))
+    timed("interval_band_join", lambda: Q.orders_price_band_join(SF_DIR))
+    timed("zorder_sort", lambda: Q.zorder_docs_z12(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

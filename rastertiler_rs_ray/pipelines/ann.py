@@ -460,3 +460,128 @@ def lsh_topk(
 def _lsh_codes(mat: np.ndarray, planes: np.ndarray, bits: int) -> np.ndarray:
     sgn = (mat @ planes) > 0  # (n, bits)
     return (sgn.astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(axis=1)
+
+
+def kmeans_clusters(
+    corpus: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Distributed Lloyd k-means over the FULL corpus, returning the
+    per-vector cluster assignment (id_col, cluster) — the clustering
+    stage of embedding-based corpus curation (cluster-balanced
+    sampling, near-dup pruning, domain discovery).
+
+    Unlike ``train_centroids`` (driver-side sample for the IVF coarse
+    quantizer), every pass here is distributed and centroid state is
+    the ONLY driver/broadcast payload (k × dim floats):
+
+    - init: the k vectors with smallest ``id_col`` (deterministic),
+      found via block-local partial k-smallest — the driver pull is
+      blocks × k rows, never the corpus;
+    - each iteration: one ``map_batches`` pass emits (cluster, dim,
+      psum, pcnt) partial rows (k·dim per block, the vector analogue of
+      a map-side combine) → tiny grouped sum → new centroids broadcast
+      via ``ray.put``;
+    - final pass assigns every vector (argmin of squared L2; ties →
+      lowest cluster index).
+
+    Centroids are rounded to the 1e-9 grid after every update so the
+    result is invariant to block layout and float summation order
+    (absorbed ulps), making assignments reproducible run to run.
+    """
+    import ray as _ray
+
+    from .relational import grouped_aggregate
+
+    corpus = corpus.select_columns([id_col, vec_col]).materialize()
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        if len(ids) == 0:
+            return batch
+        sel = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(sel))
+
+    seed = (
+        corpus.map_batches(init_partial, batch_format="pyarrow")
+        .to_pandas()  # blocks x k rows, driver-bounded
+        .sort_values(id_col)
+        .head(k)
+    )
+    cents = np.round(
+        np.asarray([np.asarray(v, dtype=np.float64) for v in seed[vec_col]]) * 1e9
+    ) / 1e9
+
+    def sums_partial(ref):
+        def f(batch: pa.Table) -> pa.Table:
+            c = _ray.get(ref)
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "psum": pa.array([], pa.float64()),
+                        "pcnt": pa.array([], pa.int64()),
+                    }
+                )
+            mat = _as_matrix(batch, vec_col)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1).astype(np.int64)
+            sums = np.zeros((len(c), mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            dim = mat.shape[1]
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(np.arange(len(c), dtype=np.int64), dim)),
+                    "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(c))),
+                    "psum": pa.array(sums.ravel(), pa.float64()),
+                    "pcnt": pa.array(np.repeat(counts, dim)),
+                }
+            )
+
+        return f
+
+    for _ in range(iters):
+        ref = _ray.put(cents)
+        agg = grouped_aggregate(
+            corpus.map_batches(sums_partial(ref), batch_format="pyarrow"),
+            ["cluster", "dim"],
+            [("s", "psum", "sum"), ("c", "pcnt", "sum")],
+        ).to_pandas()  # k x dim rows
+        agg = agg.sort_values(["cluster", "dim"])
+        s = agg["s"].to_numpy().reshape(len(cents), -1)
+        n = agg["c"].to_numpy().reshape(len(cents), -1)
+        upd = np.where(n > 0, s / np.maximum(n, 1), cents)
+        cents = np.round(upd * 1e9) / 1e9  # absorb summation-order ulps
+
+    ref = _ray.put(cents)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        if len(batch) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        mat = _as_matrix(batch, vec_col)
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            }
+        )
+
+    return corpus.map_batches(assign_final, batch_format="pyarrow")

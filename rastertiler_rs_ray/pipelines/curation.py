@@ -585,3 +585,187 @@ def remove_dup_ngrams(
         )
 
     return tagged.groupby("__rshard").map_groups(rewrite, batch_format="pandas")
+
+
+# ------------------------------------------------------- per-source capping
+
+
+def _mix64_i64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over int64 keys (unsigned avalanche)."""
+    h = x.astype(np.int64).view(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def cap_per_source(
+    docs: ray.data.Dataset,
+    *,
+    cap: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+    salt_shards: int = 64,
+) -> ray.data.Dataset:
+    """Per-source frequency cap: keep at most ``cap`` documents per
+    ``source_col``, chosen deterministically as the ``cap`` smallest
+    ``splitmix64(key)`` values (hash order = an unbiased-but-seedless
+    uniform sample; ties broken by key).  The C4/Gopher-style domain-cap
+    stage that stops one crawler-friendly host from dominating a corpus.
+
+    Scale contract (100 TB, millions of sources, heavy skew): selection
+    by k-smallest is associative, so it tree-combines —
+
+    1. map-side: each block keeps its ``cap`` smallest (h, key) per
+       source (vectorized sort + groupby-head, no Python loop);
+    2. pre-combine on ``(source, salt)`` where salt = h mod
+       ``salt_shards``: a hot source's candidates split across
+       ``salt_shards`` bounded groups instead of one giant group
+       (blocks x cap rows), each kept to its cap;
+    3. final ``groupby(source)`` over <= salt_shards x cap narrow rows
+       per source.
+
+    Only (source, key, h, carry_cols) rows ever shuffle — texts/blobs
+    stay in place; rejoin winners by key downstream if full rows are
+    needed.  Returns columns (key_col, source_col, *carry_cols).
+    """
+    cols = [key_col, source_col, *carry_cols]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        h = _mix64_i64(df[key_col].to_numpy())
+        out["__h"] = h.view(np.int64)  # int64 view; order fixed below
+        return _k_smallest(out, source_col, cap)
+
+    def _k_smallest(df: pd.DataFrame, by, k: int) -> pd.DataFrame:
+        # uint64 hash order (view back), then key for ties
+        df = df.assign(__ho=df["__h"].to_numpy().view(np.uint64))
+        df = df.sort_values(["__ho", key_col], kind="stable")
+        return df.groupby(by, sort=False).head(k).drop(columns="__ho")
+
+    cand = docs.select_columns(cols).map_batches(partial, batch_format="pandas")
+
+    def presalt(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["__h"].to_numpy().view(np.uint64)
+        return df.assign(__salt=(h % np.uint64(salt_shards)).astype(np.int64))
+
+    combined = (
+        cand.map_batches(presalt, batch_format="pandas")
+        .groupby([source_col, "__salt"])
+        .map_groups(lambda g: _k_smallest(g, source_col, cap), batch_format="pandas")
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return _k_smallest(g, source_col, cap)[cols]
+
+    return (
+        combined.drop_columns(["__salt"])
+        .groupby(source_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# -------------------------------------------------- token-budget selection
+
+
+def select_by_token_budget(
+    ds: ray.data.Dataset,
+    budget: int,
+    *,
+    group_col: str = "lang",
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bins: int = 4096,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> ray.data.Dataset:
+    """Data selection under a token budget: per ``group_col`` value,
+    keep the maximal quality-ordered prefix of documents whose running
+    token total stays ≤ ``budget`` (order: ``score_col`` desc, then
+    ``id_col`` — the standard "select best docs until the budget is
+    spent" corpus-construction rule).
+
+    Scale contract (100 TB, budget selection without a global sort):
+
+    1. one map-only pass bins each doc's score into ``bins`` fixed
+       buckets over [lo, hi];
+    2. one aggregate of (group, bin) → token sums — the exchange and
+       the driver table are ``groups × bins`` bounded, independent of
+       corpus size;
+    3. the driver finds each group's threshold bin t (where the
+       top-down cumulative crosses the budget) and broadcasts {group:
+       (t, tokens_above_t)};
+    4. docs in bins above t pass with NO further data movement; only
+       the boundary-bin docs (≈1/bins of the group) shuffle into a
+       per-group exact prefix evaluation.
+
+    Equal scores always land in the same bin, so bin-level inclusion
+    plus exact boundary evaluation reproduces the total-order rule
+    exactly.  Returns (id_col, group_col, token_col).
+    """
+    import ray as _ray
+
+    from .relational import grouped_aggregate
+
+    width = (hi - lo) / bins
+    out_cols = [id_col, group_col, token_col]
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df[score_col].to_numpy(dtype=np.float64)
+        df["__bin"] = np.clip(
+            np.floor((s - lo) / width), 0, bins - 1
+        ).astype(np.int64)
+        return df
+
+    anno = ds.map_batches(binned, batch_format="pandas").materialize()
+
+    hist = grouped_aggregate(
+        anno.select_columns([group_col, "__bin", token_col]),
+        [group_col, "__bin"],
+        [("tok", token_col, "sum")],
+    ).to_pandas()  # groups x bins bounded by construction
+
+    thresholds: dict = {}
+    for g, grp in hist.groupby(group_col, sort=False):
+        grp = grp.sort_values("__bin", ascending=False)
+        cum = grp["tok"].cumsum().to_numpy()
+        over = np.flatnonzero(cum > budget)
+        if len(over) == 0:
+            thresholds[g] = (-1, 0)  # whole group fits
+        else:
+            i = int(over[0])
+            t = int(grp["__bin"].to_numpy()[i])
+            base = int(cum[i] - grp["tok"].to_numpy()[i])
+            thresholds[g] = (t, base)
+    ref = _ray.put(thresholds)
+
+    def keep_above(df: pd.DataFrame) -> pd.DataFrame:
+        th = _ray.get(ref)
+        t = df[group_col].map(lambda g: th.get(g, (bins, 0))[0]).to_numpy()
+        return df.loc[df["__bin"].to_numpy() > t, out_cols]
+
+    def boundary(df: pd.DataFrame) -> pd.DataFrame:
+        th = _ray.get(ref)
+        t = df[group_col].map(lambda g: th.get(g, (bins, 0))[0]).to_numpy()
+        return df.loc[df["__bin"].to_numpy() == t]
+
+    def exact_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        th = _ray.get(ref)
+        if not len(g):
+            return g[out_cols]
+        _t, base = th[g[group_col].iloc[0]]
+        g = g.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        cum = base + g[token_col].cumsum().to_numpy()
+        return g.loc[cum <= budget, out_cols]
+
+    kept = anno.map_batches(keep_above, batch_format="pandas")
+    edge = (
+        anno.map_batches(boundary, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(exact_prefix, batch_format="pandas")
+    )
+    return kept.union(edge)

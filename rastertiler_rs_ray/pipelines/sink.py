@@ -86,8 +86,16 @@ def checkpointed_write(
             label = d.split("=", 1)[1]
             if label in done:
                 continue
-            n = pads.dataset(os.path.join(data_dir, d), format="parquet").count_rows()
+            pdir = os.path.join(data_dir, d)
+            n = pads.dataset(pdir, format="parquet").count_rows()
+            nbytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(pdir)
+                for f in fs
+            )
             manifest.record_complete(
-                f"data/{label}", rows=n, wall_s=wall, partition_dir=d
+                f"data/{label}", rows=n, wall_s=wall, partition_dir=d,
+                bytes=nbytes,
+                mb_per_s=round(nbytes / 1e6 / wall, 2) if wall > 0 else None,
             )
     return manifest

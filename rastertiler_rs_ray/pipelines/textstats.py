@@ -633,3 +633,158 @@ def winnow_fingerprints(
         )
 
     return docs.map_batches(per_batch, batch_format="pandas", batch_size=batch_size)
+
+
+def bm25_topk(
+    docs: ray.data.Dataset,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 5,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """BM25 top-k retrieval of documents for a small set of queries.
+
+    Scale contract (100 TB corpus, request-sized query set): the
+    queries are broadcast state, never the corpus —
+
+    1. pass 1 aggregates document frequency ONLY for query-vocabulary
+       terms plus the two corpus scalars (doc count, total doc length)
+       via map-side partials; the exchange and the driver pull are
+       query-vocab-sized (``O(Σ|q|)``), independent of corpus vocab;
+    2. the per-term idf table + avgdl broadcast once via ``ray.put``;
+    3. pass 2 scores each block vectorized (explode → isin(qvocab) →
+       per-(doc,term) tf) and keeps only its block-local top-k per
+       query, so the final ``groupby(query_id)`` merge moves
+       ``blocks × k`` rows per query.
+
+    Scoring is the Lucene BM25 variant (idf = ln(1 + (N-df+.5)/(df+.5)),
+    always positive; query-term multiplicity ignored).  Each (doc,term)
+    contribution is rounded to a scaled integer (``floor(x·10⁶+.5)``)
+    BEFORE summation so the doc score is an exact integer sum — ulp-robust
+    against the SQL oracle regardless of float summation order.
+
+    Returns (query_id, doc_id, score_e6), the k highest-scoring docs per
+    query (ties → smallest doc_id).
+    """
+    import ray as _ray
+
+    from .relational import grouped_aggregate
+
+    qterms = pd.DataFrame(
+        [(qid, w) for qid, qtext in queries for w in set(qtext.split())],
+        columns=["query_id", "word"],
+    )
+    qvocab = set(qterms["word"])
+    docs = docs.materialize()  # consumed twice (df pass + scoring pass)
+
+    # ---- pass 1: query-vocab df + corpus scalars, one tiny exchange.
+    # keys are namespaced ('n:' doc count, 'l:' token total, 'w:<word>'
+    # df) so the scalar sentinels can never collide with a real token.
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.findall(r"\S+")
+        if not len(df):
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype=str), "val": pd.Series([], dtype=np.int64)}
+            )
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        ex = pd.DataFrame(
+            {
+                "doc": np.arange(len(df), dtype=np.int64).repeat(lens),
+                "word": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks]
+                    or [np.array([], dtype=object)]
+                ),
+            }
+        )
+        ex = ex[ex["word"].isin(qvocab)]
+        vc = ex.drop_duplicates()["word"].value_counts()
+        return pd.DataFrame(
+            {
+                "key": ["n:", "l:"] + ("w:" + vc.index.astype(str)).tolist(),
+                "val": np.concatenate(
+                    [[len(df), int(lens.sum())], vc.to_numpy(dtype=np.int64)]
+                ).astype(np.int64),
+            }
+        )
+
+    stats = (
+        grouped_aggregate(
+            docs.map_batches(stats_partial, batch_format="pandas"),
+            ["key"],
+            [("val", "val", "sum")],
+        )
+        .to_pandas()  # query-vocab-sized by construction (≤ Σ|q| + 2 rows)
+        .set_index("key")["val"]
+    )
+    n_docs = int(stats["n:"])
+    avgdl = int(stats["l:"]) / n_docs
+    dfreq = {key[2:]: int(v) for key, v in stats.items() if key.startswith("w:")}
+    idf = pd.Series(
+        {
+            w: float(np.log(1.0 + (n_docs - dfw + 0.5) / (dfw + 0.5)))
+            for w, dfw in dfreq.items()
+        },
+        dtype=np.float64,
+    )
+    ref = _ray.put((idf, avgdl, qterms))
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            id_col: pd.Series([], dtype=np.int64),
+            "score_e6": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "score_e6", id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tbl, adl, qt = _ray.get(ref)
+        if not len(df):
+            return empty
+        toks = df[text_col].str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        ex = pd.DataFrame(
+            {
+                "row": np.arange(len(df), dtype=np.int64).repeat(lens),
+                "word": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks]
+                    or [np.array([], dtype=object)]
+                ),
+            }
+        )
+        ex = ex[ex["word"].isin(tbl.index)]
+        if not len(ex):
+            return empty
+        tf = ex.groupby(["row", "word"], sort=False).size().reset_index(name="tf")
+        tfv = tf["tf"].to_numpy(dtype=np.float64)
+        dl = lens[tf["row"].to_numpy()].astype(np.float64)
+        w_idf = tf["word"].map(tbl).to_numpy(dtype=np.float64)
+        # association mirrors the SQL oracle term by term:
+        # (idf * (tf*(k1+1))) / (tf + k1*((1-b) + (b*dl)/avgdl))
+        s = (w_idf * (tfv * (k1 + 1.0))) / (tfv + k1 * ((1.0 - b) + (b * dl) / adl))
+        tf["s"] = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        m = tf.merge(qt, on="word")  # a term may serve several queries
+        agg = (
+            m.groupby(["query_id", "row"], sort=False)["s"].sum().reset_index()
+        )
+        out = pd.DataFrame(
+            {
+                "query_id": agg["query_id"].to_numpy(dtype=np.int64),
+                id_col: df[id_col].to_numpy()[agg["row"].to_numpy()],
+                "score_e6": agg["s"].to_numpy(dtype=np.int64),
+            }
+        )
+        return topk(out)  # block-local partial top-k
+
+    cand = docs.map_batches(score, batch_format="pandas")
+    return cand.groupby("query_id").map_groups(topk, batch_format="pandas")

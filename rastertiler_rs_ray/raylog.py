@@ -22,13 +22,19 @@ from __future__ import annotations
 import logging
 
 _EXECUTOR_LOGGER = "ray.data._internal.execution.streaming_executor_state"
-_EMPTY_SCHEMA_MARK = "new schema: . This may lead"
+_EMPTY_SCHEMA_MARKS = (
+    # Arrow rendering of a zero-column empty block
+    "new schema: . This may lead",
+    # pandas rendering of the same (sort/aggregate exchange over pandas blocks)
+    "new schema: PandasBlockSchema(names=[], types=[]). This may lead",
+)
 
 
 class _EmptySchemaDivergenceFilter(logging.Filter):
     def filter(self, record: logging.LogRecord) -> bool:  # True = keep
         try:
-            return _EMPTY_SCHEMA_MARK not in record.getMessage()
+            msg = record.getMessage()
+            return not any(m in msg for m in _EMPTY_SCHEMA_MARKS)
         except Exception:
             return True
 

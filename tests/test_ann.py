@@ -200,3 +200,65 @@ def test_lsh_rejects_bad_hamming_probe(ray_session):
     tbl, _ = _clustered()
     with _pytest.raises(ValueError, match="hamming_probe"):
         lsh_topk(ray.data.from_arrow(tbl), tbl.slice(0, 2), bits=6, hamming_probe=7)
+
+
+def _kmeans_ref(x, ids, k, iters):
+    """Numpy reference with the SAME deterministic spec: init = k
+    smallest ids, squared-L2 argmin (ties -> lowest cluster), empty
+    clusters keep their centroid, 1e-9 centroid rounding."""
+    def _d2(x, c):
+        # same expansion as the engine so float ulps agree exactly
+        return (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+
+    order = np.argsort(ids, kind="stable")[:k]
+    cents = np.round(x[order] * 1e9) / 1e9
+    for _ in range(iters):
+        a = np.argmin(_d2(x, cents), axis=1)
+        nxt = cents.copy()
+        for c in range(k):
+            m = x[a == c]
+            if len(m):
+                nxt[c] = m.mean(axis=0)
+        cents = np.round(nxt * 1e9) / 1e9
+    return np.argmin(_d2(x, cents), axis=1)
+
+
+def test_kmeans_clusters_matches_reference_and_partitioning(ray_session):
+    from rastertiler_rs_ray.pipelines.ann import kmeans_clusters
+
+    tbl, x = _clustered(n=300, dim=16, ncl=5, seed=11)
+    ids = tbl.column("vec_id").to_numpy()
+    # the table stores float32 — the reference must see the same values
+    xq = x.astype(np.float32).astype(np.float64)
+    want = dict(zip(ids, _kmeans_ref(xq, ids, 5, 4)))
+    for parts in (2, 9):
+        got = (
+            kmeans_clusters(
+                ray.data.from_arrow(tbl).repartition(parts), k=5, iters=4
+            )
+            .to_pandas()
+            .set_index("vec_id")["cluster"]
+            .to_dict()
+        )
+        assert got == want, parts
+
+
+def test_kmeans_clusters_separates_planted_blobs(ray_session):
+    from rastertiler_rs_ray.pipelines.ann import kmeans_clusters
+
+    # well-separated blobs: every planted cluster must map to exactly
+    # one k-means cluster (purity 1.0)
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 8) * 50
+    x = np.concatenate([c + rng.randn(60, 8) for c in centers])
+    lab = np.repeat(np.arange(4), 60)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(x)), pa.int64()),
+            "embedding": pa.array(list(x.astype(float)), pa.list_(pa.float32())),
+        }
+    )
+    out = kmeans_clusters(ray.data.from_arrow(tbl), k=4, iters=6).to_pandas()
+    df = out.assign(truth=lab[out["vec_id"].to_numpy()])
+    assert df.groupby("truth")["cluster"].nunique().eq(1).all()
+    assert df["cluster"].nunique() == 4

@@ -286,3 +286,155 @@ def test_remove_dup_ngrams_matches_coverage(ray_session):
         .to_pandas().set_index("doc_id")["n_removed"].sort_index()
     )
     assert cov.to_dict() == rem.to_dict()
+
+
+def _src_docs(rows):
+    # rows: (doc_id, source)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _brute_cap(rows, cap):
+    # reference: k-smallest (splitmix64(doc_id), doc_id) per source
+    from rastertiler_rs_ray.pipelines.curation import _mix64_i64
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    h = _mix64_i64(ids)
+    order = sorted(range(len(rows)), key=lambda i: (int(h[i]), int(ids[i])))
+    kept, seen = set(), {}
+    for i in order:
+        s = rows[i][1]
+        if seen.get(s, 0) < cap:
+            seen[s] = seen.get(s, 0) + 1
+            kept.add(int(ids[i]))
+    return kept
+
+
+def test_cap_per_source_matches_brute_force(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import cap_per_source
+
+    rng = np.random.default_rng(3)
+    rows = [(i, f"host{int(rng.integers(0, 5))}") for i in range(200)]
+    out = cap_per_source(_src_docs(rows), cap=7).to_pandas()
+    # exactly min(cap, n_source) rows per source, and the right ones
+    counts = out.groupby("source").size().to_dict()
+    import collections
+
+    truth = collections.Counter(s for _, s in rows)
+    assert counts == {s: min(7, c) for s, c in truth.items()}
+    assert set(out["doc_id"]) == _brute_cap(rows, 7)
+
+
+def test_cap_per_source_partition_and_salt_invariance(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import cap_per_source
+
+    # one hot source (120 docs) + long tail; selection must not depend
+    # on block layout or on the salt-shard count
+    rows = [(i, "hot" if i % 3 else f"h{i % 17}") for i in range(180)]
+    a = cap_per_source(_src_docs(rows), cap=9).to_pandas()
+    b = cap_per_source(
+        _src_docs(rows).repartition(11), cap=9, salt_shards=4
+    ).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["doc_id"]) == _brute_cap(rows, 9)
+
+
+def test_cap_per_source_carry_cols_and_under_cap(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import cap_per_source
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": pa.array(["a", "a", "b"], pa.string()),
+                "lang": pa.array(["en", "fr", "de"], pa.string()),
+            }
+        )
+    )
+    out = cap_per_source(ds, cap=10, carry_cols=("lang",)).to_pandas()
+    # under-cap sources pass through whole, carry columns intact
+    assert sorted(out.columns) == ["doc_id", "lang", "source"]
+    assert len(out) == 3
+    assert set(zip(out["doc_id"], out["lang"])) == {(1, "en"), (2, "fr"), (3, "de")}
+
+
+def _budget_brute(rows, budget):
+    # rows: (doc_id, group, n_tokens, score); global rule: per group,
+    # (score desc, doc_id asc) prefix while running total <= budget
+    kept = set()
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r[1]].append(r)
+    for g, rs in by_g.items():
+        rs.sort(key=lambda r: (-r[3], r[0]))
+        cum = 0
+        for r in rs:
+            cum += r[2]
+            if cum <= budget:
+                kept.add(r[0])
+            else:
+                break
+    return kept
+
+
+def _budget_ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+                "score": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def test_select_by_token_budget_matches_prefix_rule(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import select_by_token_budget
+
+    rng = np.random.default_rng(19)
+    rows = [
+        (
+            i,
+            f"g{int(rng.integers(0, 4))}",
+            int(rng.integers(5, 60)),
+            float(rng.integers(0, 50)) / 50.0,  # coarse scores -> many ties
+        )
+        for i in range(300)
+    ]
+    out = select_by_token_budget(_budget_ds(rows), 400).to_pandas()
+    assert set(out["doc_id"]) == _budget_brute(rows, 400)
+    assert sorted(out.columns) == ["doc_id", "lang", "n_tokens"]
+    # per-group totals respect the budget
+    assert (out.groupby("lang")["n_tokens"].sum() <= 400).all()
+
+
+def test_select_by_token_budget_partition_invariance_and_fit(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import select_by_token_budget
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, f"g{int(rng.integers(0, 3))}", int(rng.integers(1, 30)),
+         float(rng.random()))
+        for i in range(150)
+    ]
+    a = select_by_token_budget(_budget_ds(rows), 250).to_pandas()
+    b = select_by_token_budget(
+        _budget_ds(rows).repartition(13), 250, bins=64
+    ).to_pandas()
+    srt = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+    assert srt(a).equals(srt(b))  # also invariant to bin count
+    # a budget larger than any group keeps everything
+    full = select_by_token_budget(_budget_ds(rows), 10**9).to_pandas()
+    assert len(full) == len(rows)

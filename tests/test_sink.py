@@ -31,7 +31,14 @@ def test_checkpointed_write_and_crash_resume(ray_session, tmp_path):
     parts = m.completed_partitions()
     assert all(p.startswith("data/") for p in parts) and len(parts) == len(full)
     for p in parts:
-        assert m.partition(p)["rows"] > 0
+        rec = m.partition(p)
+        assert rec["rows"] > 0
+        # north-rule lineage + throughput metrics: every completed
+        # partition records bytes on disk and MB/s alongside rows/s
+        assert rec["bytes"] > 0
+        assert rec["mb_per_s"] is None or rec["mb_per_s"] > 0
+        assert rec["rows_per_s"] is None or rec["rows_per_s"] > 0
+        assert rec["partition_dir"].startswith("event_type=")
 
     # crash window A: partition files written but no manifest record
     victim = sorted(full)[0]

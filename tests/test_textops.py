@@ -516,3 +516,84 @@ def test_winnow_short_doc_no_rows(ray_session):
         _docs_ds(rows).drop_columns(["lang"]), k=8, w=4
     ).to_pandas()
     assert len(out) == 0
+
+
+# ------------------------------------------------------------ BM25 top-k
+
+
+def _bm25_brute(rows, queries, k=5, k1=1.5, b=0.75):
+    """Scalar reference: same Lucene-variant formula, same per-term
+    scaled-integer rounding, same (score desc, doc_id asc) tie rule."""
+    import math
+
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for qid, q in queries:
+        scores = {}
+        for w in set(q.split()):
+            df = sum(1 for v in toks.values() if w in v)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for i, v in toks.items():
+                tf = v.count(w)
+                if tf:
+                    s = (idf * (tf * (k1 + 1.0))) / (
+                        tf + k1 * ((1.0 - b) + (b * len(v)) / avgdl)
+                    )
+                    scores[i] = scores.get(i, 0) + int(np.floor(s * 1e6 + 0.5))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = ranked
+    return out
+
+
+def test_bm25_topk_matches_scalar_reference(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import bm25_topk
+
+    rng = np.random.default_rng(5)
+    vocab = np.array("the a fox dog cat runs jumps sleeps fast slow".split(), dtype=object)
+    rows = [
+        (i, " ".join(vocab[rng.integers(0, len(vocab), rng.integers(2, 30))]))
+        for i in range(60)
+    ]
+    queries = [(0, "fox jumps"), (1, "cat sleeps slow"), (2, "dog")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    got = bm25_topk(ds, queries, k=4).to_pandas()
+    want = _bm25_brute(rows, queries, k=4)
+    for qid, ranked in want.items():
+        g = got[got["query_id"] == qid].sort_values(
+            ["score_e6", "doc_id"], ascending=[False, True]
+        )
+        assert list(zip(g["doc_id"], g["score_e6"])) == ranked, qid
+
+
+def test_bm25_topk_partition_invariance_and_absent_terms(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import bm25_topk
+
+    rows = [(i, f"alpha beta gamma{'' if i % 3 else ' delta'}") for i in range(40)]
+    queries = [(7, "delta zzz_unseen"), (8, "zzz_only_unseen")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    a = bm25_topk(ray.data.from_arrow(tbl), queries, k=3).to_pandas()
+    b = bm25_topk(
+        ray.data.from_arrow(tbl).repartition(9), queries, k=3
+    ).to_pandas()
+    srt = lambda d: d.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    assert srt(a).equals(srt(b))
+    # unseen term contributes nothing; fully-unseen query returns no rows
+    assert set(a["query_id"]) == {7}
+    assert len(a[a["query_id"] == 7]) == 3
+    assert all(a["doc_id"] % 3 == 0)  # only docs containing 'delta'
