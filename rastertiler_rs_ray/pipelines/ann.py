@@ -585,3 +585,326 @@ def kmeans_clusters(
         )
 
     return corpus.map_batches(assign_final, batch_format="pyarrow")
+
+
+# --------------------------------------------------- product quantization
+
+
+def train_pq_codebooks(
+    corpus: ray.data.Dataset,
+    *,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., PQ): split
+    the (normalized) vector into ``m`` contiguous subspaces and run
+    Lloyd k-means with ``ks`` centroids independently in each.
+
+    Like ``train_centroids``, training is a driver-side sample — the
+    codebook is tiny broadcast state (m × ks × dim/m floats); at 100 TB
+    the sample is still driver-sized.  Returns (m, ks, dsub) float64.
+    Requires dim % m == 0.
+
+    Seeding is k-means++ (D² sampling): an already-covered subvector
+    has distance 0 and can never be re-picked, so when a subspace holds
+    ≤ ks distinct values the init recovers every one of them and Lloyd
+    converges to the lossless codebook — the property the exactness
+    test pins.  Random init would almost surely seed duplicate points
+    and strand empty clusters.
+    """
+    rows = corpus.limit(sample).take_all()
+    x = _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+
+    def _kmeanspp(sub: np.ndarray, k: int) -> np.ndarray:
+        cents = [sub[rng.randint(len(sub))]]
+        d2 = ((sub - cents[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            tot = d2.sum()
+            if tot <= 0.0:  # fewer distinct points than k: duplicate
+                cents.append(cents[-1])
+                continue
+            pick = sub[rng.choice(len(sub), p=d2 / tot)]
+            cents.append(pick)
+            d2 = np.minimum(d2, ((sub - pick) ** 2).sum(axis=1))
+        return np.asarray(cents)
+
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = _kmeanspp(sub, min(ks, n))
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        if len(cents) < ks:  # sample smaller than ks: pad by repetition
+            cents = np.vstack([cents] * (ks // len(cents) + 1))[:ks]
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    corpus: ray.data.Dataset,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Compress the corpus to PQ codes: (id_col, code list<uint8> of m).
+
+    One map pass; per batch the per-subspace assignment is a single
+    argmin over squared L2 (vectorized).  The codes dataset is what a
+    100 TB deployment persists and scans — m bytes/vector instead of
+    4·dim; the float embeddings never leave the encode stage.
+    """
+    m, ks, dsub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "code": pa.array([], pa.list_(pa.uint8(), m)),
+                }
+            )
+        x = _normalize(_as_matrix(batch, vec_col))
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            cents = books[j]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), m
+                ),
+            }
+        )
+
+    return corpus.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(
+    corpus: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+    codebooks: np.ndarray | None = None,
+) -> pa.Table:
+    """PQ asymmetric-distance top-k: train codebooks (driver sample),
+    compress the corpus to uint8 codes in one map pass, then scan the
+    CODES — never the floats — with per-query lookup tables.
+
+    ADC scoring: cosine(q, x) ≈ q · recon(x) = Σ_j (q_subj · c_j[code_j]),
+    so each query precomputes an (m, ks) inner-product table and a
+    batch's scores are one fancy-gather + sum over the uint8 codes
+    (``np.take_along_axis``) — no per-row Python, no float vectors in
+    the scan.  This is the memory-scale path for embeddings: the scan
+    input is m bytes/vector (64 B vs 3 KB at dim=768 float32), letting
+    a 100 TB embedding corpus fit hot in the object store.  Recall vs
+    ``brute_force_topk`` is pinned in tests; exact when every subspace
+    has ≤ ks distinct subvectors.
+
+    Returns (query_id, neighbor_id, score, rank) like the other paths.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, ks=ks, vec_col=vec_col, sample=2048
+        )
+    m, ks, dsub = codebooks.shape
+    st = _query_state(queries, vec_col, query_id_col)
+    qm = st["qm"]  # (nq, dim) normalized
+    # (nq, m, ks) inner-product tables: lut[q, j, c] = q_subj · books[j, c]
+    lut = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub), codebooks)
+    ref = ray.put({"lut": lut, "qids": st["qids"], "qid_type": st["qid_type"]})
+
+    codes_ds = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        tab, qid = s["lut"], s["qids"]
+        nid_type = batch.column(id_col).type if len(batch.column_names) else pa.int64()
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], s["qid_type"]),
+                    "neighbor_id": pa.array([], nid_type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        codes = np.asarray(
+            batch.column("code").combine_chunks().flatten(), dtype=np.int64
+        ).reshape(len(batch), m)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # gather: (1, nq, m, ks) along last axis with (rows, 1, m, 1)
+        sims = np.take_along_axis(
+            tab[None, :, :, :], codes[:, None, :, None], axis=3
+        ).sum(axis=2)[..., 0]  # (rows, nq)
+        if exclude_self:
+            sims[ids[:, None] == qid[None, :]] = -np.inf
+        kk = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        nq = sims.shape[1]
+        out_q = np.repeat(qid, kk)
+        out_n = ids[part.T.reshape(-1)]
+        out_s = sims[part.T.reshape(-1), np.repeat(np.arange(nq), kk)]
+        keep = np.isfinite(out_s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q[keep], s["qid_type"]),
+                "neighbor_id": pa.array(out_n[keep], nid_type),
+                "score": pa.array(out_s[keep], pa.float64()),
+            }
+        )
+
+    rows = codes_ds.map_batches(score, batch_format="pyarrow").take_all()
+    return _merge_partials(rows, k)
+
+
+# ------------------------------------------------------- distributed PCA
+
+
+def pca_train(
+    corpus: ray.data.Dataset,
+    *,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+) -> dict:
+    """Exact distributed PCA over the FULL corpus via second-moment
+    partials: each block emits its (dim × dim) scatter ``XᵀX``, row sum
+    and count — the classic map-side combine where the exchange is
+    O(blocks · dim²) regardless of corpus size — and the driver solves
+    the dim × dim eigenproblem (dim is model-sized, never data-sized).
+
+    Eigenvector sign is fixed deterministically (largest-|component|
+    coordinate made positive) so the model is reproducible across
+    block layouts.  Returns {"mean": (dim,), "components": (k, dim),
+    "explained_var": (k,)} — tiny broadcast state for ``pca_project``.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "i": pa.array([], pa.int64()),
+                    "vals": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        x = _as_matrix(batch, vec_col)
+        dim = x.shape[1]
+        scatter = x.T @ x  # (dim, dim)
+        rows = {
+            "kind": ["s"] * dim + ["m", "n"],
+            "i": list(range(dim)) + [0, 0],
+            "vals": [scatter[i].tolist() for i in range(dim)]
+            + [x.sum(axis=0).tolist(), [float(len(x))]],
+        }
+        return pa.table(
+            {
+                "kind": pa.array(rows["kind"], pa.string()),
+                "i": pa.array(rows["i"], pa.int64()),
+                "vals": pa.array(rows["vals"], pa.list_(pa.float64())),
+            }
+        )
+
+    # blocks × (dim + 2) narrow rows; summed per (kind, i) off-driver
+    def combine(df):
+        import pandas as _pd
+
+        out = (
+            df.assign(vals=df["vals"].map(np.asarray))
+            .groupby(["kind", "i"], sort=False)["vals"]
+            .apply(lambda s: np.sum(np.stack(s.to_numpy()), axis=0))
+            .reset_index()
+        )
+        return _pd.DataFrame(
+            {"kind": out["kind"], "i": out["i"], "vals": out["vals"].map(list)}
+        )
+
+    agg = (
+        corpus.map_batches(partials, batch_format="pyarrow")
+        .groupby(["kind", "i"])
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()  # (dim + 2) rows x dim floats — model-sized
+    )
+    n = float(agg.loc[agg["kind"] == "n", "vals"].iloc[0][0])
+    mean = np.asarray(agg.loc[agg["kind"] == "m", "vals"].iloc[0]) / n
+    srows = agg[agg["kind"] == "s"].sort_values("i")
+    scatter = np.stack(srows["vals"].map(np.asarray).to_numpy())
+    cov = scatter / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-w)[:n_components]
+    comps = v[:, order].T  # (k, dim)
+    flip = np.sign(comps[np.arange(len(comps)), np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_var": np.maximum(w[order], 0.0),
+    }
+
+
+def pca_project(
+    corpus: ray.data.Dataset,
+    model: dict,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pca",
+) -> ray.data.Dataset:
+    """Project every vector onto the PCA components (map-only; the
+    model rides the object store once via ``ray.put``)."""
+    ref = ray.put((model["mean"], model["components"]))
+    k = model["components"].shape[0]
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean, comps = ray.get(ref)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.list_(pa.float64(), k)),
+                }
+            )
+        x = _as_matrix(batch, vec_col)
+        proj = (x - mean) @ comps.T  # (n, k)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                out_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(proj.ravel(), pa.float64()), k
+                ),
+            }
+        )
+
+    return corpus.map_batches(project, batch_format="pyarrow")

@@ -769,3 +769,78 @@ def select_by_token_budget(
         .map_groups(exact_prefix, batch_format="pandas")
     )
     return kept.union(edge)
+
+
+# ------------------------------------------------ context-window chunking
+
+
+def chunk_documents(
+    docs: ray.data.Dataset,
+    *,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """Split each document into overlapping fixed-token-window chunks —
+    the context-window preparation stage of an LLM training pipeline
+    (Pile/GPT-style striding).
+
+    Chunk ``i`` (0-based) covers whitespace tokens
+    ``[i·stride, min(i·stride + chunk_tokens, n))``; a non-empty doc
+    with ``n`` tokens yields ``1 + max(0, ceil((n - chunk_tokens) /
+    stride))`` chunks (the final chunk may be short; empty docs yield
+    none), so every token is covered and consecutive chunks overlap by
+    ``chunk_tokens - stride``.
+
+    Scale contract: map-only (zero shuffle) — each batch tokenizes
+    once, computes per-doc chunk counts vectorized, and emits the
+    exploded (id, chunk_id, chunk_text, n_tokens) rows; output size is
+    ~``1/stride`` rows per input token regardless of cluster size, and
+    blocks split downstream under Ray's target block size.  With
+    ``stride < chunk_tokens`` output bytes exceed input bytes by the
+    overlap factor — size ``batch_size`` so the exploded batch stays
+    heap-bounded.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    empty = pd.DataFrame(
+        {
+            id_col: pd.Series([], dtype=np.int64),
+            "chunk_id": pd.Series([], dtype=np.int64),
+            "chunk_text": pd.Series([], dtype=str),
+            "n_tokens": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        toks = df[text_col].str.findall(r"\S+")
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        nchunks = np.where(
+            n == 0, 0, 1 + np.maximum(0, -(-(n - chunk_tokens) // stride))
+        )
+        if nchunks.sum() == 0:
+            return empty
+        row = np.arange(len(df), dtype=np.int64).repeat(nchunks)
+        cid = np.concatenate([np.arange(c, dtype=np.int64) for c in nchunks if c])
+        starts = cid * stride
+        ends = np.minimum(starts + chunk_tokens, n[row])
+        tok_arrs = toks.to_numpy()
+        texts = [
+            " ".join(tok_arrs[r][s:e])
+            for r, s, e in zip(row.tolist(), starts.tolist(), ends.tolist())
+        ]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy()[row],
+                "chunk_id": cid,
+                "chunk_text": texts,
+                "n_tokens": ends - starts,
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pandas", batch_size=batch_size)

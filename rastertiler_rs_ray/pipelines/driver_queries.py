@@ -1141,6 +1141,44 @@ FROM lagged
 """
 
 
+def user_rolling_hour_stats(sf_dir: str):
+    """Trailing 1-hour rolling count + value sum per user at every
+    event (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW,
+    peers included).  Values pre-scaled to e6 integers so the rolling
+    sum is engine-exact."""
+    from .relational import rolling_time_aggregate
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        v6 = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 1e6), 0.5)),
+            pa.int64(),
+        )
+        return batch.drop_columns(["value"]).append_column("v6", v6)
+
+    scaled = ev.map_batches(scale, batch_format="pyarrow")
+    return rolling_time_aggregate(
+        scaled, ["user_id"], "ts",
+        window_seconds=3600,
+        sum_cols=[("sum_value_e6", "v6")],
+        carry_cols=["event_id"],
+    )
+
+
+SQL_USER_ROLLING_HOUR_STATS = """
+WITH v AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+           FROM events)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_events,
+       CAST(sum(v6) OVER w AS BIGINT) AS sum_value_e6
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def props_value_stats(sf_dir: str):
     """JSON-props extraction (vectorized regex) + grouped aggregate —
     the metadata-filtering stage of a training-data pipeline."""
@@ -2023,6 +2061,34 @@ def lsh_ann_topk(sf_dir: str):
     return out.select(["query_id", "neighbor_id"])
 
 
+def pca_embeddings_project(sf_dir: str):
+    """Distributed exact PCA (XᵀX scatter partials, O(blocks·dim²)
+    exchange, driver-side dim×dim eigensolve) + map-only projection of
+    every embedding to 8 components.  Rows-only driver check; exact
+    conformance vs numpy and block-layout invariance pinned in
+    tests/test_ann.py."""
+    from .ann import pca_project, pca_train
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = pca_train(emb, n_components=8)
+    return pca_project(emb, model)
+
+
+def pq_ann_topk(sf_dir: str):
+    """Product-quantization ADC top-k: the corpus is compressed to m
+    uint8 codes per vector in one map pass and the scan reads ONLY the
+    codes (m bytes/vector — the memory-scale path for a 100 TB
+    embedding corpus); queries score via per-query (m, ks) lookup
+    tables.  Approximate; recall and lossless-exactness vs brute force
+    pinned in tests/test_ann.py (rows-only driver check)."""
+    from .ann import pq_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 4)
+    out = pq_topk(emb, q, k=5, m=8, ks=16)
+    return out.select(["query_id", "neighbor_id"])
+
+
 def ivf_ann_topk_exhaustive(sf_dir: str):
     """IVF with ``nprobe == nlist``: every cell probed, so the result
     is EXACTLY the brute-force top-k — which is SQL-expressible.  This
@@ -2536,6 +2602,29 @@ c AS (SELECT doc_id, lang, n_tokens,
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM s)
 SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 2000
+"""
+
+
+def chunk_documents_docs(sf_dir: str):
+    """Context-window chunking (32-token windows, stride 16): map-only
+    explode of each doc into overlapping fixed-token chunks — the
+    LLM-training context-prep stage."""
+    from .curation import chunk_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=32, stride=16)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
+n AS (SELECT doc_id, arr, CAST(len(arr) AS BIGINT) AS n FROM t WHERE len(arr) > 0),
+c AS (SELECT doc_id, arr, n,
+             unnest(range(0, 1 + greatest(0, (n - 17) // 16))) AS chunk_id
+      FROM n)
+SELECT doc_id, chunk_id,
+       array_to_string(arr[chunk_id*16 + 1 : chunk_id*16 + 32], ' ') AS chunk_text,
+       least(chunk_id*16 + 32, n) - chunk_id*16 AS n_tokens
+FROM c
 """
 
 
@@ -3217,6 +3306,8 @@ QUERIES = {
         token_budget_selection_docs,
         SQL_TOKEN_BUDGET_SELECTION,
     ),
+    "chunk_documents_docs": (chunk_documents_docs, SQL_CHUNK_DOCUMENTS),
+    "user_rolling_hour_stats": (user_rolling_hour_stats, SQL_USER_ROLLING_HOUR_STATS),
     # --- group 2: STANDARD oracled (first ~33 complete the window) ---
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
@@ -3279,6 +3370,8 @@ QUERIES = {
     "ivf_ann_topk_indexed": (ivf_ann_topk_indexed, None),
     "ivf_ann_topk": (ivf_ann_topk, None),
     "lsh_ann_topk": (lsh_ann_topk, None),
+    "pq_ann_topk": (pq_ann_topk, None),
+    "pca_embeddings_project": (pca_embeddings_project, None),
     "media_features_pipeline": (media_features_pipeline, None),
     "span_media_features": (span_media_features, None),
     "audio_features_pipeline": (audio_features_pipeline, None),

@@ -971,3 +971,50 @@ def interval_contains_join(
         return out
 
     return unioned.groupby("__bucket").map_groups(match, batch_format="pandas")
+
+
+def rolling_time_aggregate(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    ts_col: str,
+    *,
+    window_seconds: float,
+    sum_cols: Sequence[tuple[str, str]] = (),
+    count_col: str = "n_events",
+    carry_cols: Sequence[str] = (),
+) -> ray.data.Dataset:
+    """Per-key trailing time-window aggregate: for every row, the count
+    and sums over all of the key's rows with ``ts`` in
+    ``[row.ts - window_seconds, row.ts]`` — SQL's ``RANGE BETWEEN
+    INTERVAL x PRECEDING AND CURRENT ROW`` (peers with equal ``ts``
+    included, boundary inclusive).  The event-rate / trailing-volume
+    feature of a behavioral pipeline, expressed batch-first.
+
+    ``sum_cols`` is (out_name, src_col) pairs; pass pre-scaled int64
+    columns for engine-exact sums (prefix-sum differencing is exact in
+    integers, order-fuzzy in floats).
+
+    Scale contract: ONE groupby exchange on ``part_keys``; in-group
+    work is a sort + two ``np.searchsorted`` + prefix-sum differencing
+    — O(n log n) vectorized, no per-row Python.  Same partitioning
+    assumption as ``sessionize``: one key's rows fit a worker (salt or
+    time-split keys hotter than that upstream).
+    """
+    W = int(round(window_seconds * 1_000_000))
+    sum_cols = list(sum_cols)
+    out_cols = [*carry_cols, *part_keys, count_col, *[o for o, _ in sum_cols]]
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="mergesort").copy()
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        left = np.searchsorted(ts, ts - W, side="left")
+        right = np.searchsorted(ts, ts, side="right")
+        df[count_col] = (right - left).astype(np.int64)
+        for out, src in sum_cols:
+            cs = np.concatenate(
+                [[0], np.cumsum(df[src].to_numpy(dtype=np.int64))]
+            )
+            df[out] = cs[right] - cs[left]
+        return df[out_cols]
+
+    return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")

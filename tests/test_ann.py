@@ -262,3 +262,124 @@ def test_kmeans_clusters_separates_planted_blobs(ray_session):
     df = out.assign(truth=lab[out["vec_id"].to_numpy()])
     assert df.groupby("truth")["cluster"].nunique().eq(1).all()
     assert df["cluster"].nunique() == 4
+
+
+def _planted_pq(n=256, m=4, dsub=4, ks=8, seed=11):
+    """Corpus where each subspace takes exactly ks distinct subvector
+    values — PQ reconstruction is lossless, so ADC == exact cosine.
+
+    Vocab subvectors are unit-norm so every full vector has norm √m
+    and the pipeline's L2-normalize scales all rows uniformly (the
+    ks-distinct-values property survives normalization); pick combos
+    are sampled WITHOUT replacement so no two rows share an embedding
+    (duplicate vectors would make the k-th-neighbor tie-break
+    layout-dependent)."""
+    rng = np.random.RandomState(seed)
+    vocab = rng.standard_normal((m, ks, dsub))
+    vocab /= np.linalg.norm(vocab, axis=2, keepdims=True)
+    combos = rng.choice(ks**m, size=n, replace=False)
+    picks = np.stack(np.unravel_index(combos, (ks,) * m), axis=1)
+    x = np.concatenate([vocab[j, picks[:, j]] for j in range(m)], axis=1)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in x], pa.list_(pa.float32())),
+        }
+    )
+    return tbl
+
+
+def test_pq_exact_when_subspaces_quantize_losslessly(ray_session):
+    from rastertiler_rs_ray.pipelines.ann import pq_topk, train_pq_codebooks
+
+    tbl = _planted_pq()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    queries = tbl.slice(0, 12)
+    books = train_pq_codebooks(ds, m=4, ks=8, sample=256, iters=12)
+    bf = brute_force_topk(ds, queries, k=5)
+    pq = pq_topk(ds, queries, k=5, codebooks=books)
+    bfp = {(r["query_id"], r["neighbor_id"]) for r in bf.to_pylist()}
+    pqp = {(r["query_id"], r["neighbor_id"]) for r in pq.to_pylist()}
+    assert pqp == bfp  # lossless codebooks => identical neighbor sets
+
+
+def test_pq_cluster_fidelity_on_clustered(ray_session):
+    """PQ codes preserve COARSE geometry: on well-separated clusters,
+    k-means collapses each cluster to (near-)identical codes, so exact
+    within-cluster ranking is unrecoverable by design — the meaningful
+    contract is that every returned neighbor comes from the query's
+    own cluster (inter-cluster ADC separation)."""
+    from rastertiler_rs_ray.pipelines.ann import pq_topk
+
+    tbl, x = _clustered(n=400, dim=32)
+    # recover the planted assignment: centers are the generator's first
+    # draw from RandomState(3), noise (0.3) << separation (~5·√dim)
+    centers = np.random.RandomState(3).standard_normal((8, 32)) * 5
+    assign = np.argmin(
+        ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1), axis=1
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    queries = tbl.slice(0, 20)
+    out = pq_topk(ds, queries, k=5, m=8, ks=16)
+    rows = out.to_pylist()
+    assert len(rows) == 100  # 20 queries x 5 neighbors
+    same = sum(assign[r["query_id"]] == assign[r["neighbor_id"]] for r in rows)
+    assert same / len(rows) >= 0.95, same / len(rows)
+
+
+def test_pq_encode_schema_and_compression(ray_session):
+    from rastertiler_rs_ray.pipelines.ann import pq_encode, train_pq_codebooks
+
+    tbl, _ = _clustered(n=100, dim=32)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    books = train_pq_codebooks(ds, m=8, ks=16, sample=100)
+    assert books.shape == (8, 16, 4)
+    codes = pq_encode(ds, books).to_pandas()
+    assert len(codes) == 100
+    arr = np.stack(codes["code"].to_numpy())
+    assert arr.shape == (100, 8) and arr.dtype == np.uint8
+    assert arr.max() < 16
+
+
+def test_pca_matches_numpy_and_is_layout_invariant(ray_session):
+    from rastertiler_rs_ray.pipelines.ann import pca_project, pca_train
+
+    rng = np.random.RandomState(21)
+    # anisotropic cloud: a few dominant directions
+    basis = rng.standard_normal((16, 16))
+    scales = np.array([10, 7, 5, 3] + [0.3] * 12)
+    x = (rng.standard_normal((300, 16)) * scales) @ basis
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in x], pa.list_(pa.float64())),
+        }
+    )
+    m4 = pca_train(ray.data.from_arrow(tbl).repartition(4), n_components=4)
+    m7 = pca_train(ray.data.from_arrow(tbl).repartition(7), n_components=4)
+
+    # numpy reference on the same data
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / len(x)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(-w)[:4]
+    ref_var = w[order]
+
+    assert np.allclose(m4["mean"], mean, atol=1e-9)
+    assert np.allclose(m4["explained_var"], ref_var, rtol=1e-8)
+    # components match up to the deterministic sign fix
+    ref = v[:, order].T
+    flip = np.sign(ref[np.arange(4), np.argmax(np.abs(ref), axis=1)])
+    assert np.allclose(m4["components"], ref * flip[:, None], atol=1e-7)
+    # block-layout invariance (absorbed float-sum ulps)
+    assert np.allclose(m4["components"], m7["components"], atol=1e-7)
+
+    proj = pca_project(
+        ray.data.from_arrow(tbl).repartition(4), m4
+    ).to_pandas().sort_values("vec_id")
+    pm = np.stack(proj["pca"].to_numpy())
+    assert pm.shape == (300, 4)
+    # projection reproduces the reference subspace coordinates
+    assert np.allclose(pm, (x - mean) @ (ref * flip[:, None]).T, atol=1e-6)
+    # projected variance equals eigenvalues
+    assert np.allclose(pm.var(axis=0), ref_var, rtol=1e-6)

@@ -438,3 +438,75 @@ def test_select_by_token_budget_partition_invariance_and_fit(ray_session):
     # a budget larger than any group keeps everything
     full = select_by_token_budget(_budget_ds(rows), 10**9).to_pandas()
     assert len(full) == len(rows)
+
+
+def _chunk_reference(texts, C, S):
+    """Brute-force chunking oracle."""
+    out = []
+    for did, text in texts:
+        toks = text.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        nch = 1 + max(0, -(-(n - C) // S))
+        for i in range(nch):
+            s, e = i * S, min(i * S + C, n)
+            out.append((did, i, " ".join(toks[s:e]), e - s))
+    return sorted(out)
+
+
+def test_chunk_documents_matches_reference(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import chunk_documents
+
+    texts = [
+        (0, "a b c d e f g h i j"),          # n=10 > C: multi-chunk
+        (1, "x y"),                           # short: one chunk
+        (2, ""),                              # empty: none
+        (3, " ".join(f"t{i}" for i in range(8))),   # n == C: one chunk
+        (4, " ".join(f"u{i}" for i in range(12))),  # n = C + S: two chunks
+        (5, " ".join(f"v{i}" for i in range(13))),  # straddles stride edge
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+            "text": pa.array([t[1] for t in texts], pa.string()),
+        }
+    )
+    got = (
+        chunk_documents(
+            ray.data.from_arrow(tbl).repartition(3), chunk_tokens=8, stride=4
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    want = _chunk_reference(texts, 8, 4)
+    assert list(map(tuple, got.to_numpy())) == want
+    # overlap contract: consecutive chunks share C - S tokens
+    full = got[got["doc_id"] == 0].reset_index(drop=True)
+    first, second = full["chunk_text"][0].split(), full["chunk_text"][1].split()
+    assert first[4:] == second[:4]
+
+
+def test_chunk_documents_covers_every_token(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import chunk_documents
+
+    rng = np.random.RandomState(5)
+    texts = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(0, 40))))
+        for i in range(50)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+            "text": pa.array([t[1] for t in texts], pa.string()),
+        }
+    )
+    got = chunk_documents(
+        ray.data.from_arrow(tbl).repartition(4), chunk_tokens=16, stride=8
+    ).to_pandas()
+    for did, text in texts:
+        toks = set(text.split())
+        covered = set()
+        for ct in got.loc[got["doc_id"] == did, "chunk_text"]:
+            covered.update(ct.split())
+        assert covered == toks, did

@@ -536,3 +536,43 @@ def test_interval_contains_join_brute(ray_session):
         if lo <= v <= hi
     )
     assert got == exp
+
+
+def test_rolling_time_aggregate_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from rastertiler_rs_ray.pipelines.relational import rolling_time_aggregate
+
+    rng = np.random.RandomState(9)
+    n = 300
+    base = pd.Timestamp("2024-01-01")
+    # coarse grid so duplicate timestamps (RANGE peers) and exact
+    # window-boundary hits both occur
+    offs = rng.randint(0, 50, n) * 600  # 10-min grid, window = 1 h
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 7, n).astype(np.int64),
+            "ts": base + pd.to_timedelta(offs, unit="s"),
+            "v6": rng.randint(-1000, 1000, n).astype(np.int64),
+        }
+    )
+    got = (
+        rolling_time_aggregate(
+            ray.data.from_pandas(df).repartition(4),
+            ["user_id"], "ts",
+            window_seconds=3600,
+            sum_cols=[("sv", "v6")],
+            carry_cols=["event_id"],
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    for _, r in df.iterrows():
+        grp = df[df["user_id"] == r["user_id"]]
+        # RANGE semantics: peers (equal ts) included, boundary inclusive
+        w = grp[(grp["ts"] >= r["ts"] - pd.Timedelta(hours=1)) & (grp["ts"] <= r["ts"])]
+        assert got.loc[r["event_id"], "n_events"] == len(w)
+        assert got.loc[r["event_id"], "sv"] == w["v6"].sum()
