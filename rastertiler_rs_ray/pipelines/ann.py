@@ -908,3 +908,73 @@ def pca_project(
         )
 
     return corpus.map_batches(project, batch_format="pyarrow")
+
+
+# ------------------------------------------- similarity threshold join
+
+
+def similarity_threshold_join(
+    corpus: ray.data.Dataset,
+    probes: pa.Table,
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Cosine-similarity threshold join of a streaming corpus against a
+    broadcast probe table: every (corpus row, probe row) pair with
+    ``cosine > threshold``.  The "match against a fixed reference set"
+    primitive — blocklist screening, eval-set contamination by
+    embedding, linking a corpus to a small curated index.
+
+    Unlike the top-k scans this is a JOIN (unbounded matches per
+    probe), so it returns a Dataset, not a merged driver table.
+
+    Scale contract: map-only, zero shuffle.  The probe matrix is
+    normalized once and rides the object store via ``ray.put``
+    (probe-sized, read zero-copy per task); each batch is one
+    (rows × nprobe) matmul + one boolean mask — no per-row Python.
+    The probe side must be broadcast-sized (≤ ~10⁶ rows); corpus-scale
+    both sides is the LSH self-join family (``embedding_cosine_dedup``).
+    """
+    st = _query_state(probes, vec_col, probe_id_col)
+    ref = ray.put({"qm": st["qm"], "qids": st["qids"]})
+    qid_type = st["qid_type"]
+
+    def match(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        nid_type = (
+            batch.column(id_col).type if id_col in batch.column_names else pa.int64()
+        )
+        empty = pa.table(
+            {
+                id_col: pa.array([], nid_type),
+                "probe_id": pa.array([], qid_type),
+                "sim_e9": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        xn = _normalize(_as_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col))
+        sims = xn @ s["qm"].T  # (rows, nprobe)
+        hit = sims > threshold
+        if exclude_self:
+            hit &= ids[:, None] != s["qids"][None, :]
+        r, c = np.nonzero(hit)
+        if len(r) == 0:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(ids[r], nid_type),
+                "probe_id": pa.array(s["qids"][c], qid_type),
+                # scaled-integer similarity: exact to hash-compare
+                "sim_e9": pa.array(
+                    np.floor(sims[r, c] * 1e9 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return corpus.map_batches(match, batch_format="pyarrow")

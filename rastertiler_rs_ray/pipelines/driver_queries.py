@@ -3257,6 +3257,127 @@ FROM orders o JOIN iv ON o.o_totalprice >= iv.lo AND o.o_totalprice <= iv.hi
 """
 
 
+def similarity_pairs_docs(sf_dir: str):
+    """Cosine-threshold similarity join of the embeddings table against
+    itself as a broadcast probe set (cos > 0.4, unordered pairs) — the
+    blocklist / reference-set screening primitive.  Pair ids only: the
+    membership decision has a ≥1e-3 similarity gap at this threshold,
+    so float-path differences vs the oracle cannot flip a pair."""
+    from .ann import similarity_threshold_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    probes = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = similarity_threshold_join(emb, probes, threshold=0.4)
+    return out.map_batches(
+        lambda b: b.filter(
+            pc.less(b.column("vec_id"), b.column("probe_id"))
+        ).select(["vec_id", "probe_id"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SIMILARITY_PAIRS = """
+SELECT a.vec_id AS vec_id, b.vec_id AS probe_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
+"""
+
+
+def doc_snapshot_diff(sf_dir: str):
+    """Snapshot diff of the documents table against a deterministically
+    derived "next crawl": doc_id %% 7 == 0 removed, text revised when
+    doc_id %% 5 == 0, new docs added for doc_id %% 11 == 0 (id + 100000).
+    One narrow-row groupby exchange; texts never shuffle."""
+    from .relational import snapshot_diff
+
+    cols = ["doc_id", "text", "lang", "source"]
+    old = _read(sf_dir, "documents", columns=cols)
+
+    def derive_new(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        keep = did % 7 != 0
+        kept = batch.filter(pa.array(keep))
+        kd = np.asarray(kept.column("doc_id"))
+        text = np.asarray(kept.column("text"), dtype=object)
+        rev = kd % 5 == 0
+        text[rev] = [t + " [rev2]" for t in text[rev]]
+        base = pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "text": pa.array(text, pa.string()),
+                "lang": kept.column("lang"),
+                "source": kept.column("source"),
+            }
+        )
+        add = did % 11 == 0
+        added = pa.table(
+            {
+                "doc_id": pa.array(did[add] + 100000, pa.int64()),
+                "text": pa.array([f"new doc {i}" for i in did[add]], pa.string()),
+                "lang": batch.column("lang").filter(pa.array(add)),
+                "source": batch.column("source").filter(pa.array(add)),
+            }
+        )
+        return pa.concat_tables([base, added])
+
+    new = _read(sf_dir, "documents", columns=cols).map_batches(
+        derive_new, batch_format="pyarrow"
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["text", "lang", "source"])
+
+
+SQL_DOC_SNAPSHOT_DIFF = """
+WITH new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR), lang, source
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR o.text != n.text OR o.lang != n.lang OR o.source != n.source
+"""
+
+
+def user_funnel_vcp(sf_dir: str):
+    """view → click → purchase conversion funnel per user: earliest
+    time of each successive stage at-or-after the previous stage's
+    time (boundary-inclusive)."""
+    from .relational import funnel_stages
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+SQL_USER_FUNNEL_VCP = """
+WITH s1 AS (SELECT user_id, min(ts) AS t_1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts >= s1.t_1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t_3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t_2 GROUP BY 1)
+SELECT s1.user_id,
+       CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS stages_reached,
+       s1.t_1 AS t_1, s2.t_2 AS t_2, s3.t_3 AS t_3
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -3361,6 +3482,9 @@ QUERIES = {
     "props_value_stats": (props_value_stats, SQL_PROPS_VALUE_STATS),
     "text_stats": (text_stats, SQL_TEXT_STATS),
     "token_totals_by_lang": (token_totals_by_lang, SQL_TOKEN_TOTALS_BY_LANG),
+    "similarity_pairs_docs": (similarity_pairs_docs, SQL_SIMILARITY_PAIRS),
+    "doc_snapshot_diff": (doc_snapshot_diff, SQL_DOC_SNAPSHOT_DIFF),
+    "user_funnel_vcp": (user_funnel_vcp, SQL_USER_FUNNEL_VCP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---
     "minhash_dedup_docs": (minhash_dedup_docs, None),
     "simhash_dedup_docs": (simhash_dedup_docs, None),

@@ -1018,3 +1018,154 @@ def rolling_time_aggregate(
         return df[out_cols]
 
     return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
+
+
+def snapshot_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> ray.data.Dataset:
+    """Diff two corpus snapshots keyed by ``key_cols``: one output row
+    per key whose content changed, with ``change`` in
+    {'added', 'removed', 'changed'} (identical rows are dropped).  The
+    incremental-ingest primitive — "what moved between yesterday's crawl
+    and today's" — assuming keys are unique within each snapshot.
+
+    Scale contract: payloads NEVER shuffle.  Each side maps to one
+    narrow row per input row — (key…, side-tagged presence counters and
+    64-bit content hashes of ``compare_cols``) — so the single
+    ``groupby`` exchange moves ~40 B/row regardless of document size;
+    the grouped sum is Ray's native aggregate (no per-group Python) and
+    classification is one vectorized map over the aggregate.  Content
+    equality is blake2b-64 hash equality (collision odds ~2⁻⁶⁴ per
+    pair, the same contract as tile dedup G5).
+    """
+    from ..functions.hashing import content_hash64
+
+    key_cols = list(key_cols)
+    compare_cols = list(compare_cols)
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                cols = {k: batch.column(k) for k in key_cols}
+                cols.update(
+                    {
+                        "old_n": pa.array([], pa.int64()),
+                        "new_n": pa.array([], pa.int64()),
+                        "old_h": pa.array([], pa.int64()),
+                        "new_h": pa.array([], pa.int64()),
+                    }
+                )
+                return pa.table(cols)
+            parts = [
+                pa.compute.cast(batch.column(c), pa.string()).to_pylist()
+                for c in compare_cols
+            ]
+            h = np.fromiter(
+                (
+                    content_hash64("\x1f".join("" if v is None else v for v in row).encode())
+                    for row in zip(*parts)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            one = np.ones(n, dtype=np.int64)
+            zero = np.zeros(n, dtype=np.int64)
+            cols = {k: batch.column(k) for k in key_cols}
+            cols["old_n"] = pa.array(one if side == "old" else zero)
+            cols["new_n"] = pa.array(zero if side == "old" else one)
+            cols["old_h"] = pa.array(h if side == "old" else zero)
+            cols["new_h"] = pa.array(zero if side == "old" else h)
+            return pa.table(cols)
+
+        return f
+
+    tagged = old.map_batches(tag("old"), batch_format="pyarrow").union(
+        new.map_batches(tag("new"), batch_format="pyarrow")
+    )
+    agg = tagged.groupby(key_cols).sum(["old_n", "new_n", "old_h", "new_h"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            cols = {k: batch.column(k) for k in key_cols}
+            cols["change"] = pa.array([], pa.string())
+            return pa.table(cols)
+        o = np.asarray(batch.column("sum(old_n)"))
+        n_ = np.asarray(batch.column("sum(new_n)"))
+        oh = np.asarray(batch.column("sum(old_h)"))
+        nh = np.asarray(batch.column("sum(new_h)"))
+        change = np.where(
+            o == 0, "added", np.where(n_ == 0, "removed", np.where(oh != nh, "changed", ""))
+        )
+        keep = change != ""
+        cols = {k: batch.column(k).filter(pa.array(keep)) for k in key_cols}
+        cols["change"] = pa.array(change[keep].astype(object), pa.string())
+        return pa.table(cols)
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+def funnel_stages(
+    events: ray.data.Dataset,
+    stages: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Ordered-funnel analysis: for each user who performed
+    ``stages[0]``, the earliest time of each successive stage at-or-
+    after the previous stage's time (boundary-inclusive: an equal
+    timestamp counts as "after").  Output: (user, stages_reached,
+    t_1 … t_k nullable timestamps) — the conversion-funnel primitive.
+
+    Scale contract: the read is filtered to the stage types (map-side
+    pushdown drops every other event before the exchange), then ONE
+    ``groupby(user)`` exchange; in-group work is a mergesort + one
+    ``searchsorted`` per stage (stages are few and fixed) — no per-row
+    Python.  Same per-key-fits-a-worker assumption as ``sessionize``.
+    """
+    stages = list(stages)
+    stage_set = set(stages)
+    t_cols = [f"t_{i + 1}" for i in range(len(stages))]
+
+    stage_arr = pa.array(stages)
+    filtered = events.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column(type_col), stage_arr)),
+        batch_format="pyarrow",
+    )
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="mergesort")
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        typ = df[type_col].to_numpy()
+        out_ts: list = []
+        prev = None
+        for s in stages:
+            mask = typ == s if prev is None else (typ == s) & (ts >= prev)
+            cand = ts[mask]
+            if len(cand) == 0:
+                # once a stage is missed, later stages can't be reached
+                out_ts.extend([None] * (len(stages) - len(out_ts)))
+                break
+            prev = cand[0]
+            out_ts.append(prev)
+        if out_ts[0] is None:  # user never did stage 1: no funnel row
+            return pd.DataFrame(
+                {user_col: pd.Series([], dtype=df[user_col].dtype),
+                 "stages_reached": pd.Series([], dtype=np.int64),
+                 **{c: pd.Series([], dtype="datetime64[us]") for c in t_cols}}
+            )
+        reached = sum(1 for t in out_ts if t is not None)
+        row = {user_col: [df[user_col].iloc[0]], "stages_reached": [np.int64(reached)]}
+        for c, t in zip(t_cols, out_ts):
+            row[c] = pd.Series(
+                [pd.NaT if t is None else np.datetime64(int(t), "us")],
+                dtype="datetime64[us]",
+            )
+        return pd.DataFrame(row)
+
+    return filtered.groupby(user_col).map_groups(funnel, batch_format="pandas")

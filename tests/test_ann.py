@@ -383,3 +383,29 @@ def test_pca_matches_numpy_and_is_layout_invariant(ray_session):
     assert np.allclose(pm, (x - mean) @ (ref * flip[:, None]).T, atol=1e-6)
     # projected variance equals eigenvalues
     assert np.allclose(pm.var(axis=0), ref_var, rtol=1e-6)
+
+
+def test_similarity_threshold_join_matches_numpy(ray_session):
+    from rastertiler_rs_ray.pipelines.ann import similarity_threshold_join
+
+    tbl, x = _clustered(n=200, dim=16)
+    x32 = np.asarray(
+        [np.asarray(v, dtype=np.float32) for v in tbl.column("embedding").to_pylist()]
+    ).astype(np.float64)
+    xn = x32 / np.linalg.norm(x32, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    thr = 0.9
+    want = {
+        (i, j)
+        for i in range(len(xn))
+        for j in range(len(xn))
+        if i != j and sims[i, j] > thr
+    }
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = similarity_threshold_join(ds, tbl, threshold=thr).to_pandas()
+    got = set(zip(out["vec_id"], out["probe_id"]))
+    assert got == want
+    assert len(want) > 0  # clustered data must produce in-cluster pairs
+    # scaled-integer similarity matches the float to 1e-9
+    for _, r in out.head(50).iterrows():
+        assert abs(r["sim_e9"] - round(sims[r["vec_id"], r["probe_id"]] * 1e9)) <= 1

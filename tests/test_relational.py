@@ -1,6 +1,8 @@
 """Relational surface vs DuckDB oracle on the driver's sf0.001 tables."""
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -576,3 +578,94 @@ def test_rolling_time_aggregate_matches_brute_force(ray_session):
         w = grp[(grp["ts"] >= r["ts"] - pd.Timedelta(hours=1)) & (grp["ts"] <= r["ts"])]
         assert got.loc[r["event_id"], "n_events"] == len(w)
         assert got.loc[r["event_id"], "sv"] == w["v6"].sum()
+
+
+def test_snapshot_diff_classifies_all_three(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import snapshot_diff
+
+    old = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["a", "b", "c", "d"],
+            "tag": ["x", "x", "y", "y"],
+        }
+    )
+    new = pa.table(
+        {
+            "k": pa.array([2, 3, 4, 5], pa.int64()),
+            "text": ["b", "c2", "d", "e"],
+            "tag": ["x", "y", "z", "y"],
+        }
+    )
+    out = snapshot_diff(
+        ray.data.from_arrow(old).repartition(2),
+        ray.data.from_arrow(new).repartition(3),
+        ["k"],
+        ["text", "tag"],
+    ).to_pandas()
+    got = dict(zip(out["k"], out["change"]))
+    # k=2 identical -> absent; k=3 text changed; k=4 tag changed
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_empty_and_identical(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import snapshot_diff
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()), "v": ["a", "b"]})
+    out = snapshot_diff(
+        ray.data.from_arrow(t), ray.data.from_arrow(t), ["k"], ["v"]
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def _funnel_brute(df, stages):
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        prev, reached, ts_out = None, 0, []
+        for s in stages:
+            c = g[(g["event_type"] == s) & ((g["ts"] >= prev) if prev is not None else True)]
+            if len(c) == 0:
+                ts_out.extend([pd.NaT] * (len(stages) - len(ts_out)))
+                break
+            prev = c["ts"].iloc[0]
+            ts_out.append(prev)
+            reached += 1
+        if ts_out and not pd.isna(ts_out[0]):
+            rows.append((uid, reached, *ts_out))
+    return sorted(rows, key=lambda r: r[0])
+
+
+def test_funnel_stages_matches_brute_force(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import funnel_stages
+
+    rng = np.random.RandomState(5)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 40, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, n), unit="s").astype("datetime64[us]"),
+            "event_type": rng.choice(["view", "click", "purchase", "error"], n),
+        }
+    )
+    # force duplicate-ts peers: a click exactly at a view's timestamp
+    df.loc[0, ["user_id", "event_type"]] = [999, "view"]
+    df.loc[1, ["user_id", "event_type"]] = [999, "click"]
+    df.loc[1, "ts"] = df.loc[0, "ts"]
+    stages = ["view", "click", "purchase"]
+    out = (
+        funnel_stages(ray.data.from_pandas(df).repartition(5), stages)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = _funnel_brute(df, stages)
+    assert len(out) == len(want)
+    for i, (uid, reached, t1, t2, t3) in enumerate(want):
+        r = out.iloc[i]
+        assert r["user_id"] == uid and r["stages_reached"] == reached
+        for col, t in zip(["t_1", "t_2", "t_3"], [t1, t2, t3]):
+            assert (pd.isna(r[col]) and pd.isna(t)) or r[col] == t
+    # the planted equal-ts user converts view->click at the same instant
+    planted = out[out["user_id"] == 999].iloc[0]
+    assert planted["t_1"] == planted["t_2"]
