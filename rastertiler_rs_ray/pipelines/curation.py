@@ -844,3 +844,91 @@ def chunk_documents(
         )
 
     return docs.map_batches(explode, batch_format="pandas", batch_size=batch_size)
+
+
+def temperature_sample(
+    docs: ray.data.Dataset,
+    *,
+    temperature: float,
+    target_frac: float,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt_shards: int = 64,
+) -> ray.data.Dataset:
+    """Temperature-flattened source sampling — the multilingual /
+    multi-domain mixing primitive (GPT-3 / PaLM style): sources are
+    kept in proportion to ``count^temperature`` instead of raw count,
+    so ``temperature < 1`` up-weights small sources relative to
+    crawler-friendly giants, and the whole corpus is downsampled to
+    ``target_frac`` of its rows.  Per-source quota::
+
+        k_s = min(n_s, floor(n_s^T / sum_s n_s^T * N_target + 0.5))
+
+    with ``N_target = floor(target_frac * N + 0.5)`` (no upsampling — epoch
+    replication is ``mix_corpora``'s job).  Members are the ``k_s``
+    smallest ``splitmix64(key)`` per source (deterministic, seedless,
+    uniform within source; ties by key) — a per-source VARIABLE cap,
+    resolved with the same tree-combined k-smallest topology as
+    ``cap_per_source``: quotas are integer COUNTS, so engine/oracle
+    agreement never rides a float threshold compare.
+
+    Scale contract: the count aggregate and the quota table are
+    O(#sources) (domain cardinality, bounded like the tfidf vocab —
+    broadcast as sorted arrays, looked up by searchsorted); only
+    ``(source, key, h)`` rows shuffle, in bounded salt groups.
+    Returns ``(key_col, source_col)``.
+    """
+    from .relational import grouped_aggregate
+
+    counts = grouped_aggregate(
+        docs, [source_col], [("n", key_col, "count")]
+    ).to_pandas()
+    n = counts["n"].to_numpy(dtype=np.float64)
+    # floor(x + 0.5), not np.round: banker's rounding differs from SQL
+    n_target = float(np.floor(target_frac * n.sum() + 0.5))
+    w = np.power(n, temperature)
+    quota = np.minimum(
+        n, np.floor(w / w.sum() * n_target + 0.5)
+    ).astype(np.int64)
+    src_keys = counts[source_col].to_numpy()
+    order = np.argsort(src_keys)
+    caps_ref = ray.put((src_keys[order], quota[order]))
+
+    def cap_of(vals: np.ndarray) -> np.ndarray:
+        keys, caps = ray.get(caps_ref)
+        return caps[np.searchsorted(keys, vals)]
+
+    cols = [key_col, source_col]
+
+    def rank_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__ho=df["__h"].to_numpy().view(np.uint64))
+        df = df.sort_values(["__ho", key_col], kind="stable")
+        rank = df.groupby(source_col, sort=False).cumcount().to_numpy()
+        capv = cap_of(df[source_col].to_numpy())
+        return df[rank < capv].drop(columns="__ho")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        out["__h"] = _mix64_i64(df[key_col].to_numpy()).view(np.int64)
+        return rank_filter(out)
+
+    cand = docs.select_columns(cols).map_batches(partial, batch_format="pandas")
+
+    def presalt(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["__h"].to_numpy().view(np.uint64)
+        return df.assign(__salt=(h % np.uint64(salt_shards)).astype(np.int64))
+
+    combined = (
+        cand.map_batches(presalt, batch_format="pandas")
+        .groupby([source_col, "__salt"])
+        .map_groups(rank_filter, batch_format="pandas")
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return rank_filter(g)[cols]
+
+    return (
+        combined.drop_columns(["__salt"])
+        .groupby(source_col)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -174,38 +174,12 @@ def _uf_roots_task(*blocks):
     return pa.array(keys), pa.array([uf.find(k) for k in keys])
 
 
-def compute_drop_ids(
-    pairs: ray.data.Dataset,
-    *,
-    shard_threshold: int = 2_000_000,
-    num_shards: int | None = None,
-) -> pa.Array | None:
-    """Duplicate-pair Dataset (columns ``u``, ``v``) → ids to drop
-    (every node that is not the min of its connected component).
-
-    Small pair sets (≤ ``shard_threshold``) resolve in ONE worker task.
-    Larger sets use the sharded two-level scheme: hash(u)-range shards
-    (count adaptive, ~1M pairs/shard) each run a local union-find in
-    ``map_groups`` emitting (node, local-min-label); a node landing in
-    several shards links its labels, and that far smaller label graph
-    resolves in one worker task whose root map is broadcast back over
-    the assignments.  Level 2 re-keys by hash(node) into shard-sized
-    groups processed with vectorized pandas (never one Python call per
-    node).  Duplicate edges (the same pair found by several bands) are
-    harmless — union-find is idempotent — so callers never pre-dedupe
-    pairs.
-
-    Returns a sorted id array (driver-resident, O(duplicates)) for the
-    broadcast filter, or None when there are no duplicates.
-    """
-    pairs = pairs.materialize()
-    n_pairs = pairs.count()
-    if n_pairs == 0:
-        return None
-    if n_pairs <= shard_threshold:
-        return ray.get(_uf_drop_task.remote(*pairs.to_arrow_refs()))
-    if num_shards is None:
-        num_shards = max(64, n_pairs // 1_000_000)
+def _two_level_labels(pairs: ray.data.Dataset, num_shards: int):
+    """Shared sharded union-find core: pair Dataset → (``merged``
+    assignments Dataset with rows (kind 0 = node→min-local-label
+    assignment / kind 1 = label→label link, u, v), broadcast root-map
+    ref resolving cross-shard labels to the global component min).
+    Used by both ``compute_drop_ids`` and ``connected_components``."""
 
     def add_shard(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
@@ -274,20 +248,63 @@ def compute_drop_ids(
 
     links = merged.map_batches(links_only, batch_format="pyarrow").materialize()
     roots = ray.get(_uf_roots_task.remote(*links.to_arrow_refs()))
-    roots_ref = ray.put(roots)
+    return merged, ray.put(roots)
+
+
+def _resolve_labels(label: np.ndarray, r) -> np.ndarray:
+    """Remap local labels through the broadcast (keys, roots) map from
+    ``_two_level_labels`` (identity where a label has no cross-shard
+    link)."""
+    if r is None:
+        return label
+    keys = np.asarray(r[0].to_pandas(), dtype=object)
+    vals = np.asarray(r[1].to_pandas(), dtype=object)
+    idx = np.searchsorted(keys, label)
+    idx_c = np.clip(idx, 0, len(keys) - 1)
+    hit = keys[idx_c] == label
+    return np.where(hit, vals[idx_c], label)
+
+
+def compute_drop_ids(
+    pairs: ray.data.Dataset,
+    *,
+    shard_threshold: int = 2_000_000,
+    num_shards: int | None = None,
+) -> pa.Array | None:
+    """Duplicate-pair Dataset (columns ``u``, ``v``) → ids to drop
+    (every node that is not the min of its connected component).
+
+    Small pair sets (≤ ``shard_threshold``) resolve in ONE worker task.
+    Larger sets use the sharded two-level scheme: hash(u)-range shards
+    (count adaptive, ~1M pairs/shard) each run a local union-find in
+    ``map_groups`` emitting (node, local-min-label); a node landing in
+    several shards links its labels, and that far smaller label graph
+    resolves in one worker task whose root map is broadcast back over
+    the assignments.  Level 2 re-keys by hash(node) into shard-sized
+    groups processed with vectorized pandas (never one Python call per
+    node).  Duplicate edges (the same pair found by several bands) are
+    harmless — union-find is idempotent — so callers never pre-dedupe
+    pairs.
+
+    Returns a sorted id array (driver-resident, O(duplicates)) for the
+    broadcast filter, or None when there are no duplicates.
+    """
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return None
+    if n_pairs <= shard_threshold:
+        return ray.get(_uf_drop_task.remote(*pairs.to_arrow_refs()))
+    if num_shards is None:
+        num_shards = max(64, n_pairs // 1_000_000)
+
+    merged, roots_ref = _two_level_labels(pairs, num_shards)
 
     def drop_in_batch(batch: pa.Table) -> pa.Table:
         assign = batch.filter(pa.compute.equal(batch.column("kind"), 0))
         node = assign.column("u")
         label = assign.column("v").to_pandas().to_numpy(dtype=object)
-        r = ray.get(roots_ref)
-        if r is not None:
-            keys = np.asarray(r[0].to_pandas(), dtype=object)
-            vals = np.asarray(r[1].to_pandas(), dtype=object)
-            idx = np.searchsorted(keys, label)
-            idx_c = np.clip(idx, 0, len(keys) - 1)
-            hit = keys[idx_c] == label
-            label = np.where(hit, vals[idx_c], label)
+        label = _resolve_labels(label, ray.get(roots_ref))
         keep = label != np.asarray(node.to_pandas(), dtype=object)
         return pa.table({"drop_id": node.filter(pa.array(keep))})
 
@@ -943,3 +960,203 @@ def embedding_cosine_dedup(
 
         drop = compute_drop_ids(with_vecs.map_batches(verify, batch_format="pyarrow"))
     return _filter_dropped(ds, drop, id_col)
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def dedup_paragraphs(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """CCNet-style paragraph-level exact deduplication: split every
+    document on ``sep``, keep only the corpus-wide FIRST occurrence of
+    each exact paragraph (first = smallest ``(id, paragraph_index)``),
+    and reassemble each document from its surviving paragraphs in
+    order.  Output: ``(id, text, n_removed)``; a document whose every
+    paragraph was seen earlier yields the empty string.
+
+    The boilerplate-removal primitive for web corpora (headers,
+    footers, nav text repeat across pages; CCNet dedups at paragraph
+    granularity for exactly this reason).
+
+    Scale contract: paragraph TEXT never rides an exchange.  Stage 1
+    maps each doc to one narrow row per paragraph — ``(hash64(para),
+    id, idx)``, ~24 B — and stage 2 elects first-occurrence winners on
+    a coarse ``hash % num_shards`` co-location (equal hashes land in
+    the same shard) with ONE vectorized sort + duplicated() pass per
+    shard, emitting only loser drop-tags ``(id, idx)``.  Stage 3
+    co-locates each doc's text with its sparse drop tags via the same
+    tag-union shuffle ``remove_dup_ngrams`` uses (one exchange keyed by
+    ``hash(id)``), re-splits, boolean-masks, and joins — no driver
+    state anywhere.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "__h": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch.column(id_col).type),
+                    "idx": pa.array([], pa.int64()),
+                    "__pshard": pa.array([], pa.int64()),
+                }
+            )
+        texts = batch.column(text_col).to_pandas().fillna("")
+        parts = texts.str.split(sep)
+        lens = parts.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(p, dtype=object) for p in parts])
+        parents = np.repeat(np.arange(n), lens)
+        starts = np.cumsum(lens) - lens
+        idx = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        h = pd.util.hash_array(flat).astype(np.int64)
+        ids = batch.column(id_col).take(pa.array(parents))
+        return pa.table(
+            {
+                "__h": pa.array(h),
+                id_col: ids,
+                "idx": pa.array(idx),
+                "__pshard": pa.array(h % num_shards),
+            }
+        )
+
+    def losers(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__h", id_col, "idx"], kind="mergesort")
+        drop = g[g["__h"].duplicated(keep="first")]
+        return drop[[id_col, "idx"]]
+
+    drop_tags = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("__pshard")
+        .map_groups(losers, batch_format="pandas")
+    )
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(ids, dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "__rshard": pa.array(h % num_shards),
+                "__tag": pa.array(np.zeros(len(batch), np.int8)),
+                text_col: batch.column(text_col),
+                "idx": pa.array(np.full(len(batch), -1, np.int64)),
+            }
+        )
+
+    def tag_drop(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(ids, dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "__rshard": pa.array(h % num_shards),
+                "__tag": pa.array(np.ones(len(batch), np.int8)),
+                text_col: pa.array(np.full(len(batch), "", dtype=object), pa.string()),
+                "idx": pa.array(batch.column("idx").to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    tagged = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(tag_text, batch_format="pyarrow")
+        .union(drop_tags.map_batches(tag_drop, batch_format="pyarrow"))
+    )
+
+    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        t = group[group["__tag"].to_numpy() == 0]
+        d = group[group["__tag"].to_numpy() == 1]
+        texts = t[text_col].fillna("")
+        parts = texts.str.split(sep)
+        lens = parts.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(p, dtype=object) for p in parts]
+        ) if len(t) else np.empty(0, dtype=object)
+        parents = np.repeat(np.arange(len(t)), lens)
+        starts = np.cumsum(lens) - lens
+        row_of = pd.Series(np.arange(len(t)), index=t[id_col].to_numpy())
+        drows = row_of.loc[d[id_col].to_numpy()].to_numpy() if len(d) else np.empty(0, np.int64)
+        gdrop = starts[drows] + d["idx"].to_numpy() if len(d) else np.empty(0, np.int64)
+        keep = np.ones(len(flat), dtype=bool)
+        keep[gdrop] = False
+        kept, kparents = flat[keep], parents[keep]
+        joined = (
+            pd.Series(kept).groupby(kparents).agg(sep.join)
+            if len(kept)
+            else pd.Series(dtype=object)
+        )
+        out_text = np.full(len(t), "", dtype=object)
+        out_text[joined.index.to_numpy()] = joined.to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                id_col: t[id_col].to_numpy(),
+                text_col: out_text,
+                "n_removed": np.bincount(drows, minlength=len(t)).astype(np.int64)
+                if len(d)
+                else np.zeros(len(t), np.int64),
+            }
+        )
+
+    return tagged.groupby("__rshard").map_groups(rebuild, batch_format="pandas")
+
+
+# ------------------------------------------------- connected components
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    *,
+    shard_threshold: int = 2_000_000,
+    num_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Undirected edge list (columns ``u``, ``v``) → one row per
+    distinct node: ``(node, component)`` where ``component`` is the
+    smallest node id in the node's connected component.  The
+    entity-resolution primitive behind every near-dup family here,
+    exposed first-class (record linkage, citation clusters, follower
+    graphs).  Nodes with no edge never appear in the input and so are
+    absent from the output — union a self-map of the full node set if
+    isolated nodes must be labeled.
+
+    Scale contract: the ``compute_drop_ids`` topology.  Small edge
+    sets (≤ ``shard_threshold``) resolve in one worker task; larger
+    sets run the sharded two-level union-find (hash(u)-sharded local
+    UF in ``map_groups`` → tiny cross-shard label graph in one task →
+    broadcast root map applied over the distributed assignments), so
+    no single process ever holds the full edge set.  Duplicate and
+    self edges are harmless (union-find is idempotent).
+    """
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        schema = pairs.schema()  # ray.data.Schema: parallel names/types lists
+        t = (
+            schema.types[schema.names.index("u")]
+            if schema is not None and "u" in schema.names
+            else pa.int64()
+        )
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], t), "component": pa.array([], t)})
+        )
+    if n_pairs <= shard_threshold:
+        r = ray.get(_uf_roots_task.remote(*pairs.to_arrow_refs()))
+        return ray.data.from_arrow(pa.table({"node": r[0], "component": r[1]}))
+    if num_shards is None:
+        num_shards = max(64, n_pairs // 1_000_000)
+
+    merged, roots_ref = _two_level_labels(pairs, num_shards)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        assign = batch.filter(pa.compute.equal(batch.column("kind"), 0))
+        node = assign.column("u")
+        label = assign.column("v").to_pandas().to_numpy(dtype=object)
+        label = _resolve_labels(label, ray.get(roots_ref))
+        return pa.table({"node": node, "component": pa.array(label, node.type)})
+
+    return merged.map_batches(emit, batch_format="pyarrow")

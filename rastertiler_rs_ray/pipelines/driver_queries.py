@@ -3378,6 +3378,208 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def dedup_paragraphs_docs(sf_dir: str):
+    """CCNet-style paragraph dedup over a deterministically derived
+    multi-paragraph corpus: each document becomes
+    ``'hdr <lang>' \\n <text> \\n 'src <source>'`` so per-language
+    headers and per-source footers repeat across documents (the web
+    boilerplate shape) while bodies repeat only for exact-dup texts.
+    Keeps the corpus-wide first occurrence of every paragraph."""
+    from .dedup import dedup_paragraphs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch.column("lang"), dtype=object)
+        src = np.asarray(batch.column("source"), dtype=object)
+        text = np.asarray(batch.column("text"), dtype=object)
+        merged = [f"hdr {l}\n{t}\nsrc {s}" for l, t, s in zip(lang, text, src)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(merged, pa.string()),
+            }
+        )
+
+    return dedup_paragraphs(docs.map_batches(derive, batch_format="pyarrow"))
+
+
+SQL_DEDUP_PARAGRAPHS = """
+WITH src AS (
+  SELECT doc_id,
+         'hdr ' || lang || chr(10) || text || chr(10) || 'src ' || source AS text
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(text, chr(10)),
+                               (x, i) -> struct_pack(para := x, idx := i))) AS u
+  FROM src
+),
+r AS (
+  SELECT doc_id, u.idx AS idx, u.para AS para,
+         row_number() OVER (PARTITION BY u.para ORDER BY doc_id, u.idx) AS rn
+  FROM p
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '')
+         AS text,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+FROM r GROUP BY doc_id
+"""
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_numeric_profile(sf_dir: str):
+    """One-pass distributed column profile of the four lineitem
+    numeric measures: n / nulls / mean / sample stddev / min / max."""
+    from .profile import numeric_profile
+
+    li = _read(sf_dir, "lineitem", columns=_PROFILE_COLS)
+    return numeric_profile(li, _PROFILE_COLS)
+
+
+SQL_LINEITEM_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col, CAST(count({c}) AS BIGINT) AS n,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       avg({c}) AS mean, stddev_samp({c}) AS stddev,
+       CAST(min({c}) AS DOUBLE) AS min, CAST(max({c}) AS DOUBLE) AS max
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+def lineitem_price_correlations(sf_dir: str):
+    """Pairwise Pearson correlations between the four lineitem numeric
+    measures — the feature-redundancy screen, via the PCA scatter
+    topology (per-block XᵀX partials, zero shuffle)."""
+    from .profile import correlation_matrix
+
+    li = _read(sf_dir, "lineitem", columns=_PROFILE_COLS)
+    return correlation_matrix(li, _PROFILE_COLS)
+
+
+SQL_LINEITEM_CORR = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b, corr({a}, {b}) AS corr
+FROM lineitem"""
+    for i, a in enumerate(_PROFILE_COLS)
+    for b in _PROFILE_COLS[i + 1:]
+)
+
+
+_ORDER_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def order_price_percentiles_by_priority(sf_dir: str):
+    """Per-priority exact percentile_disc of o_totalprice — the
+    grouped-continuous quantile path (in-group sort; no driver
+    state), vs continuous_percentiles' global iterative bracketing."""
+    from .relational import grouped_percentiles
+
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return grouped_percentiles(
+        orders, ["o_orderpriority"], "o_totalprice", _ORDER_QS
+    )
+
+
+SQL_ORDER_PRICE_PCTL = "\nUNION ALL\n".join(
+    f"""SELECT o_orderpriority, {q} AS q,
+       percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice) AS value
+FROM orders GROUP BY o_orderpriority"""
+    for q in _ORDER_QS
+)
+
+
+def doc_link_components(sf_dir: str):
+    """Connected components over a deterministic doc-link graph:
+    each doc links to its predecessor except every 10th
+    (``doc_id % 10 != 0 → edge (doc_id, doc_id-1)``), yielding chains
+    of 10 consecutive ids — the union-find worst case for sharded
+    resolution (every chain crosses shard boundaries) with a closed-
+    form oracle: component = ``doc_id - doc_id % 10``."""
+    from .dedup import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        keep = did % 10 != 0
+        u = did[keep]
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(u - 1, pa.int64()),
+            }
+        )
+
+    # shard_threshold=0 forces the sharded two-level path — the code
+    # that actually runs at corpus scale is what the oracle checks
+    return connected_components(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        shard_threshold=0,
+        num_shards=8,
+    )
+
+
+SQL_DOC_LINK_COMPONENTS = """
+SELECT doc_id AS node,
+       CAST(doc_id - doc_id % 10 AS BIGINT) AS component
+FROM documents
+"""
+
+
+def temperature_sample_docs(sf_dir: str):
+    """Temperature-flattened source sampling (T=0.5, keep 25% of the
+    corpus): small sources are up-weighted relative to
+    ``count^1``-proportional sampling; per-source quotas are integer
+    counts and members are the quota smallest splitmix64(doc_id), so
+    the result is fully deterministic."""
+    from .curation import temperature_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return temperature_sample(docs, temperature=0.5, target_frac=0.25)
+
+
+def _sql_temperature_sample(t: float = 0.5, frac: float = 0.25) -> str:
+    """DuckDB mirror: quota CTE with the same float-op order as the
+    engine (pow → /sum → *N_target → floor(x+0.5) → least), splitmix64
+    rank per source via the wrapping-multiply HUGEINT chain."""
+    m64, m32 = 1 << 64, 1 << 32
+
+    def wrapmul(h: str, k: int) -> str:
+        return (
+            f"CAST((CAST({h} AS HUGEINT) * {k & (m32 - 1)}"
+            f" + ((CAST({h} AS HUGEINT) * {k >> 32}) % {m32}) * {m32})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+             FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(n, {t})) AS s, floor({frac} * sum(n) + 0.5) AS n_t
+        FROM cnt),
+q AS (SELECT source,
+             CAST(least(n, floor(pow(n, {t}) / tot.s * tot.n_t + 0.5)) AS BIGINT)
+               AS k
+      FROM cnt, tot),
+u AS (SELECT doc_id, source, CAST(doc_id AS UBIGINT) AS x FROM documents),
+s1 AS (SELECT doc_id, source, xor(x, x >> 30) AS a FROM u),
+s2 AS (SELECT doc_id, source, {wrapmul('a', 0xBF58476D1CE4E5B9)} AS b FROM s1),
+s3 AS (SELECT doc_id, source, xor(b, b >> 27) AS c FROM s2),
+s4 AS (SELECT doc_id, source, {wrapmul('c', 0x94D049BB133111EB)} AS d FROM s3),
+s5 AS (SELECT doc_id, source, xor(d, d >> 31) AS h FROM s4),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM s5)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.k
+"""
+
+
+SQL_TEMPERATURE_SAMPLE = _sql_temperature_sample()
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -3485,6 +3687,15 @@ QUERIES = {
     "similarity_pairs_docs": (similarity_pairs_docs, SQL_SIMILARITY_PAIRS),
     "doc_snapshot_diff": (doc_snapshot_diff, SQL_DOC_SNAPSHOT_DIFF),
     "user_funnel_vcp": (user_funnel_vcp, SQL_USER_FUNNEL_VCP),
+    "dedup_paragraphs_docs": (dedup_paragraphs_docs, SQL_DEDUP_PARAGRAPHS),
+    "lineitem_numeric_profile": (lineitem_numeric_profile, SQL_LINEITEM_PROFILE),
+    "lineitem_price_correlations": (lineitem_price_correlations, SQL_LINEITEM_CORR),
+    "order_price_percentiles_by_priority": (
+        order_price_percentiles_by_priority,
+        SQL_ORDER_PRICE_PCTL,
+    ),
+    "doc_link_components": (doc_link_components, SQL_DOC_LINK_COMPONENTS),
+    "temperature_sample_docs": (temperature_sample_docs, SQL_TEMPERATURE_SAMPLE),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---
     "minhash_dedup_docs": (minhash_dedup_docs, None),
     "simhash_dedup_docs": (simhash_dedup_docs, None),

@@ -1,0 +1,141 @@
+"""Distributed dataset profiling: per-column numeric summaries and a
+pairwise Pearson correlation matrix.
+
+The "what is in this table" primitives every ingest pipeline runs
+before training: schema-level sanity (null counts, ranges) and
+feature-redundancy screening (correlations).  Both are ONE streaming
+pass of per-block partials tree-combined by Ray's native aggregate —
+driver state is O(columns) / O(columns²), never O(rows).
+
+No reference counterpart (the reference is a tiler); these belong to
+the large-scale-training-pipeline surface alongside sketch.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+
+def numeric_profile(
+    ds: ray.data.Dataset, cols: Sequence[str]
+) -> pd.DataFrame:
+    """Per-column profile of ``cols``: non-null count, null count,
+    mean, sample stddev, min, max — one row per column.
+
+    Scale contract: each block reduces to ONE partial row of
+    ``6 × len(cols)`` scalars (count / null-count / sum / sum-of-
+    squares / min / max); Ray's native ``aggregate`` tree-combines the
+    partials, so the exchange and the driver result are O(columns),
+    independent of row count.  Sums run in float64 — relative error
+    ~n_blocks·ε, far inside the 9-significant-digit compare grid.
+    """
+    cols = list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row: dict = {}
+        for c in cols:
+            a = batch.column(c)
+            v = a.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            row[f"{c}__n"] = [np.int64(len(v))]
+            row[f"{c}__nn"] = [np.int64(a.null_count)]
+            row[f"{c}__s"] = [v.sum() if len(v) else 0.0]
+            row[f"{c}__ss"] = [float(v @ v) if len(v) else 0.0]
+            row[f"{c}__mn"] = [v.min() if len(v) else math.inf]
+            row[f"{c}__mx"] = [v.max() if len(v) else -math.inf]
+        return pa.table(row)
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            Sum(f"{c}__n"), Sum(f"{c}__nn"), Sum(f"{c}__s"), Sum(f"{c}__ss"),
+            Min(f"{c}__mn"), Max(f"{c}__mx"),
+        ]
+    tot = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+
+    out = []
+    for c in cols:
+        n = int(tot[f"sum({c}__n)"])
+        s = float(tot[f"sum({c}__s)"])
+        ss = float(tot[f"sum({c}__ss)"])
+        mean = s / n if n else None
+        var = (ss - n * mean * mean) / (n - 1) if n >= 2 else None
+        out.append(
+            {
+                "col": c,
+                "n": np.int64(n),
+                "n_null": np.int64(tot[f"sum({c}__nn)"]),
+                "mean": mean,
+                "stddev": math.sqrt(max(var, 0.0)) if var is not None else None,
+                "min": float(tot[f"min({c}__mn)"]) if n else None,
+                "max": float(tot[f"max({c}__mx)"]) if n else None,
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def correlation_matrix(
+    ds: ray.data.Dataset, cols: Sequence[str]
+) -> pd.DataFrame:
+    """Pairwise Pearson correlation over ``cols`` — one output row per
+    unordered pair ``(col_a, col_b, corr)``, ``col_a`` before ``col_b``
+    in the input order.  Rows with a null in ANY of ``cols`` are
+    dropped (listwise deletion) — pass a null-free projection for
+    pairwise-deletion semantics.
+
+    Scale contract: the PCA scatter topology (`ann.pca_train`) —
+    each block reduces to (n, Σx, XᵀX) partials, O(d²) scalars,
+    tree-combined by Ray's native sum; the driver solves only the
+    d×d normalization.  One streaming pass, zero shuffle.
+    """
+    cols = list(cols)
+    d = len(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.column_stack(
+            [
+                batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in cols
+            ]
+        ) if len(batch) else np.empty((0, d))
+        if len(x):
+            x = x[~np.isnan(x).any(axis=1)]
+        row: dict = {"__cn": [np.int64(len(x))]}
+        s = x.sum(axis=0) if len(x) else np.zeros(d)
+        m = x.T @ x if len(x) else np.zeros((d, d))
+        for i in range(d):
+            row[f"__cs_{i}"] = [float(s[i])]
+            for j in range(i, d):
+                row[f"__cm_{i}_{j}"] = [float(m[i, j])]
+        return pa.table(row)
+
+    tot = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["__cn"]
+        + [f"__cs_{i}" for i in range(d)]
+        + [f"__cm_{i}_{j}" for i in range(d) for j in range(i, d)]
+    )
+    n = float(tot["sum(__cn)"])
+    s = np.array([tot[f"sum(__cs_{i})"] for i in range(d)])
+    var_num = np.array(
+        [n * tot[f"sum(__cm_{i}_{i})"] - s[i] * s[i] for i in range(d)]
+    )
+    out = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            num = n * tot[f"sum(__cm_{i}_{j})"] - s[i] * s[j]
+            den = math.sqrt(max(var_num[i], 0.0)) * math.sqrt(max(var_num[j], 0.0))
+            out.append(
+                {
+                    "col_a": cols[i],
+                    "col_b": cols[j],
+                    "corr": num / den if den > 0 else None,
+                }
+            )
+    return pd.DataFrame(out)

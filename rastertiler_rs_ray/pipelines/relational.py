@@ -1169,3 +1169,41 @@ def funnel_stages(
         return pd.DataFrame(row)
 
     return filtered.groupby(user_col).map_groups(funnel, batch_format="pandas")
+
+
+def grouped_percentiles(
+    ds: ray.data.Dataset,
+    by: Sequence[str],
+    col: str,
+    qs: Sequence[float],
+) -> ray.data.Dataset:
+    """Exact per-group percentile_disc over a CONTINUOUS column — one
+    output row per (group, q).  The complement of
+    ``discrete_quantiles`` (count-partial merge, right when the value
+    domain is bounded) and ``continuous_percentiles`` (global,
+    iterative bracketing): here the domain is unbounded but the
+    per-GROUP row count fits a worker, so one ``groupby`` exchange of
+    narrow (key, value) rows + an in-group sort is both exact and
+    fully distributed — no driver state at all.
+
+    Rank convention: ``ceil(q·n)`` computed in float, deliberately
+    mirroring DuckDB's arithmetic (see the note at
+    ``continuous_percentiles``).
+    """
+    by = list(by)
+    qs = [float(q) for q in qs]
+
+    def pct(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df[col].to_numpy())
+        n = len(v)
+        idxs = [max(int(np.ceil(q * n)), 1) - 1 for q in qs]
+        out = {k: [df[k].iloc[0]] * len(qs) for k in by}
+        out["q"] = qs
+        out["value"] = v[idxs]
+        return pd.DataFrame(out)
+
+    return (
+        ds.select_columns([*by, col])
+        .groupby(by)
+        .map_groups(pct, batch_format="pandas")
+    )

@@ -1,6 +1,7 @@
 """Dedup family correctness on planted-duplicate corpora."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -331,3 +332,137 @@ def test_planted_ngram_family_jaccards(ray_session):
     got = set(ngram_dedup_planted("/root/testdata/sf0.001").to_pandas()["doc_id"])
     want = {d for d in range(500) if d % 5 in (0, 3, 4)}
     assert got == want
+
+
+def _para_brute(docs, sep="\n"):
+    """First-occurrence paragraph dedup, row-at-a-time."""
+    seen = set()
+    out = []
+    for doc_id, text in docs:
+        kept, removed = [], 0
+        for p in text.split(sep):
+            if p in seen:
+                removed += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        out.append((doc_id, sep.join(kept), removed))
+    return out
+
+
+def test_dedup_paragraphs_matches_brute_force(ray_session):
+    from rastertiler_rs_ray.pipelines.dedup import dedup_paragraphs
+
+    docs = [
+        (0, "header\nalpha beta\nfooter"),
+        (1, "header\ngamma delta\nfooter"),  # header+footer removed
+        (2, "alpha beta\nheader\nfresh"),  # both paras removed, fresh kept
+        (3, "header\nfooter"),  # everything removed -> empty text
+        (4, ""),  # empty doc: '' becomes a paragraph, deduped later
+        (5, ""),
+        (6, "unique tail"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    out = (
+        dedup_paragraphs(ray.data.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _para_brute(docs)
+    assert len(out) == len(want)
+    for i, (did, text, nrem) in enumerate(want):
+        r = out.iloc[i]
+        assert (r["doc_id"], r["text"], r["n_removed"]) == (did, text, nrem)
+
+
+def test_dedup_paragraphs_partition_invariant(ray_session):
+    from rastertiler_rs_ray.pipelines.dedup import dedup_paragraphs
+
+    rng = np.random.RandomState(11)
+    paras = [f"para {i}" for i in range(20)]
+    docs = [
+        (i, "\n".join(rng.choice(paras, rng.randint(1, 6))))
+        for i in range(60)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    outs = []
+    for nparts in (1, 7):
+        outs.append(
+            dedup_paragraphs(ray.data.from_arrow(tbl).repartition(nparts), num_shards=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    want = _para_brute(docs)
+    for i, (did, text, nrem) in enumerate(want):
+        r = outs[0].iloc[i]
+        assert (r["doc_id"], r["text"], r["n_removed"]) == (did, text, nrem)
+
+
+def _cc_brute(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = sorted((ru, rv))
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_small_and_sharded_agree(ray_session):
+    from rastertiler_rs_ray.pipelines.dedup import connected_components
+
+    rng = np.random.RandomState(17)
+    edges = [tuple(sorted(rng.randint(0, 200, 2))) for _ in range(300)]
+    tbl = pa.table(
+        {
+            "u": pa.array([u for u, _ in edges], pa.int64()),
+            "v": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    want = _cc_brute(edges)
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    small = connected_components(ds).to_pandas()
+    got_small = dict(zip(small["node"], small["component"]))
+    assert got_small == want
+    # force the sharded two-level path on the same graph
+    sharded = connected_components(ds, shard_threshold=0, num_shards=7).to_pandas()
+    got_sharded = dict(zip(sharded["node"], sharded["component"]))
+    assert got_sharded == want
+    # component labels are the min node of each component
+    for node, comp in want.items():
+        assert comp <= node
+
+
+def test_connected_components_empty_and_self_edges(ray_session):
+    from rastertiler_rs_ray.pipelines.dedup import connected_components
+
+    empty = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    out_ds = connected_components(ray.data.from_arrow(empty))
+    # Ray's to_pandas() drops columns on 0-row datasets — assert on schema
+    assert out_ds.count() == 0 and out_ds.schema().names == ["node", "component"]
+
+    selfe = pa.table({"u": pa.array([5, 5, 9], pa.int64()), "v": pa.array([5, 6, 9], pa.int64())})
+    out = connected_components(ray.data.from_arrow(selfe)).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {5: 5, 6: 5, 9: 9}

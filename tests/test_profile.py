@@ -1,0 +1,68 @@
+"""numeric_profile / correlation_matrix vs numpy and DuckDB semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _table(n=500, seed=3):
+    rng = np.random.RandomState(seed)
+    a = rng.uniform(0, 100, n)
+    b = 2.5 * a + rng.normal(0, 10, n)  # strongly correlated with a
+    c = rng.uniform(-5, 5, n)  # independent
+    return pa.table({"a": a, "b": b, "c": c})
+
+
+def test_numeric_profile_matches_numpy(ray_session):
+    from rastertiler_rs_ray.pipelines.profile import numeric_profile
+
+    tbl = _table()
+    out = numeric_profile(
+        ray.data.from_arrow(tbl).repartition(7), ["a", "b", "c"]
+    ).set_index("col")
+    for c in ("a", "b", "c"):
+        v = np.asarray(tbl.column(c))
+        assert out.loc[c, "n"] == len(v) and out.loc[c, "n_null"] == 0
+        assert np.isclose(out.loc[c, "mean"], v.mean(), rtol=1e-12)
+        assert np.isclose(out.loc[c, "stddev"], v.std(ddof=1), rtol=1e-9)
+        assert out.loc[c, "min"] == v.min() and out.loc[c, "max"] == v.max()
+
+
+def test_numeric_profile_counts_nulls(ray_session):
+    from rastertiler_rs_ray.pipelines.profile import numeric_profile
+
+    tbl = pa.table({"x": pa.array([1.0, None, 3.0, None, 5.0])})
+    out = numeric_profile(ray.data.from_arrow(tbl).repartition(2), ["x"])
+    r = out.iloc[0]
+    assert r["n"] == 3 and r["n_null"] == 2
+    assert r["mean"] == 3.0 and r["min"] == 1.0 and r["max"] == 5.0
+
+
+def test_correlation_matrix_matches_numpy(ray_session):
+    from rastertiler_rs_ray.pipelines.profile import correlation_matrix
+
+    tbl = _table()
+    out = correlation_matrix(
+        ray.data.from_arrow(tbl).repartition(7), ["a", "b", "c"]
+    )
+    x = np.column_stack([np.asarray(tbl.column(c)) for c in ("a", "b", "c")])
+    ref = np.corrcoef(x, rowvar=False)
+    got = {(r["col_a"], r["col_b"]): r["corr"] for _, r in out.iterrows()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert np.isclose(got[("a", "b")], ref[0, 1], rtol=1e-10)
+    assert got[("a", "b")] > 0.9  # planted correlation is detected
+    assert abs(got[("a", "c")]) < 0.2
+    assert np.isclose(got[("a", "c")], ref[0, 2], rtol=1e-8)
+    assert np.isclose(got[("b", "c")], ref[1, 2], rtol=1e-8)
+
+
+def test_correlation_matrix_listwise_null_drop(ray_session):
+    from rastertiler_rs_ray.pipelines.profile import correlation_matrix
+
+    df = pd.DataFrame({"u": [1.0, 2.0, np.nan, 4.0, 5.0],
+                       "v": [2.0, 4.0, 6.0, 8.0, np.nan]})
+    out = correlation_matrix(ray.data.from_pandas(df).repartition(2), ["u", "v"])
+    kept = df.dropna()
+    ref = np.corrcoef(kept["u"], kept["v"])[0, 1]
+    assert np.isclose(out.iloc[0]["corr"], ref, rtol=1e-12)

@@ -669,3 +669,36 @@ def test_funnel_stages_matches_brute_force(ray_session):
     # the planted equal-ts user converts view->click at the same instant
     planted = out[out["user_id"] == 999].iloc[0]
     assert planted["t_1"] == planted["t_2"]
+
+
+def test_grouped_percentiles_matches_duckdb(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import grouped_percentiles
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 300),
+            "v": rng.uniform(0, 1000, 300).round(3),
+        }
+    )
+    qs = (0.1, 0.25, 0.5, 0.9)
+    out = (
+        grouped_percentiles(ray.data.from_pandas(df).repartition(5), ["g"], "v", qs)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    # DuckDB requires a constant quantile parameter — one SELECT per q
+    want = duckdb.sql(
+        " UNION ALL ".join(
+            f"SELECT g, {q} AS q, percentile_disc({q}) "
+            f"WITHIN GROUP (ORDER BY v) AS value FROM df GROUP BY g"
+            for q in qs
+        )
+        + " ORDER BY g, q"
+    ).df()
+    assert len(out) == 12
+    for i in range(len(out)):
+        assert out.loc[i, "g"] == want.loc[i, "g"]
+        assert float(out.loc[i, "q"]) == float(want.loc[i, "q"])
+        assert out.loc[i, "value"] == want.loc[i, "value"]

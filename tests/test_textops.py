@@ -597,3 +597,61 @@ def test_bm25_topk_partition_invariance_and_absent_terms(ray_session):
     assert set(a["query_id"]) == {7}
     assert len(a[a["query_id"] == 7]) == 3
     assert all(a["doc_id"] % 3 == 0)  # only docs containing 'delta'
+
+
+def test_temperature_sample_quotas_and_determinism(ray_session):
+    """T=0 flattens to equal quotas; T=1 is proportional; members are
+    the quota smallest splitmix64(doc_id) per source."""
+    from rastertiler_rs_ray.pipelines.curation import _mix64_i64, temperature_sample
+
+    rng = np.random.RandomState(23)
+    sources = np.repeat(["big", "mid", "small"], [600, 300, 100])
+    ids = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "source": pa.array(sources)})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+
+    out = temperature_sample(ds, temperature=1.0, target_frac=0.5).to_pandas()
+    by = out.groupby("source")["doc_id"].count()
+    # proportional: quotas 300/150/50
+    assert by["big"] == 300 and by["mid"] == 150 and by["small"] == 50
+
+    flat = temperature_sample(ds, temperature=0.0, target_frac=0.3).to_pandas()
+    byf = flat.groupby("source")["doc_id"].count()
+    # T=0: equal weight -> 100 each
+    assert byf["big"] == 100 and byf["mid"] == 100 and byf["small"] == 100
+
+    # membership = quota smallest hashes within each source
+    h = _mix64_i64(ids)
+    for src, k in (("big", 300), ("mid", 150), ("small", 50)):
+        mask = sources == src
+        order = np.lexsort((ids[mask], h[mask]))
+        want = set(ids[mask][order][:k])
+        got = set(out[out["source"] == src]["doc_id"])
+        assert got == want
+
+    # partition invariance
+    again = temperature_sample(
+        ray.data.from_arrow(tbl).repartition(2), temperature=1.0, target_frac=0.5
+    ).to_pandas()
+    assert set(zip(again["doc_id"], again["source"])) == set(
+        zip(out["doc_id"], out["source"])
+    )
+
+
+def test_temperature_sample_caps_at_source_size(ray_session):
+    """A tiny source cannot be upsampled past its own row count."""
+    from rastertiler_rs_ray.pipelines.curation import temperature_sample
+
+    sources = np.repeat(["a", "b"], [990, 10])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+            "source": pa.array(sources),
+        }
+    )
+    # T=0 with frac=0.5 wants 250 per source; 'b' only has 10
+    out = temperature_sample(
+        ray.data.from_arrow(tbl), temperature=0.0, target_frac=0.5
+    ).to_pandas()
+    by = out.groupby("source")["doc_id"].count()
+    assert by["b"] == 10 and by["a"] == 250
