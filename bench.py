@@ -342,7 +342,12 @@ def run_scaling() -> dict:
                 RAY_GRAFT_CPUS=str(n),
                 GRAFT_SF_DIR=SF_DIR,
                 BENCH_CHILD_KIND=kind,
-                BENCH_ZMAX=os.environ.get("BENCH_ZMAX", "14"),
+                # z15 (~950k tiles): at z14 the 32-CPU render is a ~25 s
+                # job where pool spin-up + executor ramp (~3.3 s, measured
+                # via RASTERTILER_RENDER_STATS) eat 13% of the wall and
+                # the ratio measures fixed costs, not the engine — the
+                # render-side analog of the 400M-doc join volume below
+                BENCH_ZMAX=os.environ.get("BENCH_ZMAX", "15"),
                 # 4e9·sf docs: at 1e9·sf (100M) the 32-CPU join is
                 # fixed-cost-bound (pool spin-up + first-run warming eat
                 # ~40% of a 5 s wall) and the ratio measures overhead,

@@ -78,6 +78,15 @@ def _adaptive_shards(ds: ray.data.Dataset, *, floor: int = 64) -> tuple[ray.data
 _TARGET_SHARD_BYTES = 256 << 20
 
 
+def _norm_hash64(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """int64 hash of whitespace-normalized text — the shared content-
+    identity convention of ``exact_dedup`` and ``dedup_incremental``
+    (split/join normalization, ``pd.util.hash_array``)."""
+    s = texts.to_pandas().fillna("")
+    norm = s.str.split().str.join(" ")
+    return pd.util.hash_array(norm.to_numpy(dtype=object)).astype(np.int64)
+
+
 def exact_dedup(
     docs: ray.data.Dataset,
     *,
@@ -98,9 +107,7 @@ def exact_dedup(
 
     def add_hash(shards: int):
         def f(batch: pa.Table) -> pa.Table:
-            s = batch.column(text_col).to_pandas().fillna("")
-            norm = s.str.split().str.join(" ")
-            h = pd.util.hash_array(norm.to_numpy(dtype=object)).astype(np.int64)
+            h = _norm_hash64(batch.column(text_col))
             return batch.append_column("__content_hash", pa.array(h)).append_column(
                 "__cshard", pa.array(h % shards)
             )
@@ -1160,3 +1167,112 @@ def connected_components(
         return pa.table({"node": node, "component": pa.array(label, node.type)})
 
     return merged.map_batches(emit, batch_format="pyarrow")
+
+
+# ------------------------------------------------- incremental ingest
+
+
+def dedup_incremental(
+    new: ray.data.Dataset,
+    reference: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    bits_log2: int = 22,
+    k: int = 4,
+) -> ray.data.Dataset:
+    """Drop rows of ``new`` whose exact (whitespace-normalized) text
+    already exists in ``reference`` — the batch-(N+1)-vs-corpus
+    incremental-ingest dedup (the production shape: yesterday's corpus
+    is sealed; only today's crawl is screened against it).  Within-batch
+    duplicates of ``new`` are NOT removed — compose with ``exact_dedup``
+    for that.
+
+    Topology (NO all-to-all exchange anywhere):
+
+    1. per-block partial Bloom filters over reference content hashes
+       OR-merge driver-side (associative; ``2^bits_log2 / 8`` bytes
+       each) and broadcast once via ``ray.put`` — the reference is
+       summarized, never broadcast or shuffled;
+    2. Bloom-NEGATIVE rows of ``new`` are definitively clean (false
+       negatives impossible) and stream straight through, map-only —
+       at web scale this is ~99% of the batch;
+    3. Bloom-positive "suspects" (true duplicates + ~1% false
+       positives) are exact-verified: the suspect hash set —
+       O(duplicates), the only driver-resident state — semi-filters
+       the reference map-side, the confirmed-hash intersection
+       broadcasts back, and one map-only filter drops confirmed rows.
+
+    For batches whose suspect set exceeds driver memory, swap step 3
+    for a shuffle anti-join on the hash column
+    (``relational.shuffle_hash_join``) — exchange cost, same result.
+    """
+    from ..functions.bloom import Bloom
+
+    ref_text_col = ref_text_col or text_col
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__ih", pa.array(_norm_hash64(batch.column(text_col)))
+        )
+
+    def ref_hashes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"__ih": pa.array(_norm_hash64(batch.column(ref_text_col)))}
+        )
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        b = Bloom(bits_log2, k)
+        b.add_many(batch.column("__ih").to_numpy())
+        return pa.table({"bloom": pa.array([b.to_bytes()], pa.binary())})
+
+    ref_h = reference.map_batches(ref_hashes, batch_format="pyarrow")
+    merged = Bloom(bits_log2, k)
+    for row in ref_h.map_batches(bloom_partial, batch_format="pyarrow").take_all():
+        merged = merged.merge(Bloom.from_bytes(row["bloom"], bits_log2, k))
+    bloom_ref = ray.put(merged.to_bytes())
+
+    # hash once; two downstream passes read the same blocks
+    new_h = new.map_batches(add_hash, batch_format="pyarrow").materialize()
+
+    def _collect_hashes(ds: ray.data.Dataset) -> np.ndarray:
+        # per-block pre-uniqued partials stream to the driver —
+        # O(suspects), the documented driver bound
+        chunks = [
+            np.asarray(b.column("__ih"))
+            for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        return (
+            np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+        )
+
+    def suspect_hashes(batch: pa.Table) -> pa.Table:
+        h = batch.column("__ih").to_numpy()
+        b = Bloom.from_bytes(ray.get(bloom_ref), bits_log2, k)
+        return pa.table({"__ih": pa.array(np.unique(h[b.contains(h)]), pa.int64())})
+
+    suspects = _collect_hashes(
+        new_h.map_batches(suspect_hashes, batch_format="pyarrow")
+    )
+    if len(suspects):
+        sus_ref = ray.put(suspects)
+
+        def confirm(batch: pa.Table) -> pa.Table:
+            h = batch.column("__ih").to_numpy()
+            mask = np.isin(h, ray.get(sus_ref))
+            return pa.table({"__ih": pa.array(np.unique(h[mask]), pa.int64())})
+
+        confirmed = _collect_hashes(
+            ref_h.map_batches(confirm, batch_format="pyarrow")
+        )
+    else:
+        confirmed = np.empty(0, np.int64)
+    conf_ref = ray.put(confirmed)
+
+    def drop_confirmed(batch: pa.Table) -> pa.Table:
+        h = batch.column("__ih").to_numpy()
+        keep = ~np.isin(h, ray.get(conf_ref))
+        return batch.filter(pa.array(keep)).drop_columns(["__ih"])
+
+    return new_h.map_batches(drop_confirmed, batch_format="pyarrow")

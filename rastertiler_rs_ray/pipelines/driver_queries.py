@@ -3580,6 +3580,158 @@ SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.k
 SQL_TEMPERATURE_SAMPLE = _sql_temperature_sample()
 
 
+def dedup_incremental_docs(sf_dir: str):
+    """Incremental-ingest dedup: the sealed reference corpus is docs with
+    ``doc_id % 3 == 0``; the incoming batch is the remaining docs PLUS a
+    re-crawled copy of every ``doc_id % 5 == 0`` doc (id offset +1e6) —
+    so copies whose source doc sits in the reference (``% 15 == 0``,
+    plus any ``% 5`` copy whose text also appears verbatim in a ``% 3``
+    doc) must drop, all other rows must survive.  Hash identity is the
+    whitespace-normalized text, same convention as ``exact_dedup``."""
+    from .dedup import dedup_incremental
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def ref_side(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        return batch.filter(pa.array(did % 3 == 0))
+
+    def new_nat(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        return batch.filter(pa.array(did % 3 != 0))
+
+    def new_copies(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        t = batch.filter(pa.array(did % 5 == 0))
+        return t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(t.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+        )
+
+    ref = docs.map_batches(ref_side, batch_format="pyarrow")
+    new = docs.map_batches(new_nat, batch_format="pyarrow").union(
+        docs.map_batches(new_copies, batch_format="pyarrow")
+    )
+    return dedup_incremental(new, ref).select_columns(["doc_id", "source"])
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH newt AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT n.doc_id, n.source FROM newt n
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents r
+  WHERE r.doc_id % 3 = 0
+    AND regexp_replace(trim(r.text), '\s+', ' ', 'g')
+      = regexp_replace(trim(n.text), '\s+', ' ', 'g')
+)
+"""
+
+
+def pagerank_doc_links(sf_dir: str):
+    """Fixed-iteration PageRank over the deterministic doc-link chain
+    graph (``doc_id % 10 != 0 → edge (doc_id, doc_id-1)``, the
+    ``doc_link_components`` graph).  Every node has in- and out-degree
+    ≤ 1, so each per-node contribution sum has at most one term and the
+    distributed result is float-reproducible against the unrolled SQL."""
+    from .graph import pagerank
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        u = did[did % 10 != 0]
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(u - 1, pa.int64())}
+        )
+
+    return pagerank(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        num_iters=3,
+        damping=0.85,
+    )
+
+
+def _sql_pagerank(num_iters: int = 3, damping: float = 0.85) -> str:
+    parts = [
+        "WITH nodes AS (SELECT doc_id AS node FROM documents),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),",
+        "edges AS (SELECT doc_id AS u, doc_id - 1 AS v FROM documents"
+        " WHERE doc_id % 10 <> 0),",
+        "deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY u),",
+        "r0 AS (SELECT node, 1.0 / nn.c AS r FROM nodes, nn)",
+    ]
+    for i in range(1, num_iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.v AS node, SUM(r{i-1}.r / deg.d) AS s"
+            f" FROM edges e JOIN r{i-1} ON r{i-1}.node = e.u"
+            f" JOIN deg ON deg.u = e.u GROUP BY e.v)"
+        )
+        parts.append(
+            f", r{i} AS (SELECT nodes.node,"
+            f" (1 - {damping}) / nn.c + {damping} * COALESCE(c{i}.s, 0) AS r"
+            f" FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nodes.node)"
+        )
+    parts.append(f'SELECT node, r AS "rank" FROM r{num_iters}')
+    return "\n".join(parts)
+
+
+SQL_PAGERANK_DOC_LINKS = _sql_pagerank()
+
+
+def orders_price_zscore(sf_dir: str):
+    """Per-priority z-score standardization of o_totalprice (population
+    std) — the two-pass grouped-moments broadcast + map-only rewrite."""
+    from .profile import group_zscore
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    return group_zscore(orders, ["o_orderpriority"], "o_totalprice")
+
+
+SQL_ORDERS_PRICE_ZSCORE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       (o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderpriority))
+       / STDDEV_POP(o_totalprice) OVER (PARTITION BY o_orderpriority) AS z
+FROM orders
+"""
+
+
+def jsonl_roundtrip_docs(sf_dir: str):
+    """JSONL sink → source round trip: write the documents table as
+    partitioned JSONL under /tmp (``Dataset.write_json``, one file per
+    block — the resumable-output layout), read it back with
+    ``ray.data.read_json``, and aggregate — proving the interchange
+    format every training-data pipeline ingests from is a first-class
+    source/sink."""
+    import shutil
+
+    from .relational import grouped_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"])
+    tmp = f"/tmp/rrr_jsonl_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs.write_json(tmp)
+    back = ray.data.read_json(tmp)
+    return grouped_aggregate(
+        back,
+        ["source", "lang"],
+        [("n_docs", "doc_id", "count"), ("sum_chars", "n_chars", "sum")],
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT source, lang, COUNT(doc_id) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY source, lang
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -3696,6 +3848,10 @@ QUERIES = {
     ),
     "doc_link_components": (doc_link_components, SQL_DOC_LINK_COMPONENTS),
     "temperature_sample_docs": (temperature_sample_docs, SQL_TEMPERATURE_SAMPLE),
+    "dedup_incremental_docs": (dedup_incremental_docs, SQL_DEDUP_INCREMENTAL),
+    "pagerank_doc_links": (pagerank_doc_links, SQL_PAGERANK_DOC_LINKS),
+    "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
+    "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---
     "minhash_dedup_docs": (minhash_dedup_docs, None),
     "simhash_dedup_docs": (simhash_dedup_docs, None),

@@ -23,6 +23,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
+from .relational import grouped_aggregate
+
 
 def numeric_profile(
     ds: ray.data.Dataset, cols: Sequence[str]
@@ -139,3 +141,72 @@ def correlation_matrix(
                 }
             )
     return pd.DataFrame(out)
+
+
+def group_zscore(
+    ds: ray.data.Dataset,
+    by: Sequence[str],
+    col: str,
+    *,
+    out_col: str = "z",
+    ddof: int = 0,
+) -> ray.data.Dataset:
+    """Standardize ``col`` within each group: ``z = (v - mean_g) /
+    std_g`` (population std by default, ``ddof=1`` for sample) — the
+    per-source feature-normalization pass run before mixing corpora or
+    training reward/quality models.  Groups with zero variance (or
+    fewer than ``ddof + 1`` rows) get a null z.
+
+    Scale contract: pass 1 reduces each block to per-group
+    (count, Σv, Σv²) partials combined by the distributed
+    ``grouped_aggregate`` — the exchange moves O(groups/block) rows.
+    The group-stats table (O(groups): sources, languages, shards — a
+    grouping column at 100 TB is low-cardinality by construction) is
+    broadcast once via ``ray.put``; pass 2 is map-only.  For unbounded
+    group counts, replace the broadcast with a co-shuffle join on
+    ``by`` — exchange cost, same result.
+    """
+    by = list(by)
+
+    def add_sq(batch: pa.Table) -> pa.Table:
+        v = pa.compute.cast(batch.column(col), pa.float64())
+        return batch.append_column("__v", v).append_column(
+            "__v2", pa.compute.multiply(v, v)
+        )
+
+    stats = grouped_aggregate(
+        ds.select_columns([*by, col]).map_batches(add_sq, batch_format="pyarrow"),
+        by,
+        [("__gn", "__v", "count"), ("__gs", "__v", "sum"), ("__gss", "__v2", "sum")],
+    ).to_pandas()  # O(groups) — see the scale contract above
+    key = (
+        stats[by[0]].astype(str)
+        if len(by) == 1
+        else stats[by].astype(str).agg("\x1f".join, axis=1)
+    )
+    n = stats["__gn"].to_numpy(dtype=np.float64)
+    mean = stats["__gs"].to_numpy() / n
+    var = np.where(
+        n > ddof, (stats["__gss"].to_numpy() - n * mean * mean) / (n - ddof), np.nan
+    )
+    std = np.sqrt(np.maximum(var, 0.0))
+    stats_ref = ray.put(
+        {k: (m, s) for k, m, s in zip(key, mean, std)}
+    )
+
+    def standardize(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(stats_ref)
+        k = (
+            df[by[0]].astype(str)
+            if len(by) == 1
+            else df[by].astype(str).agg("\x1f".join, axis=1)
+        )
+        ms = np.array([lut[x] for x in k], dtype=np.float64).reshape(-1, 2)
+        v = df[col].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - ms[:, 0]) / ms[:, 1]
+        df = df.copy()
+        df[out_col] = np.where(np.isfinite(z), z, np.nan)
+        return df
+
+    return ds.map_batches(standardize, batch_format="pandas")

@@ -715,9 +715,23 @@ def shuffle_hash_join(
     Both sides hash-partition on the key — an all-to-all exchange; use
     ``broadcast_hash_join`` whenever one side fits in a worker heap.
     ``num_partitions`` defaults to ~2 per CPU.
+
+    Both inputs pass through a batched identity map first: Ray 2.49.2's
+    hash-join aggregator crashes (`ArrowInvalid: No match ... FieldRef`)
+    when a side carries zero-COLUMN empty blocks (emitted by
+    repartition/aggregate on sparse inputs); whole-block maps skip
+    empty blocks untouched, but a concrete ``batch_size`` coalesces
+    them into schema-ful neighbors.  Remove once Ray's join tolerates
+    schema-less empties.
     """
     if num_partitions is None:
         num_partitions = max(int(ray.cluster_resources().get("CPU", 8)) * 2, 8)
+
+    def _ident(b: pa.Table) -> pa.Table:
+        return b
+
+    left = left.map_batches(_ident, batch_format="pyarrow", batch_size=1 << 20)
+    right = right.map_batches(_ident, batch_format="pyarrow", batch_size=1 << 20)
     return left.join(
         right,
         join_type=join_type,

@@ -38,6 +38,7 @@ import shutil
 import time
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as papq
@@ -274,8 +275,14 @@ def _render_pyramid_jobs(
         # dedup below consumes the SAME blocks instead of re-reading the
         # blob parquet from disk (2× blob I/O saved).
         rendered = ds.map_batches(add_part, batch_format="pyarrow").materialize()
+        t_render = time.perf_counter() - t0
         rendered.write_parquet(os.path.join(out_dir, "tiles"), partition_cols=["part"])
         wall = time.perf_counter() - t0
+        if os.environ.get("RASTERTILER_RENDER_STATS"):
+            print(
+                f"RENDER_PHASES materialize={t_render:.2f}s write={wall - t_render:.2f}s"
+            )
+            print(rendered.stats())
 
         for zs in pending:
             label = f"g{zs[0]:02d}-{zs[-1]:02d}"
@@ -338,18 +345,25 @@ def _render_pyramid_jobs(
         narrow = tiles_source(["zoom", "x", "y", "tile_hash"]).map_batches(
             pack_addr, batch_format="pyarrow"
         )
-        from ray.data.aggregate import Min
-
-        winners = narrow.groupby("tile_hash").aggregate(
-            Min("addr", alias_name="addr")
-        ).materialize()
-        batches = [
-            b["addr"]
-            for b in winners.iter_batches(batch_size=1 << 20, batch_format="numpy")
+        # Winner election: pack_addr already reduced each block to one
+        # (hash, min addr) partial row, so the global min-per-hash fits
+        # the SAME driver budget the winner-address broadcast below
+        # already assumes (O(distinct hashes) — see the note above).  A
+        # distributed groupby here would be an all-to-all exchange whose
+        # fixed cost (~5 s) dwarfs the driver-side vectorized reduce
+        # (~20 ms at 200 k hashes); beyond driver memory, swap BOTH this
+        # reduce and the broadcast for the hash-shuffle semi-join.
+        parts = [
+            b
+            for b in narrow.iter_batches(batch_size=1 << 20, batch_format="pandas")
         ]
-        winner_addrs = (
-            np.sort(np.concatenate(batches)) if batches else np.array([], dtype=np.int64)
-        )
+        if parts:
+            allp = pd.concat(parts, ignore_index=True)
+            winner_addrs = np.sort(
+                allp.groupby("tile_hash", sort=False)["addr"].min().to_numpy()
+            )
+        else:
+            winner_addrs = np.array([], dtype=np.int64)
         addr_ref = ray.put(pa.array(winner_addrs))
 
         def keep_winners(batch: pa.Table) -> pa.Table:

@@ -466,3 +466,63 @@ def test_connected_components_empty_and_self_edges(ray_session):
     out = connected_components(ray.data.from_arrow(selfe)).to_pandas()
     got = dict(zip(out["node"], out["component"]))
     assert got == {5: 5, 6: 5, 9: 9}
+
+
+def test_dedup_incremental_drops_only_reference_matches(ray_session):
+    from rastertiler_rs_ray.pipelines.dedup import dedup_incremental
+
+    ref = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["alpha  beta", "gamma delta", "epsilon zeta"],
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "text": [
+                "alpha beta",        # dup of ref 0 modulo whitespace -> drop
+                "fresh document",    # clean -> keep
+                "gamma delta",       # dup of ref 1 -> drop
+                "fresh document",    # within-batch dup only -> keep (contract)
+                "another one",       # clean -> keep
+            ],
+        }
+    )
+    out = dedup_incremental(
+        ray.data.from_arrow(new).repartition(3),
+        ray.data.from_arrow(ref).repartition(2),
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 13, 14]
+
+
+def test_dedup_incremental_small_bloom_forces_exact_verify(ray_session):
+    # 2^8-bit bloom over 200 reference keys -> dense false positives;
+    # the exact-verify pass must still keep every non-duplicate.
+    from rastertiler_rs_ray.pipelines.dedup import dedup_incremental
+
+    ref = pa.table(
+        {"doc_id": pa.array(range(200), pa.int64()),
+         "text": [f"ref doc number {i}" for i in range(200)]}
+    )
+    new = pa.table(
+        {"doc_id": pa.array(range(1000, 1300), pa.int64()),
+         "text": [f"new doc number {i}" for i in range(300)]}
+    )
+    out = dedup_incremental(
+        ray.data.from_arrow(new).repartition(4),
+        ray.data.from_arrow(ref).repartition(4),
+        bits_log2=8,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(1000, 1300))
+
+
+def test_dedup_incremental_empty_reference(ray_session):
+    from rastertiler_rs_ray.pipelines.dedup import dedup_incremental
+
+    ref = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    new = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["a", "b"]})
+    out = dedup_incremental(
+        ray.data.from_arrow(new), ray.data.from_arrow(ref)
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]

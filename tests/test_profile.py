@@ -66,3 +66,42 @@ def test_correlation_matrix_listwise_null_drop(ray_session):
     kept = df.dropna()
     ref = np.corrcoef(kept["u"], kept["v"])[0, 1]
     assert np.isclose(out.iloc[0]["corr"], ref, rtol=1e-12)
+
+
+def test_group_zscore_matches_pandas(ray_session):
+    from rastertiler_rs_ray.pipelines.profile import group_zscore
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 400),
+            "v": rng.uniform(10, 1000, 400).round(2),
+            "tag": np.arange(400),
+        }
+    )
+    out = (
+        group_zscore(ray.data.from_pandas(df).repartition(5), ["g"], "v")
+        .to_pandas()
+        .sort_values("tag")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("g")["v"].transform(lambda s: (s - s.mean()) / s.std(ddof=0))
+    np.testing.assert_allclose(out["z"].to_numpy(), want.to_numpy(), rtol=1e-9)
+    # non-z columns pass through untouched
+    assert (out["v"].to_numpy() == df["v"].to_numpy()).all()
+
+
+def test_group_zscore_zero_variance_group_is_null(ray_session):
+    from rastertiler_rs_ray.pipelines.profile import group_zscore
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "b"], "v": [5.0, 5.0, 1.0, 3.0]})
+    out = (
+        group_zscore(ray.data.from_pandas(df), ["g"], "v")
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    assert out.loc[out["g"] == "a", "z"].isna().all()
+    np.testing.assert_allclose(
+        out.loc[out["g"] == "b", "z"].to_numpy(), [-1.0, 1.0]
+    )
