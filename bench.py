@@ -223,6 +223,9 @@ def run_full() -> dict:
     timed("winnow_fingerprints", lambda: Q.winnow_fingerprints_docs(SF_DIR))
     timed("interval_band_join", lambda: Q.orders_price_band_join(SF_DIR))
     timed("zorder_sort", lambda: Q.zorder_docs_z12(SF_DIR))
+    # round-3 additions part 2 (suite keys 19-20)
+    timed("paragraph_dedup", lambda: Q.dedup_paragraphs_docs(SF_DIR))
+    timed("incremental_dedup", lambda: Q.dedup_incremental_docs(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {

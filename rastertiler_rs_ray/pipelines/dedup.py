@@ -1032,10 +1032,15 @@ def dedup_paragraphs(
             }
         )
 
-    def losers(group: pd.DataFrame) -> pd.DataFrame:
+    def losers(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(["__h", id_col, "idx"], kind="mergesort")
         drop = g[g["__h"].duplicated(keep="first")]
-        return drop[[id_col, "idx"]]
+        # arrow out, metadata stripped: blocks with pandas metadata have
+        # UNHASHABLE schemas and every downstream reduce task then logs
+        # "Failed to hash the schemas" (see raylog.py)
+        return pa.Table.from_pandas(
+            drop[[id_col, "idx"]], preserve_index=False
+        ).replace_schema_metadata(None)
 
     drop_tags = (
         docs.select_columns([id_col, text_col])

@@ -41,9 +41,37 @@ class _EmptySchemaDivergenceFilter(logging.Filter):
 
 _FILTER = _EmptySchemaDivergenceFilter()
 
+# Second benign warning: transform_pyarrow.unify_schemas tries
+# ``len(set(schemas)) == 1`` as a dedup fast path, but pyarrow Schemas
+# are UNHASHABLE whenever they carry ANY metadata (hash(schema) raises
+# "unhashable type: 'dict'" — reproducible with
+# ``hash(pa.schema([...]).with_metadata({b"a": b"b"}))``), and Ray's own
+# pandas→arrow block conversion attaches b'pandas' metadata to every
+# block a ``batch_format="pandas"`` stage emits.  The fallback path it
+# then takes is the general unify — identical result, one log line per
+# reduce task.  Parquet sources strip metadata at the read
+# (driver_queries._read); this filter drops the noise from the
+# unavoidable pandas-stage blocks.
+_UNIFY_LOGGER = "ray.data._internal.arrow_ops.transform_pyarrow"
+_HASH_MARK = "Failed to hash the schemas (for deduplication)"
+
+
+class _SchemaHashNoiseFilter(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        try:
+            return _HASH_MARK not in record.getMessage()
+        except Exception:
+            return True
+
+
+_HASH_FILTER = _SchemaHashNoiseFilter()
+
 
 def install_empty_schema_warning_filter() -> None:
-    """Idempotently attach the filter to the executor-state logger."""
+    """Idempotently attach the benign-warning filters."""
     logger = logging.getLogger(_EXECUTOR_LOGGER)
     if _FILTER not in logger.filters:
         logger.addFilter(_FILTER)
+    ulogger = logging.getLogger(_UNIFY_LOGGER)
+    if _HASH_FILTER not in ulogger.filters:
+        ulogger.addFilter(_HASH_FILTER)

@@ -702,3 +702,23 @@ def test_grouped_percentiles_matches_duckdb(ray_session):
         assert out.loc[i, "g"] == want.loc[i, "g"]
         assert float(out.loc[i, "q"]) == float(want.loc[i, "q"])
         assert out.loc[i, "value"] == want.loc[i, "value"]
+
+
+def test_shuffle_hash_join_sparse_keys_empty_blocks(ray_session):
+    """Ray 2.49.2's hash join crashes on zero-column empty blocks
+    (repartition/aggregate outputs on sparse inputs); shuffle_hash_join
+    must wash them.  Three keys across four partitions + an aggregate
+    build side is exactly the poison shape."""
+    from rastertiler_rs_ray.pipelines.relational import (
+        grouped_aggregate,
+        shuffle_hash_join,
+    )
+
+    edges = pa.table(
+        {"u": pa.array([0, 2, 3], pa.int64()), "v": pa.array([1, 1, 1], pa.int64())}
+    )
+    eds = ray.data.from_arrow(edges).repartition(4)
+    deg = grouped_aggregate(eds, ["u"], [("d", "v", "count")])
+    out = shuffle_hash_join(eds, deg, on="u", num_partitions=8).to_pandas()
+    assert len(out) == 3
+    assert dict(zip(out["u"], out["d"])) == {0: 1, 2: 1, 3: 1}
