@@ -232,38 +232,39 @@ def _render_pyramid_jobs(
         else:
             max_actors = int(concurrency)
         # One actor task per block (batch_size=None → whole-block batches):
-        # driver dispatch stays O(blocks), not O(tiles/32).  Blocks: ≥8
-        # per actor against stragglers, capped by per-block pixel-buffer
-        # memory (tilesize² × dtype × tiles/block ≤ ~256 MiB).
+        # driver dispatch stays O(blocks), not O(tiles/32).  Blocks: ≥24
+        # per actor — per-tile cost varies ~2x (nodata/constant blocks vs
+        # noise), so at 8 blocks/actor the final wave's straggler skew
+        # idled ~2% of a 32-CPU z15 run (task wall mean 10.8 s, max
+        # 14.8 s measured); finer blocks shrink the tail while per-task
+        # overhead stays ~ms.  Capped by per-block pixel-buffer memory
+        # (tilesize² × dtype × tiles/block ≤ ~256 MiB).
         bytes_per_px = 4 if raster.dtype == "uint32" else 1
         max_tiles_per_block = max(256 * 1024 * 1024 // (tilesize * tilesize * bytes_per_px), 8)
         num_blocks = int(
             min(
-                max(max_actors * 8, 32, total_tiles // max_tiles_per_block + 1),
+                max(max_actors * 24, 32, total_tiles // max_tiles_per_block + 1),
                 max(total_tiles, 1),
                 100_000,
             )
         )
         ds = tile_ids_dataset(all_zooms, mercator_bounds, override_num_blocks=num_blocks)
+        # zoom → group label as a numpy take (max zoom 24 → tiny LUT),
+        # applied INSIDE the render actor so the whole tiles job is one
+        # fused operator — a separate label stage would push every PNG
+        # blob through a second object-store round trip.
+        lut = [label_of_zoom.get(z, "") for z in range(max(label_of_zoom) + 1)]
         ds = ds.map_batches(
             TileRenderer,
             fn_constructor_kwargs=dict(
-                raster_spec=raster.spec(), tilesize=tilesize, colormap=colormap
+                raster_spec=raster.spec(), tilesize=tilesize, colormap=colormap,
+                part_lut=lut,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
             num_cpus=1,
         )
-
-        # zoom → group label as a numpy take (max zoom 24 → tiny LUT)
-        lut = np.array(
-            [label_of_zoom.get(z, "") for z in range(max(label_of_zoom) + 1)], dtype=object
-        )
-
-        def add_part(batch: pa.Table) -> pa.Table:
-            z = batch.column("zoom").to_numpy()
-            return batch.append_column("part", pa.array(lut[z], pa.string()))
 
         # No global sort: tile ids are enumerated zoom-asc / x-major
         # (tile_ids_dataset), map_batches preserves block + intra-block
@@ -274,9 +275,16 @@ def _render_pyramid_jobs(
         # Materialize once (object store; spills if huge) so the images
         # dedup below consumes the SAME blocks instead of re-reading the
         # blob parquet from disk (2× blob I/O saved).
-        rendered = ds.map_batches(add_part, batch_format="pyarrow").materialize()
+        rendered = ds.materialize()
         t_render = time.perf_counter() - t0
-        rendered.write_parquet(os.path.join(out_dir, "tiles"), partition_cols=["part"])
+        # min_rows_per_file bundles the (deliberately fine-grained) render
+        # blocks into few write tasks/files — per-block write overhead at
+        # 768 blocks cost ~2 s of a 32-CPU z15 run
+        rendered.write_parquet(
+            os.path.join(out_dir, "tiles"),
+            partition_cols=["part"],
+            min_rows_per_file=32768,
+        )
         wall = time.perf_counter() - t0
         if os.environ.get("RASTERTILER_RENDER_STATS"):
             print(
@@ -342,8 +350,11 @@ def _render_pyramid_jobs(
                 ["tile_hash", "addr"]
             )
 
+        # batch_size coalesces the fine render blocks (Ray bundles input
+        # blocks up to batch_size rows) so the narrow pass is a handful
+        # of tasks, each emitting one partial row per distinct hash
         narrow = tiles_source(["zoom", "x", "y", "tile_hash"]).map_batches(
-            pack_addr, batch_format="pyarrow"
+            pack_addr, batch_format="pyarrow", batch_size=1 << 20
         )
         # Winner election: pack_addr already reduced each block to one
         # (hash, min addr) partial row, so the global min-per-hash fits
@@ -377,10 +388,12 @@ def _render_pyramid_jobs(
             return batch.filter(mask).select(["tile_hash", "tile_data"])
 
         images = tiles_source(["zoom", "x", "y", "tile_hash", "tile_data"]).map_batches(
-            keep_winners, batch_format="pyarrow"
+            keep_winners, batch_format="pyarrow", batch_size=16384
         )
-        images.write_parquet(images_dir)
+        images.write_parquet(images_dir, min_rows_per_file=16384)
         wall = time.perf_counter() - t0
+        if os.environ.get("RASTERTILER_RENDER_STATS"):
+            print(f"RENDER_PHASES images={wall:.2f}s")
         rows = pads.dataset(images_dir, format="parquet").count_rows()
         manifest.record_complete("images", rows=rows, wall_s=wall)
 

@@ -45,12 +45,24 @@ class TileReadMixin:
     def read_decimated(
         self, x_off: int, y_off: int, read_w: int, read_h: int, out_w: int, out_h: int
     ) -> np.ndarray:
-        """NN-resampled read of (read_w, read_h) source px into (out_h, out_w)."""
+        """NN-resampled read of (read_w, read_h) source px into (out_h, out_w).
+
+        Evaluates the pixel function only at the UNIQUE source pixels the
+        NN mapping selects, then expands by a narrow-dtype gather.  For
+        oversampled tiles (zoom above native resolution) the NN index
+        arrays repeat each source pixel out/read times — evaluating
+        ``values_at`` on the full out_h×out_w grid hashed 65,536 uint64
+        coords (~4 MB of DRAM traffic) per 256px tile where the window
+        held ~16 unique pixels, which saturated the memory bus and
+        anti-scaled the 32-worker render.  Bit-identical output: the
+        pixel function is pure in the global coordinate.
+        """
         jj = nn_decimation_indices(out_w, read_w)
         ii = nn_decimation_indices(out_h, read_h)
-        cols = (x_off + jj)[None, :]
-        rows = (y_off + ii)[:, None]
-        return self.values_at(cols, rows)
+        uj, jinv = np.unique(jj, return_inverse=True)
+        ui, iinv = np.unique(ii, return_inverse=True)
+        vals = self.values_at((x_off + uj)[None, :], (y_off + ui)[:, None])
+        return vals[iinv][:, jinv]
 
     def read_tile(self, zoom: int, x: int, y: int, tilesize: int) -> np.ndarray | None:
         """Render one tile buffer, or None if empty. Ref src/dataset.rs:121-196."""

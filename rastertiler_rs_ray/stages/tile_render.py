@@ -54,7 +54,14 @@ class TileRenderer:
         raster_spec: dict,
         tilesize: int = 512,
         colormap: str | None = None,
+        part_lut: list[str] | None = None,
     ):
+        # part_lut: optional zoom→partition-label LUT; when given, each
+        # output batch carries a "part" column computed IN the actor so
+        # the render job is a single fused operator — a separate
+        # add-the-label task stage would push every PNG blob through a
+        # second object-store round trip (~1 GB per million tiles).
+        self.part_lut = None if part_lut is None else np.asarray(part_lut, dtype=object)
         self.raster = raster_from_spec(raster_spec)
         self.tilesize = int(tilesize)
         self.dtype = self.raster.dtype
@@ -104,7 +111,7 @@ class TileRenderer:
             out_hash.append(content_hash64(png))
             out_png.append(png)
 
-        return pa.table(
+        out = pa.table(
             {
                 "zoom": pa.array(out_z, type=pa.uint8()),
                 "x": pa.array(out_x, type=pa.uint32()),
@@ -115,6 +122,10 @@ class TileRenderer:
             },
             schema=TILE_SCHEMA,
         )
+        if self.part_lut is not None:
+            z = np.asarray(out_z, dtype=np.int64)
+            out = out.append_column("part", pa.array(self.part_lut[z], pa.string()))
+        return out
 
 
 def tms_flip_batch(batch: pa.Table) -> pa.Table:
