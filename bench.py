@@ -442,12 +442,15 @@ def run_scaling() -> dict:
                 RAY_GRAFT_CPUS=str(n),
                 GRAFT_SF_DIR=SF_DIR,
                 BENCH_CHILD_KIND=kind,
-                # z15 (~950k tiles): at z14 the 32-CPU render is a ~25 s
-                # job where pool spin-up + executor ramp (~3.3 s, measured
-                # via RASTERTILER_RENDER_STATS) eat 13% of the wall and
-                # the ratio measures fixed costs, not the engine — the
-                # render-side analog of the 400M-doc join volume below
-                BENCH_ZMAX=os.environ.get("BENCH_ZMAX", "15"),
+                # z16 (~3.8M tiles): after the unique-source-pixel kernel
+                # fix the 32-CPU z15 render finishes in ~37 s, of which
+                # pool spin-up + ramp + write/images (~7 s, measured via
+                # RASTERTILER_RENDER_STATS) are fixed — 17% of the wall,
+                # so the ratio measured fixed costs, not the engine.  One
+                # zoom deeper quadruples the compute and drops the fixed
+                # share under 5% — the render-side analog of the 400M-doc
+                # join volume below
+                BENCH_ZMAX=os.environ.get("BENCH_ZMAX", "16"),
                 # 4e9·sf docs: at 1e9·sf (100M) the 32-CPU join is
                 # fixed-cost-bound (pool spin-up + first-run warming eat
                 # ~40% of a 5 s wall) and the ratio measures overhead,

@@ -320,9 +320,15 @@ class GeoTiffRaster(TileReadMixin):
                 if f <= decim and f > factor:
                     ifd, factor = ov, f
         if ifd is self._main:
+            # gather only unique source pixels, expand by narrow-dtype
+            # fancy-index (same DRAM-traffic fix as TileReadMixin: an
+            # oversampled tile repeats each source pixel out/read times)
             jj = nn_decimation_indices(out_w, read_w)
             ii = nn_decimation_indices(out_h, read_h)
-            return self._gather(ifd, (x_off + jj)[None, :], (y_off + ii)[:, None])
+            uj, jinv = np.unique(jj, return_inverse=True)
+            ui, iinv = np.unique(ii, return_inverse=True)
+            vals = self._gather(ifd, (x_off + uj)[None, :], (y_off + ui)[:, None])
+            return vals[iinv][:, jinv]
         # map the request onto the overview grid, NN there (GDAL-style:
         # coarser grid, cheaper read, slightly less precise — exactly the
         # tradeoff --disable-overviews turns off)
