@@ -3067,6 +3067,34 @@ FROM lineitem
 """
 
 
+def orders_price_buckets(sf_dir: str):
+    """Equi-depth 4-bucket binning of o_totalprice: exact quartile
+    boundaries via the bounded-driver-state percentile selection, then
+    a map-only value-threshold assignment (deterministic under ties,
+    unlike NTILE)."""
+    from .relational import equi_depth_buckets
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return equi_depth_buckets(
+        orders, "o_totalprice", num_buckets=4, keep_cols=["o_orderkey"]
+    )
+
+
+SQL_ORDERS_PRICE_BUCKETS = """
+WITH b AS (
+  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS b1,
+         percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS b2,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS b3
+  FROM orders)
+SELECT o_orderkey,
+       CAST(CASE WHEN o_totalprice > b.b3 THEN 3
+                 WHEN o_totalprice > b.b2 THEN 2
+                 WHEN o_totalprice > b.b1 THEN 1
+                 ELSE 0 END AS BIGINT) AS bucket
+FROM orders, b
+"""
+
+
 def inverted_index_docs(sf_dir: str):
     """Distributed inverted-index build over documents: word -> (df,
     first-10 posting list as a comma-joined string)."""
@@ -3732,6 +3760,91 @@ FROM documents GROUP BY source, lang
 """
 
 
+def triangle_doc_links(sf_dir: str):
+    """Per-node triangle counts over a deterministic doc-link graph
+    with planted triangles: the ``doc_link_components`` chain edges
+    (doc_id % 10 != 0 → (doc_id-1, doc_id)) plus skip edges
+    (doc_id % 10 >= 2 → (doc_id-2, doc_id)), so each full chain of 10
+    ids carries 8 triangles (i-2, i-1, i).  Exercises the full
+    degree-oriented wedge + closing-join topology; the oracle counts
+    the same triangles by pure SQL self-joins."""
+    from .graph import triangle_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        c = did[did % 10 != 0]
+        s = did[did % 10 >= 2]
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([c - 1, s - 2]), pa.int64()),
+                "v": pa.array(np.concatenate([c, s]), pa.int64()),
+            }
+        )
+
+    return triangle_counts(docs.map_batches(edges, batch_format="pyarrow"))
+
+
+SQL_TRIANGLE_DOC_LINKS = """
+WITH e AS (
+  SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id - 2 AS a, doc_id AS b FROM documents WHERE doc_id % 10 >= 2
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+m AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM m GROUP BY node
+"""
+
+
+def pmi_bigrams_docs(sf_dir: str):
+    """Top-20 bigram collocations by PMI (min bigram count 3) — the
+    phrase-mining pass; counts are map-side partials, unigram counts
+    attach by distributed hash joins, score quantized to 1e-6."""
+    from .textstats import pmi_bigrams
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pmi_bigrams(docs, min_count=3, top_k=20)
+
+
+SQL_PMI_BIGRAMS = r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
+uni AS (SELECT unnest(arr) AS word FROM tok),
+ucnt AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY word),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM uni),
+idx AS (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i FROM tok
+        WHERE len(arr) >= 2),
+big AS (SELECT arr[CAST(i AS INT)] AS w1, arr[CAST(i AS INT) + 1] AS w2 FROM idx),
+btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM big),
+bcnt AS (SELECT w1, w2, COUNT(*) AS c_ab FROM big GROUP BY w1, w2
+         HAVING COUNT(*) >= 3),
+s AS (
+  SELECT bcnt.w1, bcnt.w2, CAST(bcnt.c_ab AS BIGINT) AS c_ab,
+         CAST(floor(
+           ln((CAST(bcnt.c_ab AS DOUBLE) * tot.t * tot.t)
+              / (btot.b * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+           * 1000000 + 0.5) AS BIGINT) AS score_e6
+  FROM bcnt
+  CROSS JOIN tot CROSS JOIN btot
+  JOIN ucnt u1 ON u1.word = bcnt.w1
+  JOIN ucnt u2 ON u2.word = bcnt.w2
+)
+SELECT w1, w2, c_ab, score_e6 FROM s
+ORDER BY score_e6 DESC, w1, w2 LIMIT 20
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -3783,7 +3896,10 @@ QUERIES = {
     ),
     "chunk_documents_docs": (chunk_documents_docs, SQL_CHUNK_DOCUMENTS),
     "user_rolling_hour_stats": (user_rolling_hour_stats, SQL_USER_ROLLING_HOUR_STATS),
-    # --- group 2: STANDARD oracled (first ~33 complete the window) ---
+    "triangle_doc_links": (triangle_doc_links, SQL_TRIANGLE_DOC_LINKS),
+    "pmi_bigrams_docs": (pmi_bigrams_docs, SQL_PMI_BIGRAMS),
+    "orders_price_buckets": (orders_price_buckets, SQL_ORDERS_PRICE_BUCKETS),
+    # --- group 2: STANDARD oracled (first ~35 complete the window) ---
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

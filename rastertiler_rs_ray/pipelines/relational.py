@@ -1221,3 +1221,42 @@ def grouped_percentiles(
         .groupby(by)
         .map_groups(pct, batch_format="pandas")
     )
+
+
+def equi_depth_buckets(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    num_buckets: int = 4,
+    keep_cols: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """Equi-depth (quantile) bucketing of a continuous column: assign
+    each row ``bucket = #{boundaries < value}`` ∈ [0, num_buckets-1]
+    where the boundaries are the EXACT percentile_disc values at
+    q = i/num_buckets — the standard feature-binning / stratification
+    pass before sampling or skew-aware repartitioning.
+
+    Unlike NTILE (which splits ties arbitrarily by row order), the
+    value-threshold rule is a pure function of the value, so the
+    assignment is deterministic and SQL-reproducible even with
+    duplicate values (all duplicates of a boundary land in the same
+    bucket, making bucket sizes approximate exactly when values repeat
+    — documented, matches the oracle by construction).
+
+    Scale contract: boundary discovery is ``continuous_percentiles``
+    (bounded driver state, ~2 scans); assignment is one map-only pass
+    comparing against the O(num_buckets) broadcast boundary vector —
+    no shuffle anywhere.
+    """
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    row = continuous_percentiles(ds, col, qs)
+    bounds = np.asarray([float(row.iloc[0][c]) for c in row.columns], np.float64)
+    cols = list(keep_cols) if keep_cols is not None else None
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = (v[:, None] > bounds[None, :]).sum(axis=1).astype(np.int64)
+        base = t.select(cols) if cols is not None else t
+        return base.append_column("bucket", pa.array(b, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

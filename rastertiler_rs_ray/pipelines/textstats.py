@@ -788,3 +788,121 @@ def bm25_topk(
 
     cand = docs.map_batches(score, batch_format="pandas")
     return cand.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def pmi_bigrams(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 20,
+) -> ray.data.Dataset:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic phrase-mining / tokenizer-merge-candidate pass over a text
+    corpus.  PMI(a,b) = ln(p(ab) / (p(a)·p(b))) with p(ab) over the
+    bigram total and p(·) over the unigram total, i.e.
+    ``ln((c_ab·T·T) / (B·c_a·c_b))`` — emitted quantized
+    (``score_e6 = floor(pmi·1e6 + 0.5)``) so the DuckDB oracle compares
+    bit-for-bit (same libm, same float op order).
+
+    Scale contract: bigram and unigram counts are map-side partials
+    (per-block ``value_counts``) so each exchange moves blocks×vocab
+    rows, never corpus-length token streams; unigram counts attach to
+    the surviving (``c_ab ≥ min_count``) bigrams via two distributed
+    hash joins — no vocab table ever lands on the driver.  The final
+    top-k is a per-block partial top-k into a single-partition merge,
+    O(blocks·k) rows.  Ties break on (w1, w2) ascending in both
+    engines, so the cut is deterministic.
+    """
+    from .relational import grouped_aggregate, shuffle_hash_join
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.findall(r"\S+")
+        toks = toks[toks.str.len() >= 2]
+        if not len(toks):
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=object),
+                 "w2": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        w1 = np.concatenate([np.asarray(t[:-1], dtype=object) for t in toks])
+        w2 = np.concatenate([np.asarray(t[1:], dtype=object) for t in toks])
+        vc = pd.DataFrame({"w1": w1, "w2": w2}).value_counts(sort=False)
+        out = vc.index.to_frame(index=False)
+        out["n"] = vc.to_numpy(dtype=np.int64)
+        return out
+
+    bcnt = grouped_aggregate(
+        docs.map_batches(bigram_partial, batch_format="pandas"),
+        ["w1", "w2"],
+        [("c_ab", "n", "sum")],
+    )
+    # the bigram total is the corpus token count minus one per >=1-token
+    # doc; count both scalars in one cheap pass of narrow partials
+    totals = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "toks": [int(df[text_col].str.count(r"\S+").sum())],
+                "bigs": [int((df[text_col].str.count(r"\S+")
+                              .clip(lower=1) - 1).sum())],
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    t_total = float(totals["toks"].sum())
+    b_total = float(totals["bigs"].sum())
+
+    ucnt = word_counts(docs, text_col=text_col)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("c_ab"), pa.scalar(min_count, pa.int64()))
+        return t.filter(keep)
+
+    surv = bcnt.map_batches(survivors, batch_format="pyarrow")
+    j1 = shuffle_hash_join(surv, ucnt, on="w1", right_on="word")
+
+    def keep1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "c_ab": pa.array([], pa.int64()), "c_a": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"w1": t.column("w1"), "w2": t.column("w2"),
+             "c_ab": pc.cast(t.column("c_ab"), pa.int64()),
+             "c_a": pc.cast(t.column("n"), pa.int64())}
+        )
+
+    j2 = shuffle_hash_join(
+        j1.map_batches(keep1, batch_format="pyarrow"), ucnt,
+        on="w2", right_on="word",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+             "c_ab": pa.array([], pa.int64()), "score_e6": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return empty
+        c_ab = np.asarray(t.column("c_ab"), dtype=np.float64)
+        c_a = np.asarray(t.column("c_a"), dtype=np.float64)
+        c_b = np.asarray(t.column("n"), dtype=np.float64)
+        # float op order mirrors the SQL oracle exactly:
+        # ln((c_ab*T*T) / (B*c_a*c_b))
+        pmi = np.log((c_ab * t_total * t_total) / (b_total * c_a * c_b))
+        e6 = np.floor(pmi * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {"w1": t.column("w1"), "w2": t.column("w2"),
+             "c_ab": pc.cast(t.column("c_ab"), pa.int64()),
+             "score_e6": pa.array(e6, pa.int64())}
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["score_e6", "w1", "w2"], ascending=[False, True, True]
+        ).head(top_k)
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    partial = scored.map_batches(topk, batch_format="pandas")
+    return partial.repartition(1).map_batches(topk, batch_format="pandas")

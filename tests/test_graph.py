@@ -73,3 +73,76 @@ def test_pagerank_empty_edges(ray_session):
     t = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
     out = pagerank(ray.data.from_arrow(t))
     assert out.count() == 0 and out.schema().names == ["node", "rank"]
+
+
+# ---------------------------------------------------------------- triangles
+
+
+from itertools import combinations
+
+from rastertiler_rs_ray.pipelines.graph import triangle_counts
+
+
+def _brute_triangles(edges):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    cnt = {}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            for n in (x, y, z):
+                cnt[n] = cnt.get(n, 0) + 1
+    return cnt
+
+
+def _run_tri(edges):
+    t = pa.table(
+        {
+            "u": pa.array([u for u, _ in edges], pa.int64()),
+            "v": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    # take_all, not to_pandas: Ray 2.49.2's to_pandas returns a
+    # zero-COLUMN frame for any empty dataset regardless of schema
+    rows = triangle_counts(ray.data.from_arrow(t).repartition(4)).take_all()
+    return {r["node"]: r["triangles"] for r in rows}
+
+
+def test_triangles_random_graph_conformance(ray_session):
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(260, 2))
+    ]
+    assert _run_tri(edges) == _brute_triangles(edges)
+
+
+def test_triangles_direction_dups_selfloops_ignored(ray_session):
+    # K3 expressed redundantly: both directions, dups, plus a self-loop
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (1, 1)]
+    assert _run_tri(edges) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_k4_counts(ray_session):
+    # K4: each node sits in C(3,2) = 3 triangles
+    edges = [(a, b) for a, b in combinations(range(4), 2)]
+    assert _run_tri(edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_hub_skew_star_has_none(ray_session):
+    # star graph: a high-degree hub but zero triangles (orientation
+    # must not blow up the hub's group: spokes have degree 1 so every
+    # edge orients spoke -> hub and the hub emits no wedge)
+    edges = [(0, i) for i in range(1, 25)]
+    assert _run_tri(edges) == {}
+
+
+def test_triangles_planted_chain_skips(ray_session):
+    # the triangle_doc_links graph at N=30: 8 triangles per chain of 10
+    edges = [(i - 1, i) for i in range(30) if i % 10 != 0] + [
+        (i - 2, i) for i in range(30) if i % 10 >= 2
+    ]
+    got = _run_tri(edges)
+    want = _brute_triangles(edges)
+    assert got == want
+    assert sum(want.values()) == 3 * 8 * 3  # 3 chains x 8 triangles x 3 nodes

@@ -722,3 +722,47 @@ def test_shuffle_hash_join_sparse_keys_empty_blocks(ray_session):
     out = shuffle_hash_join(eds, deg, on="u", num_partitions=8).to_pandas()
     assert len(out) == 3
     assert dict(zip(out["u"], out["d"])) == {0: 1, 2: 1, 3: 1}
+
+
+def test_equi_depth_buckets_matches_threshold_rule(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import equi_depth_buckets
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(100.0, 25.0, size=500)
+    t = pa.table({"k": pa.array(np.arange(500), pa.int64()),
+                  "v": pa.array(v, pa.float64())})
+    out = (
+        equi_depth_buckets(
+            ray.data.from_arrow(t).repartition(6), "v",
+            num_buckets=4, keep_cols=["k"],
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    s = np.sort(v)
+    n = len(s)
+    bounds = [s[max(int(np.ceil(q * n)), 1) - 1] for q in (0.25, 0.5, 0.75)]
+    want = np.sum(v[:, None] > np.asarray(bounds)[None, :], axis=1)
+    assert list(out["bucket"]) == list(want)
+    # equi-depth: each bucket holds ~n/4 rows (exactly, distinct values)
+    sizes = out["bucket"].value_counts().sort_index().to_numpy()
+    assert sizes.tolist() == [125, 125, 125, 125]
+
+
+def test_equi_depth_buckets_duplicate_values_deterministic(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import equi_depth_buckets
+
+    # heavy ties: all duplicates of a boundary value share one bucket
+    v = np.repeat([1.0, 2.0, 3.0, 4.0], 25)
+    t = pa.table({"k": pa.array(np.arange(100), pa.int64()),
+                  "v": pa.array(v, pa.float64())})
+    out = (
+        equi_depth_buckets(
+            ray.data.from_arrow(t).repartition(4), "v",
+            num_buckets=4, keep_cols=["k"],
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    got = out.groupby(out["k"] // 25)["bucket"].nunique()
+    assert (got == 1).all()  # each tie-class maps to exactly one bucket

@@ -655,3 +655,60 @@ def test_temperature_sample_caps_at_source_size(ray_session):
     ).to_pandas()
     by = out.groupby("source")["doc_id"].count()
     assert by["b"] == 10 and by["a"] == 250
+
+
+# ---------------------------------------------------------------- PMI
+
+
+def _brute_pmi(texts, min_count=2, top_k=10):
+    import math
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    n_big = 0
+    for t in texts:
+        toks = re.findall(r"\S+", t)
+        uni.update(toks)
+        big.update(zip(toks[:-1], toks[1:]))
+        n_big += max(len(toks) - 1, 0)
+    n_uni = sum(uni.values())
+    rows = []
+    for (a, b), c in big.items():
+        if c < min_count:
+            continue
+        pmi = math.log((c * float(n_uni) * n_uni) / (float(n_big) * uni[a] * uni[b]))
+        rows.append((a, b, c, int(math.floor(pmi * 1e6 + 0.5))))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:top_k]
+
+
+def test_pmi_bigrams_matches_brute(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import pmi_bigrams
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = []
+    for i in range(60):
+        toks = list(rng.choice(vocab, size=rng.integers(0, 9)))
+        if i % 4 == 0:
+            toks += ["new", "york"]  # planted collocation
+        texts.append(" ".join(toks))
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(5)
+    out = pmi_bigrams(docs, min_count=2, top_k=10).to_pandas()
+    got = list(zip(out["w1"], out["w2"], out["c_ab"], out["score_e6"]))
+    assert got == _brute_pmi(texts, min_count=2, top_k=10)
+    # the planted pair must rank first
+    assert got[0][:2] == ("new", "york")
+
+
+def test_pmi_bigrams_empty_and_short_docs(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import pmi_bigrams
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "solo", "a b"]})
+    )
+    out = pmi_bigrams(docs, min_count=1, top_k=5).to_pandas()
+    assert list(zip(out["w1"], out["w2"])) == [("a", "b")]
+    assert list(out["c_ab"]) == [1]
