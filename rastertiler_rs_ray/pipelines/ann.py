@@ -978,3 +978,66 @@ def similarity_threshold_join(
         )
 
     return corpus.map_batches(match, batch_format="pyarrow")
+
+
+def quantize_embeddings_int8(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Row-wise symmetric int8 quantization of an embedding column —
+    the standard 4x shrink before ANN index build / shipping vectors
+    across the wire: per-vector ``scale = max|x| / 127`` and
+    ``q = floor(x / scale + 0.5)`` ∈ [-127, 127].  Output is EXPLODED
+    to ``(id, dim, q)`` scalar rows so the result is engine-agnostic
+    (list-value reprs differ across Arrow/pandas/DuckDB; scalars hash
+    identically).
+
+    Determinism: all arithmetic is float64 (float32 inputs promote
+    exactly), and the half-up rule ``floor(x*127/m + 0.5)`` is spelled
+    identically in numpy and SQL — no round()-convention coupling.
+    All-zero vectors quantize to all-zero rows.
+
+    Scale contract: map-only (the per-vector max needs no aggregate),
+    zero-copy Arrow list offsets, one vectorized ``reduceat`` per
+    batch — no Python loop, no shuffle, embarrassingly resumable.
+    """
+
+    def quant(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "q": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        arr = t.column(vec_col).combine_chunks()
+        flat = np.asarray(arr.values, dtype=np.float64)
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        if len(flat) == 0:
+            return empty
+        lens = np.diff(offs)
+        ids = np.repeat(np.asarray(t.column(id_col), dtype=np.int64), lens)
+        dims = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
+            offs[:-1], lens
+        )
+        # segment absmax; clip start indices so empty rows (dropped by
+        # the repeat anyway) cannot push reduceat out of bounds
+        starts = np.minimum(offs[:-1], len(flat) - 1)
+        mx = np.maximum.reduceat(np.abs(flat), starts)
+        mx_rep = np.repeat(mx, lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(flat * 127.0 / mx_rep + 0.5)
+        q = np.where(mx_rep == 0.0, 0.0, q).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "q": pa.array(q, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")

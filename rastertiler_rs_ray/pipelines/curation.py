@@ -932,3 +932,139 @@ def temperature_sample(
         .groupby(source_col)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def leakage_safe_split(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+) -> ray.data.Dataset:
+    """Near-dup-aware train/eval split: every document of a near-
+    duplicate component lands on the SAME side, so an eval example can
+    never leak into train through a paraphrase or copy — the standard
+    contamination failure of row-wise random splits (and the reason
+    production splits key on cluster/domain, not on the row).
+
+    ``pairs`` (columns ``u``, ``v``) is the near-dup pair stream any of
+    the dedup families emits (minhash/simhash/ngram/embedding verified
+    pairs, exact-hash groups, link edges).  Components resolve through
+    ``connected_components`` (sharded two-level union-find); a doc
+    without a pair is its own component.  The side is
+    ``splitmix64(component) % 100 < train_pct`` — deterministic,
+    seedless, resumable, and exactly reproducible in SQL.
+
+    Scale contract: the component table is candidate-pair-sized (only
+    docs that HAVE a near-dup), never corpus-sized; the one corpus-wide
+    exchange is the narrow (id ⋈ node) left hash join; hashing and
+    labeling are map-only.  Output: (id, component, split).
+    """
+    from .dedup import connected_components
+    from .relational import shuffle_hash_join
+
+    comp = connected_components(pairs)  # (node, component)
+    # Ray 2.49.2 strips schemas off all-empty datasets (zero-COLUMN
+    # blocks), crashing the hash join when ``pairs`` is empty.  Union a
+    # sentinel row keyed on int64-min — no real doc id, so left_outer
+    # simply drops it — to keep the right side schema-ful always.
+    sent = -(1 << 63)
+    comp = comp.union(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([sent], pa.int64()),
+                    "component": pa.array([sent], pa.int64()),
+                }
+            )
+        )
+    )
+    joined = shuffle_hash_join(
+        docs.select_columns([id_col]), comp,
+        on=id_col, right_on="node", join_type="left_outer",
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                    "split": pa.array([], pa.string()),
+                }
+            )
+        own = pc.cast(t.column(id_col), pa.int64())
+        comp_v = (
+            pc.coalesce(pc.cast(t.column("component"), pa.int64()), own)
+            if "component" in t.column_names
+            else own
+        )
+        cv = np.asarray(comp_v, dtype=np.int64)
+        h = _mix64_i64(cv)
+        train = (h % np.uint64(100)) < np.uint64(train_pct)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "component": pa.array(cv, pa.int64()),
+                "split": pa.array(
+                    np.where(train, "train", "eval"), pa.string()
+                ),
+            }
+        )
+
+    return joined.map_batches(label, batch_format="pyarrow")
+
+
+def training_shards(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic global pseudo-shuffle + sharding for training
+    export: ``shard = splitmix64(id) % num_shards`` and ``pos`` = the
+    doc's rank within its shard ordered by ``(splitmix64(id), id)``.
+    Reading shards round-robin replays a uniform-at-random document
+    order WITHOUT ever running a true ``random_shuffle`` — the hash IS
+    the permutation, so the order is seedless, reproducible, resumable
+    per shard, and identical however the input was partitioned (the
+    standard trick for epoch shuffling at 100 TB, where an all-to-all
+    random shuffle per epoch is unpayable).
+
+    Scale contract: one narrow (id, shard, hash) groupby exchange;
+    ranks are assigned per shard inside ``map_groups`` (vectorized
+    argsort over one shard ≈ corpus/num_shards rows); doc payloads
+    never move — join the output back or pass ``docs`` already pruned
+    to ids, then write with ``checkpointed_write`` partitioned on
+    ``shard``.
+    """
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        h = _mix64_i64(ids)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "shard": pa.array(
+                    (h % np.uint64(num_shards)).astype(np.int64), pa.int64()
+                ),
+                "__h": pa.array(h.view(np.int64), pa.int64()),
+            }
+        )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        # unsigned hash order (the int64 view flips sign on big hashes)
+        hu = df["__h"].to_numpy().view(np.uint64)
+        order = np.lexsort((df[id_col].to_numpy(), hu))
+        out = df.iloc[order].reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                id_col: out[id_col].to_numpy(),
+                "shard": out["shard"].to_numpy(),
+                "pos": np.arange(len(out), dtype=np.int64),
+            }
+        )
+
+    keyed_ds = docs.select_columns([id_col]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    return keyed_ds.groupby("shard").map_groups(rank, batch_format="pandas")

@@ -3845,6 +3845,222 @@ ORDER BY score_e6 DESC, w1, w2 LIMIT 20
 """
 
 
+def lm_quality_buckets_docs(sf_dir: str):
+    """CCNet-style head/middle/tail LM-quality bucketing: unigram-LM
+    scores quantized e4, equi-depth tertile boundaries via tie-safe
+    counting quantiles, map-only value-threshold assignment."""
+    from .textstats import lm_quality_buckets
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_quality_buckets(docs)
+
+
+SQL_LM_QUALITY_BUCKETS = r"""
+WITH counts0 AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+  GROUP BY w
+),
+tot AS (SELECT sum(c) AS t FROM counts0),
+counts AS (
+  SELECT w, c FROM counts0
+  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 1048576
+),
+docwords AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+scores AS (
+  SELECT d.doc_id,
+         CAST(round(avg(coalesce(ln(c / (SELECT t FROM tot)),
+                                 ln(0.5 / (SELECT t FROM tot)))) * 10000.0, 0)
+              AS BIGINT) AS mean_lp_e4
+  FROM docwords d LEFT JOIN counts USING (w)
+  GROUP BY d.doc_id
+),
+b AS (
+  SELECT quantile_disc(mean_lp_e4, 1.0/3) AS b1,
+         quantile_disc(mean_lp_e4, 2.0/3) AS b2
+  FROM scores
+)
+SELECT s.doc_id, s.mean_lp_e4,
+       CASE WHEN s.mean_lp_e4 > b.b2 THEN 'head'
+            WHEN s.mean_lp_e4 > b.b1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores s, b
+"""
+
+
+def quantize_embeddings_docs(sf_dir: str):
+    """Row-wise symmetric int8 quantization of the embeddings table,
+    exploded to (vec_id, dim, q) scalar rows."""
+    from .ann import quantize_embeddings_int8
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return quantize_embeddings_int8(emb)
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+       CASE WHEN mx = 0 THEN 0
+            ELSE CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 127.0 / mx
+                            + 0.5) AS BIGINT)
+       END AS q
+FROM m
+"""
+
+
+def training_shards_docs(sf_dir: str):
+    """Deterministic pseudo-shuffle sharding: shard = splitmix64(id) %
+    16, pos = unsigned-hash rank within the shard — the epoch-shuffle
+    primitive that replaces a true random_shuffle at scale."""
+    from .curation import training_shards
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return training_shards(docs, num_shards=16)
+
+
+def _sql_training_shards(num_shards: int = 16) -> str:
+    m64, m32 = 1 << 64, 1 << 32
+
+    def wrapmul(h: str, k: int) -> str:
+        return (
+            f"CAST((CAST({h} AS HUGEINT) * {k & (m32 - 1)}"
+            f" + ((CAST({h} AS HUGEINT) * {k >> 32}) % {m32}) * {m32})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH u AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS x FROM documents),
+s1 AS (SELECT doc_id, xor(x, x >> 30) AS a FROM u),
+s2 AS (SELECT doc_id, {wrapmul('a', 0xBF58476D1CE4E5B9)} AS b FROM s1),
+s3 AS (SELECT doc_id, xor(b, b >> 27) AS c FROM s2),
+s4 AS (SELECT doc_id, {wrapmul('c', 0x94D049BB133111EB)} AS d FROM s3),
+s5 AS (SELECT doc_id, xor(d, d >> 31) AS h FROM s4)
+SELECT doc_id,
+       CAST(h % {num_shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {num_shards}
+                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM s5
+"""
+
+
+SQL_TRAINING_SHARDS = _sql_training_shards()
+
+
+def dsir_weights_docs(sf_dir: str):
+    """DSIR unigram importance weights: target = every 7th document (a
+    deterministic 'domain' subset), source = the full corpus; weight =
+    mean per-token target/source log-likelihood ratio, e4-quantized."""
+    from .textstats import dsir_importance_weights
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep_target(t: pa.Table) -> pa.Table:
+        did = np.asarray(t.column("doc_id"))
+        return t.filter(pa.array(did % 7 == 0))
+
+    target = docs.map_batches(keep_target, batch_format="pyarrow")
+    return dsir_importance_weights(docs, target)
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH src0 AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+  GROUP BY w
+),
+stot AS (SELECT sum(c) AS t FROM src0),
+src AS (
+  SELECT w, c FROM src0
+  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 1048576
+),
+tgt0 AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w
+        FROM documents WHERE doc_id % 7 = 0)
+  GROUP BY w
+),
+ttot AS (SELECT sum(c) AS t FROM tgt0),
+tgt AS (
+  SELECT w, c FROM tgt0
+  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 1048576
+),
+docwords AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+)
+SELECT d.doc_id,
+       CAST(round(avg(
+             coalesce(ln(tg.c / (SELECT t FROM ttot)),
+                      ln(0.5 / (SELECT t FROM ttot)))
+           - coalesce(ln(s.c / (SELECT t FROM stot)),
+                      ln(0.5 / (SELECT t FROM stot)))
+           ) * 10000.0, 0) AS BIGINT) AS weight_e4
+FROM docwords d
+LEFT JOIN src s ON s.w = d.w
+LEFT JOIN tgt tg ON tg.w = d.w
+GROUP BY d.doc_id
+"""
+
+
+def leakage_safe_split_docs(sf_dir: str):
+    """Near-dup-aware 80/20 train-eval split over the deterministic
+    doc-link chains (component = doc_id - doc_id % 10 closed form):
+    every chain lands wholly on one side, side chosen by
+    splitmix64(component) % 100."""
+    from .curation import leakage_safe_split
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        keep = did % 10 != 0
+        u = did[keep]
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(u - 1, pa.int64())}
+        )
+
+    return leakage_safe_split(
+        docs, docs.map_batches(edges, batch_format="pyarrow"), train_pct=80
+    )
+
+
+def _sql_leakage_safe_split(train_pct: int = 80) -> str:
+    """DuckDB mirror: closed-form chain component, then the splitmix64
+    wrapping-multiply HUGEINT chain over the component id."""
+    m64, m32 = 1 << 64, 1 << 32
+
+    def wrapmul(h: str, k: int) -> str:
+        return (
+            f"CAST((CAST({h} AS HUGEINT) * {k & (m32 - 1)}"
+            f" + ((CAST({h} AS HUGEINT) * {k >> 32}) % {m32}) * {m32})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH c AS (SELECT doc_id, CAST(doc_id - doc_id % 10 AS BIGINT) AS component
+           FROM documents),
+u AS (SELECT doc_id, component, CAST(component AS UBIGINT) AS x FROM c),
+s1 AS (SELECT doc_id, component, xor(x, x >> 30) AS a FROM u),
+s2 AS (SELECT doc_id, component, {wrapmul('a', 0xBF58476D1CE4E5B9)} AS b FROM s1),
+s3 AS (SELECT doc_id, component, xor(b, b >> 27) AS c2 FROM s2),
+s4 AS (SELECT doc_id, component, {wrapmul('c2', 0x94D049BB133111EB)} AS d FROM s3),
+s5 AS (SELECT doc_id, component, xor(d, d >> 31) AS h FROM s4)
+SELECT doc_id, component,
+       CASE WHEN h % 100 < {train_pct} THEN 'train' ELSE 'eval' END AS split
+FROM s5
+"""
+
+
+SQL_LEAKAGE_SAFE_SPLIT = _sql_leakage_safe_split()
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -3899,6 +4115,11 @@ QUERIES = {
     "triangle_doc_links": (triangle_doc_links, SQL_TRIANGLE_DOC_LINKS),
     "pmi_bigrams_docs": (pmi_bigrams_docs, SQL_PMI_BIGRAMS),
     "orders_price_buckets": (orders_price_buckets, SQL_ORDERS_PRICE_BUCKETS),
+    "lm_quality_buckets_docs": (lm_quality_buckets_docs, SQL_LM_QUALITY_BUCKETS),
+    "leakage_safe_split_docs": (leakage_safe_split_docs, SQL_LEAKAGE_SAFE_SPLIT),
+    "dsir_weights_docs": (dsir_weights_docs, SQL_DSIR_WEIGHTS),
+    "training_shards_docs": (training_shards_docs, SQL_TRAINING_SHARDS),
+    "quantize_embeddings_docs": (quantize_embeddings_docs, SQL_QUANTIZE_EMBEDDINGS),
     # --- group 2: STANDARD oracled (first ~35 complete the window) ---
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),

@@ -10,6 +10,8 @@ task-based stages for cheap kernels.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -906,3 +908,137 @@ def pmi_bigrams(
     scored = j2.map_batches(score, batch_format="pyarrow")
     partial = scored.map_batches(topk, batch_format="pandas")
     return partial.repartition(1).map_batches(topk, batch_format="pandas")
+
+
+def lm_quality_buckets(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 1 << 20,
+    qs: Sequence[float] = (1 / 3, 2 / 3),
+    labels: Sequence[str] = ("tail", "middle", "head"),
+) -> ray.data.Dataset:
+    """CCNet-style LM-quality bucketing: score every document with the
+    corpus unigram LM (``unigram_logprob_scores``), then label each doc
+    ``head`` / ``middle`` / ``tail`` by equi-depth tertiles of the score
+    — the standard pre-training split that keeps only the most fluent
+    slice of a crawl (CCNet trains on *head*, audits *middle*, drops
+    *tail*).  Higher mean log-probability = lower perplexity = better,
+    so the TOP tertile is ``head``.
+
+    Cross-engine determinism: scores are quantized to e4 integers
+    (the ``doc_lm_scores`` contract) BEFORE bucketing, so the boundary
+    comparison is integer-exact in both engines; boundaries come from
+    ``discrete_quantiles`` (tie-safe counting quantiles, matching
+    DuckDB ``quantile_disc``), and assignment is the same value-
+    threshold rule as ``equi_depth_buckets`` (``#{boundaries < v}``) —
+    deterministic under ties, unlike NTILE.
+
+    Scale contract: one LM-scoring pass (broadcast vocab, bounded by
+    ``max_vocab``); the quantized score table (two int64 columns) is
+    materialized once and scanned twice (boundary counting + map-only
+    assignment); boundary state on the driver is O(len(qs)).  Docs with
+    no tokens score 0.0 (the ``unigram_logprob_scores`` convention) and
+    so land in the top bucket — filter empties upstream if that is not
+    wanted.
+    """
+    from .relational import discrete_quantiles
+
+    scored = unigram_logprob_scores(
+        docs, text_col=text_col, id_col=id_col, max_vocab=max_vocab
+    )
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = np.round(
+            t.column("mean_lp").to_numpy(zero_copy_only=False) * 1e4
+        ).astype(np.int64)
+        return pa.table(
+            {id_col: t.column(id_col), "mean_lp_e4": pa.array(v, pa.int64())}
+        )
+
+    e4 = scored.map_batches(quant, batch_format="pyarrow").materialize()
+    qt = discrete_quantiles(e4, "mean_lp_e4", list(qs))
+    bounds = np.sort(
+        np.asarray([r["value"] for r in qt.to_pylist()], dtype=np.int64)
+    )
+    if len(bounds) != len(labels) - 1:
+        raise ValueError("need len(labels) == len(qs) + 1")
+    lab = np.asarray(list(labels), dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    "mean_lp_e4": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.string()),
+                }
+            )
+        v = t.column("mean_lp_e4").to_numpy()
+        b = (v[:, None] > bounds[None, :]).sum(axis=1)
+        return t.append_column("bucket", pa.array(lab[b], pa.string()))
+
+    return e4.map_batches(assign, batch_format="pyarrow")
+
+
+def dsir_importance_weights(
+    docs: ray.data.Dataset,
+    target: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 1 << 20,
+) -> ray.data.Dataset:
+    """DSIR-style data-selection importance weights (the unigram-LM
+    variant of Xie et al. 2023): score every candidate document by the
+    mean per-token log-likelihood RATIO between a small ``target``
+    corpus (the domain you want more of) and the full ``docs`` source
+    corpus — ``weight = avg_t [ ln p_target(t) − ln p_source(t) ]``.
+    Positive = looks more like the target than like the crawl; feed the
+    output to ``equi_depth_buckets`` / ``select_by_token_budget`` /
+    ``hash_sample`` for the actual selection step.
+
+    Both LMs are corpus word-count aggregates with the
+    ``unigram_logprob_scores`` conventions: vocab bounded distributed
+    (``_bounded_vocab``, count-desc/word-asc cut), totals stay FULL
+    corpus token counts, out-of-vocab floors at ``ln(0.5 / total)``
+    per side.  Weights are e4-quantized for cross-engine hash
+    stability.
+
+    Scale contract: two count aggregates (vocab-partial exchange), two
+    bounded broadcast tables via ``ray.put``, one vectorized map-only
+    scoring pass (explode → two Series.map lookups → groupby-mean) —
+    the target side is small by definition (a benchmark / curated set),
+    and neither LM table can exceed ``max_vocab`` on any heap.
+    """
+    import math
+
+    import ray as _ray
+
+    def _lm(corpus: ray.data.Dataset) -> tuple[pd.Series, float]:
+        counts_ds = word_counts(corpus, text_col=text_col).materialize()
+        total = float(counts_ds.sum("n"))
+        counts = _bounded_vocab(counts_ds, value_col="n", max_vocab=max_vocab)
+        table = pd.Series(
+            np.log(counts["n"].to_numpy(dtype=np.float64) / total),
+            index=counts["word"].astype(str),
+        )
+        return table, math.log(0.5 / total)
+
+    src_ref = _ray.put(_lm(docs))
+    tgt_ref = _ray.put(_lm(target))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        s_tbl, s_floor = _ray.get(src_ref)
+        t_tbl, t_floor = _ray.get(tgt_ref)
+        toks = df[text_col].str.findall(r"\S+").reset_index(drop=True)
+        flat = toks.explode().dropna()
+        w_tok = flat.map(t_tbl).fillna(t_floor) - flat.map(s_tbl).fillna(s_floor)
+        mean_w = w_tok.groupby(level=0).mean().reindex(
+            range(len(df)), fill_value=0.0
+        )
+        e4 = np.round(mean_w.to_numpy() * 1e4).astype(np.int64)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "weight_e4": e4})
+
+    return docs.map_batches(score, batch_format="pandas")

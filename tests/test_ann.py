@@ -409,3 +409,37 @@ def test_similarity_threshold_join_matches_numpy(ray_session):
     # scaled-integer similarity matches the float to 1e-9
     for _, r in out.head(50).iterrows():
         assert abs(r["sim_e9"] - round(sims[r["vec_id"], r["probe_id"]] * 1e9)) <= 1
+
+
+def test_quantize_embeddings_int8_conformance(ray_session):
+    from rastertiler_rs_ray.pipelines.ann import quantize_embeddings_int8
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    vecs[7] = 0.0  # all-zero vector quantizes to zeros
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        quantize_embeddings_int8(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    x = vecs.astype(np.float64)
+    mx = np.abs(x).max(axis=1)
+    exp = np.floor(x * 127.0 / np.where(mx == 0, 1, mx)[:, None] + 0.5)
+    exp = np.where(mx[:, None] == 0, 0, exp).astype(np.int64)
+    assert len(out) == 40 * 8
+    got = out["q"].to_numpy().reshape(40, 8)
+    assert (got == exp).all()
+    assert np.abs(got).max() <= 127
+    assert (got[7] == 0).all()
+    # every vector's max-magnitude dim hits exactly +/-127
+    nz = np.delete(np.arange(40), 7)
+    assert (np.abs(got[nz]).max(axis=1) == 127).all()

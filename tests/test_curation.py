@@ -1,6 +1,7 @@
 """Curation operators: decontamination, sequence packing, repetition."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -510,3 +511,126 @@ def test_chunk_documents_covers_every_token(ray_session):
         for ct in got.loc[got["doc_id"] == did, "chunk_text"]:
             covered.update(ct.split())
         assert covered == toks, did
+
+
+def _brute_split(doc_ids, pairs, train_pct=80):
+    """Reference union-find + splitmix64 side rule."""
+    parent = {d: d for d in doc_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    from rastertiler_rs_ray.pipelines.curation import _mix64_i64
+
+    out = {}
+    for d in doc_ids:
+        comp = find(d)
+        h = int(_mix64_i64(np.asarray([comp], dtype=np.int64))[0])
+        out[d] = (comp, "train" if h % 100 < train_pct else "eval")
+    return out
+
+
+def test_leakage_safe_split_conformance(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import leakage_safe_split
+
+    rng = np.random.RandomState(11)
+    doc_ids = list(range(200))
+    # planted near-dup clusters of sizes 2..6 plus many singletons
+    pairs = []
+    base = 0
+    for size in (2, 3, 4, 5, 6):
+        members = list(range(base, base + size))
+        pairs += [(members[i], members[i + 1]) for i in range(size - 1)]
+        base += size + 7
+    pairs += [(150, 151), (151, 152)]
+    docs = ray.data.from_pandas(pd.DataFrame({"doc_id": doc_ids})).repartition(4)
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": [u for u, _ in pairs], "v": [v for _, v in pairs]})
+    )
+    out = (
+        leakage_safe_split(docs, edges, train_pct=80)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    exp = _brute_split(doc_ids, pairs)
+    assert list(out["component"]) == [exp[d][0] for d in doc_ids]
+    assert list(out["split"]) == [exp[d][1] for d in doc_ids]
+    # the invariant that motivates the operator: one component, one side
+    g = out.groupby("component")["split"].nunique()
+    assert (g == 1).all()
+    # both sides are populated at this size
+    assert set(out["split"]) == {"train", "eval"}
+
+
+def test_leakage_safe_split_no_pairs_is_row_hash(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import leakage_safe_split
+
+    doc_ids = list(range(50))
+    docs = ray.data.from_pandas(pd.DataFrame({"doc_id": doc_ids}))
+    edges = ray.data.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    out = (
+        leakage_safe_split(docs, edges, train_pct=80)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    exp = _brute_split(doc_ids, [])
+    assert list(out["component"]) == doc_ids
+    assert list(out["split"]) == [exp[d][1] for d in doc_ids]
+
+
+def test_training_shards_conformance(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import _mix64_i64, training_shards
+
+    ids = np.arange(300, dtype=np.int64)
+    docs = ray.data.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(5)
+    out = (
+        training_shards(docs, num_shards=8)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    h = _mix64_i64(ids)
+    exp = pd.DataFrame(
+        {"doc_id": ids, "shard": (h % np.uint64(8)).astype(np.int64), "h": h}
+    )
+    exp = exp.sort_values(["shard", "h", "doc_id"]).reset_index(drop=True)
+    exp["pos"] = exp.groupby("shard").cumcount()
+    assert list(out["doc_id"]) == list(exp["doc_id"])
+    assert list(out["shard"]) == list(exp["shard"])
+    assert list(out["pos"]) == list(exp["pos"])
+    # every shard's positions are dense 0..k-1
+    sizes = out.groupby("shard")["pos"].max() + 1
+    assert int(sizes.sum()) == len(ids)
+
+
+def test_training_shards_partition_invariance(ray_session):
+    from rastertiler_rs_ray.pipelines.curation import training_shards
+
+    ids = np.arange(120, dtype=np.int64)
+    a = (
+        training_shards(
+            ray.data.from_pandas(pd.DataFrame({"doc_id": ids})), num_shards=4
+        )
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    b = (
+        training_shards(
+            ray.data.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(11),
+            num_shards=4,
+        )
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -712,3 +712,124 @@ def test_pmi_bigrams_empty_and_short_docs(ray_session):
     out = pmi_bigrams(docs, min_count=1, top_k=5).to_pandas()
     assert list(zip(out["w1"], out["w2"])) == [("a", "b")]
     assert list(out["c_ab"]) == [1]
+
+
+def _brute_lm_buckets(texts, qs=(1 / 3, 2 / 3)):
+    """Reference: full-vocab unigram LM -> e4 scores -> ceil-rank
+    counting quantiles -> #{bounds < v} threshold rule."""
+    import math
+    from collections import Counter
+
+    toks = [t.split() for t in texts]
+    counts = Counter(w for ts in toks for w in ts)
+    total = float(sum(counts.values()))
+    e4 = []
+    for ts in toks:
+        if not ts:
+            e4.append(0)
+            continue
+        m = float(np.mean([math.log(counts[w] / total) for w in ts]))
+        e4.append(int(np.round(m * 1e4)))
+    vals = np.sort(np.asarray(e4))
+    n = len(vals)
+    bounds = []
+    for q in qs:
+        rank = int(np.ceil(q * n)) if q > 0 else 1
+        bounds.append(vals[rank - 1])
+    bounds = np.sort(np.asarray(bounds))
+    labels = np.asarray(["tail", "middle", "head"], dtype=object)
+    b = (np.asarray(e4)[:, None] > bounds[None, :]).sum(axis=1)
+    return e4, list(labels[b])
+
+
+def test_lm_quality_buckets_conformance(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import lm_quality_buckets
+
+    rng = np.random.RandomState(7)
+    common = ["the", "of", "and", "to", "in"]
+    rare = [f"rare{i}" for i in range(40)]
+    texts = []
+    for i in range(30):
+        n_common = rng.randint(2, 8)
+        n_rare = rng.randint(0, 4)
+        ws = [common[rng.randint(len(common))] for _ in range(n_common)]
+        ws += [rare[rng.randint(len(rare))] for _ in range(n_rare)]
+        rng.shuffle(ws)
+        texts.append(" ".join(ws))
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(4)
+    out = (
+        lm_quality_buckets(docs).to_pandas().sort_values("doc_id")
+    )
+    exp_e4, exp_lab = _brute_lm_buckets(texts)
+    assert list(out["mean_lp_e4"]) == exp_e4
+    assert list(out["bucket"]) == exp_lab
+    # tertiles: each bucket is a rough third on distinct-ish scores
+    sizes = out["bucket"].value_counts()
+    assert sizes.get("head", 0) >= 1 and sizes.get("tail", 0) >= 1
+
+
+def test_lm_quality_buckets_all_ties_land_tail(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import lm_quality_buckets
+
+    # identical docs -> identical scores -> both boundaries equal the
+    # value -> strict > puts every doc in the lowest bucket (the
+    # documented deterministic-under-ties rule)
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(9), "text": ["a b c"] * 9})
+    )
+    out = lm_quality_buckets(docs).to_pandas()
+    assert set(out["bucket"]) == {"tail"}
+
+
+def test_dsir_weights_conformance(ray_session):
+    import math
+    from collections import Counter
+
+    from rastertiler_rs_ray.pipelines.textstats import dsir_importance_weights
+
+    rng = np.random.RandomState(3)
+    domain = ["law", "court", "statute", "clause"]
+    web = ["click", "buy", "lol", "the", "and"]
+    texts = []
+    for i in range(24):
+        pool = domain if i % 3 == 0 else web
+        ws = [pool[rng.randint(len(pool))] for _ in range(rng.randint(3, 9))]
+        texts.append(" ".join(ws))
+    docs_df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    docs = ray.data.from_pandas(docs_df).repartition(3)
+    tgt_df = docs_df[docs_df["doc_id"] % 3 == 0]
+    target = ray.data.from_pandas(tgt_df.reset_index(drop=True))
+
+    out = (
+        dsir_importance_weights(docs, target)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+
+    def lm(rows):
+        c = Counter(w for t in rows for w in t.split())
+        tot = float(sum(c.values()))
+        return c, tot
+
+    sc, st = lm(texts)
+    tc, tt = lm(list(tgt_df["text"]))
+    exp = []
+    for t in texts:
+        ws = t.split()
+        w = float(
+            np.mean(
+                [
+                    (math.log(tc[x] / tt) if x in tc else math.log(0.5 / tt))
+                    - math.log(sc[x] / st)
+                    for x in ws
+                ]
+            )
+        )
+        exp.append(int(np.round(w * 1e4)))
+    assert list(out["weight_e4"]) == exp
+    # domain docs must outrank web docs
+    dom = out[out["doc_id"] % 3 == 0]["weight_e4"].min()
+    webm = out[out["doc_id"] % 3 != 0]["weight_e4"].max()
+    assert dom > webm
