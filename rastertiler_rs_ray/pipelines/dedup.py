@@ -1281,3 +1281,59 @@ def dedup_incremental(
         return batch.filter(pa.array(keep)).drop_columns(["__ih"])
 
     return new_h.map_batches(drop_confirmed, batch_format="pyarrow")
+
+
+def _aggressive_norm(s: pd.Series) -> pd.Series:
+    """Canonical text form for normalization-aware dedup: lowercase,
+    every non-[a-z0-9] run → one space, strip.  Chosen because Python
+    ``re`` and DuckDB RE2 agree exactly on this class (no unicode
+    case-fold edge cases enter: the class itself is ASCII)."""
+    return (
+        s.fillna("")
+        .str.lower()
+        .str.replace(r"[^a-z0-9]+", " ", regex=True)
+        .str.strip()
+    )
+
+
+def normalized_exact_dedup(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Exact dedup under aggressive canonicalization (lowercase +
+    punctuation/whitespace folding) — catches the trivially-reformatted
+    duplicates (case changes, punctuation swaps, re-wrapped whitespace)
+    that byte-exact dedup misses and MinHash wastes signatures on.
+    Keeps the min-``id_col`` row per canonical form; original text rides
+    through untouched.
+
+    Same 100-TB topology as ``exact_dedup``: canonical-hash coarse
+    shards co-locate equal forms, one vectorized idxmin pass per shard;
+    only (row + 16 bytes) moves, no driver state.
+    """
+
+    def add_hash(shards: int):
+        def f(batch: pa.Table) -> pa.Table:
+            norm = _aggressive_norm(batch.column(text_col).to_pandas())
+            h = pd.util.hash_array(norm.to_numpy(dtype=object)).astype(np.int64)
+            return batch.append_column("__content_hash", pa.array(h)).append_column(
+                "__cshard", pa.array(h % shards)
+            )
+
+        return f
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__content_hash", id_col], kind="mergesort")
+        g = g.drop_duplicates("__content_hash", keep="first")
+        return g.drop(columns=["__content_hash", "__cshard"])
+
+    if num_shards is None:
+        docs, num_shards = _adaptive_shards(docs)
+    return (
+        docs.map_batches(add_hash(num_shards), batch_format="pyarrow")
+        .groupby("__cshard")
+        .map_groups(keep_min, batch_format="pandas")
+    )

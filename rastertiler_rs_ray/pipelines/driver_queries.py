@@ -4061,6 +4061,170 @@ FROM s5
 SQL_LEAKAGE_SAFE_SPLIT = _sql_leakage_safe_split()
 
 
+def events_user_hybrid_join(sf_dir: str):
+    """Skew-aware hybrid join (hot keys broadcast, cold keys shuffled):
+    events ⋈ customer on user_id = c_custkey.  The event stream is
+    user-skewed (a handful of users own most rows); a plain partitioned
+    hash join makes their partitions stragglers.  ``skew_hybrid_join``
+    detects keys with ≥ 70 probe rows via bounded per-block top-k count
+    partials, routes them through a broadcast branch, and shuffles only
+    the cold remainder — identical output to a plain inner join, which
+    is exactly what the oracle asserts."""
+    from .relational import skew_hybrid_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return skew_hybrid_join(
+        events, cust, on="user_id", right_on="c_custkey",
+        hot_min_count=70, partial_topk=256,
+    )
+
+
+SQL_EVENTS_USER_HYBRID_JOIN = """
+SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def normalized_dedup_docs(sf_dir: str):
+    """Normalization-aware exact dedup: the corpus is augmented with
+    planted REFORMATTED copies (every doc_id%10==0 doc reappears as
+    doc_id+1_000_000, UPPERCASED, with commas between tokens) and
+    ``normalized_exact_dedup`` must collapse each copy onto its
+    original (min doc_id per canonical form) while keeping every
+    distinct text — the reformatted near-copies byte-exact dedup
+    misses.  The winner set is exactly the original corpus, which the
+    oracle computes independently via the same canonicalization."""
+    from .dedup import normalized_exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def add_copies(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        cp = df[df["doc_id"] % 10 == 0].copy()
+        cp["doc_id"] = cp["doc_id"] + 1_000_000
+        cp["text"] = cp["text"].str.replace(" ", ", ", regex=False).str.upper()
+        return pd.concat([df, cp], ignore_index=True)
+
+    out = docs.map_batches(add_copies, batch_format="pandas")
+    return normalized_exact_dedup(out).select_columns(
+        ["doc_id", "lang", "source"]
+    )
+
+
+SQL_NORMALIZED_DEDUP = r"""
+WITH v AS (
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, source,
+         upper(replace(text, ' ', ', ')) AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+c AS (SELECT doc_id, lang, source,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon
+      FROM v)
+SELECT doc_id, lang, source FROM c
+QUALIFY row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1
+"""
+
+
+def docs_upsert_latest(sf_dir: str):
+    """CDC latest-wins merge (Delta/Iceberg MERGE): base snapshot =
+    documents at version 0; the change stream re-crawls doc_id%7==3
+    (version 1, n_chars+1000) and tombstones doc_id%13==5.  Per key the
+    highest (version, change-beats-base) row wins; tombstoned keys
+    leave the table."""
+    from .relational import upsert_latest
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def as_base(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return t.append_column("version", pa.array(np.zeros(n, np.int64))).append_column(
+            "deleted", pa.array(np.zeros(n, bool))
+        )
+
+    def as_changes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sel = (ids % 7 == 3) | (ids % 13 == 5)
+        t = t.filter(pa.array(sel))
+        ids = t.column("doc_id").to_numpy()
+        dele = ids % 13 == 5
+        n_chars = t.column("n_chars").to_numpy() + np.where(dele, 0, 1000)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "version": pa.array(np.ones(len(t), np.int64)),
+                "deleted": pa.array(dele),
+            }
+        )
+
+    base = docs.map_batches(as_base, batch_format="pyarrow")
+    changes = docs.map_batches(as_changes, batch_format="pyarrow")
+    return upsert_latest(
+        base, changes, key_col="doc_id", version_col="version", deleted_col="deleted"
+    )
+
+
+SQL_DOCS_UPSERT_LATEST = """
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars, 0 AS version, false AS deleted, 0 AS src
+  FROM documents),
+chg AS (
+  SELECT doc_id, lang, source,
+         n_chars + CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 1000 END AS n_chars,
+         1 AS version, doc_id % 13 = 5 AS deleted, 1 AS src
+  FROM documents WHERE doc_id % 7 = 3 OR doc_id % 13 = 5),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+w AS (SELECT * FROM u
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY version DESC, src DESC) = 1)
+SELECT doc_id, lang, source, n_chars, version FROM w WHERE NOT deleted
+"""
+
+
+def user_value_dense_rank(sf_dir: str):
+    """Windowed dense_rank(): per user, rank events by value desc and
+    keep ranks ≤ 3 (ties share a rank and all survive — the value-pure
+    window semantics row_number cannot express).  Map-side partial
+    prune bounds the exchange to ≤3 distinct value classes per
+    (block, user)."""
+    from .relational import windowed_rank
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return windowed_rank(
+        events, ["user_id"], order_col="value", method="dense", keep_rank_le=3
+    )
+
+
+SQL_USER_VALUE_DENSE_RANK = """
+SELECT event_id, user_id, value,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk
+FROM events
+QUALIFY rnk <= 3
+"""
+
+
+def search_docs_all_terms(sf_dir: str):
+    """Boolean AND retrieval over the inverted-index tokenizer
+    convention: doc ids whose token set contains every query term
+    ('merge', 'join', 'sort').  Map-only — membership is decidable
+    inside each document's own block."""
+    from .textstats import search_all_terms
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return search_all_terms(docs, ["merge", "join", "sort"])
+
+
+SQL_SEARCH_DOCS_ALL_TERMS = r"""
+SELECT doc_id FROM documents
+WHERE list_has_all(regexp_extract_all(text, '\S+'), ['merge', 'join', 'sort'])
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4121,6 +4285,11 @@ QUERIES = {
     "training_shards_docs": (training_shards_docs, SQL_TRAINING_SHARDS),
     "quantize_embeddings_docs": (quantize_embeddings_docs, SQL_QUANTIZE_EMBEDDINGS),
     # --- group 2: STANDARD oracled (first ~35 complete the window) ---
+    "events_user_hybrid_join": (events_user_hybrid_join, SQL_EVENTS_USER_HYBRID_JOIN),
+    "normalized_dedup_docs": (normalized_dedup_docs, SQL_NORMALIZED_DEDUP),
+    "docs_upsert_latest": (docs_upsert_latest, SQL_DOCS_UPSERT_LATEST),
+    "user_value_dense_rank": (user_value_dense_rank, SQL_USER_VALUE_DENSE_RANK),
+    "search_docs_all_terms": (search_docs_all_terms, SQL_SEARCH_DOCS_ALL_TERMS),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

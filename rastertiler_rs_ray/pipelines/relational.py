@@ -1260,3 +1260,212 @@ def equi_depth_buckets(
         return base.append_column("bucket", pa.array(b, pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def skew_hybrid_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    hot_min_count: int = 10_000,
+    partial_topk: int = 64,
+    stats: dict | None = None,
+) -> ray.data.Dataset:
+    """Skew-aware inner join: hot probe keys join by BROADCAST, the
+    cold remainder by partitioned shuffle — the standard fix for the
+    straggler a plain hash join develops when one key owns a large
+    fraction of the probe side (the relational analog of the salted
+    dense-zoom tile shuffle, SURVEY.md §2; reference's single physical
+    join is /root/reference/src/mbtiles.rs:27-29).
+
+    Hot-key detection is a bounded two-level pass: each probe block
+    emits its ``partial_topk`` most frequent keys with counts (a key
+    owning ≥ hot_min_count of N rows must appear in the top-k of at
+    least one of the ~N/block blocks it dominates); the driver sums the
+    tiny partials and declares keys with summed count ≥ ``hot_min_count``
+    hot.  Driver state is O(partial_topk × blocks) — bounded, never
+    proportional to distinct keys.  A partial top-k can only UNDER-count
+    a key, so a borderline key may be classified cold — that changes
+    the execution plan, never the join result.
+
+    Plan: build rows for hot keys are collected (assumed dimension-like:
+    few rows per key — documented assumption, same as
+    ``broadcast_hash_join``'s) and broadcast once via ``ray.put``; probe
+    rows split by a broadcast membership filter; the cold sides flow
+    through Ray's partitioned hash join, which the hot keys — the rows
+    that would have made one partition a straggler — never enter.
+    Output schema is pinned identical across both branches.
+
+    ``stats`` (optional dict) receives {"hot_keys": int, "hot_rows":
+    int} for tests and telemetry.
+    """
+    rkey = right_on or on
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        s = t.column(on).to_pandas().value_counts()
+        s = s.iloc[:partial_topk]
+        return pa.table(
+            {
+                on: pa.array(s.index.to_numpy()),
+                "__cnt": pa.array(s.to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = left.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    totals = partials.groupby(on)["__cnt"].sum()
+    hot = totals[totals >= hot_min_count]
+    hot_keys = pa.array(hot.index.to_numpy())
+    if stats is not None:
+        stats["hot_keys"] = len(hot)
+        stats["hot_rows"] = int(hot.sum())
+
+    join_type = "inner"
+    if len(hot) == 0:
+        return shuffle_hash_join(left, right, on=on, right_on=rkey, join_type=join_type)
+
+    hot_ref = ray.put(hot_keys)
+
+    def split(keep_hot: bool, col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(col), value_set=ray.get(hot_ref))
+            return batch.filter(mask if keep_hot else pc.invert(mask))
+
+        return f
+
+    right_hot_tbl = pa.concat_tables(
+        ray.get(
+            [
+                b
+                for b in right.map_batches(
+                    split(True, rkey), batch_format="pyarrow"
+                ).to_arrow_refs()
+            ]
+        )
+    )
+    broadcast = broadcast_hash_join(
+        left.map_batches(split(True, on), batch_format="pyarrow"),
+        right_hot_tbl,
+        left_on=on,
+        right_on=rkey,
+        how="inner",
+    )
+    cold = shuffle_hash_join(
+        left.map_batches(split(False, on), batch_format="pyarrow"),
+        right.map_batches(split(False, rkey), batch_format="pyarrow"),
+        on=on,
+        right_on=rkey,
+        join_type=join_type,
+    )
+    out_cols = list(
+        dict.fromkeys(
+            list(left.schema().names)
+            + [c for c in right.schema().names if c != rkey]
+        )
+    )
+    return broadcast.select_columns(out_cols).union(cold.select_columns(out_cols))
+
+
+def windowed_rank(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    *,
+    order_col: str,
+    method: str = "dense",
+    descending: bool = True,
+    rank_col: str = "rnk",
+    keep_rank_le: int | None = None,
+) -> ray.data.Dataset:
+    """Full windowed rank per group — ``dense_rank()`` / ``rank()`` over
+    PARTITION BY part_keys ORDER BY order_col (the general window-rank
+    operator; ``grouped_top_n`` covers only the row_number-top-N case).
+
+    Unlike row_number, dense/rank are pure functions of the VALUE, so
+    no tiebreak column is needed for determinism — equal values get
+    equal ranks whatever order the shuffle delivers them in.
+
+    One groupby exchange; ranking inside each group is a vectorized
+    pandas ``Series.rank``.  With ``keep_rank_le`` a map-side partial
+    prune bounds the exchange: a row can only rank ≤ K within its group
+    if its value is among the K largest DISTINCT values its block saw
+    for that group, so each block forwards at most K distinct-value
+    classes per (block, group) — the dense-rank analog of
+    ``grouped_top_n``'s head(n) prune.
+    """
+    part_keys = list(part_keys)
+    pd_method = {"dense": "dense", "rank": "min"}[method]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if keep_rank_le is None:
+            return df
+        r = df.groupby(part_keys, sort=False)[order_col].rank(
+            method="dense", ascending=not descending
+        )
+        return df[r <= keep_rank_le]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[rank_col] = (
+            df.groupby(part_keys, sort=False)[order_col]
+            .rank(method=pd_method, ascending=not descending)
+            .astype(np.int64)
+        )
+        if keep_rank_le is not None:
+            df = df[df[rank_col] <= keep_rank_le]
+        return df
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(part_keys)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def upsert_latest(
+    base: ray.data.Dataset,
+    changes: ray.data.Dataset,
+    *,
+    key_col: str,
+    version_col: str,
+    deleted_col: str | None = None,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """CDC merge (Delta/Iceberg MERGE semantics, latest-wins): apply a
+    change stream onto a base snapshot — per key keep the row with the
+    highest ``version_col`` (changes beat base on equal version), and
+    drop keys whose winning row carries ``deleted_col`` = true (the
+    tombstone).  The table-maintenance primitive every periodically
+    re-crawled 100-TB corpus needs.
+
+    Topology mirrors ``exact_dedup``: rows of both inputs are tagged
+    with a source priority and co-located by hash(key) into COARSE
+    shards (equal keys always land together), and each shard elects
+    winners in one vectorized sort + drop_duplicates pass — one
+    exchange of the union, zero driver state, no per-key Python call.
+    """
+
+    def tag(src: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_pandas()
+            h = pd.util.hash_array(keys.to_numpy()).astype(np.int64)
+            return batch.append_column(
+                "__src", pa.array(np.full(len(batch), src, np.int64))
+            ).append_column("__ushard", pa.array(h % num_shards))
+
+        return f
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [key_col, version_col, "__src"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        ).drop_duplicates(key_col, keep="first")
+        if deleted_col is not None:
+            df = df[~df[deleted_col].astype(bool)]
+            df = df.drop(columns=[deleted_col])
+        return df.drop(columns=["__src", "__ushard"])
+
+    both = base.map_batches(tag(0), batch_format="pyarrow").union(
+        changes.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return both.groupby("__ushard").map_groups(elect, batch_format="pandas")

@@ -1042,3 +1042,39 @@ def dsir_importance_weights(
         return pd.DataFrame({id_col: df[id_col].to_numpy(), "weight_e4": e4})
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def search_all_terms(
+    docs: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Boolean AND search: documents whose whitespace-token set contains
+    EVERY query term (the retrieval-side consumer of the
+    ``inverted_index`` convention — same ``\\S+`` tokenizer).
+
+    Because a document is one row, term membership is decidable inside
+    the row's own block: explode tokens, filter to the O(|terms|) query
+    set, count distinct matched terms per doc, keep == len(terms).
+    Map-ONLY — no exchange; at 100 TB this is a full scan (as any
+    cold-index search is) whose network cost is zero.
+    """
+    want = list(dict.fromkeys(terms))
+    n_want = len(want)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].str.findall(r"\S+")
+        ex = toks.explode().dropna()
+        ex = ex[ex.isin(want)]
+        pairs = pd.DataFrame(
+            {id_col: df[id_col].to_numpy()[ex.index], "t": ex.to_numpy(dtype=object)}
+        ).drop_duplicates()
+        hit = pairs.groupby(id_col, sort=False).size()
+        keep = hit[hit == n_want].index.to_numpy()
+        out = df[df[id_col].isin(keep)]
+        return out[[id_col]]
+
+    return docs.map_batches(f, batch_format="pandas")

@@ -526,3 +526,53 @@ def test_dedup_incremental_empty_reference(ray_session):
         ray.data.from_arrow(new), ray.data.from_arrow(ref)
     ).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_normalized_exact_dedup_collapses_reformatted(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.dedup import normalized_exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "the quick brown fox",
+                "The, Quick;  BROWN    fox!",   # reformat of 0 → dropped
+                "THE QUICK BROWN FOX",          # case copy of 0 → dropped
+                "a different document",
+                "a different  DOCUMENT.",       # reformat of 3 → dropped
+                "the quick brown foxes",        # genuinely distinct → kept
+            ],
+        }
+    )
+    got = (
+        normalized_exact_dedup(
+            ray.data.from_pandas(df).repartition(3), num_shards=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got["doc_id"].tolist() == [0, 3, 5]
+
+
+def test_normalized_exact_dedup_partition_invariant(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.dedup import normalized_exact_dedup
+
+    base = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"doc number {i % 10} body" for i in range(40)],
+        }
+    )
+    ids = []
+    for parts in (1, 7):
+        out = normalized_exact_dedup(
+            ray.data.from_pandas(base).repartition(parts), num_shards=8
+        ).to_pandas()
+        ids.append(sorted(out["doc_id"].tolist()))
+    assert ids[0] == ids[1] == list(range(10))

@@ -766,3 +766,152 @@ def test_equi_depth_buckets_duplicate_values_deterministic(ray_session):
     )
     got = out.groupby(out["k"] // 25)["bucket"].nunique()
     assert (got == 1).all()  # each tie-class maps to exactly one bucket
+
+
+# ---------------------------------------------------------- round 3 additions
+
+
+def test_skew_hybrid_join_matches_plain_join(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import skew_hybrid_join
+
+    rng = np.random.default_rng(7)
+    # one pathological hot key (0) owning half the probe side + a cold tail
+    keys = np.concatenate(
+        [np.zeros(5000, np.int64), rng.integers(1, 200, 5000)]
+    )
+    left_df = pd.DataFrame(
+        {"k": keys, "v": np.arange(len(keys), dtype=np.int64)}
+    )
+    right_df = pd.DataFrame(
+        {"rk": np.arange(200, dtype=np.int64), "attr": np.arange(200) * 10}
+    )
+    left = ray.data.from_pandas(left_df).repartition(8)
+    right = ray.data.from_pandas(right_df).repartition(4)
+
+    stats = {}
+    got = (
+        skew_hybrid_join(
+            left, right, on="k", right_on="rk",
+            hot_min_count=1000, partial_topk=16, stats=stats,
+        )
+        .to_pandas()
+        .sort_values(["v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left_df.merge(right_df, left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["v"])
+        .reset_index(drop=True)
+    )
+    assert stats["hot_keys"] >= 1  # the hot branch actually engaged
+    assert stats["hot_rows"] >= 5000
+    pd.testing.assert_frame_equal(got[["k", "v", "attr"]], want[["k", "v", "attr"]])
+
+
+def test_skew_hybrid_join_all_cold_falls_back_to_shuffle(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import skew_hybrid_join
+
+    left_df = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "v": np.arange(100)})
+    right_df = pd.DataFrame({"k": np.arange(0, 100, 2, dtype=np.int64), "w": np.arange(50)})
+    stats = {}
+    got = (
+        skew_hybrid_join(
+            ray.data.from_pandas(left_df).repartition(4),
+            ray.data.from_pandas(right_df),
+            on="k", hot_min_count=10_000, stats=stats,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert stats["hot_keys"] == 0
+    want = left_df.merge(right_df, on="k").sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "w"]].astype("int64"), want.astype("int64")
+    )
+
+
+def test_windowed_rank_dense_matches_duckdb(ray_session, db):
+    from rastertiler_rs_ray.pipelines.relational import windowed_rank
+
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).repartition(6)
+    got = (
+        windowed_rank(ev, ["user_id"], order_col="value", method="dense", keep_rank_le=4)
+        .to_pandas()
+        .sort_values(["user_id", "value", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """
+        SELECT event_id, user_id, value,
+               dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk
+        FROM events QUALIFY rnk <= 4
+        ORDER BY user_id, value, event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "value", "rnk"]],
+        want.astype({"rnk": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_windowed_rank_ties_share_rank(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import windowed_rank
+
+    df = pd.DataFrame(
+        {"g": [0] * 6, "x": [5.0, 5.0, 3.0, 3.0, 3.0, 1.0], "i": range(6)}
+    )
+    got = (
+        windowed_rank(
+            ray.data.from_pandas(df).repartition(3), ["g"], order_col="x",
+            method="dense", keep_rank_le=2,
+        )
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    # dense: 5.0→1, 3.0→2 (all three ties kept), 1.0→3 pruned
+    assert got["i"].tolist() == [0, 1, 2, 3, 4]
+    assert got["rnk"].tolist() == [1, 1, 2, 2, 2]
+
+
+def test_upsert_latest_semantics(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import upsert_latest
+
+    base = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4],
+            "val": ["a", "b", "c", "d"],
+            "version": [0, 0, 0, 0],
+            "deleted": [False] * 4,
+        }
+    )
+    # k=1 updated (v1 wins), k=2 tombstoned, k=3 change at EQUAL version
+    # (change must beat base), k=4 untouched, k=5 inserted
+    changes = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 5],
+            "val": ["a2", "b2", "c2", "e"],
+            "version": [1, 1, 0, 0],
+            "deleted": [False, True, False, False],
+        }
+    )
+    got = (
+        upsert_latest(
+            ray.data.from_pandas(base).repartition(2),
+            ray.data.from_pandas(changes).repartition(2),
+            key_col="k", version_col="version", deleted_col="deleted",
+            num_shards=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 3, 4, 5]
+    assert got["val"].tolist() == ["a2", "c2", "d", "e"]
+    assert got["version"].tolist() == [1, 0, 0, 0]
+    assert "deleted" not in got.columns

@@ -833,3 +833,27 @@ def test_dsir_weights_conformance(ray_session):
     dom = out[out["doc_id"] % 3 == 0]["weight_e4"].min()
     webm = out[out["doc_id"] % 3 != 0]["weight_e4"].max()
     assert dom > webm
+
+
+def test_search_all_terms(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.textstats import search_all_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "merge sort join scan",        # all three → hit
+                "merge join",                  # missing 'sort'
+                "sort sort merge join extra",  # repeated tokens still one hit
+                "mergesort join",              # substring is NOT a token match
+            ],
+        }
+    )
+    got = search_all_terms(
+        ray.data.from_pandas(df).repartition(2), ["merge", "join", "sort", "sort"]
+    ).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [0, 2]
+    assert list(got.columns) == ["doc_id"]
