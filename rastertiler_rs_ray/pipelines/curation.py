@@ -890,7 +890,29 @@ def temperature_sample(
     quota = np.minimum(
         n, np.floor(w / w.sum() * n_target + 0.5)
     ).astype(np.int64)
-    src_keys = counts[source_col].to_numpy()
+    return _quota_select(
+        docs,
+        counts[source_col].to_numpy(),
+        quota,
+        source_col=source_col,
+        key_col=key_col,
+        salt_shards=salt_shards,
+    )
+
+
+def _quota_select(
+    docs: ray.data.Dataset,
+    src_keys: np.ndarray,
+    quota: np.ndarray,
+    *,
+    source_col: str,
+    key_col: str,
+    salt_shards: int,
+) -> ray.data.Dataset:
+    """Shared per-source VARIABLE-cap selection core: keep the quota_s
+    smallest splitmix64(key) members per source (ties by key), resolved
+    with the tree-combined k-smallest topology of ``cap_per_source``.
+    Quotas broadcast once as sorted parallel arrays (O(#sources))."""
     order = np.argsort(src_keys)
     caps_ref = ray.put((src_keys[order], quota[order]))
 
@@ -931,6 +953,64 @@ def temperature_sample(
         combined.drop_columns(["__salt"])
         .groupby(source_col)
         .map_groups(final, batch_format="pandas")
+    )
+
+
+def mix_to_weights(
+    docs: ray.data.Dataset,
+    weights: dict[str, float],
+    target_n: int,
+    *,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt_shards: int = 64,
+) -> ray.data.Dataset:
+    """Sample a corpus down to an EXPLICIT target mixture — "the
+    training set should be 40% web, 30% code, 30% books" — the
+    recipe-driven complement of ``temperature_sample``'s count-derived
+    flattening.  Per-source quota::
+
+        k_s = min(n_s, floor(w_s / sum(w) * target_n + 0.5))
+
+    over the sources present in both the corpus and ``weights``
+    (sources absent from ``weights`` contribute nothing); no
+    upsampling — a source smaller than its slot yields what it has
+    (epoch replication is ``mix_corpora``'s job).  Members are the
+    ``k_s`` smallest ``splitmix64(key)`` per source — deterministic,
+    seedless, integer-quota (never a float threshold compare), and the
+    selection is the same tree-combined variable-cap topology as
+    ``temperature_sample``.  Returns ``(key_col, source_col)``.
+    """
+    from .relational import grouped_aggregate
+
+    counts = grouped_aggregate(
+        docs, [source_col], [("n", key_col, "count")]
+    ).to_pandas()
+    counts = counts[counts[source_col].isin(weights)]
+    n = counts["n"].to_numpy(dtype=np.float64)
+    w = np.array([weights[s] for s in counts[source_col]], np.float64)
+    total_w = float(sum(weights.values()))
+    quota = np.minimum(n, np.floor(w / total_w * target_n + 0.5)).astype(np.int64)
+
+    # sources absent from the recipe never reach the selection core
+    # (its searchsorted quota lookup assumes every source has a quota row)
+    allowed = ray.put(pa.array(list(weights)))
+
+    def keep_allowed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.is_in(batch.column(source_col), value_set=ray.get(allowed))
+        )
+
+    docs = docs.map_batches(keep_allowed, batch_format="pyarrow")
+    return _quota_select(
+        docs,
+        counts[source_col].to_numpy(),
+        quota,
+        source_col=source_col,
+        key_col=key_col,
+        salt_shards=salt_shards,
     )
 
 
@@ -1068,3 +1148,68 @@ def training_shards(
         keyed, batch_format="pyarrow"
     )
     return keyed_ds.groupby("shard").map_groups(rank, batch_format="pandas")
+
+
+def source_overlap_matrix(
+    docs: ray.data.Dataset,
+    *,
+    n: int = 4,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_shards: int = 32,
+    max_sources_per_gram: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-source n-gram overlap matrix: for every unordered source
+    pair (a < b), the number of DISTINCT n-gram types both emit — the
+    corpus-level contamination / provenance diagnostic run before
+    mixing (a high cell means two "independent" sources share pipeline
+    ancestry or mirror each other).
+
+    Scale contract: each block emits its distinct (gram, source) pairs
+    (the explode never leaves the map task); pairs co-locate by
+    hash(gram) into ``num_shards`` coarse groups; a shard resolves all
+    of its grams with ONE vectorized self-merge (per-gram source lists
+    are tiny — bounded by source cardinality, or by
+    ``max_sources_per_gram`` when sources are web domains: a gram seen
+    by more sources than the cap is dropped as stopword-like, the
+    standard guard against the quadratic hot-gram blowup; None = no
+    cap, exact).  Per-shard pair-count partials tree-sum through one
+    final O(#source-pairs) groupby.  Returns (src_a, src_b, shared).
+    """
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        flat, starts, counts = _flat_tokens(df[text_col])
+        grams, owner = _ngram_strings(flat, starts, n)
+        out = pd.DataFrame(
+            {
+                "ng": grams,
+                source_col: df[source_col].to_numpy()[owner],
+            }
+        ).drop_duplicates()
+        h = pd.util.hash_array(out["ng"].to_numpy(dtype=object)).astype(np.int64)
+        return out.assign(__gshard=h % num_shards)
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[["ng", source_col]].drop_duplicates()
+        if max_sources_per_gram is not None:
+            sz = u.groupby("ng", sort=False)["ng"].transform("size")
+            u = u[sz <= max_sources_per_gram]
+        m = u.merge(u, on="ng")
+        m = m[m[f"{source_col}_x"] < m[f"{source_col}_y"]]
+        out = (
+            m.groupby([f"{source_col}_x", f"{source_col}_y"], sort=False)
+            .size()
+            .reset_index(name="shared")
+        )
+        out.columns = ["src_a", "src_b", "shared"]
+        return out
+
+    from .relational import grouped_aggregate
+
+    partials = (
+        docs.map_batches(pairs, batch_format="pandas")
+        .groupby("__gshard")
+        .map_groups(shard_pairs, batch_format="pandas")
+    )
+    return grouped_aggregate(partials, ["src_a", "src_b"], [("shared", "shared", "sum")])

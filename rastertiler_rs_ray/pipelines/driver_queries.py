@@ -4225,6 +4225,82 @@ WHERE list_has_all(regexp_extract_all(text, '\S+'), ['merge', 'join', 'sort'])
 """
 
 
+def mix_to_weights_docs(sf_dir: str):
+    """Recipe-driven corpus mixing: sample documents so sources hit an
+    explicit target share (src0:src1:src2:src3 = 4:3:2:1 over 40 docs;
+    every other source contributes nothing).  Integer largest-quota
+    selection, members = k smallest splitmix64(doc_id) per source —
+    deterministic and seedless."""
+    from .curation import mix_to_weights
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return mix_to_weights(
+        docs,
+        {"src0": 4.0, "src1": 3.0, "src2": 2.0, "src3": 1.0},
+        target_n=40,
+    )
+
+
+def _sql_mix_to_weights() -> str:
+    """DuckDB mirror: the quota table is a pure function of the fixed
+    recipe (floor(w/Σw·N+0.5) capped at n_s — evaluated in SQL with the
+    same op order), selection = splitmix64 rank per source."""
+    m64, m32 = 1 << 64, 1 << 32
+
+    def wrapmul(h: str, k: int) -> str:
+        return (
+            f"CAST((CAST({h} AS HUGEINT) * {k & (m32 - 1)}"
+            f" + ((CAST({h} AS HUGEINT) * {k >> 32}) % {m32}) * {m32})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH w(source, wt) AS (VALUES ('src0', 4.0), ('src1', 3.0),
+                              ('src2', 2.0), ('src3', 1.0)),
+cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY source),
+q AS (SELECT w.source,
+             CAST(least(cnt.n, floor(w.wt / 10.0 * 40 + 0.5)) AS BIGINT) AS k
+      FROM w JOIN cnt USING (source)),
+u AS (SELECT doc_id, source, CAST(doc_id AS UBIGINT) AS x
+      FROM documents WHERE source IN (SELECT source FROM w)),
+s1 AS (SELECT doc_id, source, xor(x, x >> 30) AS a FROM u),
+s2 AS (SELECT doc_id, source, {wrapmul('a', 0xBF58476D1CE4E5B9)} AS b FROM s1),
+s3 AS (SELECT doc_id, source, xor(b, b >> 27) AS c FROM s2),
+s4 AS (SELECT doc_id, source, {wrapmul('c', 0x94D049BB133111EB)} AS d FROM s3),
+s5 AS (SELECT doc_id, source, xor(d, d >> 31) AS h FROM s4),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM s5)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= q.k
+"""
+
+
+SQL_MIX_TO_WEIGHTS = _sql_mix_to_weights()
+
+
+def source_overlap_docs(sf_dir: str):
+    """Cross-source 4-gram overlap matrix: distinct shared n-gram types
+    per unordered source pair — the provenance/contamination diagnostic
+    run before trusting two sources as independent."""
+    from .curation import source_overlap_matrix
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    return source_overlap_matrix(docs, n=4, num_shards=16)
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH d AS (SELECT source, regexp_extract_all(text, '\S+') AS arr FROM documents),
+g AS (SELECT DISTINCT source,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS ng
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr) - 3)) AS i) s
+      WHERE len(arr) >= 4)
+SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared
+FROM g a JOIN g b USING (ng) WHERE a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4290,6 +4366,8 @@ QUERIES = {
     "docs_upsert_latest": (docs_upsert_latest, SQL_DOCS_UPSERT_LATEST),
     "user_value_dense_rank": (user_value_dense_rank, SQL_USER_VALUE_DENSE_RANK),
     "search_docs_all_terms": (search_docs_all_terms, SQL_SEARCH_DOCS_ALL_TERMS),
+    "mix_to_weights_docs": (mix_to_weights_docs, SQL_MIX_TO_WEIGHTS),
+    "source_overlap_docs": (source_overlap_docs, SQL_SOURCE_OVERLAP),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

@@ -634,3 +634,90 @@ def test_training_shards_partition_invariance(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_mix_to_weights_quotas_and_membership(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.curation import _mix64_i64, mix_to_weights
+
+    # sources a(30 docs), b(20), c(5), d(10); d absent from the recipe
+    sizes = {"a": 30, "b": 20, "c": 5, "d": 10}
+    rows = []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+
+    weights = {"a": 2.0, "b": 1.0, "c": 1.0}  # quotas over target 24: 12, 6, 6→cap 5
+    got = mix_to_weights(
+        ray.data.from_pandas(df).repartition(5), weights, target_n=24, salt_shards=4
+    ).to_pandas()
+
+    by_src = got.groupby("source").size().to_dict()
+    assert by_src == {"a": 12, "b": 6, "c": 5}  # c capped at its size; d absent
+
+    # membership = k smallest splitmix64(doc_id) per source
+    for s, k in [("a", 12), ("b", 6), ("c", 5)]:
+        ids = df[df["source"] == s]["doc_id"].to_numpy()
+        h = _mix64_i64(ids).view(np.uint64)
+        want = set(ids[np.lexsort((ids, h))][:k].tolist())
+        assert set(got[got["source"] == s]["doc_id"]) == want
+
+
+def test_source_overlap_matrix_brute_force(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.curation import source_overlap_matrix
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "c"],
+            "text": [
+                "w x y z q",          # grams: 'w x y z', 'x y z q'
+                "w x y z",            # dup gram within a → counted once
+                "w x y z extra",      # shares 'w x y z' with a
+                "totally different gram stream here",
+            ],
+        }
+    )
+    got = (
+        source_overlap_matrix(
+            ray.data.from_pandas(df).repartition(3), n=4, num_shards=4
+        )
+        .to_pandas()
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    # brute force: distinct grams a={wxyz, xyzq}, b={wxyz, xyz extra}, c={...}
+    assert got[["src_a", "src_b"]].values.tolist() == [["a", "b"]]
+    assert got["shared"].tolist() == [1]
+
+
+def test_source_overlap_matrix_hot_gram_cap(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.curation import source_overlap_matrix
+
+    # one stopword-like gram shared by ALL 4 sources + one pair-private gram
+    df = pd.DataFrame(
+        {
+            "source": ["a", "b", "c", "d", "a", "b"],
+            "text": ["the end of file"] * 4 + ["rare gram only here"] * 2,
+        }
+    )
+    full = source_overlap_matrix(
+        ray.data.from_pandas(df), n=4, num_shards=2
+    ).to_pandas()
+    assert full["shared"].sum() == 6 + 1  # C(4,2) hot + 1 rare
+
+    capped = source_overlap_matrix(
+        ray.data.from_pandas(df), n=4, num_shards=2, max_sources_per_gram=2
+    ).to_pandas()
+    assert capped["shared"].sum() == 1  # hot gram dropped, rare pair kept
