@@ -4301,6 +4301,46 @@ GROUP BY 1, 2
 """
 
 
+def session_paths_events(sf_dir: str):
+    """Clickstream path mining: sessionize events per user (30-min
+    gap), materialize each session's ordered event-type path with
+    ``grouped_concat``, and count how often each path shape occurs
+    across all sessions — the funnel-discovery complement of the
+    fixed-funnel ``funnel_stages``."""
+    from .relational import grouped_aggregate, grouped_concat, sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    sess = sessionize(
+        ev, ["user_id"], ["ts", "event_id"], "ts", gap_seconds=1800
+    )
+    paths = grouped_concat(
+        sess,
+        ["user_id", "session_id"],
+        value_col="event_type",
+        order_cols=["ts", "event_id"],
+        sep=">",
+        out_col="path",
+    )
+    return grouped_aggregate(paths, ["path"], [("n", "path", "count")])
+
+
+SQL_SESSION_PATHS = """
+WITH l AS (SELECT user_id, ts, event_id, event_type,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+s AS (SELECT user_id, ts, event_id, event_type,
+             sum(CASE WHEN pts IS NULL OR ts - pts > INTERVAL 1800 SECOND
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM l),
+p AS (SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4368,6 +4408,7 @@ QUERIES = {
     "search_docs_all_terms": (search_docs_all_terms, SQL_SEARCH_DOCS_ALL_TERMS),
     "mix_to_weights_docs": (mix_to_weights_docs, SQL_MIX_TO_WEIGHTS),
     "source_overlap_docs": (source_overlap_docs, SQL_SOURCE_OVERLAP),
+    "session_paths_events": (session_paths_events, SQL_SESSION_PATHS),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

@@ -1469,3 +1469,37 @@ def upsert_latest(
         changes.map_batches(tag(1), batch_format="pyarrow")
     )
     return both.groupby("__ushard").map_groups(elect, batch_format="pandas")
+
+
+def grouped_concat(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    *,
+    value_col: str,
+    order_cols: Sequence[str],
+    sep: str = ",",
+    out_col: str = "concat",
+) -> ray.data.Dataset:
+    """Ordered string aggregation per group (``string_agg(value ORDER
+    BY ...)``) — the path/sequence materializer behind clickstream
+    mining, prompt assembly, and per-key event journals.
+
+    ``order_cols`` must totally order each group (include a unique id)
+    or the concatenation is nondeterministic.  One groupby exchange;
+    inside a group the join is ONE vectorized ``str.cat`` per group via
+    pandas ``groupby.agg`` — but groups arrive one ``map_groups`` call
+    each, so the per-group Python cost is a single C-level join.  Group
+    size is the scale bound (same contract as ``sessionize``): a key's
+    full event history must fit a worker heap — cap upstream when keys
+    are unbounded journals.
+    """
+    part_keys = list(part_keys)
+    order_cols = list(order_cols)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="mergesort")
+        head = df.iloc[:1][part_keys].reset_index(drop=True)
+        head[out_col] = sep.join(df[value_col].astype(str).tolist())
+        return head
+
+    return ds.groupby(part_keys).map_groups(f, batch_format="pandas")

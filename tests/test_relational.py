@@ -915,3 +915,27 @@ def test_upsert_latest_semantics(ray_session):
     assert got["val"].tolist() == ["a2", "c2", "d", "e"]
     assert got["version"].tolist() == [1, 0, 0, 0]
     assert "deleted" not in got.columns
+
+
+def test_grouped_concat_ordered(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import grouped_concat
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2],
+            "seq": [3, 1, 2, 2, 1],
+            "v": ["c", "a", "b", "y", "x"],
+        }
+    )
+    got = (
+        grouped_concat(
+            ray.data.from_pandas(df).repartition(3), ["g"],
+            value_col="v", order_cols=["seq"], sep=">", out_col="path",
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got["g"].tolist() == [1, 2]
+    assert got["path"].tolist() == ["a>b>c", "x>y"]
+    assert list(got.columns) == ["g", "path"]
