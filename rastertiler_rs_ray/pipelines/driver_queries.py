@@ -4341,6 +4341,61 @@ SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
 """
 
 
+def approx_distinct_users_by_type(sf_dir: str):
+    """Per-group HyperLogLog: approximate distinct user_id per
+    event_type — sketch registers merge THROUGH the groupby (≤ groups ×
+    2^p narrow rows per block ride the exchange, never (group, key)
+    pairs)."""
+    from .sketch import grouped_approx_distinct
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ev, "event_type", "user_id", p=12)
+
+
+def _sql_grouped_approx_distinct(p: int = 12) -> str:
+    """DuckDB mirror of the grouped HLL: the global approx-distinct
+    chain (splitmix64 finalizer, per-bucket max-rho registers,
+    alpha/linear-counting estimate) with every stage keyed by
+    event_type."""
+    m = 1 << p
+    tail = 64 - p
+    m64, m32 = 1 << 64, 1 << 32
+    alpha_mm = 0.7213 / (1 + 1.079 / m) * m * m
+
+    def wrapmul(h: str, k: int) -> str:
+        return (
+            f"CAST((CAST({h} AS HUGEINT) * {k & (m32 - 1)}"
+            f" + ((CAST({h} AS HUGEINT) * {k >> 32}) % {m32}) * {m32})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH u AS (SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x FROM events),
+s1 AS (SELECT event_type, xor(x, x >> 30) AS a FROM u),
+s2 AS (SELECT event_type, {wrapmul('a', 0xBF58476D1CE4E5B9)} AS b FROM s1),
+s3 AS (SELECT event_type, xor(b, b >> 27) AS c FROM s2),
+s4 AS (SELECT event_type, {wrapmul('c', 0x94D049BB133111EB)} AS d FROM s3),
+s5 AS (SELECT event_type, xor(d, d >> 31) AS h FROM s4),
+reg AS (
+  SELECT event_type, h >> {tail} AS bucket,
+         max({tail} - (CASE WHEN (h & {(1 << tail) - 1}) = 0 THEN 0
+                            ELSE length(bin(h & {(1 << tail) - 1})) END) + 1) AS rho
+  FROM s5 GROUP BY event_type, bucket),
+agg AS (SELECT event_type, count(*) AS nz, sum(power(2.0, -rho)) AS s
+        FROM reg GROUP BY event_type),
+est AS (
+  SELECT event_type,
+         CASE WHEN {alpha_mm!r} / (s + ({m} - nz) * 1.0) <= {2.5 * m!r} AND nz < {m}
+              THEN {m} * ln({float(m)!r} / ({m} - nz))
+              ELSE {alpha_mm!r} / (s + ({m} - nz) * 1.0) END AS e
+  FROM agg)
+SELECT event_type, round(e, 1) AS estimate FROM est
+"""
+
+
+SQL_APPROX_DISTINCT_BY_TYPE = _sql_grouped_approx_distinct()
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4409,6 +4464,10 @@ QUERIES = {
     "mix_to_weights_docs": (mix_to_weights_docs, SQL_MIX_TO_WEIGHTS),
     "source_overlap_docs": (source_overlap_docs, SQL_SOURCE_OVERLAP),
     "session_paths_events": (session_paths_events, SQL_SESSION_PATHS),
+    "approx_distinct_users_by_type": (
+        approx_distinct_users_by_type,
+        SQL_APPROX_DISTINCT_BY_TYPE,
+    ),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

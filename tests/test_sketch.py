@@ -111,3 +111,43 @@ def test_cms_heavy_hitters_integer_keys(ray_session):
     out = heavy_hitters(ds, "k", k=2).to_pandas()
     assert out["word"].dtype == np.int64
     assert list(out["word"]) == [7, 42] and list(out["n"]) == [500, 300]
+
+
+def test_grouped_approx_distinct_accuracy_and_partition_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b", "c"], 20000),
+            "v": np.concatenate(
+                [
+                    rng.integers(0, 500, 20000),     # ~500 distinct
+                    rng.integers(0, 5000, 20000),    # ~5000 distinct
+                    np.arange(20000),                # exactly 20000 distinct
+                ]
+            ).astype(np.int64),
+        }
+    )
+    exact = df.groupby("g")["v"].nunique()
+
+    outs = []
+    for parts in (2, 9):
+        got = (
+            grouped_approx_distinct(
+                ray.data.from_pandas(df).repartition(parts), "g", "v", p=12
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+        for _, r in got.iterrows():
+            rel = abs(r["estimate"] - exact[r["g"]]) / exact[r["g"]]
+            assert rel < 0.05, (r["g"], r["estimate"], exact[r["g"]])
+    # register merge is max-associative → estimates identical across splits
+    pd.testing.assert_frame_equal(outs[0], outs[1])
