@@ -1305,9 +1305,11 @@ def skew_hybrid_join(
     def block_topk(t: pa.Table) -> pa.Table:
         s = t.column(on).to_pandas().value_counts()
         s = s.iloc[:partial_topk]
+        # pin the key type even for empty blocks — a null-typed empty
+        # partial would poison the cross-block schema unification
         return pa.table(
             {
-                on: pa.array(s.index.to_numpy()),
+                on: pa.array(s.index.to_numpy(), type=t.schema.field(on).type),
                 "__cnt": pa.array(s.to_numpy(), pa.int64()),
             }
         )

@@ -474,21 +474,20 @@ def train_char_ngram_profiles(
         )
         return df.groupby(["lang", "gram"], sort=False).size().reset_index(name="cnt")
 
-    def top_per_lang(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cnt", "gram"], ascending=[False, True], kind="mergesort")
-        return g.head(top_v)
-
-    counts = (
-        docs.map_batches(partials, batch_format="pandas")
-        .groupby(["lang", "gram"])
-        .sum("cnt")
-    )
-    counts = counts.map_batches(
-        lambda b: b.rename(columns={"sum(cnt)": "cnt"}), batch_format="pandas"
-    )
-    prof = counts.groupby("lang").map_groups(top_per_lang, batch_format="pandas")
+    # The TRAIN side is a labeled sample — bounded by definition (you
+    # label thousands of docs, not the 100-TB corpus; the corpus-scale
+    # path is the broadcast scoring pass).  So the per-block distinct
+    # (lang, gram, cnt) partials merge EXACTLY on the driver with one
+    # vectorized groupby-sum — replacing a Ray Aggregate + Sort pair
+    # whose all-to-all fixed cost dominated this profile-sized table
+    # ~10x (same lesson as the render images-phase partial merge).
+    pdf = docs.map_batches(partials, batch_format="pandas").to_pandas()
+    if not len(pdf):
+        return pdf.reindex(columns=["lang", "gram", "cnt"])
+    cnt = pdf.groupby(["lang", "gram"], sort=False)["cnt"].sum().reset_index()
+    cnt = cnt.sort_values(["cnt", "gram"], ascending=[False, True], kind="mergesort")
     # bounded: <= n_langs x top_v rows by construction
-    return prof.to_pandas()
+    return cnt.groupby("lang", sort=False).head(top_v).reset_index(drop=True)
 
 
 class _LangScorer:
