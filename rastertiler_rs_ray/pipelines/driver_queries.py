@@ -4396,6 +4396,90 @@ SELECT event_type, round(e, 1) AS estimate FROM est
 SQL_APPROX_DISTINCT_BY_TYPE = _sql_grouped_approx_distinct()
 
 
+def validate_orders_expectations(sf_dir: str):
+    """Data-quality gate over orders (the dbt-test / Great-Expectations
+    primitive): declarative rules → one row per rule with its violation
+    count.  All rules but ``unique`` are map-only partial counts; unique
+    shuffles per-block (value, count) partials, never rows."""
+    from .profile import validate_expectations
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    return validate_expectations(
+        orders,
+        [
+            {"kind": "not_null", "col": "o_custkey"},
+            {"kind": "in_range", "col": "o_totalprice", "lo": 0.0, "hi": 300000.0},
+            {
+                "kind": "accepted_values",
+                "col": "o_orderpriority",
+                "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"],
+            },
+            {"kind": "matches", "col": "o_orderpriority", "pattern": r"[0-9]-[A-Z ]+"},
+            {"kind": "unique", "col": "o_orderkey"},
+        ],
+    )
+
+
+SQL_VALIDATE_ORDERS = """
+SELECT 'not_null' AS rule, 'o_custkey' AS col,
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'in_range', 'o_totalprice',
+       CAST(count(*) FILTER (WHERE o_totalprice < 0.0 OR o_totalprice > 300000.0)
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted_values', 'o_orderpriority',
+       CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+             AND o_orderpriority NOT IN
+                 ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'matches', 'o_orderpriority',
+       CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+             AND NOT regexp_full_match(o_orderpriority, '[0-9]-[A-Z ]+')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1
+"""
+
+
+def lineitem_unpivot_measures(sf_dir: str):
+    """Wide → long melt of the four lineitem measures — the reshape
+    that feeds per-measure grouped statistics without four scans."""
+    from .relational import unpivot
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return unpivot(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+SQL_LINEITEM_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4468,6 +4552,8 @@ QUERIES = {
         approx_distinct_users_by_type,
         SQL_APPROX_DISTINCT_BY_TYPE,
     ),
+    "validate_orders_expectations": (validate_orders_expectations, SQL_VALIDATE_ORDERS),
+    "lineitem_unpivot_measures": (lineitem_unpivot_measures, SQL_LINEITEM_UNPIVOT),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

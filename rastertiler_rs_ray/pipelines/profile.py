@@ -210,3 +210,115 @@ def group_zscore(
         return df
 
     return ds.map_batches(standardize, batch_format="pandas")
+
+
+def validate_expectations(
+    ds: ray.data.Dataset,
+    rules: Sequence[dict],
+) -> ray.data.Dataset:
+    """Data-quality gate (the Great-Expectations / dbt-test primitive):
+    evaluate declarative row-level rules over the full dataset and
+    return one row per rule with its violation count — the contract
+    check every 100-TB ingest runs before promoting a partition.
+
+    Rule dicts (``kind``, ``col``, plus kind-specific fields):
+
+    - ``{"kind": "not_null", "col": c}``
+    - ``{"kind": "in_range", "col": c, "lo": x, "hi": y}`` (inclusive;
+      nulls are NOT range violations — compose with not_null)
+    - ``{"kind": "accepted_values", "col": c, "values": [...]}``
+    - ``{"kind": "unique", "col": c}`` (violations = rows beyond the
+      first per duplicated value)
+    - ``{"kind": "matches", "col": c, "pattern": regex}`` (strings;
+      nulls skipped)
+
+    Scale contract: every rule except ``unique`` is map-ONLY — each
+    block counts its own violations vectorized and one tiny Sum
+    aggregate merges per-rule partials.  ``unique`` needs cross-block
+    evidence: blocks emit per-block (value, count) partials for the
+    rule's column ONLY (distinct-per-block sized), one groupby(value)
+    sums them, and violations = Σ (count − 1) over duplicated values —
+    keys shuffle once, rows never do.  Output: (rule, col, violations).
+    """
+    rules = list(rules)
+    mapside = [(i, r) for i, r in enumerate(rules) if r["kind"] != "unique"]
+    uniq = [(i, r) for i, r in enumerate(rules) if r["kind"] == "unique"]
+
+    def rule_name(r: dict) -> str:
+        return r["kind"]
+
+    parts = []
+    if mapside:
+
+        def count_viol(df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for i, r in mapside:
+                c = df[r["col"]]
+                k = r["kind"]
+                if k == "not_null":
+                    v = int(c.isna().sum())
+                elif k == "in_range":
+                    v = int(((c < r["lo"]) | (c > r["hi"])).sum())
+                elif k == "accepted_values":
+                    v = int((~c.isin(r["values"]) & c.notna()).sum())
+                elif k == "matches":
+                    s = c.dropna().astype(str)
+                    v = int((~s.str.fullmatch(r["pattern"])).sum())
+                else:
+                    raise ValueError(k)
+                out.append((i, rule_name(r), r["col"], v))
+            return pd.DataFrame(
+                out, columns=["__i", "rule", "col", "violations"]
+            )
+
+        parts.append(
+            grouped_aggregate(
+                ds.map_batches(count_viol, batch_format="pandas"),
+                ["__i", "rule", "col"],
+                [("violations", "violations", "sum")],
+            )
+        )
+
+    for i, r in uniq:
+        col = r["col"]
+
+        def val_counts(df: pd.DataFrame, col=col) -> pd.DataFrame:
+            vc = df[col].value_counts(dropna=False)
+            return pd.DataFrame({"__v": vc.index, "n": vc.to_numpy()})
+
+        merged = grouped_aggregate(
+            ds.select_columns([col]).map_batches(val_counts, batch_format="pandas"),
+            ["__v"],
+            [("n", "n", "sum")],
+        )
+
+        # dup-excess partial per merged block, tiny driver sum: the value
+        # table is distinct-sized and the per-block scalar is O(1)
+        def excess(df: pd.DataFrame) -> pd.DataFrame:
+            n = df["n"].to_numpy()
+            return pd.DataFrame({"x": [int(n[n > 1].sum() - (n > 1).sum())]})
+
+        tot = merged.map_batches(excess, batch_format="pandas").to_pandas()["x"].sum()
+        parts.append(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "__i": pa.array([i], pa.int64()),
+                        "rule": pa.array(["unique"], pa.string()),
+                        "col": pa.array([col], pa.string()),
+                        "violations": pa.array([int(tot)], pa.int64()),
+                    }
+                )
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["rule", "col", "violations"]].astype({"violations": np.int64})
+
+    # rows = one per rule: the sort is O(rules), it just pins the output
+    # to the caller's rule order
+    return out.sort("__i").map_batches(strip, batch_format="pandas")

@@ -1505,3 +1505,41 @@ def grouped_concat(
         return head
 
     return ds.groupby(part_keys).map_groups(f, batch_format="pandas")
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    name_col: str = "measure",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Wide → long reshape (melt / UNPIVOT): one output row per (input
+    row, value column), carrying ``id_cols`` plus (name, value) — the
+    inverse of ``pivot_counts`` and the standard feed into per-measure
+    grouped aggregation.  Values are cast to float64 (the usual
+    measures-melt contract; heterogeneous types must be pre-cast).
+
+    Map-ONLY and allocation-tight: one numpy column stack + repeat per
+    block, no shuffle, k× row multiplication happens inside the block
+    so the streaming executor's backpressure sees the true output size.
+    """
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def melt(t: pa.Table) -> pa.Table:
+        k, nr = len(value_cols), len(t)
+        vals = np.concatenate(
+            [t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in value_cols]
+        )
+        names = np.repeat(np.array(value_cols, dtype=object), nr)
+        out = {c: pa.concat_arrays([t.column(c).combine_chunks()] * k)
+               for c in id_cols}
+        out[name_col] = pa.array(names, pa.string())
+        out[value_col] = pa.array(vals, pa.float64())
+        return pa.table(out)
+
+    return ds.select_columns(
+        list(dict.fromkeys([*id_cols, *value_cols]))
+    ).map_batches(melt, batch_format="pyarrow")

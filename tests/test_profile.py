@@ -105,3 +105,56 @@ def test_group_zscore_zero_variance_group_is_null(ray_session):
     np.testing.assert_allclose(
         out.loc[out["g"] == "b", "z"].to_numpy(), [-1.0, 1.0]
     )
+
+
+def test_validate_expectations(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.profile import validate_expectations
+
+    df = pd.DataFrame(
+        {
+            "a": [1.0, None, 3.0, None, 5.0, 6.0],
+            "b": [0.0, 5.0, -1.0, 11.0, 10.0, 3.0],
+            "c": ["x", "y", "z", "x", None, "x"],
+            "k": [1, 2, 2, 3, 3, 3],
+        }
+    )
+    got = (
+        validate_expectations(
+            ray.data.from_pandas(df).repartition(3),
+            [
+                {"kind": "not_null", "col": "a"},              # 2 nulls
+                {"kind": "in_range", "col": "b", "lo": 0.0, "hi": 10.0},  # -1, 11
+                {"kind": "accepted_values", "col": "c", "values": ["x", "y"]},  # z
+                {"kind": "matches", "col": "c", "pattern": "[xy]"},  # z fails
+                {"kind": "unique", "col": "k"},                # 1 + 2 excess
+            ],
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert got["rule"].tolist() == [
+        "not_null", "in_range", "accepted_values", "matches", "unique",
+    ]
+    assert got["violations"].tolist() == [2, 2, 1, 1, 3]
+    assert got["col"].tolist() == ["a", "b", "c", "c", "k"]
+
+
+def test_validate_expectations_clean_data_zero_violations(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.profile import validate_expectations
+
+    df = pd.DataFrame({"k": [1, 2, 3], "v": [0.5, 0.6, 0.7]})
+    got = validate_expectations(
+        ray.data.from_pandas(df),
+        [
+            {"kind": "unique", "col": "k"},
+            {"kind": "in_range", "col": "v", "lo": 0.0, "hi": 1.0},
+        ],
+    ).to_pandas()
+    assert got["violations"].tolist() == [0, 0]

@@ -939,3 +939,24 @@ def test_grouped_concat_ordered(ray_session):
     assert got["g"].tolist() == [1, 2]
     assert got["path"].tolist() == ["a>b>c", "x>y"]
     assert list(got.columns) == ["g", "path"]
+
+
+def test_unpivot_melt(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import unpivot
+
+    df = pd.DataFrame(
+        {"id": [1, 2], "extra": ["p", "q"], "m1": [10.0, 20.0], "m2": [0.5, 0.25]}
+    )
+    got = (
+        unpivot(
+            ray.data.from_pandas(df).repartition(2), ["id"], ["m1", "m2"]
+        )
+        .to_pandas()
+        .sort_values(["id", "measure"])
+        .reset_index(drop=True)
+    )
+    want = df.melt(
+        id_vars=["id"], value_vars=["m1", "m2"], var_name="measure", value_name="value"
+    ).sort_values(["id", "measure"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert "extra" not in got.columns  # only id + value cols survive
