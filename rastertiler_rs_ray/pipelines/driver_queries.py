@@ -4480,6 +4480,141 @@ SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """
 
 
+def q5_regional_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped star join — the multi-join composition showcase:
+    lineitem ⋈ orders is the ONE big-big shuffle; customer, supplier,
+    nation, region are broadcast dimension lookups applied map-side
+    (nationkey attach + same-nation filter), and revenue aggregates via
+    integer e2-quantized per-term partials so no float-sum order
+    crosses engines.  ASIA customers ordering in 1996, revenue where the
+    line's supplier shares the customer's nation, grouped by nation."""
+    from .relational import broadcast_hash_join, semi_join, shuffle_hash_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    asia_key = region.filter(pc.equal(region.column("r_name"), "ASIA")).column(
+        "r_regionkey"
+    )
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"), value_set=asia_key))
+    nat_keys = nat.column("n_nationkey").combine_chunks()
+    nat_names = {
+        k: v
+        for k, v in zip(
+            nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()
+        )
+    }
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust.column("c_nationkey"), value_set=nat_keys))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp.column("s_nationkey"), value_set=nat_keys))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_filter(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), d.type)
+        hi = pa.scalar(pd.Timestamp("1997-01-01"), d.type)
+        return b.filter(
+            pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        ).select(["o_orderkey", "o_custkey"])
+
+    osel = semi_join(
+        orders.map_batches(date_filter, batch_format="pyarrow"),
+        cust.select(["c_custkey"]).rename_columns(["o_custkey"]),
+        on="o_custkey",
+    )
+    # attach the customer's nation map-side (broadcast dim)
+    osel = broadcast_hash_join(
+        osel, cust, left_on="o_custkey", right_on="c_custkey"
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j = shuffle_hash_join(li, osel, on="l_orderkey", right_on="o_orderkey",
+                          num_partitions=16)
+
+    supp_ref = ray.put(
+        dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist()))
+    )
+    names_ref = ray.put(nat_names)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(supp_ref)
+        s_nat = df["l_suppkey"].map(smap)
+        keep = s_nat.notna() & (s_nat == df["c_nationkey"])
+        df = df[keep]
+        names = ray.get(names_ref)
+        rev = np.floor(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"n_name": df["c_nationkey"].map(names).to_numpy(), "revenue_e2": rev}
+        )
+        return out
+
+    from .relational import grouped_aggregate
+
+    per_line = j.map_batches(finalize, batch_format="pandas")
+    return grouped_aggregate(per_line, ["n_name"], [("revenue_e2", "revenue_e2", "sum")])
+
+
+SQL_Q5_REGIONAL_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def user_running_value(sf_dir: str):
+    """Per-user running total of event value over time (the
+    balance/odometer window), integer e2-quantized per term so the
+    cumulative sum is exact on both engines."""
+    from .relational import cumsum_within_groups
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        v = np.floor(b.column("value").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "ts": b.column("ts"),
+                "user_id": b.column("user_id"),
+                "value_e2": pa.array(v, pa.int64()),
+            }
+        )
+
+    out = cumsum_within_groups(
+        ev.map_batches(quant, batch_format="pyarrow"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "value_e2",
+        out_col="running_e2",
+    )
+    return out.select_columns(["event_id", "user_id", "running_e2"])
+
+
+SQL_USER_RUNNING_VALUE = """
+SELECT event_id, user_id,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS running_e2
+FROM events
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4554,6 +4689,11 @@ QUERIES = {
     ),
     "validate_orders_expectations": (validate_orders_expectations, SQL_VALIDATE_ORDERS),
     "lineitem_unpivot_measures": (lineitem_unpivot_measures, SQL_LINEITEM_UNPIVOT),
+    "q5_regional_supplier_volume": (
+        q5_regional_supplier_volume,
+        SQL_Q5_REGIONAL_VOLUME,
+    ),
+    "user_running_value": (user_running_value, SQL_USER_RUNNING_VALUE),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

@@ -1543,3 +1543,30 @@ def unpivot(
     return ds.select_columns(
         list(dict.fromkeys([*id_cols, *value_cols]))
     ).map_batches(melt, batch_format="pyarrow")
+
+
+def cumsum_within_groups(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    out_col: str = "running",
+) -> ray.data.Dataset:
+    """Running total per group (``sum(v) OVER (PARTITION BY k ORDER BY
+    o ROWS UNBOUNDED PRECEDING)``) — the balance/odometer window.  Same
+    topology as ``lag_within_groups``: one groupby exchange, in-group
+    mergesort + vectorized cumsum.  ``order_cols`` must totally order
+    the group for a deterministic result.  Integer value columns
+    accumulate exactly; for floats, pre-quantize if the consumer needs
+    cross-engine bit equality (sequential float summation is
+    order-defined but not guaranteed across engines).
+    """
+    order_cols = list(order_cols)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="mergesort").copy()
+        df[out_col] = df[value_col].cumsum()
+        return df
+
+    return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")

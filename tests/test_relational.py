@@ -960,3 +960,38 @@ def test_unpivot_melt(ray_session):
     ).sort_values(["id", "measure"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert "extra" not in got.columns  # only id + value cols survive
+
+
+def test_cumsum_within_groups_matches_duckdb(ray_session, db):
+    from rastertiler_rs_ray.pipelines.relational import cumsum_within_groups
+
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).repartition(5)
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return t.drop_columns(["value"]).append_column("v", pa.array(v))
+
+    got = (
+        cumsum_within_groups(
+            ev.map_batches(quant, batch_format="pyarrow"),
+            ["user_id"], ["ts", "event_id"], "v", out_col="run",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """
+        SELECT event_id, ts, user_id,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+        FROM events ORDER BY user_id, ts, event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "run"]].astype("int64"),
+        want[["event_id", "user_id", "run"]].astype("int64"),
+    )
