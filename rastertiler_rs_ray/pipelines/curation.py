@@ -1191,6 +1191,8 @@ def source_overlap_matrix(
         return out.assign(__gshard=h % num_shards)
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):  # zero-column empty reduce partitions (see raylog.py)
+            return g
         u = g[["ng", source_col]].drop_duplicates()
         if max_sources_per_gram is not None:
             sz = u.groupby("ng", sort=False)["ng"].transform("size")

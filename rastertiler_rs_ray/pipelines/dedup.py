@@ -1326,6 +1326,8 @@ def normalized_exact_dedup(
         return f
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):  # zero-column empty reduce partitions (see raylog.py)
+            return group
         g = group.sort_values(["__content_hash", id_col], kind="mergesort")
         g = g.drop_duplicates("__content_hash", keep="first")
         return g.drop(columns=["__content_hash", "__cshard"])

@@ -4615,6 +4615,65 @@ FROM events
 """
 
 
+def latest_event_per_user(sf_dir: str):
+    """Whole-row argmax per key — the "current state per entity"
+    primitive: each user's most recent event (ties by event_id).  Per-
+    block winner pruning means the exchange moves ≤ one row per
+    (block, user), never the event history."""
+    from .relational import latest_by_key
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    return latest_by_key(ev, "user_id", ["ts", "event_id"])
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def event_users_intersect_customers(sf_dir: str):
+    """Distinct-set INTERSECT: user ids that both emitted events and
+    exist as customers — narrow key-only co-shuffle, each side reduced
+    to per-block distinct keys before anything moves."""
+    from .relational import dataset_intersect
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda b: b.rename_columns(["user_id"]), batch_format="pyarrow"
+    )
+    return dataset_intersect(ev, cust, ["user_id"])
+
+
+SQL_EVENT_USERS_INTERSECT = """
+SELECT DISTINCT user_id FROM events
+INTERSECT
+SELECT c_custkey AS user_id FROM customer
+"""
+
+
+def short_only_lang_sources(sf_dir: str):
+    """Distinct-set EXCEPT: (lang, source) combinations that appear in
+    the corpus but never on a document longer than 400 chars — the
+    coverage-gap diagnostic shape ("which strata exist only in the
+    short tail?")."""
+    from .relational import dataset_except
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    long_docs = docs.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_chars"), 400)),
+        batch_format="pyarrow",
+    )
+    return dataset_except(docs, long_docs, ["lang", "source"])
+
+
+SQL_SHORT_ONLY_LANG_SOURCES = """
+SELECT DISTINCT lang, source FROM documents
+EXCEPT
+SELECT DISTINCT lang, source FROM documents WHERE n_chars > 400
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4694,6 +4753,12 @@ QUERIES = {
         SQL_Q5_REGIONAL_VOLUME,
     ),
     "user_running_value": (user_running_value, SQL_USER_RUNNING_VALUE),
+    "latest_event_per_user": (latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
+    "event_users_intersect_customers": (
+        event_users_intersect_customers,
+        SQL_EVENT_USERS_INTERSECT,
+    ),
+    "short_only_lang_sources": (short_only_lang_sources, SQL_SHORT_ONLY_LANG_SOURCES),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

@@ -251,6 +251,13 @@ def validate_expectations(
     if mapside:
 
         def count_viol(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df.columns):  # zero-column empty block (see raylog.py)
+                return pd.DataFrame(
+                    {"__i": pd.Series([], dtype=np.int64),
+                     "rule": pd.Series([], dtype=object),
+                     "col": pd.Series([], dtype=object),
+                     "violations": pd.Series([], dtype=np.int64)}
+                )
             out = []
             for i, r in mapside:
                 c = df[r["col"]]

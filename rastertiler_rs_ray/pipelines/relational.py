@@ -1398,7 +1398,7 @@ def windowed_rank(
     pd_method = {"dense": "dense", "rank": "min"}[method]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if keep_rank_le is None:
+        if keep_rank_le is None or not len(df):
             return df
         r = df.groupby(part_keys, sort=False)[order_col].rank(
             method="dense", ascending=not descending
@@ -1406,6 +1406,8 @@ def windowed_rank(
         return df[r <= keep_rank_le]
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
         df = df.copy()
         df[rank_col] = (
             df.groupby(part_keys, sort=False)[order_col]
@@ -1457,6 +1459,8 @@ def upsert_latest(
         return f
 
     def elect(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
         df = df.sort_values(
             [key_col, version_col, "__src"],
             ascending=[True, False, False],
@@ -1499,6 +1503,8 @@ def grouped_concat(
     order_cols = list(order_cols)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
         df = df.sort_values(order_cols, kind="mergesort")
         head = df.iloc[:1][part_keys].reset_index(drop=True)
         head[out_col] = sep.join(df[value_col].astype(str).tolist())
@@ -1565,8 +1571,121 @@ def cumsum_within_groups(
     order_cols = list(order_cols)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
         df = df.sort_values(order_cols, kind="mergesort").copy()
         df[out_col] = df[value_col].cumsum()
         return df
 
     return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
+
+
+def latest_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: Sequence[str],
+    *,
+    descending: bool = True,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Whole-row argmax per key — "the latest event per user", "the
+    current state per entity": keep the single row with the greatest
+    (or least) ``order_cols`` tuple per ``key_col``.  ``order_cols``
+    must totally order rows within a key (end with a unique id).
+
+    Two-stage, exact, and skew-proof: each block keeps ITS winner per
+    key (vectorized sort + drop_duplicates — a block can only improve
+    on another block's winner, never combine with it, so per-block
+    pruning is lossless); survivors co-locate by hash(key) into COARSE
+    shards and one more identical pass elects the global winner.  The
+    exchange moves ≤ one row per (block, key), never the full history.
+    """
+    order_cols = list(order_cols)
+    asc = [not descending] * len(order_cols)
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
+        df = df.sort_values([key_col, *order_cols],
+                            ascending=[True, *asc], kind="mergesort")
+        return df.drop_duplicates(key_col, keep="first")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = elect(df).copy()
+        h = pd.util.hash_array(out[key_col].to_numpy()).astype(np.int64)
+        out["__lshard"] = h % num_shards
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = elect(df)
+        return out.drop(columns="__lshard") if len(out) else out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__lshard")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def dataset_intersect(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: Sequence[str],
+    *,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Distinct-row INTERSECT on ``keys``: key tuples present on BOTH
+    sides, each once.  Narrow co-shuffle: both sides reduce to per-block
+    distinct key rows tagged with a side bit, co-locate by hash into
+    coarse shards, and a vectorized per-shard groupby keeps tuples whose
+    side set is {0, 1}.  Only key columns ever move."""
+    return _set_op(left, right, list(keys), num_shards=num_shards, op="intersect")
+
+
+def dataset_except(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: Sequence[str],
+    *,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Distinct-row EXCEPT on ``keys``: key tuples of ``left`` absent
+    from ``right``, each once.  Same narrow co-shuffle as
+    ``dataset_intersect``."""
+    return _set_op(left, right, list(keys), num_shards=num_shards, op="except")
+
+
+def _set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: list[str],
+    *,
+    num_shards: int,
+    op: str,
+) -> ray.data.Dataset:
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[keys].drop_duplicates().copy()
+            h = pd.util.hash_pandas_object(out[keys], index=False).astype(np.int64)
+            out["__side"] = np.int64(side)
+            out["__sshard"] = h.to_numpy() % num_shards
+            return out
+
+        return f
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
+        g = df.groupby(keys, sort=False)["__side"]
+        mn, mx = g.transform("min"), g.transform("max")
+        if op == "intersect":
+            keep = (mn == 0) & (mx == 1)
+        else:  # except: left-only tuples
+            keep = (mn == 0) & (mx == 0)
+        out = df[keep & (df["__side"] == 0)]
+        return out.drop(columns=["__side", "__sshard"]).drop_duplicates()
+
+    both = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+    return both.groupby("__sshard").map_groups(resolve, batch_format="pandas")

@@ -285,6 +285,8 @@ def grouped_approx_distinct(
     )
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
         g = df.groupby(group_col, sort=False)
         nz = g.size().to_numpy(dtype=np.int64)  # buckets present (rho ≥ 1)
         s = g["rho"].apply(

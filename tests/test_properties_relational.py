@@ -105,3 +105,97 @@ def test_discrete_quantiles_matches_rank_rule(ray_session, df):
         rank = max(int(np.ceil(q * n)), 1)
         want = vals[rank - 1]
         assert out[out["q"] == q]["value"].iloc[0] == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(frames())
+def test_windowed_rank_matches_pandas_reference(ray_session, df):
+    from rastertiler_rs_ray.pipelines.relational import windowed_rank
+
+    got = (
+        windowed_rank(
+            ray.data.from_pandas(df).repartition(3), ["k"],
+            order_col="v", method="dense", keep_rank_le=2,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    ref["rnk"] = (
+        ref.groupby("k")["v"].rank(method="dense", ascending=False).astype(np.int64)
+    )
+    ref = ref[ref["rnk"] <= 2].sort_values("rid").reset_index(drop=True)
+    assert got["rid"].tolist() == ref["rid"].tolist()
+    assert got["rnk"].tolist() == ref["rnk"].tolist()
+
+
+@settings(max_examples=5, deadline=None)
+@given(frames(), frames())
+def test_set_ops_match_pandas_reference(ray_session, dl, dr):
+    from rastertiler_rs_ray.pipelines.relational import (
+        dataset_except,
+        dataset_intersect,
+    )
+
+    keys = ["k", "t"]
+    ld = ray.data.from_pandas(dl).repartition(2)
+    rd = ray.data.from_pandas(dr).repartition(3)
+    lt = set(map(tuple, dl[keys].values.tolist()))
+    rt = set(map(tuple, dr[keys].values.tolist()))
+
+    inter = dataset_intersect(ld, rd, keys).to_pandas()
+    assert set(map(tuple, inter.values.tolist())) == (lt & rt)
+    assert len(inter) == len(inter.drop_duplicates())
+
+    exc = dataset_except(ld, rd, keys).to_pandas()
+    assert set(map(tuple, exc.values.tolist())) == (lt - rt)
+    assert len(exc) == len(exc.drop_duplicates())
+
+
+@settings(max_examples=5, deadline=None)
+@given(frames())
+def test_latest_by_key_matches_pandas_reference(ray_session, df):
+    from rastertiler_rs_ray.pipelines.relational import latest_by_key
+
+    got = latest_by_key(
+        ray.data.from_pandas(df).repartition(3), "k", ["t", "rid"], num_shards=4
+    ).to_pandas()
+    ref = (
+        df.sort_values(["k", "t", "rid"], ascending=[True, False, False])
+        .drop_duplicates("k", keep="first")
+    )
+    assert sorted(got["rid"].tolist()) == sorted(ref["rid"].tolist())
+
+
+@settings(max_examples=5, deadline=None)
+@given(frames(), st.integers(2, 5))
+def test_upsert_latest_matches_pandas_reference(ray_session, df, mod):
+    from rastertiler_rs_ray.pipelines.relational import upsert_latest
+
+    base = df[["k", "v"]].drop_duplicates("k").copy()
+    base["version"] = 0
+    base["deleted"] = False
+    chg = base[base["k"] % mod == 0].copy()
+    chg["v"] = chg["v"] + 1000
+    chg["version"] = 1
+    chg["deleted"] = chg["k"] % (mod * 2) == 0
+    got = upsert_latest(
+        ray.data.from_pandas(base).repartition(2),
+        ray.data.from_pandas(chg).repartition(2),
+        key_col="k", version_col="version", deleted_col="deleted",
+        num_shards=4,
+    ).to_pandas()
+    u = pd.concat([base.assign(__s=0), chg.assign(__s=1)])
+    win = (
+        u.sort_values(["k", "version", "__s"], ascending=[True, False, False])
+        .drop_duplicates("k", keep="first")
+    )
+    win = win[~win["deleted"]].sort_values("k")
+    if not len(win):
+        # every key tombstoned → empty result (schema-less empty Dataset)
+        assert len(got) == 0
+        return
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == win["k"].tolist()
+    assert got["v"].tolist() == win["v"].tolist()

@@ -995,3 +995,56 @@ def test_cumsum_within_groups_matches_duckdb(ray_session, db):
         got[["event_id", "user_id", "run"]].astype("int64"),
         want[["event_id", "user_id", "run"]].astype("int64"),
     )
+
+
+def test_latest_by_key_matches_duckdb(ray_session, db):
+    from rastertiler_rs_ray.pipelines.relational import latest_by_key
+
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).repartition(6)
+    got = (
+        latest_by_key(ev, "user_id", ["ts", "event_id"], num_shards=8)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """
+        SELECT event_id, ts, user_id, value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "value"]].reset_index(drop=True),
+        want[["event_id", "user_id", "value"]],
+        check_dtype=False,
+    )
+
+
+def test_set_ops_intersect_except(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import (
+        dataset_except,
+        dataset_intersect,
+    )
+
+    l = pd.DataFrame({"k": [1, 1, 2, 3, 5], "g": ["a", "a", "a", "b", "b"]})
+    r = pd.DataFrame({"k": [2, 3, 3, 4], "g": ["a", "b", "b", "b"]})
+    ld = ray.data.from_pandas(l).repartition(3)
+    rd = ray.data.from_pandas(r).repartition(2)
+
+    inter = (
+        dataset_intersect(ld, rd, ["k", "g"]).to_pandas()
+        .sort_values(["k", "g"]).reset_index(drop=True)
+    )
+    assert inter.values.tolist() == [[2, "a"], [3, "b"]]
+
+    exc = (
+        dataset_except(ld, rd, ["k", "g"]).to_pandas()
+        .sort_values(["k", "g"]).reset_index(drop=True)
+    )
+    assert exc.values.tolist() == [[1, "a"], [5, "b"]]
+    # distinctness: duplicated left tuples appear once
+    assert len(exc) == len(exc.drop_duplicates())
