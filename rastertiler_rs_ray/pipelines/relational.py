@@ -741,39 +741,24 @@ def shuffle_hash_join(
     )
 
 
-def continuous_percentiles(
+def _values_at_ranks(
     ds: ray.data.Dataset,
     col: str,
-    qs: Sequence[float],
+    rank_fn,
     *,
     sample_per_block: int = 4096,
     collect_budget: int = 200_000,
     max_rounds: int = 8,
-) -> "pd.DataFrame":
-    """EXACT percentile_disc over a continuous (all-distinct) column via
-    distributed iterative range-refinement selection — the selection
-    counterpart of ``discrete_quantiles`` (whose value-counting shuffle
-    degenerates when every value is distinct).
-
-    Round 0 scans once for per-block ``(count, min, max, hash-picked
-    sample)`` partials; the driver brackets each target rank
-    ``ceil(q*n)`` with a DKW-style sample-rank margin.  Each later
-    round scans once, counting ``x < lo`` exactly and sampling inside
-    each bracket; a bracket whose exact member count fits
-    ``collect_budget`` is collected and answered exactly
-    (``sorted(members)[rank - count_below]``), otherwise the in-range
-    sample re-brackets it.  Every round's driver state is bounded:
-    per-block partials + capped samples — never O(n).  Typically 2
-    scans end-to-end; raises after ``max_rounds`` (never silently
-    approximate).
-
-    Returns a one-row pandas DataFrame with a float64 column per q
-    (``p{q*100:g}`` with '.' -> '_'); values are actual data elements,
-    so they compare bit-exactly against DuckDB's percentile_disc.
-    """
+) -> "tuple[int, list[float]]":
+    """Distributed exact order-statistic selection: ``rank_fn(n)`` maps
+    the (discovered) non-null count to a list of 0-based target ranks;
+    returns ``(n, values)`` with one exact data element per rank.  The
+    iterative range-refinement engine shared by
+    ``continuous_percentiles`` (percentile_disc ranks) and
+    ``interpolated_percentiles`` (the two quantile_cont neighbor ranks).
+    Driver state stays bounded (per-block partials + capped samples) —
+    see ``continuous_percentiles`` for the round structure."""
     import pandas as pd
-
-    qs = list(qs)
 
     def partials(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -804,12 +789,7 @@ def continuous_percentiles(
     sample = np.sort(np.concatenate(
         [np.frombuffer(b, np.float64) for b in part["sample"]]
     ))
-    # NOTE: the float np.ceil(q * n) rank INTENTIONALLY mirrors DuckDB's
-    # percentile_disc float rank arithmetic (the correctness oracle) —
-    # e.g. q=0.1, n=30 yields 0-based index 3 where exact rational ceil
-    # gives 2.  Do not "fix" this to Fraction math without changing the
-    # oracle in lockstep; the convention is float-rank by design.
-    ranks = [max(int(np.ceil(q * n)), 1) - 1 for q in qs]  # 0-based
+    ranks = list(rank_fn(n))  # 0-based
 
     def bracket(rank, s):
         if len(s) == 0:
@@ -824,7 +804,7 @@ def continuous_percentiles(
     answers: dict[int, float] = {}
 
     for _ in range(max_rounds):
-        live = [i for i in range(len(qs)) if i not in answers]
+        live = [i for i in range(len(ranks)) if i not in answers]
         if not live:
             break
         los = np.array([brackets[i][0] for i in live])
@@ -883,17 +863,131 @@ def continuous_percentiles(
             else:
                 brackets[i] = (gmin, gmax)
 
-    missing = [qs[i] for i in range(len(qs)) if i not in answers]
+    missing = [ranks[i] for i in range(len(ranks)) if i not in answers]
     if missing:
         raise RuntimeError(
-            f"continuous_percentiles: {missing} unresolved after {max_rounds} rounds"
+            f"_values_at_ranks: ranks {missing} unresolved after {max_rounds} rounds"
         )
+    return n, [answers[i] for i in range(len(ranks))]
+
+
+def continuous_percentiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: Sequence[float],
+    *,
+    sample_per_block: int = 4096,
+    collect_budget: int = 200_000,
+    max_rounds: int = 8,
+) -> "pd.DataFrame":
+    """EXACT percentile_disc over a continuous (all-distinct) column via
+    distributed iterative range-refinement selection — the selection
+    counterpart of ``discrete_quantiles`` (whose value-counting shuffle
+    degenerates when every value is distinct).
+
+    Round 0 scans once for per-block ``(count, min, max, hash-picked
+    sample)`` partials; the driver brackets each target rank
+    ``ceil(q*n)`` with a DKW-style sample-rank margin.  Each later
+    round scans once, counting ``x < lo`` exactly and sampling inside
+    each bracket; a bracket whose exact member count fits
+    ``collect_budget`` is collected and answered exactly
+    (``sorted(members)[rank - count_below]``), otherwise the in-range
+    sample re-brackets it.  Every round's driver state is bounded:
+    per-block partials + capped samples — never O(n).  Typically 2
+    scans end-to-end; raises after ``max_rounds`` (never silently
+    approximate).
+
+    Returns a one-row pandas DataFrame with a float64 column per q
+    (``p{q*100:g}`` with '.' -> '_'); values are actual data elements,
+    so they compare bit-exactly against DuckDB's percentile_disc.
+    """
+    import pandas as pd
+
+    qs = list(qs)
+
+    # NOTE: the float np.ceil(q * n) rank INTENTIONALLY mirrors DuckDB's
+    # percentile_disc float rank arithmetic (the correctness oracle) —
+    # e.g. q=0.1, n=30 yields 0-based index 3 where exact rational ceil
+    # gives 2.  Do not "fix" this to Fraction math without changing the
+    # oracle in lockstep; the convention is float-rank by design.
+    def rank_fn(n: int) -> list[int]:
+        return [max(int(np.ceil(q * n)), 1) - 1 for q in qs]
+
+    _, vals = _values_at_ranks(
+        ds, col, rank_fn,
+        sample_per_block=sample_per_block,
+        collect_budget=collect_budget,
+        max_rounds=max_rounds,
+    )
 
     def name(q):
         s = ("%g" % (q * 100)).replace(".", "_")
         return f"p{s}"
 
-    return pd.DataFrame({name(q): [answers[i]] for i, q in enumerate(qs)})
+    return pd.DataFrame({name(q): [vals[i]] for i, q in enumerate(qs)})
+
+
+def interpolated_percentiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: Sequence[float],
+    *,
+    sample_per_block: int = 4096,
+    collect_budget: int = 200_000,
+    max_rounds: int = 8,
+) -> "pd.DataFrame":
+    """EXACT quantile_cont (linear interpolation between order
+    statistics): ``h = (n-1)·q``, answer = ``v[⌊h⌋] + (h-⌊h⌋)·(v[⌊h⌋+1]
+    - v[⌊h⌋])`` — the SQL-standard percentile_cont convention, mirrored
+    float-for-float.  Needs only the (at most) 2·len(qs) neighbor order
+    statistics, fetched by the same bounded range-refinement engine as
+    ``continuous_percentiles`` — never a global sort.
+
+    Returns a one-row DataFrame with an int64 ``p..._e6`` column per q
+    (result × 1e6, floor(x+0.5)): the interpolation multiply is spelled
+    identically in the SQL oracle, and the e6 quantization absorbs the
+    last-ulp difference DuckDB's fused ops could introduce.
+    """
+    import pandas as pd
+
+    qs = list(qs)
+    state: dict = {}
+
+    def rank_fn(n: int) -> list[int]:
+        ranks: list[int] = []
+        idx = []
+        for q in qs:
+            h = (n - 1) * float(q)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            ranks.append(lo)
+            ranks.append(hi)
+            idx.append((h, lo, hi))
+        state["idx"] = idx
+        # dedupe while preserving a stable order; remember positions
+        uniq = sorted(set(ranks))
+        state["pos"] = {r: i for i, r in enumerate(uniq)}
+        return uniq
+
+    _, vals = _values_at_ranks(
+        ds, col, rank_fn,
+        sample_per_block=sample_per_block,
+        collect_budget=collect_budget,
+        max_rounds=max_rounds,
+    )
+    pos = state["pos"]
+
+    def name(q):
+        s = ("%g" % (q * 100)).replace(".", "_")
+        return f"p{s}_e6"
+
+    out = {}
+    for q, (h, lo, hi) in zip(qs, state["idx"]):
+        vlo, vhi = vals[pos[lo]], vals[pos[hi]]
+        frac = h - np.floor(h)
+        res = vlo + frac * (vhi - vlo)
+        out[name(q)] = [np.int64(np.floor(res * 1e6 + 0.5))]
+    return pd.DataFrame(out)
 
 
 def interval_contains_join(

@@ -1048,3 +1048,20 @@ def test_set_ops_intersect_except(ray_session):
     assert exc.values.tolist() == [[1, "a"], [5, "b"]]
     # distinctness: duplicated left tuples appear once
     assert len(exc) == len(exc.drop_duplicates())
+
+
+def test_interpolated_percentiles_matches_numpy(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import interpolated_percentiles
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(100.0, 15.0, 3001)
+    df = pd.DataFrame({"x": v})
+    got = interpolated_percentiles(
+        ray.data.from_pandas(df).repartition(7), "x", [0.0, 0.25, 0.5, 0.777, 1.0],
+        collect_budget=500,
+    )
+    for q, colname in zip(
+        [0.0, 0.25, 0.5, 0.777, 1.0], ["p0_e6", "p25_e6", "p50_e6", "p77_7_e6", "p100_e6"]
+    ):
+        want = np.quantile(v, q)  # numpy 'linear' == SQL percentile_cont
+        assert abs(got[colname].iloc[0] / 1e6 - want) < 2e-6, (q, colname)
