@@ -4711,6 +4711,26 @@ def _sql_price_percentiles_cont() -> str:
 SQL_PRICE_PERCENTILES_CONT = _sql_price_percentiles_cont()
 
 
+def top_event_type_per_user(sf_dir: str):
+    """Exact per-group mode: each user's dominant event type (ties →
+    lexicographically smallest) with its count — one narrow exchange of
+    per-block distinct (user, type, cnt) partials."""
+    from .relational import mode_by_group
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return mode_by_group(ev, "user_id", "event_type")
+
+
+SQL_TOP_EVENT_TYPE_PER_USER = """
+SELECT user_id, event_type AS mode_value, CAST(cnt AS BIGINT) AS cnt FROM (
+  SELECT user_id, event_type, count(*) AS cnt FROM events
+  GROUP BY user_id, event_type
+)
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY cnt DESC, event_type) = 1
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4797,6 +4817,7 @@ QUERIES = {
     ),
     "short_only_lang_sources": (short_only_lang_sources, SQL_SHORT_ONLY_LANG_SOURCES),
     "price_percentiles_cont": (price_percentiles_cont, SQL_PRICE_PERCENTILES_CONT),
+    "top_event_type_per_user": (top_event_type_per_user, SQL_TOP_EVENT_TYPE_PER_USER),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

@@ -1783,3 +1783,54 @@ def _set_op(
         right.map_batches(tag(1), batch_format="pandas")
     )
     return both.groupby("__sshard").map_groups(resolve, batch_format="pandas")
+
+
+def mode_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    num_shards: int = 64,
+) -> ray.data.Dataset:
+    """Exact per-group mode: the most frequent ``value_col`` per
+    ``group_col`` with its count (ties → smallest value) — the label
+    summary / dominant-category profile (``heavy_hitters`` is its
+    approximate GLOBAL cousin).
+
+    One exchange: blocks emit their distinct (group, value, cnt)
+    partials (vectorized two-level value_counts), co-located by
+    hash(group) into coarse shards; each shard finishes all its groups
+    with one vectorized sum + sort + drop_duplicates pass.  Rows moved
+    = per-block distinct pairs — the information-theoretic minimum for
+    an exact answer.  Output: (group_col, mode_value, cnt).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby([group_col, value_col], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        h = pd.util.hash_array(out[group_col].to_numpy()).astype(np.int64)
+        return out.assign(__mshard=h % num_shards)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
+        tot = (
+            df.groupby([group_col, value_col], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        tot = tot.sort_values(
+            [group_col, "cnt", value_col], ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(group_col, keep="first")
+        return tot.rename(columns={value_col: "mode_value"})
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__mshard")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1065,3 +1065,25 @@ def test_interpolated_percentiles_matches_numpy(ray_session):
     ):
         want = np.quantile(v, q)  # numpy 'linear' == SQL percentile_cont
         assert abs(got[colname].iloc[0] / 1e6 - want) < 2e-6, (q, colname)
+
+
+def test_mode_by_group_ties_and_partitions(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import mode_by_group
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 1, 2, 2, 2],
+            "v": ["b", "a", "b", "a", "z", "z", "y"],  # g=1 tie a/b → 'a'
+        }
+    )
+    got = (
+        mode_by_group(
+            ray.data.from_pandas(df).repartition(4), "g", "v", num_shards=4
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got["g"].tolist() == [1, 2]
+    assert got["mode_value"].tolist() == ["a", "z"]
+    assert got["cnt"].tolist() == [2, 2]
