@@ -4731,6 +4731,31 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def user_event_history_scd2(sf_dir: str):
+    """SCD2 validity intervals over the event stream: each user event
+    becomes a dimension version valid [its ts, next ts) with the open
+    current version flagged — the point-in-time table an as-of join
+    consumes."""
+    from .relational import scd2_history
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    out = scd2_history(ev, "user_id", "ts", order_tiebreak=["event_id"])
+    return out.map_batches(
+        lambda df: df.assign(is_current=df["is_current"].astype(bool)),
+        batch_format="pandas",
+    )
+
+
+SQL_USER_EVENT_HISTORY_SCD2 = """
+SELECT event_id, ts, user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4818,6 +4843,7 @@ QUERIES = {
     "short_only_lang_sources": (short_only_lang_sources, SQL_SHORT_ONLY_LANG_SOURCES),
     "price_percentiles_cont": (price_percentiles_cont, SQL_PRICE_PERCENTILES_CONT),
     "top_event_type_per_user": (top_event_type_per_user, SQL_TOP_EVENT_TYPE_PER_USER),
+    "user_event_history_scd2": (user_event_history_scd2, SQL_USER_EVENT_HISTORY_SCD2),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

@@ -1834,3 +1834,37 @@ def mode_by_group(
         .groupby("__mshard")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def scd2_history(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    *,
+    order_tiebreak: Sequence[str] = (),
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 history from a change stream:
+    each (key, version) row gets a validity interval — ``valid_from`` =
+    its own timestamp, ``valid_to`` = the key's NEXT change (null for
+    the open, current version) — turning an upsert log into the
+    point-in-time dimension an as-of join consumes.
+
+    Same topology as ``lag_within_groups`` (one groupby exchange,
+    in-group mergesort + vectorized shift); per-key history must fit a
+    worker heap — the standard dimension-table contract.
+    """
+    order_cols = [ts_col, *order_tiebreak]
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
+        df = df.sort_values(order_cols, kind="mergesort").copy()
+        df[from_col] = df[ts_col]
+        df[to_col] = df[ts_col].shift(-1)
+        df[current_col] = df[to_col].isna()
+        return df
+
+    return ds.groupby(key_col).map_groups(f, batch_format="pandas")

@@ -1087,3 +1087,32 @@ def test_mode_by_group_ties_and_partitions(ray_session):
     assert got["g"].tolist() == [1, 2]
     assert got["mode_value"].tolist() == ["a", "z"]
     assert got["cnt"].tolist() == [2, 2]
+
+
+def test_scd2_history_intervals(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import scd2_history
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-03", "2024-01-02", "2024-06-01"]
+            ),
+            "rid": [0, 1, 2, 3],
+        }
+    )
+    got = (
+        scd2_history(
+            ray.data.from_pandas(df).repartition(2), "k", "ts",
+            order_tiebreak=["rid"],
+        )
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    # k=1 ordered: 01-01 → 01-02 → 01-03; valid_to chains, last open
+    assert got["valid_from"].tolist() == got["ts"].tolist()
+    assert got["valid_to"].iloc[0] == got["ts"].iloc[1]
+    assert got["valid_to"].iloc[1] == got["ts"].iloc[2]
+    assert pd.isna(got["valid_to"].iloc[2]) and pd.isna(got["valid_to"].iloc[3])
+    assert got["is_current"].tolist() == [False, False, True, True]
