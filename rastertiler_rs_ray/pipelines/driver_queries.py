@@ -4756,6 +4756,83 @@ FROM events
 """
 
 
+def event_value_rank_fractions(sf_dir: str):
+    """percent_rank + cume_dist per user over event values — relative-
+    standing windows, value-pure (deterministic under ties), fractions
+    e6-quantized for cross-engine hash equality."""
+    from .relational import rank_fractions_in_groups
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return rank_fractions_in_groups(ev, ["user_id"], order_col="value")
+
+
+SQL_EVENT_VALUE_RANK_FRACTIONS = """
+SELECT event_id, user_id, value,
+       CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pct_rank_e6,
+       CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cume_dist_e6
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""
+
+
+def user_value_locf(sf_dir: str):
+    """LOCF gap filling: error events null out their value, then each
+    user's stream carries the last non-null value forward (leading
+    nulls stay null)."""
+    from .relational import fill_forward_in_groups
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def nullify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df.loc[df["event_type"] == "error", "value"] = np.nan
+        return df[["event_id", "ts", "user_id", "value"]]
+
+    out = fill_forward_in_groups(
+        ev.map_batches(nullify, batch_format="pandas"),
+        ["user_id"], ["ts", "event_id"], "value", out_col="v_filled",
+    )
+    return out.select_columns(["event_id", "user_id", "v_filled"])
+
+
+SQL_USER_VALUE_LOCF = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS v_filled
+FROM events
+"""
+
+
+def monthly_order_revenue(sf_dir: str):
+    """Calendar rollup: total order value per (year*100+month) key —
+    integer month keys and e2-quantized per-term sums keep both engines
+    bit-identical."""
+    from .relational import grouped_aggregate
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"]
+        ym = (d.dt.year * 100 + d.dt.month).astype(np.int64)
+        e2 = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"ym": ym, "revenue_e2": e2})
+
+    return grouped_aggregate(
+        orders.map_batches(derive, batch_format="pandas"),
+        ["ym"],
+        [("revenue_e2", "revenue_e2", "sum")],
+    )
+
+
+SQL_MONTHLY_ORDER_REVENUE = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_e2
+FROM orders GROUP BY 1
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4844,6 +4921,12 @@ QUERIES = {
     "price_percentiles_cont": (price_percentiles_cont, SQL_PRICE_PERCENTILES_CONT),
     "top_event_type_per_user": (top_event_type_per_user, SQL_TOP_EVENT_TYPE_PER_USER),
     "user_event_history_scd2": (user_event_history_scd2, SQL_USER_EVENT_HISTORY_SCD2),
+    "event_value_rank_fractions": (
+        event_value_rank_fractions,
+        SQL_EVENT_VALUE_RANK_FRACTIONS,
+    ),
+    "user_value_locf": (user_value_locf, SQL_USER_VALUE_LOCF),
+    "monthly_order_revenue": (monthly_order_revenue, SQL_MONTHLY_ORDER_REVENUE),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

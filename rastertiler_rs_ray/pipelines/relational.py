@@ -1868,3 +1868,74 @@ def scd2_history(
         return df
 
     return ds.groupby(key_col).map_groups(f, batch_format="pandas")
+
+
+def rank_fractions_in_groups(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    *,
+    order_col: str,
+    descending: bool = False,
+    pr_col: str = "pct_rank",
+    cd_col: str = "cume_dist",
+    quantize: int = 1_000_000,
+) -> ray.data.Dataset:
+    """``percent_rank()`` and ``cume_dist()`` per group — the relative-
+    standing windows feeding score normalization and percentile
+    cutoffs.  percent_rank = (rank_min − 1)/(n − 1) (0 for a singleton
+    group, the SQL convention); cume_dist = rank_max/n.  Both are pure
+    functions of the VALUE, deterministic under ties without a
+    tiebreak.
+
+    One groupby exchange; in-group vectorized pandas ranks.  Output
+    fractions are integer-quantized (``floor(x·quantize + 0.5)``,
+    ``*_e6`` columns) so the driver's value-hash compare never rides a
+    float division's last ulp.
+    """
+    part_keys = list(part_keys)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
+        df = df.copy()
+        g = df.groupby(part_keys, sort=False)[order_col]
+        rmin = g.rank(method="min", ascending=not descending)
+        rmax = g.rank(method="max", ascending=not descending)
+        n = g.transform("size").astype(np.float64)
+        pr = np.where(n > 1, (rmin - 1.0) / (n - 1.0), 0.0)
+        cd = rmax / n
+        df[f"{pr_col}_e6"] = np.floor(pr * quantize + 0.5).astype(np.int64)
+        df[f"{cd_col}_e6"] = np.floor(cd * quantize + 0.5).astype(np.int64)
+        return df
+
+    return ds.groupby(part_keys).map_groups(f, batch_format="pandas")
+
+
+def fill_forward_in_groups(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    out_col: str | None = None,
+) -> ray.data.Dataset:
+    """LOCF imputation (last observation carried forward) per group:
+    nulls in ``value_col`` take the most recent non-null value in
+    ``order_cols`` order; leading nulls stay null — the sensor-gap /
+    sparse-attribute filler (SQL: ``last_value(x IGNORE NULLS) OVER
+    (... ROWS UNBOUNDED PRECEDING)``).
+
+    One groupby exchange, in-group mergesort + vectorized pandas
+    ``ffill`` — no Python per row.
+    """
+    order_cols = list(order_cols)
+    out = out_col or value_col
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
+        df = df.sort_values(order_cols, kind="mergesort").copy()
+        df[out] = df[value_col].ffill()
+        return df
+
+    return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")

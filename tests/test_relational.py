@@ -1116,3 +1116,53 @@ def test_scd2_history_intervals(ray_session):
     assert got["valid_to"].iloc[1] == got["ts"].iloc[2]
     assert pd.isna(got["valid_to"].iloc[2]) and pd.isna(got["valid_to"].iloc[3])
     assert got["is_current"].tolist() == [False, False, True, True]
+
+
+def test_rank_fractions_matches_duckdb(ray_session, db):
+    from rastertiler_rs_ray.pipelines.relational import rank_fractions_in_groups
+
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).repartition(4)
+    got = (
+        rank_fractions_in_groups(ev, ["user_id"], order_col="value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """
+        SELECT event_id,
+               CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr,
+               CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        ORDER BY event_id
+        """
+    ).df()
+    assert got["pct_rank_e6"].tolist() == want["pr"].tolist()
+    assert got["cume_dist_e6"].tolist() == want["cd"].tolist()
+
+
+def test_fill_forward_in_groups(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import fill_forward_in_groups
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "t": [0, 1, 2, 3, 0, 1],
+            "v": [np.nan, 5.0, np.nan, np.nan, np.nan, 7.0],
+        }
+    )
+    got = (
+        fill_forward_in_groups(
+            ray.data.from_pandas(df).repartition(3), ["k"], ["t"], "v",
+            out_col="f",
+        )
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # leading null stays; 5.0 carries through the gap; k=2 leading null stays
+    assert pd.isna(got["f"].iloc[0])
+    assert got["f"].iloc[1:4].tolist() == [5.0, 5.0, 5.0]
+    assert pd.isna(got["f"].iloc[4]) and got["f"].iloc[5] == 7.0
