@@ -4833,6 +4833,65 @@ FROM orders GROUP BY 1
 """
 
 
+def lineitem_grouping_sets(sf_dir: str):
+    """True GROUPING SETS (not a rollup prefix chain): qty totals by
+    (returnflag, linestatus), by (linestatus) alone, and the grand
+    total — missing keys labeled 'ALL'.  One scan per set through the
+    map-side partial aggregate topology."""
+    from .relational import grouping_sets_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        q = np.floor(np.asarray(b.column("l_quantity"), np.float64) * 100.0 + 0.5)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty_e2": pa.array(q.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return grouping_sets_aggregate(
+        li.map_batches(quant, batch_format="pyarrow"),
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        [("qty_e2", "qty_e2", "sum")],
+        null_label="ALL",
+    )
+
+
+SQL_LINEITEM_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS qty_e2
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+def orders_price_ntile(sf_dir: str):
+    """Deterministic NTILE(4) per order priority, ordered by
+    (totalprice, orderkey) — the totally-ordered quartile assignment
+    (equi_depth_buckets is the value-pure alternative)."""
+    from .relational import ntile_in_groups
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return ntile_in_groups(
+        orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], 4
+    ).select_columns(["o_orderkey", "o_orderpriority", "tile"])
+
+
+SQL_ORDERS_PRICE_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+FROM orders
+"""
+
+
 # Registry ORDER is the driver's correctness window: the grading driver
 # checks exactly the FIRST 50 entries against their oracles.  Three
 # ordered groups:
@@ -4927,6 +4986,8 @@ QUERIES = {
     ),
     "user_value_locf": (user_value_locf, SQL_USER_VALUE_LOCF),
     "monthly_order_revenue": (monthly_order_revenue, SQL_MONTHLY_ORDER_REVENUE),
+    "lineitem_grouping_sets": (lineitem_grouping_sets, SQL_LINEITEM_GROUPING_SETS),
+    "orders_price_ntile": (orders_price_ntile, SQL_ORDERS_PRICE_NTILE),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),

@@ -1939,3 +1939,98 @@ def fill_forward_in_groups(
         return df
 
     return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
+
+
+def grouping_sets_aggregate(
+    ds: ray.data.Dataset,
+    sets: Sequence[Sequence[str]],
+    aggs: list[tuple[str, str, str]],
+    *,
+    null_label: str | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS: one aggregate per key-set, unioned with
+    the missing key columns null-filled (or ``null_label`` for string
+    keys — use it when the consumer can't hash mixed null/value
+    columns).  ``lineitem_rollup`` is the prefix-chain special case;
+    this is the general shape (e.g. [[a,b],[a],[b],[]]).
+
+    Each set reuses ``grouped_aggregate``'s map-side partial topology —
+    the input is scanned once PER SET (sets are few; a single-scan
+    multi-set partial is possible but couples every set's exchange to
+    the widest key — documented trade).
+    """
+    all_keys: list[str] = []
+    for kset in sets:
+        for k in kset:
+            if k not in all_keys:
+                all_keys.append(k)
+
+    parts = []
+    for kset in sets:
+        kset = list(kset)
+        if kset:
+            agg = grouped_aggregate(ds, kset, aggs)
+        else:
+            # global set: constant key trick, dropped after
+            def add_const(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "__g0", pa.array(np.zeros(len(b), np.int64))
+                )
+
+            agg = grouped_aggregate(
+                ds.map_batches(add_const, batch_format="pyarrow"), ["__g0"], aggs
+            ).drop_columns(["__g0"])
+
+        missing = [k for k in all_keys if k not in kset]
+
+        def fill(batch: pa.Table, _missing=tuple(missing)) -> pa.Table:
+            for m in _missing:
+                if null_label is not None:
+                    col = pa.array([null_label] * len(batch), pa.string())
+                else:
+                    col = pa.nulls(len(batch))
+                batch = batch.append_column(m, col)
+            order = all_keys + [a[0] for a in aggs]
+            return batch.select(order)
+
+        parts.append(agg.map_batches(fill, batch_format="pyarrow"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def ntile_in_groups(
+    ds: ray.data.Dataset,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str],
+    n_tiles: int,
+    *,
+    out_col: str = "tile",
+) -> ray.data.Dataset:
+    """Deterministic NTILE: rows of each group, in ``order_cols`` order
+    (MUST be total — end with a unique id, or tile assignment of tied
+    rows is arbitrary), split into ``n_tiles`` buckets with the SQL
+    size rule (first ``n % n_tiles`` buckets get the extra row).
+    ``equi_depth_buckets`` is the value-pure alternative when a total
+    order isn't available.
+
+    One groupby exchange + in-group vectorized arithmetic.
+    """
+    order_cols = list(order_cols)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # zero-column empty reduce partitions (see raylog.py)
+            return df
+        df = df.sort_values(order_cols, kind="mergesort").copy()
+        n = len(df)
+        base, extra = divmod(n, n_tiles)
+        sizes = np.full(min(n_tiles, n), base, np.int64)
+        sizes[:extra] += 1
+        df[out_col] = np.repeat(
+            np.arange(1, len(sizes) + 1, dtype=np.int64), sizes[: len(sizes)]
+        )
+        return df
+
+    return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")

@@ -1166,3 +1166,58 @@ def test_fill_forward_in_groups(ray_session):
     assert pd.isna(got["f"].iloc[0])
     assert got["f"].iloc[1:4].tolist() == [5.0, 5.0, 5.0]
     assert pd.isna(got["f"].iloc[4]) and got["f"].iloc[5] == 7.0
+
+
+def test_grouping_sets_matches_duckdb(ray_session, db):
+    from rastertiler_rs_ray.pipelines.relational import grouping_sets_aggregate
+
+    li = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    ).repartition(4)
+
+    def quant(t: pa.Table) -> pa.Table:
+        q = np.floor(np.asarray(t.column("l_quantity"), np.float64) * 100 + 0.5)
+        return t.drop_columns(["l_quantity"]).append_column(
+            "q", pa.array(q.astype(np.int64))
+        )
+
+    got = (
+        grouping_sets_aggregate(
+            li.map_batches(quant, batch_format="pyarrow"),
+            [["l_returnflag"], []],
+            [("q", "q", "sum")],
+            null_label="ALL",
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag"])
+        .reset_index(drop=True)
+    )
+    want = db.execute(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS q
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), ())
+        ORDER BY l_returnflag
+        """
+    ).df()
+    assert got["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+    assert got["q"].astype("int64").tolist() == want["q"].astype("int64").tolist()
+
+
+def test_ntile_sql_size_rule(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import ntile_in_groups
+
+    # n=7, k=4 → sizes 2,2,2,1 ; n=2, k=4 → tiles 1,2
+    df = pd.DataFrame(
+        {"g": [0] * 7 + [1] * 2, "o": list(range(7)) + [0, 1]}
+    )
+    got = (
+        ntile_in_groups(
+            ray.data.from_pandas(df).repartition(3), ["g"], ["o"], 4
+        )
+        .to_pandas()
+        .sort_values(["g", "o"])
+        .reset_index(drop=True)
+    )
+    assert got[got["g"] == 0]["tile"].tolist() == [1, 1, 2, 2, 3, 3, 4]
+    assert got[got["g"] == 1]["tile"].tolist() == [1, 2]
