@@ -1005,39 +1005,72 @@ def quantize_embeddings_int8(
     """
 
     def quant(t: pa.Table) -> pa.Table:
-        empty = pa.table(
+        return _quantize_int8_table(t, vec_col=vec_col, id_col=id_col)
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def _quantize_int8_chunk(
+    ids_chunk: np.ndarray, arr: pa.ListArray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantize one ListArray chunk → (ids, dims, q) int64 arrays.
+
+    Handles SLICED chunks zero-copy: a sliced ListArray's ``.offsets``
+    don't start at 0 and ``.values`` spans the parent buffer, so the
+    offsets are rebased to the slice's own window instead of indexing
+    the parent raw.
+    """
+    flat = np.asarray(arr.values, dtype=np.float64)
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    flat = flat[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    if len(flat) == 0:
+        z = np.array([], np.int64)
+        return z, z, z
+    lens = np.diff(offs)
+    ids = np.repeat(ids_chunk, lens)
+    dims = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
+        offs[:-1], lens
+    )
+    # segment absmax; clip start indices so empty rows (dropped by
+    # the repeat anyway) cannot push reduceat out of bounds
+    starts = np.minimum(offs[:-1], len(flat) - 1)
+    mx = np.maximum.reduceat(np.abs(flat), starts)
+    mx_rep = np.repeat(mx, lens)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor(flat * 127.0 / mx_rep + 0.5)
+    q = np.where(mx_rep == 0.0, 0.0, q).astype(np.int64)
+    return ids, dims, q
+
+
+def _quantize_int8_table(
+    t: pa.Table, *, vec_col: str, id_col: str
+) -> pa.Table:
+    """Per-batch kernel of ``quantize_embeddings_int8``: per-chunk
+    zero-copy (no combine_chunks copy of the embedding buffer)."""
+    ids_all = np.asarray(t.column(id_col), dtype=np.int64)
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    row0 = 0
+    for chunk in t.column(vec_col).chunks:
+        n = len(chunk)
+        if n:
+            parts.append(
+                _quantize_int8_chunk(ids_all[row0 : row0 + n], chunk)
+            )
+        row0 += n
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return pa.table(
             {
                 id_col: pa.array([], pa.int64()),
                 "dim": pa.array([], pa.int64()),
                 "q": pa.array([], pa.int64()),
             }
         )
-        if t.num_rows == 0:
-            return empty
-        arr = t.column(vec_col).combine_chunks()
-        flat = np.asarray(arr.values, dtype=np.float64)
-        offs = np.asarray(arr.offsets, dtype=np.int64)
-        if len(flat) == 0:
-            return empty
-        lens = np.diff(offs)
-        ids = np.repeat(np.asarray(t.column(id_col), dtype=np.int64), lens)
-        dims = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
-            offs[:-1], lens
-        )
-        # segment absmax; clip start indices so empty rows (dropped by
-        # the repeat anyway) cannot push reduceat out of bounds
-        starts = np.minimum(offs[:-1], len(flat) - 1)
-        mx = np.maximum.reduceat(np.abs(flat), starts)
-        mx_rep = np.repeat(mx, lens)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            q = np.floor(flat * 127.0 / mx_rep + 0.5)
-        q = np.where(mx_rep == 0.0, 0.0, q).astype(np.int64)
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "dim": pa.array(dims, pa.int64()),
-                "q": pa.array(q, pa.int64()),
-            }
-        )
-
-    return ds.map_batches(quant, batch_format="pyarrow")
+    return pa.table(
+        {
+            id_col: pa.array(np.concatenate([p[0] for p in parts]), pa.int64()),
+            "dim": pa.array(np.concatenate([p[1] for p in parts]), pa.int64()),
+            "q": pa.array(np.concatenate([p[2] for p in parts]), pa.int64()),
+        }
+    )

@@ -797,7 +797,9 @@ def doc_lm_scores(sf_dir: str):
     out = unigram_logprob_scores(docs)
 
     def scale(batch: pa.Table) -> pa.Table:
-        v = np.round(batch.column("mean_lp").to_numpy() * 1e4).astype(np.int64)
+        v = np.floor(batch.column("mean_lp").to_numpy() * 1e4 + 0.5).astype(
+            np.int64
+        )
         return pa.table(
             {"doc_id": batch.column("doc_id"), "mean_lp_e4": pa.array(v)}
         )
@@ -823,8 +825,8 @@ docwords AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
 )
 SELECT d.doc_id,
-       CAST(round(avg(coalesce(ln(c / (SELECT t FROM tot)),
-                               ln(0.5 / (SELECT t FROM tot)))) * 10000.0, 0)
+       CAST(floor(avg(coalesce(ln(c / (SELECT t FROM tot)),
+                               ln(0.5 / (SELECT t FROM tot)))) * 10000.0 + 0.5)
             AS BIGINT) AS mean_lp_e4
 FROM docwords d LEFT JOIN counts USING (w)
 GROUP BY d.doc_id
@@ -3871,9 +3873,9 @@ docwords AS (
 ),
 scores AS (
   SELECT d.doc_id,
-         CAST(round(avg(coalesce(ln(c / (SELECT t FROM tot)),
-                                 ln(0.5 / (SELECT t FROM tot)))) * 10000.0, 0)
-              AS BIGINT) AS mean_lp_e4
+         CAST(floor(avg(coalesce(ln(c / (SELECT t FROM tot)),
+                                 ln(0.5 / (SELECT t FROM tot)))) * 10000.0
+                    + 0.5) AS BIGINT) AS mean_lp_e4
   FROM docwords d LEFT JOIN counts USING (w)
   GROUP BY d.doc_id
 ),
@@ -3996,12 +3998,12 @@ docwords AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
 )
 SELECT d.doc_id,
-       CAST(round(avg(
+       CAST(floor(avg(
              coalesce(ln(tg.c / (SELECT t FROM ttot)),
                       ln(0.5 / (SELECT t FROM ttot)))
            - coalesce(ln(s.c / (SELECT t FROM stot)),
                       ln(0.5 / (SELECT t FROM stot)))
-           ) * 10000.0, 0) AS BIGINT) AS weight_e4
+           ) * 10000.0 + 0.5) AS BIGINT) AS weight_e4
 FROM docwords d
 LEFT JOIN src s ON s.w = d.w
 LEFT JOIN tgt tg ON tg.w = d.w

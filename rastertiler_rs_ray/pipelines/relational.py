@@ -43,6 +43,26 @@ import ray.data
 _PARTIAL_OF = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
 
 
+def _arrow_schema_of(ds: ray.data.Dataset) -> pa.Schema | None:
+    """Arrow schema of a Dataset, converting Ray's pandas-block schema
+    types (numpy dtypes / ``object``) to arrow types; None if the
+    dataset has no recoverable schema (e.g. materialized to zero
+    blocks)."""
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None:
+        return None
+
+    def conv(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()  # pandas object dtype: string columns
+
+    return pa.schema([(n, conv(t)) for n, t in zip(sch.names, sch.types)])
+
+
 def _partial_agg_fn(keys: list[str], aggs: list[tuple[str, str, str]]):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1395,6 +1415,30 @@ def skew_hybrid_join(
     int} for tests and telemetry.
     """
     rkey = right_on or on
+    # capture the right schema from the LAZY plan: a dataset that
+    # materializes to zero blocks (e.g. limit(0)) loses its schema, and
+    # both Ray's hash join and the hot-branch concat crash on a
+    # schema-less side
+    rsch = _arrow_schema_of(right)
+    # the detection pass re-executes `left` and both split branches
+    # re-execute each input — pin both lineages once so upstream work
+    # (reads, transforms) runs a single time
+    left = left.materialize()
+    right = right.materialize()
+    if right.count() == 0:
+        # empty build side ⇒ empty inner join; Ray's hash join (and the
+        # hot-branch concat) crash on schema-less/zero-column empties,
+        # so emit the typed empty result directly
+        if rsch is None:
+            raise ValueError(
+                "skew_hybrid_join: right side is empty and has no "
+                "recoverable schema"
+            )
+        lsch = _arrow_schema_of(left)
+        fields = list(lsch) + [
+            rsch.field(n) for n in rsch.names if n != rkey and n not in lsch.names
+        ]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
 
     def block_topk(t: pa.Table) -> pa.Table:
         s = t.column(on).to_pandas().value_counts()
@@ -1429,16 +1473,25 @@ def skew_hybrid_join(
 
         return f
 
-    right_hot_tbl = pa.concat_tables(
-        ray.get(
-            [
-                b
-                for b in right.map_batches(
-                    split(True, rkey), batch_format="pyarrow"
-                ).to_arrow_refs()
-            ]
+    hot_blocks = ray.get(
+        list(
+            right.map_batches(
+                split(True, rkey), batch_format="pyarrow"
+            ).to_arrow_refs()
         )
     )
+    # Ray emits zero-COLUMN blocks for empty map outputs — they would
+    # poison the concat (and the build side would lose the key column)
+    hot_blocks = [b for b in hot_blocks if rkey in b.schema.names]
+    if hot_blocks:
+        right_hot_tbl = pa.concat_tables(hot_blocks)
+    elif rsch is not None:
+        right_hot_tbl = rsch.empty_table()
+    else:
+        raise ValueError(
+            "skew_hybrid_join: right side produced no schema-ful blocks "
+            "and has no recoverable schema"
+        )
     broadcast = broadcast_hash_join(
         left.map_batches(split(True, on), batch_format="pyarrow"),
         right_hot_tbl,
@@ -1453,10 +1506,13 @@ def skew_hybrid_join(
         right_on=rkey,
         join_type=join_type,
     )
+    # a right side whose blocks are all empty reports schema None after
+    # materialize — use the plan-captured arrow schema (rsch), falling
+    # back to the collected hot build table
+    right_names = rsch.names if rsch is not None else right_hot_tbl.schema.names
     out_cols = list(
         dict.fromkeys(
-            list(left.schema().names)
-            + [c for c in right.schema().names if c != rkey]
+            list(left.schema().names) + [c for c in right_names if c != rkey]
         )
     )
     return broadcast.select_columns(out_cols).union(cold.select_columns(out_cols))
@@ -1561,7 +1617,9 @@ def upsert_latest(
             kind="mergesort",
         ).drop_duplicates(key_col, keep="first")
         if deleted_col is not None:
-            df = df[~df[deleted_col].astype(bool)]
+            # null tombstone flag means "not deleted" — CDC streams often
+            # only set the flag on deletes (NaN is truthy under astype(bool))
+            df = df[~df[deleted_col].fillna(False).astype(bool)]
             df = df.drop(columns=[deleted_col])
         return df.drop(columns=["__src", "__ushard"])
 
@@ -1965,6 +2023,14 @@ def grouping_sets_aggregate(
             if k not in all_keys:
                 all_keys.append(k)
 
+    # with null_label=None the missing-key fill must carry each key's
+    # REAL arrow type (pa.nulls defaults to null-type, and unioned parts
+    # would then disagree on column types)
+    key_types: dict[str, pa.DataType] = {}
+    if null_label is None:
+        sch = _arrow_schema_of(ds)
+        key_types = {k: sch.field(k).type for k in all_keys}
+
     parts = []
     for kset in sets:
         kset = list(kset)
@@ -1988,7 +2054,7 @@ def grouping_sets_aggregate(
                 if null_label is not None:
                     col = pa.array([null_label] * len(batch), pa.string())
                 else:
-                    col = pa.nulls(len(batch))
+                    col = pa.nulls(len(batch), type=key_types[m])
                 batch = batch.append_column(m, col)
             order = all_keys + [a[0] for a in aggs]
             return batch.select(order)

@@ -949,8 +949,11 @@ def lm_quality_buckets(
     )
 
     def quant(t: pa.Table) -> pa.Table:
-        v = np.round(
-            t.column("mean_lp").to_numpy(zero_copy_only=False) * 1e4
+        # repo-wide e-quantization convention: floor(x*k + 0.5), i.e.
+        # round-half-up — matches floor(x*10000+0.5) in the paired SQL
+        # (np.round is half-to-even and diverges on exact .5 boundaries)
+        v = np.floor(
+            t.column("mean_lp").to_numpy(zero_copy_only=False) * 1e4 + 0.5
         ).astype(np.int64)
         return pa.table(
             {id_col: t.column(id_col), "mean_lp_e4": pa.array(v, pa.int64())}
@@ -1037,7 +1040,7 @@ def dsir_importance_weights(
         mean_w = w_tok.groupby(level=0).mean().reindex(
             range(len(df)), fill_value=0.0
         )
-        e4 = np.round(mean_w.to_numpy() * 1e4).astype(np.int64)
+        e4 = np.floor(mean_w.to_numpy() * 1e4 + 0.5).astype(np.int64)
         return pd.DataFrame({id_col: df[id_col].to_numpy(), "weight_e4": e4})
 
     return docs.map_batches(score, batch_format="pandas")

@@ -5,7 +5,12 @@ Runs every ``queries()`` entry at sf0.01 plus the matching
 schema, and an order-insensitive value hash (rows sorted by all
 columns, values stringified with repr).  Usage::
 
-    python scripts/check_oracle.py [sf_dir] [name ...]
+    python scripts/check_oracle.py [--json OUT.json] [sf_dir] [name ...]
+
+With ``--json`` the per-query results are written in the driver's
+CORRECTNESS_r{N}.json schema (rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err per query) so a committed artifact exists
+even if the driver-side gate fails to record one (round-3 lesson).
 """
 
 from __future__ import annotations
@@ -58,8 +63,14 @@ def main() -> int:
 
     import __ray_entry__ as E
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     qs, sqls = E.queries(), E.oracle_sql()
 
     con = duckdb.connect()
@@ -70,6 +81,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,11 +94,27 @@ def main() -> int:
             got = normalize(raw) if name in sqls else raw
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(e).__name__}: {str(e)[:200]}")
+            report[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {str(e)[:200]}",
+            }
             failures += 1
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"ok?  {name}: rows={len(got)} cols={list(got.columns)} ({dt:.1f}s) [rows-only]")
+            report[name] = {
+                "rows_match": True,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": int(len(got)),
+                "oracle_rows": None,
+                "err": None,
+            }
             continue
         want = normalize(con.execute(sqls[name]).df())
         status = []
@@ -100,12 +128,26 @@ def main() -> int:
             bad = diff.any(axis=1)
             print(got[bad].head(3))
             print(want[bad].head(3))
+        report[name] = {
+            "rows_match": len(got) == len(want),
+            "schema_match": list(got.columns) == list(want.columns),
+            "hash_match": not status,
+            "spark_rows": int(len(got)),
+            "oracle_rows": int(len(want)),
+            "err": "; ".join(status) or None,
+        }
         if status:
             print(f"FAIL {name}: {'; '.join(status)} ({dt:.1f}s)")
             failures += 1
         else:
             print(f"PASS {name}: rows={len(got)} ({dt:.1f}s)")
     print("FAILURES:", failures)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if failures else 0
 
 

@@ -443,3 +443,44 @@ def test_quantize_embeddings_int8_conformance(ray_session):
     # every vector's max-magnitude dim hits exactly +/-127
     nz = np.delete(np.arange(40), 7)
     assert (np.abs(got[nz]).max(axis=1) == 127).all()
+
+
+def test_quantize_int8_kernel_sliced_list_array():
+    # a sliced ListArray chunk's offsets don't start at 0 and its
+    # .values spans the parent buffer — the kernel must rebase instead
+    # of indexing the parent values raw
+    from rastertiler_rs_ray.pipelines.ann import (
+        _quantize_int8_chunk,
+        _quantize_int8_table,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 4).astype(np.float32)
+    full_arr = pa.array(
+        [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+    )
+    sliced = full_arr.slice(10, 12)
+    assert sliced.offsets[0].as_py() != 0  # precondition: actually sliced
+    ids = np.arange(10, 22, dtype=np.int64)
+    got_ids, got_dims, got_q = _quantize_int8_chunk(ids, sliced)
+    rebased = pa.array(
+        [list(map(float, v)) for v in vecs[10:22]], pa.list_(pa.float32())
+    )
+    want_ids, want_dims, want_q = _quantize_int8_chunk(ids, rebased)
+    assert (got_ids == want_ids).all()
+    assert (got_dims == want_dims).all()
+    assert (got_q == want_q).all()
+    assert len(got_q) == 12 * 4
+
+    # table path: multi-chunk column with a sliced chunk
+    t = pa.table(
+        {
+            "vec_id": pa.chunked_array(
+                [pa.array(ids[:5]), pa.array(ids[5:])]
+            ),
+            "embedding": pa.chunked_array([sliced.slice(0, 5), sliced.slice(5)]),
+        }
+    )
+    out = _quantize_int8_table(t, vec_col="embedding", id_col="vec_id")
+    assert out.column("q").to_pylist() == list(want_q)
+    assert out.column("vec_id").to_pylist() == list(want_ids)

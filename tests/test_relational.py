@@ -1221,3 +1221,112 @@ def test_ntile_sql_size_rule(ray_session):
     )
     assert got[got["g"] == 0]["tile"].tolist() == [1, 1, 2, 2, 3, 3, 4]
     assert got[got["g"] == 1]["tile"].tolist() == [1, 2]
+
+
+def test_upsert_latest_null_tombstone_means_live(ray_session):
+    # CDC streams often set the deleted flag only on deletes; a NULL
+    # flag must mean "not deleted" (NaN is truthy under astype(bool))
+    from rastertiler_rs_ray.pipelines.relational import upsert_latest
+
+    base = pd.DataFrame(
+        {
+            "k": [1, 2],
+            "val": ["a", "b"],
+            "version": [0, 0],
+            "deleted": pd.array([False, False], dtype="boolean"),
+        }
+    )
+    changes = pd.DataFrame(
+        {
+            "k": [1, 2],
+            "val": ["a2", "b2"],
+            "version": [1, 1],
+            "deleted": pd.array([None, True], dtype="boolean"),
+        }
+    )
+    got = (
+        upsert_latest(
+            ray.data.from_pandas(base),
+            ray.data.from_pandas(changes),
+            key_col="k", version_col="version", deleted_col="deleted",
+            num_shards=2,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1]  # null flag kept k=1 live, k=2 tombstoned
+    assert got["val"].tolist() == ["a2"]
+
+
+def test_grouping_sets_null_label_none_types(ray_session, db):
+    # null_label=None must fill missing keys with typed nulls so the
+    # unioned parts agree on column types
+    from rastertiler_rs_ray.pipelines.relational import grouping_sets_aggregate
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y", "y"],
+            "b": [1, 2, 1, 2],
+            "v": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = (
+        grouping_sets_aggregate(
+            ds, [["a", "b"], ["a"], []], [("sum_v", "v", "sum")],
+            null_label=None,
+        )
+        .to_pandas()
+        .sort_values(["a", "b", "sum_v"], na_position="first")
+        .reset_index(drop=True)
+    )
+    want = (
+        db.execute(
+            "SELECT a, b, sum(v) AS sum_v FROM df "
+            "GROUP BY GROUPING SETS ((a, b), (a), ()) "
+            "ORDER BY a NULLS FIRST, b NULLS FIRST, sum_v"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got["sum_v"].tolist() == want["sum_v"].tolist()
+    assert got["a"].isna().tolist() == want["a"].isna().tolist()
+    # b column must carry the real int type, not arrow null-type → object
+    assert str(got["b"].dtype) != "object"
+
+
+def test_skew_hybrid_join_filtered_empty_right_raises_clearly(ray_session):
+    # a row-filter that drops everything leaves only zero-COLUMN blocks
+    # AND erases the plan schema (Ray limitation) — the join must raise
+    # a clear error, not the cryptic Acero FieldRef crash
+    from rastertiler_rs_ray.pipelines.relational import skew_hybrid_join
+
+    left_df = pd.DataFrame(
+        {"k": np.zeros(500, np.int64), "v": np.arange(500, dtype=np.int64)}
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([0, 1], pa.int64()), "w": pa.array([5, 6], pa.int64())})
+    ).filter(lambda row: False)
+    with pytest.raises(ValueError, match="no recoverable schema"):
+        skew_hybrid_join(
+            ray.data.from_pandas(left_df).repartition(4),
+            right,
+            on="k", hot_min_count=100, partial_topk=4,
+        )
+
+
+def test_skew_hybrid_join_zero_block_right(ray_session):
+    # limit(0) materializes to ZERO blocks (not even empty ones); the
+    # plan-captured schema rebuilds a typed empty build side instead of
+    # the cryptic Acero FieldRef crash Ray's join would raise
+    from rastertiler_rs_ray.pipelines.relational import skew_hybrid_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": np.zeros(10, np.int64), "v": np.arange(10, dtype=np.int64)})
+    )
+    right = ray.data.from_pandas(pd.DataFrame({"k": [1], "w": [2]})).limit(0)
+    out = skew_hybrid_join(left, right, on="k", hot_min_count=5)
+    # Ray 2.49 cannot carry a typed empty block through from_arrow, so
+    # the contract is: no crash, zero rows
+    assert out.count() == 0
