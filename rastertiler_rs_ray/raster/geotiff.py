@@ -11,16 +11,17 @@ Parity targets in the reference:
   the same semantics for EPSG:4326 sources (the common non-Mercator
   case; other CRSs raise).
 - ``write_raster`` (/root/reference/src/dataset.rs:199-230): debug
-  tiled GTiff writer — ``write_geotiff`` below (deflate instead of LZW:
-  stdlib zlib is the only codec in this environment).
+  tiled GTiff writer — ``write_geotiff`` below (LZW like the reference,
+  or deflate/none).
 
 Format scope (honestly bounded, classic TIFF 6.0):
 
 - single-band (SamplesPerPixel=1), unsigned 8/16/32-bit samples
   (u16 reads fine; the render pipeline rejects it exactly like the
   reference, src/render.rs:43-48);
-- tiled or stripped layout; Compression none (1) or Deflate (8 /
-  32946); horizontal differencing predictor (2) supported on read;
+- tiled or stripped layout; Compression none (1), LZW (5, the
+  reference's own write format) or Deflate (8 / 32946); horizontal
+  differencing predictor (2) supported on read;
 - georeferencing via ModelPixelScale + ModelTiepoint (or
   ModelTransformation), GeoKeyDirectory CRS (EPSG:3857 native,
   EPSG:4326 via MercatorWarp), GDAL_NODATA ascii tag;
@@ -49,6 +50,7 @@ from collections import OrderedDict
 import numpy as np
 
 from ..geo import Affine, Bounds, geo_to_mercator, mercator_to_geo
+from . import lzw
 from .kernel import TileReadMixin, nn_decimation_indices
 
 # TIFF tag ids
@@ -156,9 +158,10 @@ class _Ifd:
         self.dtype = np_dtype
         self.bo = bo
         self.compression = int(tags.get(_T_COMPRESSION, [1])[0])
-        if self.compression not in (1, 8, 32946):
+        if self.compression not in (1, 5, 8, 32946):
             raise NotImplementedError(
-                f"TIFF compression {self.compression} unsupported (none/deflate only)"
+                f"TIFF compression {self.compression} unsupported "
+                "(none/LZW/deflate only)"
             )
         self.predictor = int(tags.get(_T_PREDICTOR, [1])[0])
         if self.predictor not in (1, 2):
@@ -269,6 +272,9 @@ class GeoTiffRaster(TileReadMixin):
         raw = self._data[off : off + cnt]
         if ifd.compression in (8, 32946):
             raw = zlib.decompress(raw)
+        elif ifd.compression == 5:
+            itemsz = np.dtype(ifd.dtype).itemsize
+            raw = lzw.decode(bytes(raw), max_size=ifd.cw * ifd.ch * itemsz)
         itemsize = np.dtype(ifd.dtype).itemsize
         # strips may be short on the last row band; tiles are full-size
         rows = ifd.ch if ifd.tiled else min(ifd.ch, ifd.height - cy * ifd.ch)
@@ -473,14 +479,15 @@ def write_geotiff(
     """Write a single-band tiled GeoTIFF (classic, little-endian).
 
     The debug-writer parity point (ref src/dataset.rs:199-230 writes
-    tiled LZW 256² blocks; stdlib has no LZW, so deflate or none), plus
-    optional NN overview IFDs (``overview_factors`` e.g. (2, 4, 8)).
+    tiled LZW 256² blocks — ``compression="lzw"`` matches it; deflate
+    and none also supported), plus optional NN overview IFDs
+    (``overview_factors`` e.g. (2, 4, 8)).
     """
     if array.ndim != 2:
         raise ValueError("write_geotiff expects a 2-D single-band array")
     if array.dtype not in (np.uint8, np.uint16, np.uint32):
         raise ValueError(f"unsupported dtype {array.dtype}")
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
 
     levels = [(array, 0)] + [(_nn_downsample(array, f), 1) for f in overview_factors]
 
@@ -500,6 +507,8 @@ def write_geotiff(
                 raw = tile.tobytes()
                 if comp_code == 8:
                     raw = zlib.compress(raw, 6)
+                elif comp_code == 5:
+                    raw = lzw.encode(raw)
                 offs.append(body_base + len(body))
                 cnts.append(len(raw))
                 body += raw

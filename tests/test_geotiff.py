@@ -271,3 +271,68 @@ def test_cli_render_tif(ray_session, tmp_path, tif_path):
     assert os.path.isdir(os.path.join(out, "tiles"))
     rc = main(["render", str(tmp_path / "x"), "--tif", str(tmp_path / "missing.tif")])
     assert rc == 2
+
+
+# -------------------------------------------------------------- LZW
+
+
+def test_lzw_known_vector():
+    """Hand-derived TIFF-LZW stream for b"\\x07"*5: codes
+    Clear(256), 7, 258, 258, EOI(257) packed MSB-first at 9 bits
+    (258 = "77"; the second 258 exercises the just-added-entry case)."""
+    from rastertiler_rs_ray.raster import lzw
+
+    data = b"\x07" * 5
+    assert lzw.encode(data) == bytes([0x80, 0x01, 0xE0, 0x50, 0x28, 0x08])
+    assert lzw.decode(lzw.encode(data)) == data
+
+
+def test_lzw_roundtrip_widths_and_clear():
+    """Streams long enough to cross the 9→10→11→12-bit early-change
+    boundaries AND force a table-reset ClearCode."""
+    from rastertiler_rs_ray.raster import lzw
+
+    rng = np.random.RandomState(3)
+    for data in (
+        rng.randint(0, 256, 60_000, dtype=np.uint8).tobytes(),  # incompressible
+        (np.arange(30_000, dtype=np.uint8) % 7).tobytes(),       # repetitive
+        rng.randint(0, 3, 200_000, dtype=np.uint8).tobytes(),    # resets table
+        b"",
+        b"\xff",
+    ):
+        enc = lzw.encode(data)
+        assert lzw.decode(enc, max_size=len(data)) == data
+
+
+def test_lzw_geotiff_roundtrip_and_tile_parity(tmp_path):
+    """compression='lzw' writes the reference's own format
+    (src/dataset.rs:213 COMPRESS=LZW); pixels and rendered tiles must be
+    bit-identical to the deflate-authored file."""
+    arr = _fixture_array()
+    p_lzw = str(tmp_path / "lzw.tif")
+    p_defl = str(tmp_path / "defl.tif")
+    write_geotiff(p_lzw, arr, _T, nodata=0, tile_size=128, compression="lzw",
+                  overview_factors=(2,))
+    write_geotiff(p_defl, arr, _T, nodata=0, tile_size=128, compression="deflate",
+                  overview_factors=(2,))
+
+    g = GeoTiffRaster(p_lzw)
+    assert g._main.compression == 5
+    back = g.values_at(np.arange(W)[None, :], np.arange(H)[:, None])
+    assert np.array_equal(back, arr)
+
+    d = GeoTiffRaster(p_defl)
+    from rastertiler_rs_ray.geo.tileid import tile_range
+
+    n = 0
+    for z in (9, 11):
+        tr = tile_range(z, g.bounds())
+        for x in range(tr.xmin, tr.xmax + 1):
+            for y in range(tr.ymin, tr.ymax + 1):
+                a = g.read_tile(z, x, y, 256)
+                b = d.read_tile(z, x, y, 256)
+                assert (a is None) == (b is None)
+                if a is not None:
+                    assert np.array_equal(a, b)
+                    n += 1
+    assert n > 6
