@@ -14,7 +14,7 @@ Parity targets in the reference:
   tiled GTiff writer — ``write_geotiff`` below (LZW like the reference,
   or deflate/none).
 
-Format scope (honestly bounded, classic TIFF 6.0):
+Format scope (honestly bounded, classic TIFF 6.0 + BigTIFF):
 
 - single-band (SamplesPerPixel=1), unsigned 8/16/32-bit samples
   (u16 reads fine; the render pipeline rejects it exactly like the
@@ -31,8 +31,9 @@ Format scope (honestly bounded, classic TIFF 6.0):
   "more precise results at the expense of slower performance"
   (README.md:62), which is exactly the base-grid path.
 
-BigTIFF, multi-band, float samples and exotic codecs are out of scope
-and raise with a clear message.
+BigTIFF (magic 43, 64-bit offsets) reads and writes — the norm for
+>4 GiB rasters at the 100-TB design point.  Multi-band, float samples
+and exotic codecs are out of scope and raise with a clear message.
 
 The decoded-chunk LRU in ``GeoTiffRaster`` is the actor-warmed "block
 cache": TileRenderer actors each hold one open raster and reuse
@@ -84,7 +85,9 @@ _FIELD = {
     4: ("I", 4),   # LONG
     5: ("II", 8),  # RATIONAL
     12: ("d", 8),  # DOUBLE
-    16: ("Q", 8),  # LONG8 (tolerated if produced by others)
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
+    18: ("Q", 8),  # IFD8 (BigTIFF)
 }
 
 _GK_MODEL_TYPE = 1024       # 1=projected, 2=geographic
@@ -93,8 +96,13 @@ _GK_GEOGRAPHIC_CS = 2048    # 4326
 _GK_PROJECTED_CS = 3072     # 3857
 
 
-def _read_ifds(data: bytes):
-    """Parse the IFD chain → (byteorder, [dict tag → value-list])."""
+def _read_ifds(data):
+    """Parse the IFD chain → (byteorder, [dict tag → value-list]).
+
+    Handles both classic TIFF (magic 42: u32 offsets, 12-byte entries)
+    and BigTIFF (magic 43: u64 offsets, 20-byte entries) — BigTIFF is
+    the norm for >4 GiB rasters at the 100-TB design point.
+    """
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -102,26 +110,38 @@ def _read_ifds(data: bytes):
     else:
         raise ValueError("not a TIFF file (bad byte-order mark)")
     magic = struct.unpack(bo + "H", data[2:4])[0]
-    if magic == 43:
-        raise NotImplementedError("BigTIFF is not supported by this reader")
-    if magic != 42:
+    if magic == 42:
+        big = False
+        off = struct.unpack(bo + "I", data[4:8])[0]
+    elif magic == 43:
+        big = True
+        offsize, zero = struct.unpack(bo + "HH", data[4:8])
+        if offsize != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header (offsize {offsize})")
+        off = struct.unpack(bo + "Q", data[8:16])[0]
+    else:
         raise ValueError(f"not a TIFF file (magic {magic})")
-    off = struct.unpack(bo + "I", data[4:8])[0]
+    # entry layout: (count-size char, entry bytes, inline-value budget)
+    cnt_ch, entry_sz, inline = ("Q", 20, 8) if big else ("I", 12, 4)
+    nsz = 8 if big else 2
+    n_ch = "Q" if big else "H"
     ifds = []
     while off:
-        n = struct.unpack(bo + "H", data[off : off + 2])[0]
+        n = struct.unpack(bo + n_ch, data[off : off + nsz])[0]
         tags: dict[int, list] = {}
         for i in range(n):
-            e = off + 2 + 12 * i
-            tag, ftype, count = struct.unpack(bo + "HHI", data[e : e + 8])
+            e = off + nsz + entry_sz * i
+            tag, ftype = struct.unpack(bo + "HH", data[e : e + 4])
+            count = struct.unpack(bo + cnt_ch, data[e + 4 : e + 4 + (8 if big else 4)])[0]
             if ftype not in _FIELD:
                 continue
             ch, sz = _FIELD[ftype]
             total = sz * count
-            if total <= 4:
-                raw = data[e + 8 : e + 8 + total]
+            vpos = e + 4 + (8 if big else 4)
+            if total <= inline:
+                raw = data[vpos : vpos + total]
             else:
-                voff = struct.unpack(bo + "I", data[e + 8 : e + 12])[0]
+                voff = struct.unpack(bo + ("Q" if big else "I"), data[vpos : vpos + inline])[0]
                 raw = data[voff : voff + total]
             if ftype == 2:  # ASCII
                 tags[tag] = [raw.split(b"\0")[0].decode("ascii", "replace")]
@@ -131,7 +151,8 @@ def _read_ifds(data: bytes):
             else:
                 tags[tag] = list(struct.unpack(bo + ch * count, raw))
         ifds.append(tags)
-        off = struct.unpack(bo + "I", data[off + 2 + 12 * n : off + 6 + 12 * n])[0]
+        npos = off + nsz + entry_sz * n
+        off = struct.unpack(bo + ("Q" if big else "I"), data[npos : npos + (8 if big else 4)])[0]
     return bo, ifds
 
 
@@ -475,13 +496,27 @@ def write_geotiff(
     tile_size: int = 256,
     compression: str = "deflate",
     overview_factors: tuple[int, ...] = (),
+    bigtiff: bool | None = None,
+    _sparse_offset: int = 0,
 ) -> None:
-    """Write a single-band tiled GeoTIFF (classic, little-endian).
+    """Write a single-band tiled GeoTIFF (little-endian), streaming tile
+    data straight to the file (no whole-body buffer — >4 GiB outputs
+    never sit in memory twice).
 
     The debug-writer parity point (ref src/dataset.rs:199-230 writes
     tiled LZW 256² blocks — ``compression="lzw"`` matches it; deflate
     and none also supported), plus optional NN overview IFDs
     (``overview_factors`` e.g. (2, 4, 8)).
+
+    ``bigtiff``: True forces the BigTIFF (magic 43, 64-bit offsets)
+    layout, False forces classic (raises if the body outgrows u32
+    offsets), None (default) picks BigTIFF automatically when the
+    uncompressed payload could exceed 4 GiB.
+
+    ``_sparse_offset`` (tests only): seek this many bytes past the
+    header before the first tile, leaving a filesystem hole — lets a
+    test place real tile data beyond the 4 GiB boundary (genuine 64-bit
+    offsets) without paying 4 GiB of I/O.
     """
     if array.ndim != 2:
         raise ValueError("write_geotiff expects a 2-D single-band array")
@@ -491,106 +526,126 @@ def write_geotiff(
 
     levels = [(array, 0)] + [(_nn_downsample(array, f), 1) for f in overview_factors]
 
-    body = bytearray()
-    body_base = 8  # header size; all offsets are absolute
-    level_chunks = []
-    for arr, _sub in levels:
-        h, w = arr.shape
-        ts = tile_size
-        offs, cnts = [], []
-        for ty in range(-(-h // ts)):
-            for tx in range(-(-w // ts)):
-                tile = np.full((ts, ts), 0, dtype=arr.dtype)
-                ys, xs = ty * ts, tx * ts
-                sub = arr[ys : ys + ts, xs : xs + ts]
-                tile[: sub.shape[0], : sub.shape[1]] = sub
-                raw = tile.tobytes()
-                if comp_code == 8:
-                    raw = zlib.compress(raw, 6)
-                elif comp_code == 5:
-                    raw = lzw.encode(raw)
-                offs.append(body_base + len(body))
-                cnts.append(len(raw))
-                body += raw
-        level_chunks.append((offs, cnts))
-
-    # geo payloads (main IFD only)
-    gk_model = 1 if crs_epsg != 4326 else 2
-    geokeys = [1, 1, 0, 3, _GK_MODEL_TYPE, 0, 1, gk_model, _GK_RASTER_TYPE, 0, 1, 1]
-    geokeys += [_GK_PROJECTED_CS if crs_epsg != 4326 else _GK_GEOGRAPHIC_CS, 0, 1, crs_epsg]
-    pixel_scale = [transform.a, -transform.e, 0.0]
-    tiepoint = [0.0, 0.0, 0.0, transform.c, transform.f, 0.0]
-    nodata_ascii = (str(int(nodata)) + "\0").encode() if nodata is not None else None
-
-    bits = array.dtype.itemsize * 8
-
-    def build_ifd(level_i: int, next_off_placeholder: bool):
-        arr, sub = levels[level_i]
-        offs, cnts = level_chunks[level_i]
-        h, w = arr.shape
-        entries = []  # (tag, type, count, packed-or-payload)
-        extra = bytearray()  # out-of-line payloads, appended after the IFD
-
-        def add(tag, ftype, values):
-            ch, sz = _FIELD[ftype]
-            if ftype == 2:
-                payload = values  # bytes
-                count = len(payload)
-            else:
-                count = len(values)
-                payload = struct.pack("<" + ch * count, *values)
-            entries.append((tag, ftype, count, payload))
-
-        if sub:
-            add(_T_NEW_SUBFILE_TYPE, 4, [1])
-        add(_T_WIDTH, 4, [w])
-        add(_T_HEIGHT, 4, [h])
-        add(_T_BITS, 3, [bits])
-        add(_T_COMPRESSION, 3, [comp_code])
-        add(_T_PHOTOMETRIC, 3, [1])
-        add(_T_SAMPLES_PER_PX, 3, [1])
-        add(_T_TILE_WIDTH, 3, [tile_size])
-        add(_T_TILE_HEIGHT, 3, [tile_size])
-        add(_T_TILE_OFFSETS, 4, offs)
-        add(_T_TILE_COUNTS, 4, cnts)
-        add(_T_SAMPLE_FORMAT, 3, [1])
-        if level_i == 0:
-            add(_T_PIXEL_SCALE, 12, pixel_scale)
-            add(_T_TIEPOINT, 12, tiepoint)
-            add(_T_GEO_KEYS, 3, geokeys)
-            if nodata_ascii:
-                add(_T_GDAL_NODATA, 2, nodata_ascii)
-        entries.sort(key=lambda e: e[0])
-        return entries
-
-    out = bytearray()
-    out += b"II" + struct.pack("<H", 42)
-    ifd0_off_pos = len(out)
-    out += struct.pack("<I", 0)  # patched below
-    out += body
-
-    prev_next_pos = ifd0_off_pos
-    for li in range(len(levels)):
-        entries = build_ifd(li, li + 1 < len(levels))
-        ifd_off = len(out)
-        struct.pack_into("<I", out, prev_next_pos, ifd_off)
-        n = len(entries)
-        ifd = bytearray(struct.pack("<H", n))
-        extra_off = ifd_off + 2 + 12 * n + 4
-        extra = bytearray()
-        for tag, ftype, count, payload in entries:
-            ifd += struct.pack("<HHI", tag, ftype, count)
-            if len(payload) <= 4:
-                ifd += payload.ljust(4, b"\0")
-            else:
-                ifd += struct.pack("<I", extra_off + len(extra))
-                extra += payload
-        prev_next_pos = ifd_off + 2 + 12 * n
-        ifd += struct.pack("<I", 0)  # next-IFD pointer (patched by next level)
-        out += ifd + extra
+    ts = tile_size
+    if bigtiff is None:
+        # worst case: padded tiles, incompressible data
+        worst = _sparse_offset + sum(
+            (-(-a.shape[0] // ts)) * (-(-a.shape[1] // ts)) * ts * ts * a.dtype.itemsize
+            for a, _ in levels
+        )
+        bigtiff = worst >= (1 << 32) - (1 << 20)
+    header_len = 16 if bigtiff else 8
 
     with open(path, "wb") as f:
-        f.write(out)
+        if bigtiff:
+            f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, 0))  # IFD0 patched later
+        else:
+            f.write(b"II" + struct.pack("<HI", 42, 0))
+        assert f.tell() == header_len
+        if _sparse_offset:
+            f.seek(header_len + _sparse_offset)
+
+        # ---- stream tile payloads, recording offsets/counts per level
+        level_chunks = []
+        for arr, _sub in levels:
+            h, w = arr.shape
+            offs, cnts = [], []
+            for ty in range(-(-h // ts)):
+                for tx in range(-(-w // ts)):
+                    tile = np.full((ts, ts), 0, dtype=arr.dtype)
+                    ys, xs = ty * ts, tx * ts
+                    sub = arr[ys : ys + ts, xs : xs + ts]
+                    tile[: sub.shape[0], : sub.shape[1]] = sub
+                    raw = tile.tobytes()
+                    if comp_code == 8:
+                        raw = zlib.compress(raw, 6)
+                    elif comp_code == 5:
+                        raw = lzw.encode(raw)
+                    offs.append(f.tell())
+                    cnts.append(len(raw))
+                    f.write(raw)
+            level_chunks.append((offs, cnts))
+        if not bigtiff and f.tell() >= (1 << 32):
+            raise ValueError(
+                "classic TIFF offsets overflow 4 GiB — pass bigtiff=True"
+            )
+
+        # ---- geo payloads (main IFD only)
+        gk_model = 1 if crs_epsg != 4326 else 2
+        geokeys = [1, 1, 0, 3, _GK_MODEL_TYPE, 0, 1, gk_model, _GK_RASTER_TYPE, 0, 1, 1]
+        geokeys += [
+            _GK_PROJECTED_CS if crs_epsg != 4326 else _GK_GEOGRAPHIC_CS, 0, 1, crs_epsg
+        ]
+        pixel_scale = [transform.a, -transform.e, 0.0]
+        tiepoint = [0.0, 0.0, 0.0, transform.c, transform.f, 0.0]
+        nodata_ascii = (str(int(nodata)) + "\0").encode() if nodata is not None else None
+        bits = array.dtype.itemsize * 8
+        off_type = 16 if bigtiff else 4  # LONG8 vs LONG for offset arrays
+
+        def build_ifd(level_i: int):
+            arr, sub = levels[level_i]
+            offs, cnts = level_chunks[level_i]
+            h, w = arr.shape
+            entries = []  # (tag, type, count, payload bytes)
+
+            def add(tag, ftype, values):
+                ch, _sz = _FIELD[ftype]
+                if ftype == 2:
+                    payload = values  # bytes
+                    count = len(payload)
+                else:
+                    count = len(values)
+                    payload = struct.pack("<" + ch * count, *values)
+                entries.append((tag, ftype, count, payload))
+
+            if sub:
+                add(_T_NEW_SUBFILE_TYPE, 4, [1])
+            add(_T_WIDTH, 4, [w])
+            add(_T_HEIGHT, 4, [h])
+            add(_T_BITS, 3, [bits])
+            add(_T_COMPRESSION, 3, [comp_code])
+            add(_T_PHOTOMETRIC, 3, [1])
+            add(_T_SAMPLES_PER_PX, 3, [1])
+            add(_T_TILE_WIDTH, 3, [tile_size])
+            add(_T_TILE_HEIGHT, 3, [tile_size])
+            add(_T_TILE_OFFSETS, off_type, offs)
+            add(_T_TILE_COUNTS, 4, cnts)
+            add(_T_SAMPLE_FORMAT, 3, [1])
+            if level_i == 0:
+                add(_T_PIXEL_SCALE, 12, pixel_scale)
+                add(_T_TIEPOINT, 12, tiepoint)
+                add(_T_GEO_KEYS, 3, geokeys)
+                if nodata_ascii:
+                    add(_T_GDAL_NODATA, 2, nodata_ascii)
+            entries.sort(key=lambda e: e[0])
+            return entries
+
+        # ---- IFD chain (classic: u16 count, 12-byte entries, u32 next;
+        #      BigTIFF: u64 count, 20-byte entries, u64 next)
+        nsz, entry_sz, inline = (8, 20, 8) if bigtiff else (2, 12, 4)
+        n_fmt, p_fmt = ("<Q", "<Q") if bigtiff else ("<H", "<I")
+        cnt_fmt = "<Q" if bigtiff else "<I"
+        prev_next_pos = 8 if bigtiff else 4  # header's IFD0 pointer
+        for li in range(len(levels)):
+            entries = build_ifd(li)
+            ifd_off = f.tell()
+            f.seek(prev_next_pos)
+            f.write(struct.pack(p_fmt, ifd_off))
+            f.seek(ifd_off)
+            n = len(entries)
+            ifd = bytearray(struct.pack(n_fmt, n))
+            extra_off = ifd_off + nsz + entry_sz * n + (8 if bigtiff else 4)
+            extra = bytearray()
+            for tag, ftype, count, payload in entries:
+                ifd += struct.pack("<HH", tag, ftype) + struct.pack(cnt_fmt, count)
+                if len(payload) <= inline:
+                    ifd += payload.ljust(inline, b"\0")
+                else:
+                    ifd += struct.pack(p_fmt, extra_off + len(extra))
+                    extra += payload
+            prev_next_pos = ifd_off + nsz + entry_sz * n
+            ifd += struct.pack(p_fmt, 0)  # next-IFD pointer (patched by next level)
+            f.write(ifd + extra)
 
 
 def write_raster_debug(

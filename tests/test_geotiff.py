@@ -336,3 +336,61 @@ def test_lzw_geotiff_roundtrip_and_tile_parity(tmp_path):
                     assert np.array_equal(a, b)
                     n += 1
     assert n > 6
+
+
+# -------------------------------------------------------------- BigTIFF
+
+
+def test_bigtiff_forced_roundtrip_and_tile_parity(tmp_path):
+    """BigTIFF (magic 43, 64-bit offsets) reads back bit-identical to
+    the same data in classic layout — pixels, overviews, and rendered
+    tiles."""
+    arr = _fixture_array(np.uint32)
+    p_big = str(tmp_path / "big.tif")
+    p_cls = str(tmp_path / "cls.tif")
+    write_geotiff(p_big, arr, _T, nodata=0, tile_size=128, bigtiff=True,
+                  overview_factors=(2,))
+    write_geotiff(p_cls, arr, _T, nodata=0, tile_size=128, bigtiff=False,
+                  overview_factors=(2,))
+    with open(p_big, "rb") as f:
+        assert f.read(4) == b"II" + struct.pack("<H", 43)
+    g, c = GeoTiffRaster(p_big), GeoTiffRaster(p_cls)
+    assert (g.width, g.height, g.dtype, g.nodata) == (c.width, c.height, c.dtype, c.nodata)
+    back = g.values_at(np.arange(W)[None, :], np.arange(H)[:, None])
+    assert np.array_equal(back, arr)
+    assert len(g._overviews) == 1
+    from rastertiler_rs_ray.geo.tileid import tile_range
+
+    tr = tile_range(10, g.bounds())
+    n = 0
+    for x in range(tr.xmin, tr.xmax + 1):
+        for y in range(tr.ymin, tr.ymax + 1):
+            a, b = g.read_tile(10, x, y, 256), c.read_tile(10, x, y, 256)
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert np.array_equal(a, b)
+                n += 1
+    assert n >= 2
+
+
+def test_bigtiff_over_4gib_offsets(tmp_path):
+    """Real tile data placed BEYOND the 4 GiB boundary (sparse hole
+    after the header): the >4 GiB raster case 64-bit offsets exist for.
+    The file is > 4 GiB by size but costs only KiBs of disk."""
+    arr = _fixture_array()
+    hole = (1 << 32) + (1 << 20)  # tiles start past 4 GiB
+    p = str(tmp_path / "huge.tif")
+    write_geotiff(p, arr, _T, nodata=0, tile_size=128, bigtiff=True,
+                  compression="deflate", _sparse_offset=hole)
+    assert os.path.getsize(p) > (1 << 32)
+    g = GeoTiffRaster(p)
+    assert int(g._main.offsets[0]) > (1 << 32)
+    back = g.values_at(np.arange(W)[None, :], np.arange(H)[:, None])
+    assert np.array_equal(back, arr)
+
+
+def test_classic_tiff_offset_overflow_raises(tmp_path):
+    arr = _fixture_array()
+    with pytest.raises(ValueError, match="bigtiff=True"):
+        write_geotiff(str(tmp_path / "x.tif"), arr, _T, nodata=0,
+                      bigtiff=False, _sparse_offset=(1 << 32))
