@@ -1439,6 +1439,37 @@ def render_pyramid_colormap_map(sf_dir: str):
 SQL_RENDER_PYRAMID_COLORMAP_MAP = _sql_read_map("render_cm")
 
 
+def render_pyramid_utm_map(sf_dir: str):
+    """Any-CRS warp path (M16 full scope): a UTM zone-10 GeoTIFF
+    (EPSG:32610, LZW-compressed like the reference's own writer,
+    src/dataset.rs:213) rendered through the lazy transverse-Mercator →
+    3857 warp; returns the map table.  Deterministic source authored
+    once under /tmp."""
+    import os
+
+    import numpy as np
+
+    from ..geo import Affine
+    from ..geo.tmerc import tmerc_forward
+    from ..raster.geotiff import open_raster, write_geotiff
+    from .render import render_pyramid, tileset_map_dataset
+
+    tif = os.path.join(ORACLE_TS_ROOT, "utm_src.tif")
+    os.makedirs(ORACLE_TS_ROOT, exist_ok=True)
+    e0, n0 = tmerc_forward(np.float64(-122.5), np.float64(37.95), -123.0)
+    t = Affine(30.0, 0.0, float(e0), 0.0, -30.0, float(n0))
+    ii = np.arange(512, dtype=np.uint32)
+    arr = ((ii[:, None] * 2654435761 + ii[None, :] * 40503) % 199 + 1).astype(np.uint8)
+    write_geotiff(tif, arr, t, nodata=0, crs_epsg=32610, tile_size=256,
+                  compression="lzw")
+    out_dir = os.path.join(ORACLE_TS_ROOT, "render_utm")
+    render_pyramid(open_raster(tif), out_dir, 8, 11, tilesize=128, resume=False)
+    return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_RENDER_PYRAMID_UTM_MAP = _sql_read_map("render_utm")
+
+
 def raster_vector_join_z8(sf_dir: str):
     from ..raster.synthetic import default_u8_raster
     from .spatial import raster_vector_join
@@ -4915,6 +4946,7 @@ QUERIES = {
         render_pyramid_colormap_map,
         SQL_RENDER_PYRAMID_COLORMAP_MAP,
     ),
+    "render_pyramid_utm_map": (render_pyramid_utm_map, SQL_RENDER_PYRAMID_UTM_MAP),
     "embedding_dedup_exact": (embedding_dedup_exact, SQL_EMBEDDING_DEDUP_EXACT),
     "minhash_dedup_planted": (minhash_dedup_planted, SQL_PLANTED_EXACT_DEDUP),
     "simhash_dedup_planted": (simhash_dedup_planted, SQL_PLANTED_EXACT_DEDUP),

@@ -8,8 +8,8 @@ Parity targets in the reference:
 - ``Dataset::mercator_vrt`` (/root/reference/src/dataset.rs:74-110):
   nearest-neighbour reprojection view to EPSG:3857 with a
   nodata-initialized destination — ``MercatorWarp`` below implements
-  the same semantics for EPSG:4326 sources (the common non-Mercator
-  case; other CRSs raise).
+  the same semantics for EPSG:4326 and WGS84 UTM (EPSG:326xx/327xx)
+  sources, the two most common non-Mercator cases; other CRSs raise.
 - ``write_raster`` (/root/reference/src/dataset.rs:199-230): debug
   tiled GTiff writer — ``write_geotiff`` below (LZW like the reference,
   or deflate/none).
@@ -393,27 +393,49 @@ _MAX_LAT = 85.051129  # reference's Mercator clamp (src/tileid.rs:23-27)
 
 
 class MercatorWarp(TileReadMixin):
-    """Lazy nearest-neighbour EPSG:4326 → EPSG:3857 reprojection view.
+    """Lazy nearest-neighbour reprojection view onto EPSG:3857.
 
     Semantics parity with the reference's warped VRT
-    (src/dataset.rs:74-110): nearest-neighbour only, destination
-    initialized to nodata (pixels mapping outside the source stay
-    nodata).  The output grid spans the source's Mercator bounds at a
-    resolution preserving the source pixel count along x (a simplified
+    (src/dataset.rs:74-110, ``GDALAutoCreateWarpedVRT`` — which accepts
+    ANY source CRS): nearest-neighbour only, destination initialized to
+    nodata (pixels mapping outside the source stay nodata).  The output
+    grid spans the source's Mercator bounds at a resolution preserving
+    the source pixel count along x (a simplified
     GDALSuggestedWarpOutput).
+
+    Supported source CRSs: EPSG:4326 (source grid in degrees) and the
+    WGS84 UTM zones EPSG:326xx/327xx (transverse-Mercator metres via
+    ``geo.tmerc``) — the two most common real-world cases after native
+    3857; anything else raises.
     """
 
     def __init__(self, src: GeoTiffRaster):
-        if src.crs_epsg != 4326:
-            raise NotImplementedError(
-                f"MercatorWarp supports EPSG:4326 sources, got EPSG:{src.crs_epsg}"
-            )
+        from ..geo.tmerc import UtmProjection
+
+        if src.crs_epsg == 4326:
+            self._proj = None  # source grid is already degrees
+        else:
+            self._proj = UtmProjection(src.crs_epsg)  # raises if not UTM
         self.src = src
-        sb = src.bounds()  # degrees
-        lat_lo = max(sb.ymin, -_MAX_LAT)
-        lat_hi = min(sb.ymax, _MAX_LAT)
-        lon_lo = max(sb.xmin, -180.0)
-        lon_hi = min(sb.xmax, 180.0)
+        sb = src.bounds()  # source-CRS units
+        if self._proj is None:
+            lat_lo = max(sb.ymin, -_MAX_LAT)
+            lat_hi = min(sb.ymax, _MAX_LAT)
+            lon_lo = max(sb.xmin, -180.0)
+            lon_hi = min(sb.xmax, 180.0)
+        else:
+            # projected source: the geographic bbox of a projected
+            # rectangle is NOT its corners' bbox (meridian convergence
+            # bows the edges) — densify the boundary and take extremes
+            k = 65
+            ex = np.linspace(sb.xmin, sb.xmax, k)
+            ny = np.linspace(sb.ymin, sb.ymax, k)
+            bx = np.concatenate([ex, ex, np.full(k, sb.xmin), np.full(k, sb.xmax)])
+            by = np.concatenate([np.full(k, sb.ymin), np.full(k, sb.ymax), ny, ny])
+            blon, blat = self._proj.inverse(bx, by)
+            lon_lo, lon_hi = float(blon.min()), float(blon.max())
+            lat_lo = max(float(blat.min()), -_MAX_LAT)
+            lat_hi = min(float(blat.max()), _MAX_LAT)
         mx0, my0 = geo_to_mercator(np.float64(lon_lo), np.float64(lat_lo))
         mx1, my1 = geo_to_mercator(np.float64(lon_hi), np.float64(lat_hi))
         res = (float(mx1) - float(mx0)) / src.width
@@ -435,9 +457,13 @@ class MercatorWarp(TileReadMixin):
         mx = t.c + (cols.astype(np.float64) + 0.5) * t.a
         my = t.f + (rows.astype(np.float64) + 0.5) * t.e
         lon, lat = mercator_to_geo(mx, my)
+        if self._proj is None:
+            ux, uy = lon, lat  # source grid is degrees
+        else:
+            ux, uy = self._proj.forward(lon, lat)
         st = self.src.transform
         inv = st.invert()
-        fx, fy = inv.multiply(lon, lat)
+        fx, fy = inv.multiply(ux, uy)
         sx = np.floor(fx).astype(np.int64)
         sy = np.floor(fy).astype(np.int64)
         inside = (sx >= 0) & (sx < self.src.width) & (sy >= 0) & (sy < self.src.height)
@@ -465,13 +491,14 @@ def open_raster(path: str, *, disable_overviews: bool = False):
     and return a Mercator-grid raster (warping EPSG:4326 on the fly;
     ref src/dataset.rs:25-35 + 74-110)."""
     r = GeoTiffRaster(path, disable_overviews=disable_overviews)
-    if r.crs_epsg == 4326:
+    if r.crs_epsg == 3857:
+        return r
+    if r.crs_epsg == 4326 or r.crs_epsg // 100 in (326, 327):
         return MercatorWarp(r)
-    if r.crs_epsg != 3857:
-        raise NotImplementedError(
-            f"{path}: CRS EPSG:{r.crs_epsg} unsupported (3857 native, 4326 warped)"
-        )
-    return r
+    raise NotImplementedError(
+        f"{path}: CRS EPSG:{r.crs_epsg} unsupported "
+        "(3857 native; 4326 and WGS84 UTM zones warped)"
+    )
 
 
 # ---------------------------------------------------------------- writer

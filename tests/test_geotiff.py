@@ -394,3 +394,142 @@ def test_classic_tiff_offset_overflow_raises(tmp_path):
     with pytest.raises(ValueError, match="bigtiff=True"):
         write_geotiff(str(tmp_path / "x.tif"), arr, _T, nodata=0,
                       bigtiff=False, _sparse_offset=(1 << 32))
+
+
+# -------------------------------------------------------------- UTM warp
+
+
+def _karney_tm_forward(lon, lat, lon0):
+    """Independent cross-implementation: Karney-style Krueger series
+    (arXiv:1002.1417, 4th order in n) — a different public formulation
+    from the Snyder series the engine uses; they agree < 1 mm in-zone."""
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    e = np.sqrt(e2)
+    n = f / (2 - f)
+    k0 = 0.9996
+    A1 = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    al = [
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
+        61 * n**3 / 240 - 103 * n**4 / 140,
+        49561 * n**4 / 161280,
+    ]
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    t = np.tan(phi)
+    sig = np.sinh(e * np.arctanh(e * t / np.sqrt(1 + t * t)))
+    tp = t * np.sqrt(1 + sig * sig) - sig * np.sqrt(1 + t * t)
+    xip = np.arctan2(tp, np.cos(lam))
+    etp = np.arcsinh(np.sin(lam) / np.sqrt(tp * tp + np.cos(lam) ** 2))
+    xi, eta = xip, etp
+    for j, c in enumerate(al, 1):
+        xi = xi + c * np.sin(2 * j * xip) * np.cosh(2 * j * etp)
+        eta = eta + c * np.cos(2 * j * xip) * np.sinh(2 * j * etp)
+    return k0 * A1 * eta + 500_000.0, k0 * A1 * xi
+
+
+def test_tmerc_matches_independent_karney():
+    from rastertiler_rs_ray.geo.tmerc import tmerc_forward
+
+    rng = np.random.RandomState(0)
+    lon0 = -123.0  # UTM zone 10
+    lon = rng.uniform(lon0 - 3, lon0 + 3, 2000)
+    lat = rng.uniform(-80, 84, 2000)
+    x1, y1 = tmerc_forward(lon, lat, lon0)
+    x2, y2 = _karney_tm_forward(lon, lat, lon0)
+    assert np.abs(x1 - x2).max() < 1e-3
+    assert np.abs(y1 - y2).max() < 1e-3
+
+
+def test_tmerc_roundtrip_both_hemispheres():
+    from rastertiler_rs_ray.geo.tmerc import (
+        tmerc_forward,
+        tmerc_inverse,
+        utm_zone_params,
+    )
+
+    lon0, fn = utm_zone_params(32633)  # zone 33 north
+    assert (lon0, fn) == (15.0, 0.0)
+    lon0s, fns = utm_zone_params(32733)  # zone 33 south
+    assert (lon0s, fns) == (15.0, 10_000_000.0)
+    with pytest.raises(NotImplementedError):
+        utm_zone_params(2154)  # Lambert-93, not UTM
+
+    rng = np.random.RandomState(1)
+    lon = rng.uniform(12, 18, 1000)
+    lat = rng.uniform(-80, 84, 1000)
+    for f_n in (0.0, 10_000_000.0):
+        x, y = tmerc_forward(lon, lat, 15.0, f_n)
+        lo, la = tmerc_inverse(x, y, 15.0, f_n)
+        assert np.abs(lo - lon).max() < 1e-8
+        assert np.abs(la - lat).max() < 1e-8
+
+
+def test_utm_warp_golden_parity(tmp_path):
+    """A UTM-authored raster rendered through the lazy warp must be
+    bit-identical to the same data authored natively in 3857 (the warp
+    grid materialized once) — the reference's any-CRS warped-VRT parity
+    point (src/dataset.rs:74-110)."""
+    # source: 600x400 10 m pixels in UTM zone 10, around (-122.3, 37.8)
+    from rastertiler_rs_ray.geo.tmerc import tmerc_forward
+
+    e0, n0 = tmerc_forward(np.float64(-122.35), np.float64(37.84), -123.0)
+    t_utm = Affine(10.0, 0.0, float(e0), 0.0, -10.0, float(n0))
+    rng = np.random.RandomState(7)
+    arr = rng.randint(1, 255, size=(400, 600), dtype=np.uint8)
+    p_utm = str(tmp_path / "utm.tif")
+    write_geotiff(p_utm, arr, t_utm, nodata=0, crs_epsg=32610, tile_size=128)
+
+    w = open_raster(p_utm)
+    assert isinstance(w, MercatorWarp)
+    assert w.dtype == "uint8" and w.nodata == 0
+
+    # materialize the warp grid once and author it natively in 3857
+    full = w.values_at(np.arange(w.width)[None, :], np.arange(w.height)[:, None])
+    assert (full != 0).mean() > 0.5  # warp actually covers the source
+    p_merc = str(tmp_path / "merc.tif")
+    write_geotiff(p_merc, full, w.transform, nodata=0, crs_epsg=3857, tile_size=128)
+    native = GeoTiffRaster(p_merc, disable_overviews=True)
+
+    from rastertiler_rs_ray.geo.tileid import tile_range
+
+    n = 0
+    for z in (12, 14):
+        tr = tile_range(z, w.bounds())
+        for x in range(tr.xmin, tr.xmax + 1):
+            for y in range(tr.ymin, tr.ymax + 1):
+                a = w.read_tile(z, x, y, 256)
+                b = native.read_tile(z, x, y, 256)
+                assert (a is None) == (b is None), (z, x, y)
+                if a is not None:
+                    assert np.array_equal(a, b), (z, x, y)
+                    n += 1
+    assert n > 4
+
+    # spot-check the NN source index against the INDEPENDENT projection:
+    # dest pixel center -> lon/lat -> Karney forward -> source pixel
+    from rastertiler_rs_ray.geo import mercator_to_geo
+
+    cols = np.arange(0, w.width, 17)
+    rows = np.arange(0, w.height, 13)
+    got = w.values_at(cols[None, :], rows[:, None])
+    t = w.transform
+    mx = t.c + (cols[None, :].astype(np.float64) + 0.5) * t.a
+    my = t.f + (rows[:, None].astype(np.float64) + 0.5) * t.e
+    lon, lat = mercator_to_geo(*np.broadcast_arrays(mx, my))
+    ex, ny = _karney_tm_forward(lon, lat, -123.0)
+    sx = np.floor((ex - t_utm.c) / 10.0).astype(np.int64)
+    sy = np.floor((ny - t_utm.f) / -10.0).astype(np.int64)
+    inside = (sx >= 0) & (sx < 600) & (sy >= 0) & (sy < 400)
+    want = np.zeros_like(got)
+    want[inside] = arr[sy[inside], sx[inside]]
+    assert np.array_equal(got, want)
+
+
+def test_open_raster_rejects_non_utm_projected(tmp_path):
+    arr = _fixture_array()
+    p = str(tmp_path / "weird.tif")
+    write_geotiff(p, arr, _T, nodata=0, crs_epsg=2154, tile_size=256)
+    with pytest.raises(NotImplementedError, match="EPSG:2154"):
+        open_raster(p)
