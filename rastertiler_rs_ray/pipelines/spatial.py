@@ -28,7 +28,6 @@ invariant).
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pandas as pd
@@ -347,11 +346,25 @@ def knn_join(
 ) -> pd.DataFrame:
     """Exact kNN of each query point over all geo-docs (Euclidean in
     Mercator meters). Map-side partial top-k per batch (no shuffle),
-    tiny driver heap-merge of ≤ k rows per (query, batch).
+    then a distributed tree-merge: a second vectorized top-k stage
+    coalesces the per-block partials (batch_size ≫ block size merges
+    thousands of blocks per task), and the driver only vector-merges
+    the few surviving blocks — never a per-row Python loop.  At 100-TB
+    block counts (~10⁶ blocks) the driver sees ≤ Q×k rows per merge
+    task, not Q×k×blocks.
 
     Returns a pandas DataFrame (query_id, rank, doc_id, dist) — small:
     Q × k rows.
     """
+
+    def vec_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # smallest-dist k per query, ties by doc_id asc (the SQL
+        # row_number() ORDER BY dist, doc_id convention)
+        if not len(df):  # zero-row blocks pass through
+            return df
+        df = df.sort_values(["query_id", "dist", "doc_id"], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k)
+
     qref = ray.put(np.asarray(query_points, dtype=np.float64))
     partials = encoded.map_batches(
         _KnnPartial,
@@ -360,22 +373,14 @@ def knn_join(
         concurrency=concurrency,
         num_cpus=1,
     )
-    heaps: dict[int, list] = {}
-    for batch in partials.iter_batches(batch_size=65536, batch_format="pandas"):
-        for qid, doc, dist in zip(batch["query_id"], batch["doc_id"], batch["dist"]):
-            h = heaps.setdefault(int(qid), [])
-            # max-heap of size k via negated dist
-            item = (-float(dist), str(doc))
-            if len(h) < k:
-                heapq.heappush(h, item)
-            elif item > h[0]:
-                heapq.heapreplace(h, item)
-    rows = []
-    for qid, h in sorted(heaps.items()):
-        ordered = sorted(((-d, doc) for d, doc in h), key=lambda t: (t[0], t[1]))
-        for rank, (dist, doc) in enumerate(ordered):
-            rows.append((qid, rank, doc, dist))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "dist"])
+    merged = partials.map_batches(
+        vec_topk, batch_format="pandas", batch_size=1 << 20
+    )
+    final = merged.to_pandas()  # ≤ Q×k rows per surviving merge block
+    final = vec_topk(final).reset_index(drop=True)
+    final["rank"] = final.groupby("query_id", sort=False).cumcount()
+    final = final.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return final[["query_id", "rank", "doc_id", "dist"]]
 
 
 def _tile_cover_refs(
