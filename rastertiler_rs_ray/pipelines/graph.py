@@ -19,6 +19,141 @@ import ray.data
 from .relational import distinct, grouped_aggregate, shuffle_hash_join
 
 
+def _node_shard(ids: np.ndarray, nshards: int) -> np.ndarray:
+    """Deterministic splitmix64 shard assignment for integer node ids."""
+    with np.errstate(over="ignore"):
+        z = ids.astype(np.uint64) * np.uint64(_SM_K1)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_K2)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_K3)
+        z = z ^ (z >> np.uint64(31))
+    return (z % np.uint64(nshards)).astype(np.int64)
+
+
+@ray.remote(num_cpus=1)
+class _PageRankShard:
+    """One Pregel-style vertex shard: owns ranks for nodes with
+    hash(node) % P == sid and all edges whose SOURCE lives here.
+
+    Everything positional is precomputed once in ``finalize``/
+    ``set_in_plan`` — each iteration only multiplies, segment-sums, and
+    exchanges fixed-order float arrays with peers (no ids on the wire,
+    no joins, no per-iteration shuffle).
+    """
+
+    def __init__(self, sid: int, nshards: int):
+        self.sid, self.P = sid, nshards
+        self._node_parts: list[np.ndarray] = []
+        self._edge_parts: list[tuple[np.ndarray, np.ndarray]] = []
+        self._in_idx: dict[int, np.ndarray] = {}
+
+    def add_nodes(self, ids: np.ndarray) -> None:
+        self._node_parts.append(np.asarray(ids, np.int64))
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+        self._edge_parts.append(
+            (np.asarray(src, np.int64), np.asarray(dst, np.int64))
+        )
+
+    def finalize(self) -> list[tuple[int, np.ndarray]]:
+        """Build local index structures; returns the (peer, unique dst
+        ids) exchange plan so each peer can precompute ITS receive
+        indices — ids cross the wire exactly once, not per iteration."""
+        self.nodes = (
+            np.unique(np.concatenate(self._node_parts))
+            if self._node_parts
+            else np.array([], np.int64)
+        )
+        self._node_parts = []
+        if self._edge_parts:
+            src = np.concatenate([p[0] for p in self._edge_parts])
+            dst = np.concatenate([p[1] for p in self._edge_parts])
+        else:
+            src = dst = np.array([], np.int64)
+        self._edge_parts = []
+        # out-degree weights are shard-local (edges sharded by src)
+        usrc, inv, cnt = np.unique(src, return_inverse=True, return_counts=True)
+        w = 1.0 / cnt[inv]
+        # sort by dst once: per-dst partial sums become one reduceat
+        order = np.argsort(dst, kind="stable")
+        dsts = dst[order]
+        self._src_idx = np.searchsorted(self.nodes, src[order])
+        self._w = w[order]
+        udst, seg_starts = np.unique(dsts, return_index=True)
+        self._seg_starts = seg_starts
+        dshard = _node_shard(udst, self.P)
+        plan = []
+        self._out_slices: list[np.ndarray] = []
+        for p in range(self.P):
+            m = dshard == p
+            self._out_slices.append(np.flatnonzero(m))
+            plan.append((p, udst[m]))
+        return plan
+
+    def set_in_plan(self, from_sid: int, ids: np.ndarray) -> None:
+        self._in_idx[from_sid] = np.searchsorted(self.nodes, ids)
+
+    def num_nodes(self) -> int:
+        return int(len(self.nodes))
+
+    def seed(self, n_total: int) -> None:
+        self.rank = np.full(len(self.nodes), 1.0 / n_total, np.float64)
+
+    def compute_parts(self):
+        """Per-dst partial sums, split per owning shard.  Called with
+        ``.options(num_returns=P)`` so each part is its own object ref
+        — peers fetch their part directly from this actor's node (the
+        driver routes refs only, never the floats).  Peer-to-peer
+        ``ray.get`` inside actor methods would deadlock single-threaded
+        actors all blocked in the same barrier; this ref-routing shape
+        can't."""
+        if len(self._w):
+            contrib = self._w * self.rank[self._src_idx]
+            sums = np.add.reduceat(contrib, self._seg_starts)
+        else:
+            sums = np.array([], np.float64)
+        parts = [sums[self._out_slices[p]] for p in range(self.P)]
+        return parts[0] if self.P == 1 else tuple(parts)
+
+    def apply_update(self, base: float, damping: float, *incoming) -> None:
+        """``incoming`` arrives ordered by sender shard id (fixed-order
+        float arrays matching the ``set_in_plan`` id lists)."""
+        local = np.zeros(len(self.nodes), np.float64)
+        for q, sums in enumerate(incoming):
+            if len(sums):
+                local[self._in_idx[q]] += sums  # ids unique per sender
+        self.rank = base + damping * local
+
+    def result(self) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(self.nodes, pa.int64()),
+                "rank": pa.array(self.rank, pa.float64()),
+            }
+        )
+
+
+@ray.remote
+def _scatter_block(
+    tbl: pa.Table, u_col: str, v_col: str, nshards: int
+) -> list:
+    """One edge block → per-shard (src, dst) arrays + per-shard unique
+    endpoint arrays (nodes ride along, no separate pass)."""
+    if tbl.num_rows == 0 or u_col not in tbl.column_names:
+        # Ray emits zero-column empty blocks on sparse inputs
+        z = np.array([], np.int64)
+        return [(z, z, z) for _ in range(nshards)]
+    src = np.asarray(tbl.column(u_col), np.int64)
+    dst = np.asarray(tbl.column(v_col), np.int64)
+    sshard = _node_shard(src, nshards)
+    out = []
+    ends = np.unique(np.concatenate([src, dst]))
+    eshard = _node_shard(ends, nshards)
+    for p in range(nshards):
+        m = sshard == p
+        out.append((src[m], dst[m], ends[eshard == p]))
+    return out
+
+
 def pagerank(
     edges: ray.data.Dataset,
     *,
@@ -34,113 +169,88 @@ def pagerank(
     The simple-sum variant (no dangling-mass redistribution: rank
     flowing into a zero-out-degree node stays there and its own mass
     ``(1-d)/N`` is re-seeded each round) — the convention that keeps
-    each iteration expressible as exactly one join + one aggregate,
-    and therefore SQL-oracle-able by unrolling.  Isolated nodes (no
+    each iteration SQL-oracle-able by unrolling.  Isolated nodes (no
     incident edge) are absent from the input and the output; union a
     self-loop-free node list upstream if they must be ranked.
 
-    Scale contract: per iteration ONE hash-join exchange
-    (weighted edges ⋈ ranks on source) + ONE groupby(dst) sum + ONE
-    left join back onto the node set — all distributed, driver state
-    is the scalar N.  Ranks are materialized per iteration so lineage
-    stays O(1) deep instead of O(iters); blocks live in the object
-    store and spill.  Out-degree weights are computed once and the
-    weighted edge list reused every round.  (A production variant
-    would pin edges and ranks to one co-partitioning to skip the
-    re-shuffle per round; Ray's hash join re-exchanges both sides —
-    documented cost, same results.)
+    Execution: the one place the Dataset API genuinely can't express
+    the semantics well — iterating joins re-exchanges the full edge
+    list every round (3 all-to-alls × N iterations).  Instead this is
+    a Pregel-style fused iteration over ``num_partitions`` shard
+    actors: edges are scattered ONCE by hash(src) (out-degree weights
+    then computable shard-locally — no deg join), the (src-shard →
+    dst-shard) id lists are exchanged once at setup, and each
+    iteration moves only fixed-order FLOAT arrays directly between
+    actors (P² small messages, no ids, no shuffle, no driver data
+    path).  Per-shard memory is edges/P — the standard distributed
+    PageRank memory contract (GraphX/Pregel).  Node ids must be
+    integers; hash-partition stringy ids upstream.
     """
-    nodes = distinct(
-        edges.map_batches(
-            lambda b: pa.table({"node": b.column(u_col)}), batch_format="pyarrow"
-        ).union(
-            edges.map_batches(
-                lambda b: pa.table({"node": b.column(v_col)}), batch_format="pyarrow"
-            )
-        ),
-        ["node"],
-    ).materialize()
-    n = nodes.count()
+    nshards = num_partitions or max(
+        2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    )
+    shards = [
+        _PageRankShard.remote(p, nshards) for p in range(nshards)
+    ]
+
+    # one pass over edge blocks: scatter (src,dst) by hash(src) and the
+    # block's unique endpoints by hash(node); the driver routes only refs
+    pending = []
+    for ref in edges.to_arrow_refs():
+        pending.append(_scatter_block.remote(ref, u_col, v_col, nshards))
+    waits = []
+    for parts in pending:
+        parts = ray.get(parts)
+        for p, (src_p, dst_p, nodes_p) in enumerate(parts):
+            if len(src_p):
+                waits.append(shards[p].add_edges.remote(src_p, dst_p))
+            if len(nodes_p):
+                waits.append(shards[p].add_nodes.remote(nodes_p))
+    ray.get(waits)
+
+    plans = ray.get([s.finalize.remote() for s in shards])
+    waits = []
+    for q, plan in enumerate(plans):
+        for p, ids in plan:
+            waits.append(shards[p].set_in_plan.remote(q, ids))
+    ray.get(waits)
+
+    n = sum(ray.get([s.num_nodes.remote() for s in shards]))
     if n == 0:
         return ray.data.from_arrow(
             pa.table(
                 {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
             )
         )
+    ray.get([s.seed.remote(n) for s in shards])
     base = (1.0 - damping) / n
 
-    node_t = nodes.schema().types[0]
-
-    def _empty(names_types: list[tuple[str, pa.DataType]]) -> pa.Table:
-        return pa.table({nm: pa.array([], t) for nm, t in names_types})
-
-    deg = grouped_aggregate(edges, [u_col], [("__deg", v_col, "count")])
-
-    def weigh(b: pa.Table) -> pa.Table:
-        # Ray's join op can emit zero-row blocks with EMPTY schemas —
-        # return a schema-ful empty so downstream unify stays clean.
-        if b.num_rows == 0 or "__deg" not in b.column_names:
-            return _empty(
-                [("__src", node_t), ("__dst", node_t), ("__w", pa.float64())]
-            )
-        return pa.table(
-            {
-                "__src": b.column(u_col),
-                "__dst": b.column(v_col),
-                "__w": pc.divide(
-                    pa.scalar(1.0, pa.float64()),
-                    pc.cast(b.column("__deg"), pa.float64()),
-                ),
-            }
-        )
-
-    edges_w = shuffle_hash_join(
-        edges, deg, on=u_col, num_partitions=num_partitions
-    ).map_batches(weigh, batch_format="pyarrow").materialize()
-
-    def seed(batch: pa.Table) -> pa.Table:
-        r = np.full(batch.num_rows, 1.0 / n)
-        return batch.append_column("rank", pa.array(r, pa.float64()))
-
-    ranks = nodes.map_batches(seed, batch_format="pyarrow").materialize()
-
-    def spread(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "rank" not in b.column_names:
-            return _empty([("__dst", node_t), ("__c", pa.float64())])
-        return pa.table(
-            {
-                "__dst": b.column("__dst"),
-                "__c": pc.multiply(b.column("rank"), b.column("__w")),
-            }
-        )
-
-    def update(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "node" not in batch.column_names:
-            return _empty([("node", node_t), ("rank", pa.float64())])
-        s = (
-            pc.fill_null(pc.cast(batch.column("__s"), pa.float64()), 0.0)
-            if "__s" in batch.column_names
-            else pa.array(np.zeros(batch.num_rows), pa.float64())
-        )
-        r = pc.add(
-            pa.scalar(base, pa.float64()),
-            pc.multiply(pa.scalar(float(damping), pa.float64()), s),
-        )
-        return pa.table({"node": batch.column("node"), "rank": r})
-
     for _ in range(num_iters):
-        contrib = shuffle_hash_join(
-            edges_w, ranks, on="__src", right_on="node",
-            num_partitions=num_partitions,
-        ).map_batches(spread, batch_format="pyarrow")
-        sums = grouped_aggregate(contrib, ["__dst"], [("__s", "__c", "sum")])
-        joined = shuffle_hash_join(
-            nodes, sums, on="node", right_on="__dst",
-            join_type="left_outer", num_partitions=num_partitions,
+        # barrier 1: every shard computes its per-peer float parts
+        part_refs = [
+            s.compute_parts.options(num_returns=nshards).remote()
+            if nshards > 1
+            else [s.compute_parts.remote()]
+            for s in shards
+        ]
+        # barrier 2: each shard applies the parts addressed to it
+        # (refs passed through — Ray moves the floats actor-to-actor)
+        ray.get(
+            [
+                shards[p].apply_update.remote(
+                    base, damping, *[part_refs[q][p] for q in range(nshards)]
+                )
+                for p in range(nshards)
+            ]
         )
-        ranks = joined.map_batches(update, batch_format="pyarrow").materialize()
 
-    return ranks
+    refs = [s.result.remote() for s in shards]
+    out = ray.data.from_arrow_refs(refs)
+    # pin the result before the shard actors die with this frame
+    out = out.materialize()
+    for s in shards:
+        ray.kill(s)
+    return out
 
 
 _TRI_SENTINEL = -(1 << 63)  # int64 min — reserved node id for the
