@@ -2239,6 +2239,72 @@ def media_features_pipeline(sf_dir: str):
     return ds.select_columns(["media_id", "media_hash"])
 
 
+def decode_media_real_png(sf_dir: str):
+    """REAL image codec, fully oracled: 64 deterministic 24x40 images
+    (pixel = (m*97 + y*31 + x*7) % 251) are PNG-encoded in a map stage,
+    pushed through ``decode_media(fake=False)`` (the built-in
+    pure-Python PNG decoder resolved once per actor) + 16x16 NN resize,
+    and reduced to a per-image pixel sum — the oracle computes the same
+    sums from the closed form, so any decode/unfilter/resize defect
+    hash-mismatches."""
+    from ..png.writer import GRAYSCALE, encode_png_chunks
+    from ..stages.multimodal import decode_media
+
+    ids = ray.data.from_arrow(
+        pa.table({"media_id": pa.array(np.arange(64, dtype=np.int64))})
+    ).repartition(8)
+
+    def author(batch: pa.Table) -> pa.Table:
+        mids = np.asarray(batch.column("media_id"))
+        payloads = []
+        y = np.arange(24, dtype=np.int64)[:, None]
+        x = np.arange(40, dtype=np.int64)[None, :]
+        for m in mids:
+            img = ((int(m) * 97 + y * 31 + x * 7) % 251).astype(np.uint8)
+            payloads.append(encode_png_chunks(img, 40, 24, GRAYSCALE, 8))
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_w": pa.array(np.full(len(mids), 40, np.int32)),
+                "media_h": pa.array(np.full(len(mids), 24, np.int32)),
+            }
+        )
+
+    decoded = decode_media(
+        ids.map_batches(author, batch_format="pyarrow"),
+        out_w=16, out_h=16, fake=False, concurrency=2,
+    )
+
+    def sums(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        px = np.asarray(
+            batch.column("pixels").combine_chunks().flatten()
+        ).reshape(n, -1)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "px_sum": pa.array(px.sum(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return decoded.map_batches(sums, batch_format="pyarrow")
+
+
+SQL_DECODE_MEDIA_REAL_PNG = """
+WITH oy AS (SELECT unnest(range(16)) AS oy),
+     ox AS (SELECT unnest(range(16)) AS ox),
+     m AS (SELECT unnest(range(64)) AS media_id)
+SELECT media_id,
+       CAST(sum((media_id * 97
+                 + CAST(floor((oy + 0.5) * 24 / 16) AS BIGINT) * 31
+                 + CAST(floor((ox + 0.5) * 40 / 16) AS BIGINT) * 7) % 251)
+            AS BIGINT) AS px_sum
+FROM m CROSS JOIN oy CROSS JOIN ox
+GROUP BY media_id
+"""
+
+
 def span_media_features(sf_dir: str):
     """Interleaved → multimodal bridge: media spans of the generated doc
     table → blob-store fetch stub → decode + feature actor pools.
@@ -5102,6 +5168,7 @@ QUERIES = {
     "pq_ann_topk": (pq_ann_topk, None),
     "pca_embeddings_project": (pca_embeddings_project, None),
     "media_features_pipeline": (media_features_pipeline, None),
+    "decode_media_real_png": (decode_media_real_png, SQL_DECODE_MEDIA_REAL_PNG),
     "span_media_features": (span_media_features, None),
     "audio_features_pipeline": (audio_features_pipeline, None),
     "interleaved_span_check": (interleaved_span_check, None),

@@ -9,8 +9,9 @@ encoder settings ``Compression::Best`` + ``FilterType::NoFilter``
 (/root/reference/src/png/grayscale.rs:35-39, colormap.rs:107-114,
 rgb.rs:36-42).
 
-``decode_png`` exists for tests and debugging only (filter-0 images as
-produced by this writer).
+``decode_png`` reads PNGs with any scanline filter (types 0-4, no
+interlace) — it doubles as the built-in real image codec for the
+multimodal decode stage and the golden-bytes verifier in tests.
 """
 
 from __future__ import annotations
@@ -65,8 +66,56 @@ def encode_png_chunks(
     return b"".join(out)
 
 
+def _unfilter(arr: np.ndarray, channels: int, bit_depth: int) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4, PNG spec §6) in place on
+    the (H, 1+row_bytes) filter-byte-prefixed array → (H, row_bytes).
+
+    Filter 0 (None) and 2 (Up) are whole-row vectorized; 1 (Sub),
+    3 (Average) and 4 (Paeth) carry a left-neighbour recurrence so they
+    run a per-pixel loop — fine for the tile/thumbnail sizes this
+    decoder serves."""
+    h = arr.shape[0]
+    bpp = max(1, (bit_depth * channels) // 8)
+    out = np.zeros((h, arr.shape[1] - 1), dtype=np.int64)
+    prev = np.zeros(arr.shape[1] - 1, dtype=np.int64)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            cur = row
+            for x in range(len(row)):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:  # Sub
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ft == 3:  # Average
+                    cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:  # Paeth
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    if pa_ <= pb_ and pa_ <= pc_:
+                        pr = a
+                    elif pb_ <= pc_:
+                        pr = b
+                    else:
+                        pr = c
+                    cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
 def decode_png(data: bytes) -> dict:
-    """Parse a filter-0 PNG produced by this writer (tests only).
+    """Parse a PNG (filters 0-4, no interlace) — the built-in real
+    image codec for the multimodal decode stage, and the golden-bytes
+    verifier in tests.
 
     Returns dict with width, height, bit_depth, color_type, palette,
     trns, and ``pixels`` — a (H, W) array of gray values / palette
@@ -96,8 +145,10 @@ def decode_png(data: bytes) -> dict:
     row_bits = width * bit_depth * channels
     row_bytes = -(-row_bits // 8)
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes + 1)
-    assert np.all(arr[:, 0] == 0), "only filter 0 supported"
-    packed = arr[:, 1:]
+    if np.all(arr[:, 0] == 0):
+        packed = arr[:, 1:]  # fast path: this writer's own output
+    else:
+        packed = _unfilter(arr, channels, bit_depth)
 
     if bit_depth == 8:
         pixels = packed.reshape(height, width, channels).squeeze()

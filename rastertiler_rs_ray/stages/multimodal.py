@@ -7,12 +7,19 @@ warmed once per actor, §2.3), ``batch_format="pyarrow"`` zero-copy
 binary in/out, SMALL ``batch_size`` because payload rows are wide
 (SURVEY §7.6.6), and output schemas fixed so downstream stages splice.
 
-The codec layer itself is gated: the container has no Pillow/ffmpeg, so
-``DECODERS`` maps each kind either to a clearly-marked
-``NotImplementedError`` raise or — under ``fake=True`` (default, used
-by tests) — to a deterministic fake that derives pixel/sample content
-from a hash of the payload bytes.  Swapping in a real codec is a
-one-line registry change; nothing else moves.
+The codec layer is a RESOLUTION CHAIN (``resolve_image_decoder``):
+
+1. Pillow, when importable (optional import — absent in this
+   container, exercised by a skip-marked test) — any format;
+2. the repo's own pure-Python PNG reader (``png.writer.decode_png``,
+   filters 0-4) — a REAL decode path that runs here, fed by real PNG
+   bytes;
+3. under ``fake=True`` a deterministic fake that derives pixel content
+   from a hash of the payload bytes (for plumbing tests over synthetic
+   non-image payloads).
+
+``MediaDecoder(fake=False)`` therefore performs genuine decodes in
+every environment; registering another codec is one entry in the chain.
 """
 
 from __future__ import annotations
@@ -36,9 +43,54 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
 
 def _real_decode_unavailable(kind: str):
     raise NotImplementedError(
-        f"real {kind} decoding requires a codec library (Pillow/ffmpeg) "
-        "not present in this environment — register one in DECODERS"
+        f"real {kind} decoding requires a codec library (ffmpeg) not "
+        "present in this environment — register one in the decoder chain"
     )
+
+
+def _pillow_decoder():
+    """Pillow-backed grayscale decode, or None if Pillow is absent."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency
+    except ImportError:
+        return None
+
+    def decode(payload: bytes) -> np.ndarray:
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+
+    return decode
+
+
+def _builtin_png_decoder():
+    """The repo's own pure-Python PNG reader (filters 0-4, gray/indexed
+    8-bit) — a real decode path with no external dependency."""
+    from ..png.writer import decode_png
+
+    def decode(payload: bytes) -> np.ndarray:
+        info = decode_png(payload)
+        px = info["pixels"]
+        if px.ndim == 3:  # RGB → luma (integer BT.601 approximation)
+            px = (
+                (77 * px[..., 0].astype(np.uint32)
+                 + 150 * px[..., 1].astype(np.uint32)
+                 + 29 * px[..., 2].astype(np.uint32)) >> 8
+            ).astype(np.uint8)
+        if info["bit_depth"] != 8:
+            px = (px.astype(np.uint32) * 255 // ((1 << info["bit_depth"]) - 1)).astype(
+                np.uint8
+            )
+        return np.ascontiguousarray(px, dtype=np.uint8)
+
+    return decode
+
+
+def resolve_image_decoder():
+    """First available real codec: Pillow if importable, else the
+    built-in PNG reader.  Called once per actor (``__init__``)."""
+    return _pillow_decoder() or _builtin_png_decoder()
 
 
 class MediaDecoder:
@@ -53,11 +105,12 @@ class MediaDecoder:
         self.out_w, self.out_h = int(out_w), int(out_h)
         self.fake = fake
         self.payload_col = payload_col
-        # real codec handles would be opened here, once per actor
+        # codec resolution happens once per actor, here
+        self._real = None if fake else resolve_image_decoder()
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if not self.fake:
-            _real_decode_unavailable("image")
+            return self._real(payload)
         return _fake_pixels(payload, w, h)
 
     def _resize_nn(self, img: np.ndarray) -> np.ndarray:

@@ -142,3 +142,62 @@ def test_png_determinism():
     a = GrayscaleEncoder(16, 16, 0).encode(buf)
     b = GrayscaleEncoder(16, 16, 0).encode(buf.copy())
     assert a == b
+
+
+def test_decode_png_all_filter_types():
+    """decode_png must unfilter scanlines written with every PNG filter
+    type (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) — foreign writers
+    pick filters per row; ours always writes 0."""
+    import struct
+    import zlib
+
+    from rastertiler_rs_ray.png.writer import _SIGNATURE, _chunk, decode_png
+
+    rng = np.random.RandomState(4)
+    h, w = 10, 17
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = int(a) + int(b) - int(c)
+        pa_, pb_, pc_ = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+        if pa_ <= pb_ and pa_ <= pc_:
+            return int(a)
+        if pb_ <= pc_:
+            return int(b)
+        return int(c)
+
+    # forward-filter per the PNG spec, cycling through all 5 types
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        ft = y % 5
+        row = img[y].astype(np.int64)
+        enc = np.zeros(w, dtype=np.int64)
+        for x in range(w):
+            a = row[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if ft == 0:
+                enc[x] = row[x]
+            elif ft == 1:
+                enc[x] = (row[x] - a) % 256
+            elif ft == 2:
+                enc[x] = (row[x] - b) % 256
+            elif ft == 3:
+                enc[x] = (row[x] - (a + b) // 2) % 256
+            else:
+                enc[x] = (row[x] - paeth(a, b, c)) % 256
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got["width"] == w and got["height"] == h
+    assert np.array_equal(got["pixels"], img)
