@@ -2843,6 +2843,57 @@ FROM r
 """
 
 
+def curated_corpus_incremental(sf_dir: str):
+    """Incremental-ingest curation flagship: the corpus re-runs in
+    batches, so the expensive text work (quality gate, decontamination,
+    dedup) touches ONLY the new batch — the sealed corpus is summarized
+    (Bloom of its survivor texts) and broadcast, never re-scanned,
+    re-shuffled, or re-curated.
+
+    Split: docs with doc_id < 80% of the corpus are the SEALED batch
+    (curated once, as production would have on disk); the rest are the
+    NEW batch.  New docs are quality-gated, decontaminated against the
+    global eval split, screened against the sealed survivors with
+    ``dedup_incremental`` (Bloom broadcast + exact verify of suspects
+    only — no all-to-all), then deduped within-batch.  Because sealed
+    ids precede new ids, min-per-text-group commutes with the split and
+    the union of survivor sets EQUALS re-running the batch pipeline on
+    the whole corpus — the oracle is the batch SQL verbatim."""
+    from .curation import decontaminate, filter_repetitive, pack_sequences
+    from .dedup import dedup_incremental, exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    thr = int(docs.count() * 0.8)
+    train, eval_ds = _train_eval_split(docs)
+
+    def id_lt(keep_lt: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.less(batch.column("doc_id"), pa.scalar(thr))
+            return batch.filter(m if keep_lt else pc.invert(m))
+
+        return f
+
+    sealed = train.map_batches(id_lt(True), batch_format="pyarrow")
+    new = train.map_batches(id_lt(False), batch_format="pyarrow")
+
+    # sealed curation — in production this already exists on disk; it
+    # runs here once so the query is self-contained
+    sealed_surv = exact_dedup(
+        decontaminate(
+            filter_repetitive(sealed, min_distinct_frac_e4=4000), eval_ds, n=4
+        )
+    ).materialize()
+
+    # the incremental path: only the new batch pays the text work
+    new_clean = decontaminate(
+        filter_repetitive(new, min_distinct_frac_e4=4000), eval_ds, n=4
+    )
+    new_unseen = dedup_incremental(new_clean, sealed_surv)
+    new_surv = exact_dedup(new_unseen)
+
+    return pack_sequences(sealed_surv.union(new_surv), capacity=256, shard_size=100)
+
+
 def span_explode_roundtrip(sf_dir: str):
     """Interleaved-payload surface end-to-end: generate the interleaved
     doc table, explode to span rows, reassemble (hash-shard shuffle),
@@ -5090,6 +5141,10 @@ QUERIES = {
     "orders_price_ntile": (orders_price_ntile, SQL_ORDERS_PRICE_NTILE),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "curated_training_corpus": (curated_training_corpus, SQL_CURATED_TRAINING_CORPUS),
+    "curated_corpus_incremental": (
+        curated_corpus_incremental,
+        SQL_CURATED_TRAINING_CORPUS,  # incremental ≡ batch on the union
+    ),
     "exact_dedup_docs": (exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "tfidf_top_terms": (tfidf_top_terms_docs, SQL_TFIDF_TOP_TERMS),
     "doc_lm_scores": (doc_lm_scores, SQL_DOC_LM_SCORES),
