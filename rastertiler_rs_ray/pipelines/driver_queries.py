@@ -751,6 +751,123 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def lineitem_qty_moments(sf_dir: str):
+    """Per-returnflag mean/variance/skewness/excess-kurtosis from
+    distributed power sums (Σx..Σx⁴ map-side partials, one O(groups)
+    exchange, closed-form finalize) — the SQL mirror computes the SAME
+    population-moment formula from sum()/count(), so the contract is
+    the formula, not a library's bias correction."""
+    from .relational import moment_profile
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return moment_profile(li, ["l_returnflag"], "l_quantity")
+
+
+SQL_LINEITEM_QTY_MOMENTS = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS s1,
+         sum(l_quantity * l_quantity) AS s2,
+         sum(l_quantity * l_quantity * l_quantity) AS s3,
+         sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+  FROM lineitem GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n,
+         s1 / n AS mean,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * pow(s1 / n, 3) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+               + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3.0 * pow(s1 / n, 4) AS m4
+  FROM s
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(mean * 10000 + 0.5) AS BIGINT) AS mean_e4,
+       CAST(floor(m2 * 10000 + 0.5) AS BIGINT) AS var_e4,
+       CAST(floor(m3 / pow(m2, 1.5) * 10000 + 0.5) AS BIGINT) AS skew_e4,
+       CAST(floor((m4 / (m2 * m2) - 3.0) * 10000 + 0.5) AS BIGINT) AS kurt_e4
+FROM m
+"""
+
+
+_FUZZY_VOCAB = [
+    "blue rodd",
+    "cold widget",
+    "grean rod",
+    "large bolt",
+    "small widgett",
+]
+
+
+def part_name_fuzzy_match(sf_dir: str):
+    """Nearest canonical form per part name by Levenshtein distance
+    against a small typo'd probe vocabulary (ties → lexicographically
+    smallest) — map-only vectorized byte-level DP, one (word, position)
+    step advancing all rows at once."""
+    from .textstats import fuzzy_nearest_match
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    return fuzzy_nearest_match(
+        part, "p_name", _FUZZY_VOCAB, key_cols=["p_partkey"]
+    )
+
+
+SQL_PART_NAME_FUZZY_MATCH = """
+WITH v(word) AS (VALUES {vals}),
+d AS (SELECT p_partkey, word, levenshtein(p_name, word) AS dist
+      FROM part CROSS JOIN v),
+r AS (SELECT p_partkey, word, dist,
+             row_number() OVER (PARTITION BY p_partkey ORDER BY dist, word) AS rn
+      FROM d)
+SELECT p_partkey, word AS match_word, CAST(dist AS BIGINT) AS dist
+FROM r WHERE rn = 1
+""".format(vals=", ".join(f"('{w}')" for w in _FUZZY_VOCAB))
+
+
+def lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus): all four grouping
+    sets through ``grouping_sets_aggregate`` (one map-side-combined
+    aggregate per set, unioned with 'ALL' fills) — the general-shape
+    companion to ``lineitem_rollup``'s prefix chain."""
+    from .relational import grouping_sets_aggregate
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+    agg = grouping_sets_aggregate(
+        li,
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+        [("n", "l_quantity", "count"), ("sum_qty", "l_quantity", "sum")],
+        null_label="ALL",
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = np.round(
+            batch.column("sum_qty").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "n": batch.column("n"),
+                "sum_qty_e2": pa.array(v),
+            }
+        )
+
+    return agg.map_batches(quantize, batch_format="pyarrow")
+
+
+SQL_LINEITEM_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(round(sum(l_quantity) * 100.0, 0) AS BIGINT) AS sum_qty_e2
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def customer_order_counts_outer(sf_dir: str):
     """Left-outer shuffle join + aggregate: orders per customer
     INCLUDING customers with none (count of the null-filled key is 0)."""
@@ -3958,6 +4075,49 @@ FROM m GROUP BY node
 """
 
 
+def bfs_hops_doc_links(sf_dir: str):
+    """Bounded multi-source BFS over the doc-link graph with both chain
+    edges (doc_id % 10 != 0 → (doc_id-1, doc_id)) and skip edges
+    (doc_id % 10 >= 2 → (doc_id-2, doc_id)); seeds are the chain heads
+    (doc_id % 10 == 0).  Two competing path families reach every node —
+    d single steps vs ceil(d/2) skip steps — so the per-round
+    groupby-min + anti-join must drop the longer chain rediscoveries;
+    closed-form oracle: hops = (d + 1) // 2 where d = doc_id % 10,
+    bounded at max_hops=4 (d=9 sits 5 hops out and is excluded)."""
+    from .graph import bfs_hops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        c = did[did % 10 != 0]
+        s = did[did % 10 >= 2]
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([c - 1, s - 2]), pa.int64()),
+                "v": pa.array(np.concatenate([c, s]), pa.int64()),
+            }
+        )
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        return pa.table({"node": pa.array(did[did % 10 == 0], pa.int64())})
+
+    return bfs_hops(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        docs.map_batches(seeds, batch_format="pyarrow"),
+        max_hops=4,
+    )
+
+
+SQL_BFS_HOPS_DOC_LINKS = """
+SELECT doc_id AS node,
+       CAST((doc_id % 10 + 1) // 2 AS BIGINT) AS hops
+FROM documents
+WHERE (doc_id % 10 + 1) // 2 <= 4
+"""
+
+
 def pmi_bigrams_docs(sf_dir: str):
     """Top-20 bigram collocations by PMI (min bigram count 3) — the
     phrase-mining pass; counts are map-side partials, unigram counts
@@ -5209,6 +5369,10 @@ QUERIES = {
     "temperature_sample_docs": (temperature_sample_docs, SQL_TEMPERATURE_SAMPLE),
     "dedup_incremental_docs": (dedup_incremental_docs, SQL_DEDUP_INCREMENTAL),
     "pagerank_doc_links": (pagerank_doc_links, SQL_PAGERANK_DOC_LINKS),
+    "bfs_hops_doc_links": (bfs_hops_doc_links, SQL_BFS_HOPS_DOC_LINKS),
+    "lineitem_cube": (lineitem_cube, SQL_LINEITEM_CUBE),
+    "part_name_fuzzy_match": (part_name_fuzzy_match, SQL_PART_NAME_FUZZY_MATCH),
+    "lineitem_qty_moments": (lineitem_qty_moments, SQL_LINEITEM_QTY_MOMENTS),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

@@ -476,3 +476,102 @@ def triangle_counts(
             )
         )
     return out
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    *,
+    max_hops: int,
+    undirected: bool = True,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distance, bounded at ``max_hops``.
+
+    The standard distributed frontier expansion (GraphFrames' BFS
+    shape): each round hash-joins the frontier onto the edge list
+    (all-to-all on node id), dedups the candidates (groupby-min — every
+    candidate this round carries the same hop count, so min == any),
+    drops already-settled nodes with Ray's native ``left_anti`` shuffle
+    join, and unions the fresh nodes into the settled set.  Rounds are
+    bounded by ``max_hops`` and each round's result is materialized so
+    the lineage stays O(1) deep — the same per-iteration contract as
+    ``pagerank``.  BFS-by-rounds guarantees minimality: a node first
+    discovered in round ``h`` has no shorter path.
+
+    At corpus scale every structure here (edge list, frontier, settled
+    set) stays a hash-partitioned Dataset; nothing is collected to the
+    driver.  The per-round anti-join re-shuffles the settled set — the
+    accepted cost of bounded-round BFS (settled is narrow: two int64
+    columns).
+
+    ``edges``: (u, v) int64 pairs.  ``seeds``: a ``node`` column.
+    Returns (node, hops) for every node within ``max_hops`` of any
+    seed, seeds included at hops 0.
+    """
+    if num_partitions is None:
+        num_partitions = max(int(ray.cluster_resources().get("CPU", 8)) * 2, 8)
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        if undirected:
+            return pa.table(
+                {"src": np.concatenate([u, v]), "dst": np.concatenate([v, u])}
+            )
+        return pa.table({"src": u, "dst": v})
+
+    adj = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def seed0(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "hops": pa.array(np.zeros(len(b), np.int64)),
+            }
+        )
+
+    settled = seeds.map_batches(seed0, batch_format="pyarrow").materialize()
+    frontier = settled
+
+    for h in range(1, max_hops + 1):
+        nbrs = shuffle_hash_join(
+            frontier.select_columns(["node"]),
+            adj,
+            on="node",
+            right_on="src",
+            num_partitions=num_partitions,
+        )
+
+        def relabel(b: pa.Table, _h: int = h) -> pa.Table:
+            d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(d),
+                    "hops": pa.array(np.full(len(d), _h, np.int64)),
+                }
+            )
+
+        # materialize + emptiness check BEFORE the anti join: a frontier
+        # with no outgoing edges aggregates to zero-COLUMN empty blocks
+        # (Ray 2.49.2) that crash the join's key resolution
+        cand = grouped_aggregate(
+            nbrs.map_batches(relabel, batch_format="pyarrow"),
+            ["node"],
+            [("hops", "hops", "min")],
+        ).materialize()
+        if cand.count() == 0:
+            break
+        fresh = shuffle_hash_join(
+            cand,
+            settled.select_columns(["node"]),
+            on="node",
+            join_type="left_anti",
+            num_partitions=num_partitions,
+        ).materialize()
+        if fresh.count() == 0:
+            break
+        settled = settled.union(fresh).materialize()
+        frontier = fresh
+
+    return settled

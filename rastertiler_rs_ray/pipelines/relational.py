@@ -2100,3 +2100,81 @@ def ntile_in_groups(
         return df
 
     return ds.groupby(list(part_keys)).map_groups(f, batch_format="pandas")
+
+
+def moment_profile(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    col: str,
+    *,
+    quantum: float = 1e4,
+) -> ray.data.Dataset:
+    """Grouped mean/variance/skewness/excess-kurtosis via distributed
+    power sums: a map-side stage appends x², x³, x⁴ columns, the shared
+    ``grouped_aggregate`` partial-combine topology sums them per group
+    (one tiny exchange, O(groups) rows), and central moments are
+    finalized closed-form on the merged sums.
+
+    The cross-engine contract is the FORMULA (population moments from
+    Σxᵏ, quantized with the repo's floor(x·q + 0.5) convention), not a
+    library's bias-correction choice — the SQL mirror computes the same
+    closed form from sum()/count().  Adequate for bounded, well-scaled
+    columns (quantities, prices); a numerically-hardened variant would
+    merge Welford/Chan partials instead of raw power sums.
+    """
+    keys = list(keys)
+
+    def powers(b: pa.Table) -> pa.Table:
+        x = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                **{k: b.column(k) for k in keys},
+                col: pa.array(x),
+                "__x2": pa.array(x * x),
+                "__x3": pa.array(x * x * x),
+                "__x4": pa.array(x * x * x * x),
+            }
+        )
+
+    agg = grouped_aggregate(
+        ds.map_batches(powers, batch_format="pyarrow"),
+        keys,
+        [
+            ("n", col, "count"),
+            ("s1", col, "sum"),
+            ("s2", "__x2", "sum"),
+            ("s3", "__x3", "sum"),
+            ("s4", "__x4", "sum"),
+        ],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = b.column("s1").to_numpy(zero_copy_only=False)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False)
+        s3 = b.column("s3").to_numpy(zero_copy_only=False)
+        s4 = b.column("s4").to_numpy(zero_copy_only=False)
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean**3
+        m4 = (
+            s4 / n
+            - 4.0 * mean * (s3 / n)
+            + 6.0 * mean * mean * (s2 / n)
+            - 3.0 * mean**4
+        )
+        skew = m3 / m2**1.5
+        kurt = m4 / (m2 * m2) - 3.0
+
+        def q(v: np.ndarray) -> pa.Array:
+            return pa.array(np.floor(v * quantum + 0.5).astype(np.int64))
+
+        out = {k: b.column(k) for k in keys}
+        out["n"] = b.column("n")
+        out["mean_e4"] = q(mean)
+        out["var_e4"] = q(m2)
+        out["skew_e4"] = q(skew)
+        out["kurt_e4"] = q(kurt)
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

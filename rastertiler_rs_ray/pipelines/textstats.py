@@ -1080,3 +1080,81 @@ def search_all_terms(
         return out[[id_col]]
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def _utf8_byte_matrix(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string array → (N, Lmax) uint8 matrix (0-padded) + byte
+    lengths, built entirely from the array's offset/data buffers — no
+    per-row Python objects.  Byte-level rows: identical to character
+    level for ASCII, which is all the matcher contracts (documented on
+    ``fuzzy_nearest_match``)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if arr.type == pa.large_string():
+        arr = arr.cast(pa.string())
+    offs = np.frombuffer(arr.buffers()[1], np.int32, len(arr) + 1, arr.offset * 4)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    lmax = int(lens.max()) if len(lens) else 0
+    idx = offs[:-1, None].astype(np.int64) + np.arange(max(lmax, 1))[None, :]
+    valid = idx < offs[1:, None]
+    mat = np.where(valid, data[np.minimum(idx, len(data) - 1)], 0).astype(np.uint8)
+    return mat, lens
+
+
+def _levenshtein_to_word(mat: np.ndarray, lens: np.ndarray, word: bytes) -> np.ndarray:
+    """Edit distance from every row of the byte matrix to ``word``,
+    vectorized over rows: the classic DP iterated over (word char ×
+    column) scalar steps with all N candidates advanced per step —
+    O(|word|·Lmax) numpy ops regardless of N, which is the axis that
+    grows."""
+    n, lmax = mat.shape
+    m = len(word)
+    w = np.frombuffer(word, np.uint8)
+    prev = np.tile(np.arange(lmax + 1, dtype=np.int32), (n, 1))
+    cur = np.empty_like(prev)
+    for i in range(1, m + 1):
+        cur[:, 0] = i
+        sub_base = prev[:, :-1] + (mat != w[i - 1])  # (n, lmax)
+        dele = prev[:, 1:] + 1
+        for j in range(1, lmax + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(dele[:, j - 1], cur[:, j - 1] + 1), sub_base[:, j - 1]
+            )
+        prev, cur = cur, prev
+    return prev[np.arange(n), lens].astype(np.int64)
+
+
+def fuzzy_nearest_match(
+    ds: ray.data.Dataset,
+    col: str,
+    vocab: Sequence[str],
+    *,
+    key_cols: Sequence[str],
+    out_word: str = "match_word",
+    out_dist: str = "dist",
+) -> ray.data.Dataset:
+    """For every row, the vocabulary entry at minimum Levenshtein edit
+    distance from ``col`` (ties → lexicographically smallest word) —
+    the canonical-form / spell-normalization join.
+
+    Map-ONLY: the vocabulary is tiny and closes over the batch fn (an
+    entity-resolution run with a big vocabulary would broadcast it with
+    ``ray.put`` and block on vocab buckets instead); each batch runs the
+    byte-level DP vectorized across all rows per (word, position) step.
+    ASCII contract: distances are byte-level, which equals DuckDB's
+    character-level ``levenshtein`` for ASCII data.
+    """
+    words = sorted(dict.fromkeys(vocab))  # sorted → argmin picks lexicographic min
+    wbytes = [w.encode() for w in words]
+    warr = pa.array(words, pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        mat, lens = _utf8_byte_matrix(batch.column(col))
+        dists = np.stack([_levenshtein_to_word(mat, lens, wb) for wb in wbytes])
+        best = np.argmin(dists, axis=0)
+        out = {k: batch.column(k) for k in key_cols}
+        out[out_word] = warr.take(pa.array(best, pa.int64()))
+        out[out_dist] = pa.array(dists[best, np.arange(mat.shape[0])], pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")

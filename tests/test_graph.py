@@ -146,3 +146,75 @@ def test_triangles_planted_chain_skips(ray_session):
     want = _brute_triangles(edges)
     assert got == want
     assert sum(want.values()) == 3 * 8 * 3  # 3 chains x 8 triangles x 3 nodes
+
+
+# ---------------------------------------------------------------- bfs
+
+
+def _brute_bfs(edges, seeds, max_hops, undirected=True):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        if undirected:
+            adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def _run_bfs(edges, seeds, **kw):
+    from rastertiler_rs_ray.pipelines.graph import bfs_hops
+
+    t = pa.table(
+        {
+            "u": pa.array([u for u, _ in edges], pa.int64()),
+            "v": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    s = pa.table({"node": pa.array(list(seeds), pa.int64())})
+    out = bfs_hops(
+        ray.data.from_arrow(t).repartition(4),
+        ray.data.from_arrow(s),
+        **kw,
+    ).to_pandas()
+    return dict(zip(out["node"], out["hops"]))
+
+
+def test_bfs_min_hops_competing_paths(ray_session):
+    # chain 0-1-2-3-4-5 plus skips (0,2),(2,4): node 4 is 2 hops via
+    # skips even though the chain offers a 4-hop path
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 2), (2, 4)]
+    got = _run_bfs(edges, [0], max_hops=3)
+    want = _brute_bfs(edges, [0], 3)
+    assert got == want
+    assert got[4] == 2 and got[5] == 3
+
+
+def test_bfs_multi_source_and_bound(ray_session):
+    rng = np.random.default_rng(7)
+    edges = [tuple(e) for e in rng.integers(0, 60, size=(150, 2)) if e[0] != e[1]]
+    seeds = [0, 17, 42]
+    for mh in (1, 2, 4):
+        got = _run_bfs(edges, seeds, max_hops=mh)
+        assert got == _brute_bfs(edges, seeds, mh)
+
+
+def test_bfs_directed(ray_session):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    got = _run_bfs(edges, [0], max_hops=5, undirected=False)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_early_exhaustion(ray_session):
+    # component exhausts before max_hops; loop must break, not error
+    edges = [(0, 1), (5, 6)]
+    got = _run_bfs(edges, [0], max_hops=10)
+    assert got == {0: 0, 1: 1}

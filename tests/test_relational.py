@@ -1330,3 +1330,36 @@ def test_skew_hybrid_join_zero_block_right(ray_session):
     # Ray 2.49 cannot carry a typed empty block through from_arrow, so
     # the contract is: no crash, zero rows
     assert out.count() == 0
+
+
+# ------------------------------------------------------ moment_profile
+
+
+def test_moment_profile_matches_numpy_population_moments(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import moment_profile
+
+    rng = np.random.default_rng(11)
+    g = np.repeat(["a", "b", "c"], 400)
+    x = np.concatenate([
+        rng.normal(10, 2, 400),          # near-symmetric
+        rng.exponential(3.0, 400) + 1,   # right-skewed
+        rng.uniform(-5, 5, 400),         # platykurtic
+    ])
+    t = pa.table({"g": pa.array(g), "x": pa.array(x)})
+    out = (
+        moment_profile(ray.data.from_arrow(t).repartition(5), ["g"], "x")
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for key, vals in (("a", x[:400]), ("b", x[400:800]), ("c", x[800:])):
+        m = vals.mean()
+        m2 = ((vals - m) ** 2).mean()
+        m3 = ((vals - m) ** 3).mean()
+        m4 = ((vals - m) ** 4).mean()
+        row = out.loc[key]
+        assert row["n"] == 400
+        assert row["mean_e4"] == int(np.floor(m * 1e4 + 0.5))
+        assert abs(row["var_e4"] - int(np.floor(m2 * 1e4 + 0.5))) <= 1
+        assert abs(row["skew_e4"] - int(np.floor(m3 / m2**1.5 * 1e4 + 0.5))) <= 1
+        assert abs(row["kurt_e4"] - int(np.floor((m4 / m2**2 - 3) * 1e4 + 0.5))) <= 1

@@ -915,3 +915,51 @@ def test_search_all_terms(ray_session):
     ).to_pandas()
     assert sorted(got["doc_id"].tolist()) == [0, 2]
     assert list(got.columns) == ["doc_id"]
+
+
+# -------------------------------------------------- fuzzy_nearest_match
+
+
+def _py_lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        nd = [i]
+        for j, cb in enumerate(b, 1):
+            nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (ca != cb)))
+        d = nd
+    return d[-1]
+
+
+def test_fuzzy_nearest_match_vs_python_dp(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import fuzzy_nearest_match
+
+    vocab = ["blue rod", "cold widget", "large bolt", "small widget"]
+    names = [
+        "blue rodd", "cold widgett", "larg bolt", "", "xyz",
+        "small widget", "bolt large", "widget cold",
+    ]
+    t = pa.table({"id": pa.array(range(len(names)), pa.int64()),
+                  "name": pa.array(names, pa.string())})
+    out = (
+        fuzzy_nearest_match(
+            ray.data.from_arrow(t).repartition(3), "name", vocab, key_cols=["id"]
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    for _, row in out.iterrows():
+        name = names[row["id"]]
+        dists = sorted(((_py_lev(name, w), w) for w in vocab))
+        assert (row["match_word"], row["dist"]) == (dists[0][1], dists[0][0])
+
+
+def test_fuzzy_tie_breaks_lexicographic(ray_session):
+    from rastertiler_rs_ray.pipelines.textstats import fuzzy_nearest_match
+
+    # "ac" is distance 1 from both "aa" and "ab" -> must pick "aa"
+    t = pa.table({"id": pa.array([0], pa.int64()),
+                  "s": pa.array(["ac"], pa.string())})
+    out = fuzzy_nearest_match(
+        ray.data.from_arrow(t), "s", ["ab", "aa"], key_cols=["id"]
+    ).to_pandas()
+    assert out.iloc[0]["match_word"] == "aa" and out.iloc[0]["dist"] == 1
