@@ -792,6 +792,31 @@ FROM m
 """
 
 
+def orders_global_rownum(sf_dir: str):
+    """Exact global ROW_NUMBER over all orders by (totalprice DESC,
+    orderkey): distributed range-partitioning sort + metadata-only
+    block offsets (the zipWithIndex shape, relational.py
+    global_row_number)."""
+    from .relational import global_row_number
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], descending=[True, False]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderkey", "rn"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_ORDERS_GLOBAL_ROWNUM = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+FROM orders
+"""
+
+
 _FUZZY_VOCAB = [
     "blue rodd",
     "cold widget",
@@ -1771,6 +1796,88 @@ FROM m3
 
 
 SQL_RASTER_VECTOR_JOIN_Z8 = _sql_raster_vector_join_z8()
+
+
+def zonal_stats_nations(sf_dir: str):
+    """Zonal statistics over the deterministic synthetic u8 raster:
+    one pixel rectangle per nation (closed-form placement/size from
+    n_nationkey), count/sum/min/max/mean of non-nodata pixel values per
+    zone via chunk-decomposed windowed reads in a sampler actor pool +
+    one O(zones) aggregate (pipelines/spatial.py zonal_stats)."""
+    from ..raster.synthetic import default_u8_raster
+    from .spatial import zonal_stats
+
+    r = default_u8_raster()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey"])
+
+    def zones(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey")).astype(np.int64)
+        c0 = (k * 37) % (r.width - 128)
+        r0 = (k * 59) % (r.height - 128)
+        w = 32 + (k % 5) * 24
+        h = 32 + (k % 7) * 16
+        return pa.table(
+            {
+                "zone_id": pa.array(k),
+                "col0": pa.array(c0),
+                "row0": pa.array(r0),
+                "col1": pa.array(c0 + w),
+                "row1": pa.array(r0 + h),
+            }
+        )
+
+    return zonal_stats(
+        nat.map_batches(zones, batch_format="pyarrow"), r.spec(), chunk=64
+    )
+
+
+def _sql_zonal_stats_nations() -> str:
+    """DuckDB mirror of zonal_stats_nations: enumerate every pixel of
+    every zone rectangle with generate_series, evaluate the synthetic
+    hash (``_sql_mix64``, the proven 32-bit-split mirror of
+    raster/synthetic.py ``_mix``), drop nodata blocks, aggregate."""
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    blk_stages = _sql_mix64(f"sc // {r.block}", f"sr // {r.block}", r.seed + 1, "bh")
+    px_stages = _sql_mix64("sc", "sr", r.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["px", "m0", "m1", "m2"])
+        )
+    )
+    return f"""
+WITH z AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+         (n_nationkey * 37) % {r.width - 128} AS col0,
+         (n_nationkey * 59) % {r.height - 128} AS row0,
+         32 + (n_nationkey % 5) * 24 AS w,
+         32 + (n_nationkey % 7) * 16 AS h
+  FROM nation
+),
+pxc AS (SELECT zone_id, row0, h,
+               col0 + unnest(generate_series(0, w - 1)) AS sc FROM z),
+px AS (SELECT zone_id, sc,
+              row0 + unnest(generate_series(0, h - 1)) AS sr FROM pxc),
+{hash_ctes},
+vals AS (
+  SELECT zone_id,
+         CASE WHEN bh % 7 = 1 THEN 42
+              ELSE 1 + CAST(ph % 255 AS BIGINT) END AS v
+  FROM m3 WHERE bh % 5 <> 0
+)
+SELECT zone_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(min(v) AS BIGINT) AS min_val,
+       CAST(max(v) AS BIGINT) AS max_val,
+       CAST(floor((sum(v) * 1.0 / count(*)) * 10000 + 0.5) AS BIGINT) AS mean_e4
+FROM vals GROUP BY zone_id
+"""
+
+
+SQL_ZONAL_STATS_NATIONS = _sql_zonal_stats_nations()
 
 
 def interleaved_raster_join_docs(sf_dir: str):
@@ -5373,6 +5480,8 @@ QUERIES = {
     "lineitem_cube": (lineitem_cube, SQL_LINEITEM_CUBE),
     "part_name_fuzzy_match": (part_name_fuzzy_match, SQL_PART_NAME_FUZZY_MATCH),
     "lineitem_qty_moments": (lineitem_qty_moments, SQL_LINEITEM_QTY_MOMENTS),
+    "zonal_stats_nations": (zonal_stats_nations, SQL_ZONAL_STATS_NATIONS),
+    "orders_global_rownum": (orders_global_rownum, SQL_ORDERS_GLOBAL_ROWNUM),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

@@ -2178,3 +2178,61 @@ def moment_profile(
         return pa.table(out)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def global_row_number(
+    ds: ray.data.Dataset,
+    order_cols: Sequence[str],
+    *,
+    descending: "bool | list[bool]" = False,
+    out_col: str = "rn",
+) -> ray.data.Dataset:
+    """Exact global ``ROW_NUMBER() OVER (ORDER BY ...)`` (1-based).
+
+    The zipWithIndex shape: Ray's sample-partition-merge sort
+    range-partitions the rows in total order; per-block row counts come
+    from block METADATA (O(blocks) ints on the driver, no block is
+    fetched) and prefix-sum into block offsets; a per-block remote task
+    appends ``offset + local_arange``.  ``order_cols`` must be a total
+    order (end with a unique id) for a deterministic assignment.
+
+    This is one of the few places raw ``@ray.remote`` tasks are the
+    right tool: the Dataset API has no ordered-block-index hook, and
+    the tasks here are trivially parallel per block.
+    """
+    sorted_ds = ds.sort(list(order_cols), descending=descending).materialize()
+
+    refs: list = []
+    counts: list[int] = []
+    unknown: list[int] = []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            counts.append(meta.num_rows if meta.num_rows is not None else -1)
+            if meta.num_rows is None:
+                unknown.append(len(refs) - 1)
+
+    if unknown:  # metadata miss: count those blocks remotely
+
+        @ray.remote
+        def _count(t) -> int:
+            return len(t)
+
+        got = ray.get([_count.remote(refs[i]) for i in unknown])
+        for i, c in zip(unknown, got):
+            counts[i] = c
+
+    offs = np.zeros(len(counts), np.int64)
+    if len(counts) > 1:
+        offs[1:] = np.cumsum(counts[:-1])
+
+    @ray.remote
+    def _assign(t, off: int):
+        t = pa.Table.from_pandas(t, preserve_index=False) if not isinstance(t, pa.Table) else t
+        return t.append_column(
+            out_col, pa.array(off + 1 + np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    return ray.data.from_arrow_refs(
+        [_assign.remote(r, int(o)) for r, o in zip(refs, offs)]
+    )

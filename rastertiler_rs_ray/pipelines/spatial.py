@@ -925,3 +925,128 @@ def zorder_sort(
         )
 
     return pos.map_batches(add_key, batch_format="pyarrow").sort(key_col)
+
+
+def zonal_stats(
+    zones: ray.data.Dataset,
+    raster_spec: dict,
+    *,
+    chunk: int = 512,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Zonal statistics: count / sum / min / max / mean of raster pixel
+    values per zone, pixels equal to the raster's nodata excluded — the
+    classic raster↔vector aggregation (rasterstats' core op) the
+    reference family sits next to.
+
+    ``zones``: (zone_id, col0, row0, col1, row1) half-open rectangles
+    in raster pixel space (clamped to the raster here; polygon zones
+    compose by masking the rectangle with ``_PolygonTester``'s crossing
+    test inside the sampler — the decomposition below is unchanged).
+
+    Scale shape: each zone is exploded into ``chunk``-aligned
+    sub-rectangles (vectorized ragged expansion — no per-zone Python),
+    so one giant zone becomes many bounded read tasks instead of one
+    OOM-sized window; a stateful sampler pool evaluates each window
+    vectorized and emits one partial row per (zone, chunk); a final
+    O(zones)-row ``grouped_aggregate`` merges partials.  The raster
+    handle is constructed once per actor from its spec.
+    """
+    from ..raster.synthetic import SyntheticRaster
+    from .relational import grouped_aggregate
+
+    def explode(b: pa.Table) -> pa.Table:
+        zid = b.column("zone_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        c0 = b.column("col0").to_numpy(zero_copy_only=False).astype(np.int64)
+        r0 = b.column("row0").to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = b.column("col1").to_numpy(zero_copy_only=False).astype(np.int64)
+        r1 = b.column("row1").to_numpy(zero_copy_only=False).astype(np.int64)
+        c0 = np.clip(c0, 0, raster_spec["width"])
+        c1 = np.clip(c1, 0, raster_spec["width"])
+        r0 = np.clip(r0, 0, raster_spec["height"])
+        r1 = np.clip(r1, 0, raster_spec["height"])
+        keep = (c1 > c0) & (r1 > r0)
+        zid, c0, c1, r0, r1 = zid[keep], c0[keep], c1[keep], r0[keep], r1[keep]
+        bx0, bx1 = c0 // chunk, (c1 - 1) // chunk
+        by0, by1 = r0 // chunk, (r1 - 1) // chunk
+        nx, ny = bx1 - bx0 + 1, by1 - by0 + 1
+        cnt = nx * ny
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(len(zid)), cnt)
+        off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        gx = off % np.repeat(nx, cnt)
+        gy = off // np.repeat(nx, cnt)
+        bcol = (bx0[rep] + gx) * chunk
+        brow = (by0[rep] + gy) * chunk
+        return pa.table(
+            {
+                "zone_id": pa.array(zid[rep]),
+                "sc0": pa.array(np.maximum(bcol, c0[rep])),
+                "sc1": pa.array(np.minimum(bcol + chunk, c1[rep])),
+                "sr0": pa.array(np.maximum(brow, r0[rep])),
+                "sr1": pa.array(np.minimum(brow + chunk, r1[rep])),
+            }
+        )
+
+    class _ZonalSampler:
+        def __init__(self):
+            self.r = SyntheticRaster.from_spec(raster_spec)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            zids, ns, ss, mns, mxs = [], [], [], [], []
+            rows = zip(
+                *(
+                    b.column(c).to_numpy(zero_copy_only=False)
+                    for c in ("zone_id", "sc0", "sc1", "sr0", "sr1")
+                )
+            )
+            # coarse loop over chunk windows (as any windowed raster
+            # read must be); all pixel work inside is vectorized
+            for zid, c0, c1, r0, r1 in rows:
+                cols = np.arange(c0, c1, dtype=np.int64)[None, :]
+                rws = np.arange(r0, r1, dtype=np.int64)[:, None]
+                v = self.r.values_at(cols, rws).astype(np.int64)
+                valid = v != self.r.nodata
+                n = int(valid.sum())
+                if n == 0:
+                    continue
+                vv = v[valid]
+                zids.append(zid)
+                ns.append(n)
+                ss.append(int(vv.sum()))
+                mns.append(int(vv.min()))
+                mxs.append(int(vv.max()))
+            return pa.table(
+                {
+                    "zone_id": pa.array(zids, pa.int64()),
+                    "n": pa.array(ns, pa.int64()),
+                    "s": pa.array(ss, pa.int64()),
+                    "vmin": pa.array(mns, pa.int64()),
+                    "vmax": pa.array(mxs, pa.int64()),
+                }
+            )
+
+    partials = zones.map_batches(explode, batch_format="pyarrow").map_batches(
+        _ZonalSampler,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    agg = grouped_aggregate(
+        partials,
+        ["zone_id"],
+        [
+            ("n", "n", "sum"),
+            ("sum_val", "s", "sum"),
+            ("min_val", "vmin", "min"),
+            ("max_val", "vmax", "max"),
+        ],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b.column("sum_val").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean_e4 = np.floor(s / n * 1e4 + 0.5).astype(np.int64)
+        return b.append_column("mean_e4", pa.array(mean_e4))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1363,3 +1363,41 @@ def test_moment_profile_matches_numpy_population_moments(ray_session):
         assert abs(row["var_e4"] - int(np.floor(m2 * 1e4 + 0.5))) <= 1
         assert abs(row["skew_e4"] - int(np.floor(m3 / m2**1.5 * 1e4 + 0.5))) <= 1
         assert abs(row["kurt_e4"] - int(np.floor((m4 / m2**2 - 3) * 1e4 + 0.5))) <= 1
+
+
+# --------------------------------------------------- global_row_number
+
+
+def test_global_row_number_total_order(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import global_row_number
+
+    rng = np.random.default_rng(5)
+    vals = rng.permutation(500).astype(np.int64)
+    t = pa.table({"k": pa.array(np.arange(500, dtype=np.int64)),
+                  "v": pa.array(vals)})
+    out = (
+        global_row_number(ray.data.from_arrow(t).repartition(7), ["v"])
+        .to_pandas()
+        .sort_values("v")
+    )
+    assert (out["rn"].to_numpy() == np.arange(1, 501)).all()
+
+
+def test_global_row_number_desc_with_tiebreak(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import global_row_number
+
+    # heavy ties: v has only 3 distinct values; k breaks them
+    t = pa.table({"k": pa.array(np.arange(90, dtype=np.int64)),
+                  "v": pa.array(np.tile([7, 3, 5], 30).astype(np.int64))})
+    out = (
+        global_row_number(
+            ray.data.from_arrow(t).repartition(4), ["v", "k"],
+            descending=[True, False],
+        )
+        .to_pandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    df = out[["v", "k"]].to_records(index=False).tolist()
+    assert df == sorted(df, key=lambda r: (-r[0], r[1]))
+    assert out["rn"].tolist() == list(range(1, 91))

@@ -9,6 +9,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+import ray
+import ray.data
 
 N_DOCS = 2000
 LEVEL = 10
@@ -471,3 +473,70 @@ def test_zorder_sort_global_order_and_locality(ray_session):
         *(c.to_numpy() for c in (ds.to_pandas()["mx"], ds.to_pandas()["my"]))
     )
     assert sorted_jump < rnd_jump / 4
+
+
+# ---------------------------------------------------------- zonal_stats
+
+
+def test_zonal_stats_matches_direct_evaluation(ray_session):
+    from rastertiler_rs_ray.pipelines.spatial import zonal_stats
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    rng = np.random.default_rng(3)
+    zones = []
+    for zid in range(8):
+        c0 = int(rng.integers(0, r.width - 200))
+        r0 = int(rng.integers(0, r.height - 200))
+        zones.append((zid, c0, r0, c0 + int(rng.integers(1, 200)),
+                      r0 + int(rng.integers(1, 200))))
+    # zone 8: clamps (negative origin, overshoot past the raster edge)
+    zones.append((8, -50, -50, 100, 100))
+    t = pa.table({
+        "zone_id": pa.array([z[0] for z in zones], pa.int64()),
+        "col0": pa.array([z[1] for z in zones], pa.int64()),
+        "row0": pa.array([z[2] for z in zones], pa.int64()),
+        "col1": pa.array([z[3] for z in zones], pa.int64()),
+        "row1": pa.array([z[4] for z in zones], pa.int64()),
+    })
+    got = (
+        zonal_stats(ray.data.from_arrow(t).repartition(3), r.spec(), chunk=64)
+        .to_pandas()
+        .set_index("zone_id")
+        .sort_index()
+    )
+    for zid, c0, r0, c1, r1 in zones:
+        c0, r0 = max(c0, 0), max(r0, 0)
+        c1, r1 = min(c1, r.width), min(r1, r.height)
+        v = r.values_at(
+            np.arange(c0, c1)[None, :], np.arange(r0, r1)[:, None]
+        ).astype(np.int64)
+        vv = v[v != r.nodata]
+        if len(vv) == 0:
+            assert zid not in got.index
+            continue
+        row = got.loc[zid]
+        assert row["n"] == len(vv)
+        assert row["sum_val"] == vv.sum()
+        assert row["min_val"] == vv.min() and row["max_val"] == vv.max()
+        assert row["mean_e4"] == int(np.floor(vv.sum() / len(vv) * 1e4 + 0.5))
+
+
+def test_zonal_stats_chunk_invariance(ray_session):
+    from rastertiler_rs_ray.pipelines.spatial import zonal_stats
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    t = pa.table({
+        "zone_id": pa.array([0], pa.int64()),
+        "col0": pa.array([100], pa.int64()),
+        "row0": pa.array([450], pa.int64()),
+        "col1": pa.array([700], pa.int64()),  # spans several 512-blocks
+        "row1": pa.array([1100], pa.int64()),
+    })
+    outs = [
+        zonal_stats(ray.data.from_arrow(t), r.spec(), chunk=ch)
+        .to_pandas().iloc[0].to_dict()
+        for ch in (64, 512, 4096)
+    ]
+    assert outs[0] == outs[1] == outs[2]
