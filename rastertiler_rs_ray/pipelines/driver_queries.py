@@ -1880,6 +1880,106 @@ FROM vals GROUP BY zone_id
 SQL_ZONAL_STATS_NATIONS = _sql_zonal_stats_nations()
 
 
+def zonal_stats_triangles(sf_dir: str):
+    """Polygon-masked zonal statistics: one triangle per nation (the
+    rectangle zones' bbox with closed-form vertices), only pixels whose
+    centers pass the even-odd test contribute — spatial.py
+    zonal_stats_polygon, the rasterstats polygon path."""
+    from ..raster.synthetic import default_u8_raster
+    from .spatial import zonal_stats_polygon
+
+    r = default_u8_raster()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey"])
+
+    def zones(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey")).astype(np.int64)
+        c0 = ((k * 37) % (r.width - 128)).astype(np.float64)
+        r0 = ((k * 59) % (r.height - 128)).astype(np.float64)
+        w = (32 + (k % 5) * 24).astype(np.float64)
+        h = (32 + (k % 7) * 16).astype(np.float64)
+        xs = np.stack([c0, c0 + w, c0 + w / 3.0], axis=1)
+        ys = np.stack([r0, r0 + h / 3.0, r0 + h], axis=1)
+        return pa.table(
+            {
+                "zone_id": pa.array(k),
+                "xs": pa.array(list(xs), pa.list_(pa.float64())),
+                "ys": pa.array(list(ys), pa.list_(pa.float64())),
+            }
+        )
+
+    return zonal_stats_polygon(
+        nat.map_batches(zones, batch_format="pyarrow"), r.spec(), chunk=64
+    )
+
+
+def _sql_zonal_stats_triangles() -> str:
+    """DuckDB mirror of zonal_stats_triangles: bbox pixel enumeration,
+    even-odd containment of pixel centers with the SAME (i, j=i-1) edge
+    pairing and float expression tree as ``_even_odd_mask``, then the
+    ``_sql_mix64`` hash + aggregate of the rectangle oracle."""
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    blk_stages = _sql_mix64(f"sc // {r.block}", f"sr // {r.block}", r.seed + 1, "bh")
+    px_stages = _sql_mix64("sc", "sr", r.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["msk", "m0", "m1", "m2"])
+        )
+    )
+    # even-odd terms with pairing (i, j=i-1) over vertices 0,1,2
+    terms = []
+    for i in range(3):
+        j = (i - 1) % 3
+        terms.append(
+            f"(CASE WHEN (y{i} > cy) <> (y{j} > cy) AND "
+            f"cx < (x{j} - x{i}) * (cy - y{i}) / (y{j} - y{i}) + x{i} "
+            f"THEN 1 ELSE 0 END)"
+        )
+    inside = " + ".join(terms)
+    return f"""
+WITH z AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+         CAST((n_nationkey * 37) % {r.width - 128} AS DOUBLE) AS c0,
+         CAST((n_nationkey * 59) % {r.height - 128} AS DOUBLE) AS r0,
+         CAST(32 + (n_nationkey % 5) * 24 AS DOUBLE) AS w,
+         CAST(32 + (n_nationkey % 7) * 16 AS DOUBLE) AS h
+  FROM nation
+),
+v AS (
+  SELECT zone_id, c0 AS x0, r0 AS y0,
+         c0 + w AS x1, r0 + h / 3.0 AS y1,
+         c0 + w / 3.0 AS x2, r0 + h AS y2,
+         CAST(floor(c0) AS BIGINT) AS col0, CAST(floor(r0) AS BIGINT) AS row0,
+         CAST(ceil(c0 + w) AS BIGINT) - CAST(floor(c0) AS BIGINT) AS bw,
+         CAST(ceil(r0 + h) AS BIGINT) - CAST(floor(r0) AS BIGINT) AS bh_px
+  FROM z
+),
+pxc AS (SELECT *, col0 + unnest(generate_series(0, bw - 1)) AS sc FROM v),
+px AS (SELECT *, row0 + unnest(generate_series(0, bh_px - 1)) AS sr FROM pxc),
+ctr AS (SELECT *, sc + 0.5 AS cx, sr + 0.5 AS cy FROM px),
+msk AS (SELECT * FROM ctr WHERE ({inside}) % 2 = 1),
+{hash_ctes},
+vals AS (
+  SELECT zone_id,
+         CASE WHEN bh % 7 = 1 THEN 42
+              ELSE 1 + CAST(ph % 255 AS BIGINT) END AS val
+  FROM m3 WHERE bh % 5 <> 0
+)
+SELECT zone_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       CAST(min(val) AS BIGINT) AS min_val,
+       CAST(max(val) AS BIGINT) AS max_val,
+       CAST(floor((sum(val) * 1.0 / count(*)) * 10000 + 0.5) AS BIGINT) AS mean_e4
+FROM vals GROUP BY zone_id
+"""
+
+
+SQL_ZONAL_STATS_TRIANGLES = _sql_zonal_stats_triangles()
+
+
 def interleaved_raster_join_docs(sf_dir: str):
     """FULLY-ORACLED north-star composition: interleaved text+media
     documents (SQL-expressible construction over the `documents` spine:
@@ -5482,6 +5582,7 @@ QUERIES = {
     "lineitem_qty_moments": (lineitem_qty_moments, SQL_LINEITEM_QTY_MOMENTS),
     "zonal_stats_nations": (zonal_stats_nations, SQL_ZONAL_STATS_NATIONS),
     "orders_global_rownum": (orders_global_rownum, SQL_ORDERS_GLOBAL_ROWNUM),
+    "zonal_stats_triangles": (zonal_stats_triangles, SQL_ZONAL_STATS_TRIANGLES),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

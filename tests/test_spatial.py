@@ -540,3 +540,63 @@ def test_zonal_stats_chunk_invariance(ray_session):
         for ch in (64, 512, 4096)
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_zonal_stats_polygon_matches_direct_mask(ray_session):
+    from rastertiler_rs_ray.pipelines.spatial import (
+        _even_odd_mask,
+        zonal_stats_polygon,
+    )
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    rng = np.random.default_rng(9)
+    polys = []
+    for zid in range(6):
+        cx = rng.uniform(200, r.width - 200)
+        cy = rng.uniform(200, r.height - 200)
+        nv = int(rng.integers(3, 7))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(20, 150, nv)
+        polys.append((zid, cx + rad * np.cos(ang), cy + rad * np.sin(ang)))
+    t = pa.table({
+        "zone_id": pa.array([p[0] for p in polys], pa.int64()),
+        "xs": pa.array([list(p[1]) for p in polys], pa.list_(pa.float64())),
+        "ys": pa.array([list(p[2]) for p in polys], pa.list_(pa.float64())),
+    })
+    got = (
+        zonal_stats_polygon(ray.data.from_arrow(t).repartition(2), r.spec(), chunk=64)
+        .to_pandas()
+        .set_index("zone_id")
+        .sort_index()
+    )
+    for zid, xs, ys in polys:
+        c0, c1 = int(np.floor(xs.min())), int(np.ceil(xs.max()))
+        r0, r1 = int(np.floor(ys.min())), int(np.ceil(ys.max()))
+        cols = np.arange(c0, c1, dtype=np.int64)[None, :]
+        rws = np.arange(r0, r1, dtype=np.int64)[:, None]
+        h, w = r1 - r0, c1 - c0
+        m = _even_odd_mask(
+            np.broadcast_to(cols + 0.5, (h, w)),
+            np.broadcast_to(rws + 0.5, (h, w)), xs, ys,
+        )
+        v = r.values_at(cols, rws).astype(np.int64)
+        vv = v[m & (v != r.nodata)]
+        if len(vv) == 0:
+            assert zid not in got.index
+            continue
+        row = got.loc[zid]
+        assert row["n"] == len(vv) and row["sum_val"] == vv.sum()
+        assert row["min_val"] == vv.min() and row["max_val"] == vv.max()
+
+
+def test_even_odd_mask_square_and_boundary(ray_session):
+    from rastertiler_rs_ray.pipelines.spatial import _even_odd_mask
+
+    # unit square [1,3]x[1,3]: center (2.5,2.5) of pixel (2,2) inside,
+    # pixel (3,3) center (3.5,3.5) outside
+    xs = np.array([1.0, 3.0, 3.0, 1.0])
+    ys = np.array([1.0, 1.0, 3.0, 3.0])
+    px = np.array([2.5, 3.5, 1.5, 0.5])
+    py = np.array([2.5, 3.5, 1.5, 2.0])
+    assert _even_odd_mask(px, py, xs, ys).tolist() == [True, False, True, False]
