@@ -1912,6 +1912,90 @@ def zonal_stats_triangles(sf_dir: str):
     )
 
 
+def nation_supplier_box_join(sf_dir: str):
+    """2D box-intersection join (PBSM): nation zone rectangles vs
+    closed-form supplier rectangles, replicated to a 256-px grid,
+    ONE hash exchange on the tile key, pairs emitted exactly once from
+    the canonical tile (spatial.py box_intersect_join)."""
+    from .spatial import box_intersect_join
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey"])
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def nboxes(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("n_nationkey")).astype(np.int64)
+        x0 = ((k * 37) % 3968).astype(np.float64)
+        y0 = ((k * 59) % 2944).astype(np.float64)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(k),
+                "xmin": pa.array(x0),
+                "ymin": pa.array(y0),
+                "xmax": pa.array(x0 + (32 + (k % 5) * 24)),
+                "ymax": pa.array(y0 + (32 + (k % 7) * 16)),
+            }
+        )
+
+    def sboxes(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("s_suppkey")).astype(np.int64)
+        x0 = ((k * 53) % 3500).astype(np.float64)
+        y0 = ((k * 71) % 2500).astype(np.float64)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k),
+                "xmin": pa.array(x0),
+                "ymin": pa.array(y0),
+                "xmax": pa.array(x0 + (200 + (k % 4) * 100)),
+                "ymax": pa.array(y0 + (200 + (k % 6) * 80)),
+            }
+        )
+
+    out = box_intersect_join(
+        nat.map_batches(nboxes, batch_format="pyarrow"),
+        sup.map_batches(sboxes, batch_format="pyarrow"),
+        cell=256.0,
+        left_cols=["n_nationkey"],
+        right_cols=["s_suppkey"],
+        num_partitions=16,
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        if "l_n_nationkey" not in b.column_names:
+            return b
+        return pa.table(
+            {
+                "n_nationkey": b.column("l_n_nationkey"),
+                "s_suppkey": b.column("r_s_suppkey"),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_NATION_SUPPLIER_BOX_JOIN = """
+WITH nb AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+         CAST((n_nationkey * 37) % 3968 AS DOUBLE) AS xmin,
+         CAST((n_nationkey * 59) % 2944 AS DOUBLE) AS ymin,
+         CAST((n_nationkey * 37) % 3968 + 32 + (n_nationkey % 5) * 24 AS DOUBLE) AS xmax,
+         CAST((n_nationkey * 59) % 2944 + 32 + (n_nationkey % 7) * 16 AS DOUBLE) AS ymax
+  FROM nation
+),
+sb AS (
+  SELECT s_suppkey,
+         CAST((s_suppkey * 53) % 3500 AS DOUBLE) AS xmin,
+         CAST((s_suppkey * 71) % 2500 AS DOUBLE) AS ymin,
+         CAST((s_suppkey * 53) % 3500 + 200 + (s_suppkey % 4) * 100 AS DOUBLE) AS xmax,
+         CAST((s_suppkey * 71) % 2500 + 200 + (s_suppkey % 6) * 80 AS DOUBLE) AS ymax
+  FROM supplier
+)
+SELECT n_nationkey, s_suppkey
+FROM nb JOIN sb
+  ON nb.xmin <= sb.xmax AND sb.xmin <= nb.xmax
+ AND nb.ymin <= sb.ymax AND sb.ymin <= nb.ymax
+"""
+
+
 def _sql_zonal_stats_triangles() -> str:
     """DuckDB mirror of zonal_stats_triangles: bbox pixel enumeration,
     even-odd containment of pixel centers with the SAME (i, j=i-1) edge
@@ -5583,6 +5667,7 @@ QUERIES = {
     "zonal_stats_nations": (zonal_stats_nations, SQL_ZONAL_STATS_NATIONS),
     "orders_global_rownum": (orders_global_rownum, SQL_ORDERS_GLOBAL_ROWNUM),
     "zonal_stats_triangles": (zonal_stats_triangles, SQL_ZONAL_STATS_TRIANGLES),
+    "nation_supplier_box_join": (nation_supplier_box_join, SQL_NATION_SUPPLIER_BOX_JOIN),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

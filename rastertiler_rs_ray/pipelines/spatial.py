@@ -1200,3 +1200,89 @@ def zonal_stats_polygon(
         return b.append_column("mean_e4", pa.array(mean_e4))
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+_BOX_OFF = np.int64(1 << 22)  # shifts grid indices positive before packing
+
+
+def box_intersect_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    cell: float,
+    left_cols: "Sequence[str]",
+    right_cols: "Sequence[str]",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """2D box-intersection join (PBSM — Partition Based Spatial Merge):
+    pairs of boxes whose closed extents overlap in both axes.
+
+    Each side carries (xmin, ymin, xmax, ymax) plus its payload
+    columns; boxes are replicated to every ``cell``-sized grid tile
+    they overlap (vectorized ragged explode), the two sides hash-join
+    on the tile key (ONE all-to-all), and the overlap predicate runs
+    vectorized on the joined rows.  **Exactly-once without a distinct
+    shuffle**: a pair is emitted only from the canonical tile — the one
+    containing the intersection region's min corner — the standard
+    PBSM duplicate-avoidance trick, so replication never needs a
+    post-join dedup exchange.
+
+    Skew note: a tile that a large fraction of boxes overlap becomes a
+    hot join key — pick ``cell`` near the median box size, and salt the
+    explode (split a hot tile's join work by hashing the left id) if a
+    tile outgrows a task; same contract as ``interval_band_join``.
+    """
+    from .relational import shuffle_hash_join
+
+    def make_explode(prefix: str, payload: "Sequence[str]"):
+        def explode(b: pa.Table) -> pa.Table:
+            x0 = b.column("xmin").to_numpy(zero_copy_only=False).astype(np.float64)
+            y0 = b.column("ymin").to_numpy(zero_copy_only=False).astype(np.float64)
+            x1 = b.column("xmax").to_numpy(zero_copy_only=False).astype(np.float64)
+            y1 = b.column("ymax").to_numpy(zero_copy_only=False).astype(np.float64)
+            cx0 = np.floor(x0 / cell).astype(np.int64)
+            cx1 = np.floor(x1 / cell).astype(np.int64)
+            cy0 = np.floor(y0 / cell).astype(np.int64)
+            cy1 = np.floor(y1 / cell).astype(np.int64)
+            nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+            cnt = nx * ny
+            total = int(cnt.sum())
+            rep = np.repeat(np.arange(len(x0)), cnt)
+            off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            gx = off % np.repeat(nx, cnt)
+            gy = off // np.repeat(nx, cnt)
+            ckey = ((cx0[rep] + gx + _BOX_OFF) << np.int64(24)) + (cy0[rep] + gy + _BOX_OFF)
+            out = {f"{prefix}{c}": b.column(c).take(pa.array(rep, pa.int64()))
+                   for c in (*payload, "xmin", "ymin", "xmax", "ymax")}
+            out["cell"] = pa.array(ckey)
+            return pa.table(out)
+
+        return explode
+
+    le = left.map_batches(make_explode("l_", left_cols), batch_format="pyarrow")
+    re_ = right.map_batches(make_explode("r_", right_cols), batch_format="pyarrow")
+    j = shuffle_hash_join(le, re_, on="cell", num_partitions=num_partitions)
+
+    def overlap(b: pa.Table) -> pa.Table:
+        if "cell" not in b.column_names:  # schema-less empty block
+            return b
+        lx0 = b.column("l_xmin").to_numpy(zero_copy_only=False)
+        ly0 = b.column("l_ymin").to_numpy(zero_copy_only=False)
+        lx1 = b.column("l_xmax").to_numpy(zero_copy_only=False)
+        ly1 = b.column("l_ymax").to_numpy(zero_copy_only=False)
+        rx0 = b.column("r_xmin").to_numpy(zero_copy_only=False)
+        ry0 = b.column("r_ymin").to_numpy(zero_copy_only=False)
+        rx1 = b.column("r_xmax").to_numpy(zero_copy_only=False)
+        ry1 = b.column("r_ymax").to_numpy(zero_copy_only=False)
+        hit = (lx0 <= rx1) & (rx0 <= lx1) & (ly0 <= ry1) & (ry0 <= ly1)
+        # canonical tile: the one holding the intersection's min corner
+        ix = np.maximum(lx0, rx0)
+        iy = np.maximum(ly0, ry0)
+        ckey = (
+            (np.floor(ix / cell).astype(np.int64) + _BOX_OFF) << np.int64(24)
+        ) + (np.floor(iy / cell).astype(np.int64) + _BOX_OFF)
+        hit &= ckey == b.column("cell").to_numpy(zero_copy_only=False)
+        keep = [f"l_{c}" for c in left_cols] + [f"r_{c}" for c in right_cols]
+        return b.filter(pa.array(hit)).select(keep)
+
+    return j.map_batches(overlap, batch_format="pyarrow")

@@ -600,3 +600,62 @@ def test_even_odd_mask_square_and_boundary(ray_session):
     px = np.array([2.5, 3.5, 1.5, 0.5])
     py = np.array([2.5, 3.5, 1.5, 2.0])
     assert _even_odd_mask(px, py, xs, ys).tolist() == [True, False, True, False]
+
+
+# ------------------------------------------------- box_intersect_join
+
+
+def test_box_intersect_join_exactly_once_vs_brute(ray_session):
+    from rastertiler_rs_ray.pipelines.spatial import box_intersect_join
+
+    rng = np.random.default_rng(2)
+
+    def boxes(n, key):
+        x0 = rng.uniform(-500, 500, n)
+        y0 = rng.uniform(-500, 500, n)
+        return pa.table({
+            key: pa.array(np.arange(n, dtype=np.int64)),
+            "xmin": pa.array(x0), "ymin": pa.array(y0),
+            "xmax": pa.array(x0 + rng.uniform(1, 120, n)),
+            "ymax": pa.array(y0 + rng.uniform(1, 120, n)),
+        })
+
+    L, R = boxes(200, "lid"), boxes(150, "rid")
+    got = box_intersect_join(
+        ray.data.from_arrow(L).repartition(4),
+        ray.data.from_arrow(R).repartition(3),
+        cell=64.0, left_cols=["lid"], right_cols=["rid"],
+        num_partitions=8,
+    ).to_pandas()
+    pairs = list(zip(got["l_lid"], got["r_rid"]))
+    assert len(pairs) == len(set(pairs))  # canonical-cell dedup held
+    ld, rd = L.to_pandas(), R.to_pandas()
+    want = {
+        (i, j)
+        for i in range(len(ld))
+        for j in range(len(rd))
+        if ld.xmin[i] <= rd.xmax[j] and rd.xmin[j] <= ld.xmax[i]
+        and ld.ymin[i] <= rd.ymax[j] and rd.ymin[j] <= ld.ymax[i]
+    }
+    assert set(pairs) == want and len(want) > 100
+
+
+def test_box_intersect_join_touching_edges_and_spanning_box(ray_session):
+    from rastertiler_rs_ray.pipelines.spatial import box_intersect_join
+
+    # closed-interval touch counts as a hit; one box spans many cells
+    L = pa.table({
+        "lid": pa.array([0, 1], pa.int64()),
+        "xmin": pa.array([0.0, 500.0]), "ymin": pa.array([0.0, 500.0]),
+        "xmax": pa.array([400.0, 510.0]), "ymax": pa.array([400.0, 510.0]),
+    })
+    R = pa.table({
+        "rid": pa.array([0, 1], pa.int64()),
+        "xmin": pa.array([400.0, 0.0]), "ymin": pa.array([400.0, 0.0]),
+        "xmax": pa.array([450.0, 1000.0]), "ymax": pa.array([450.0, 1000.0]),
+    })
+    got = box_intersect_join(
+        ray.data.from_arrow(L), ray.data.from_arrow(R),
+        cell=64.0, left_cols=["lid"], right_cols=["rid"], num_partitions=4,
+    ).to_pandas()
+    assert sorted(zip(got["l_lid"], got["r_rid"])) == [(0, 0), (0, 1), (1, 1)]
