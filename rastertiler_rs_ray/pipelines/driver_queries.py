@@ -2064,6 +2064,132 @@ FROM vals GROUP BY zone_id
 SQL_ZONAL_STATS_TRIANGLES = _sql_zonal_stats_triangles()
 
 
+_FOCAL_REGION = (256, 256, 768, 768)  # block-aligned at chunk=128
+_FOCAL_CHUNK = 128
+
+
+def _focal_block_rollup(focal: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-pixel focal output → one row per chunk block (the oracle's
+    comparison grain): pixel count, total window n, value sums, global
+    min/max, and the sum of the per-pixel quantized means (pins every
+    pixel's mean through the checksum)."""
+    from .relational import grouped_aggregate
+
+    def key(b: pa.Table) -> pa.Table:
+        gc = b.column("gcol").to_numpy(zero_copy_only=False)
+        gr = b.column("grow").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bx", pa.array(gc // _FOCAL_CHUNK, pa.int64())
+        ).append_column("by", pa.array(gr // _FOCAL_CHUNK, pa.int64()))
+
+    return grouped_aggregate(
+        focal.map_batches(key, batch_format="pyarrow"),
+        ["bx", "by"],
+        [
+            ("n_px", "n", "count"),
+            ("n_total", "n", "sum"),
+            ("sum_total", "sum_val", "sum"),
+            ("min_val", "min_val", "min"),
+            ("max_val", "max_val", "max"),
+            ("mean_e4_sum", "mean_e4", "sum"),
+        ],
+    )
+
+
+def focal_mean_blocks(sf_dir: str):
+    """3x3 focal statistics via the distributed halo-exchange plan
+    (pipelines/focal.py focal_stats_exchange): the synthetic raster's
+    [256,768)^2 window materialized as 16 pixel blocks, each block's
+    core + eight O(perimeter) boundary strips co-located by ONE hash
+    exchange, strided-window stencil per group, per-block rollup."""
+    from .focal import focal_stats_exchange, raster_blocks_dataset
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    blocks = raster_blocks_dataset(
+        r.spec(),
+        c0 // _FOCAL_CHUNK,
+        r0 // _FOCAL_CHUNK,
+        c1 // _FOCAL_CHUNK,
+        r1 // _FOCAL_CHUNK,
+        chunk=_FOCAL_CHUNK,
+    )
+    return _focal_block_rollup(
+        focal_stats_exchange(blocks, chunk=_FOCAL_CHUNK, nodata=r.nodata)
+    )
+
+
+def focal_mean_windowed(sf_dir: str):
+    """Same focal semantics through the zero-shuffle overlap-read plan
+    (focal_stats_windowed): each task reads its chunk + 1-px halo
+    directly from the windowed source — plan equivalence against
+    focal_mean_blocks is the point (same oracle SQL)."""
+    from .focal import focal_stats_windowed
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    return _focal_block_rollup(
+        focal_stats_windowed(r.spec(), c0, r0, c1, r1, chunk=_FOCAL_CHUNK)
+    )
+
+
+def _sql_focal_mean_blocks() -> str:
+    """DuckDB mirror of the focal queries: enumerate every center pixel
+    of the region, expand the 3x3 window with region-bounds clipping,
+    evaluate the synthetic pixel hash at each NEIGHBOR coordinate
+    (``_sql_mix64``), drop nodata, aggregate per center then per chunk
+    block with the repo's floor(x*1e4+0.5) mean quantization."""
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    blk_stages = _sql_mix64(f"nc // {r.block}", f"nr // {r.block}", r.seed + 1, "bh")
+    px_stages = _sql_mix64("nc", "nr", r.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["nb", "m0", "m1", "m2"])
+        )
+    )
+    return f"""
+WITH cc AS (SELECT unnest(generate_series({c0}, {c1 - 1})) AS sc),
+cr AS (SELECT unnest(generate_series({r0}, {r1 - 1})) AS sr),
+ctr AS (SELECT sc, sr FROM cc CROSS JOIN cr),
+d AS (SELECT unnest([-1, 0, 1]) AS dd),
+nb AS (
+  SELECT sc, sr, sc + dx.dd AS nc, sr + dy.dd AS nr
+  FROM ctr CROSS JOIN d dx CROSS JOIN d dy
+  WHERE sc + dx.dd >= {c0} AND sc + dx.dd < {c1}
+    AND sr + dy.dd >= {r0} AND sr + dy.dd < {r1}
+),
+{hash_ctes},
+vals AS (
+  SELECT sc, sr,
+         CASE WHEN bh % 7 = 1 THEN 42
+              ELSE 1 + CAST(ph % 255 AS BIGINT) END AS v
+  FROM m3 WHERE bh % 5 <> 0
+),
+perpx AS (
+  SELECT sc, sr, count(*) AS n, sum(v) AS s, min(v) AS mn, max(v) AS mx
+  FROM vals GROUP BY sc, sr
+)
+SELECT sc // {_FOCAL_CHUNK} AS bx, sr // {_FOCAL_CHUNK} AS by,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(sum(s) AS BIGINT) AS sum_total,
+       CAST(min(mn) AS BIGINT) AS min_val,
+       CAST(max(mx) AS BIGINT) AS max_val,
+       CAST(sum(CAST(floor((s * 1.0 / n) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS mean_e4_sum
+FROM perpx GROUP BY 1, 2
+"""
+
+
+SQL_FOCAL_MEAN_BLOCKS = _sql_focal_mean_blocks()
+
+
 def interleaved_raster_join_docs(sf_dir: str):
     """FULLY-ORACLED north-star composition: interleaved text+media
     documents (SQL-expressible construction over the `documents` spine:
@@ -5668,6 +5794,8 @@ QUERIES = {
     "orders_global_rownum": (orders_global_rownum, SQL_ORDERS_GLOBAL_ROWNUM),
     "zonal_stats_triangles": (zonal_stats_triangles, SQL_ZONAL_STATS_TRIANGLES),
     "nation_supplier_box_join": (nation_supplier_box_join, SQL_NATION_SUPPLIER_BOX_JOIN),
+    "focal_mean_blocks": (focal_mean_blocks, SQL_FOCAL_MEAN_BLOCKS),
+    "focal_mean_windowed": (focal_mean_windowed, SQL_FOCAL_MEAN_BLOCKS),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

@@ -1,0 +1,286 @@
+"""Focal (neighborhood / stencil) raster statistics.
+
+The reference family's raster ops are all *point* ops — ``read_tile``
+(/root/reference/src/dataset.rs:121-196) samples each destination pixel
+from exactly one source pixel.  Focal ops (GDAL's ``gdaldem``
+slope/hillshade family, focal mean/min/max) need each pixel's 3x3
+neighborhood, which crosses tile-block boundaries — the one raster
+access pattern a blockwise-distributed engine cannot serve with
+independent per-block reads.
+
+Two physical plans, same semantics:
+
+``focal_stats_windowed``
+    When the source supports windowed reads (a GeoTIFF, the synthetic
+    closed-form raster), each task reads its chunk window PLUS a
+    1-pixel halo directly — overlap reads, ZERO shuffle.  This is the
+    100-TB scale path for file-backed rasters.
+
+``focal_stats_exchange``
+    When pixels only exist as a distributed dataset of blocks (a
+    *computed* raster living in the object store — the output of a
+    previous map stage), neighbors must be exchanged.  Each block emits
+    its core plus eight O(perimeter) halo strips keyed by the receiving
+    block; ONE hash exchange co-locates them; ``map_groups`` assembles
+    the padded array and runs the vectorized stencil.  Exchange volume
+    is input + ~(4*chunk+4)/chunk^2 overhead (<4% at chunk=128) — the
+    standard distributed-stencil halo pattern.
+
+Semantics (both plans, mirrored term-for-term by the SQL oracle):
+for every center pixel inside the block set, the 3x3 window collects
+the valid (non-nodata, present-in-block-set) neighbors; pixels outside
+the block set are nodata.  Output per center with >=1 valid neighbor:
+count, sum, min, max, and mean quantized e4 with the repo's
+floor(x*1e4+0.5) convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def raster_blocks_dataset(
+    raster_spec: dict,
+    bx0: int,
+    by0: int,
+    bx1: int,
+    by1: int,
+    *,
+    chunk: int = 128,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Materialize a rectangular range of raster blocks as a Dataset of
+    (bx, by, pixels) rows — the "computed raster" input shape for
+    ``focal_stats_exchange``.  Block coords are global pixel // chunk;
+    the range is half-open.  Enumeration is a tiny driver-side table
+    (one row per block id); pixel reads happen in a stateful sampler
+    pool, one bounded chunk^2 window per row.
+    """
+    from ..raster.synthetic import SyntheticRaster
+
+    ids = [
+        {"bx": bx, "by": by}
+        for by in range(by0, by1)
+        for bx in range(bx0, bx1)
+    ]
+
+    class _BlockReader:
+        def __init__(self):
+            self.r = SyntheticRaster.from_spec(raster_spec)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bxs = b.column("bx").to_numpy(zero_copy_only=False)
+            bys = b.column("by").to_numpy(zero_copy_only=False)
+            bufs = []
+            for bx, by in zip(bxs, bys):
+                cols = np.arange(bx * chunk, (bx + 1) * chunk, dtype=np.int64)[None, :]
+                rows = np.arange(by * chunk, (by + 1) * chunk, dtype=np.int64)[:, None]
+                bufs.append(self.r.values_at(cols, rows).astype(np.uint8).tobytes())
+            return pa.table(
+                {
+                    "bx": pa.array(bxs, pa.int32()),
+                    "by": pa.array(bys, pa.int32()),
+                    "pixels": pa.array(bufs, pa.binary()),
+                }
+            )
+
+    return ray.data.from_items(ids).map_batches(
+        _BlockReader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )
+
+
+def _stencil_stats(
+    padded: np.ndarray, valid: np.ndarray, chunk: int
+) -> tuple[np.ndarray, ...]:
+    """Vectorized 3x3 window stats over a (chunk+2)^2 padded array.
+    Returns (n, sum, min, max) as (chunk, chunk) arrays; windows with
+    n == 0 carry garbage in min/max — callers mask on n > 0."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(padded.astype(np.int64), (3, 3))
+    vw = sliding_window_view(valid, (3, 3))
+    n = vw.sum(axis=(2, 3)).astype(np.int64)
+    s = np.where(vw, w, 0).sum(axis=(2, 3))
+    mn = np.where(vw, w, np.int64(2**62)).min(axis=(2, 3))
+    mx = np.where(vw, w, np.int64(-(2**62))).max(axis=(2, 3))
+    return n, s, mn, mx
+
+
+def _emit_stats(
+    bx: int, by: int, chunk: int, n, s, mn, mx
+) -> pa.Table:
+    keep = n > 0
+    rr, cc = np.nonzero(keep)
+    nz = n[keep].astype(np.float64)
+    mean_e4 = np.floor(s[keep] / nz * 1e4 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "gcol": pa.array(bx * chunk + cc, pa.int64()),
+            "grow": pa.array(by * chunk + rr, pa.int64()),
+            "n": pa.array(n[keep], pa.int64()),
+            "sum_val": pa.array(s[keep], pa.int64()),
+            "min_val": pa.array(mn[keep], pa.int64()),
+            "max_val": pa.array(mx[keep], pa.int64()),
+            "mean_e4": pa.array(mean_e4),
+        }
+    )
+
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("gcol", pa.int64()),
+        ("grow", pa.int64()),
+        ("n", pa.int64()),
+        ("sum_val", pa.int64()),
+        ("min_val", pa.int64()),
+        ("max_val", pa.int64()),
+        ("mean_e4", pa.int64()),
+    ]
+)
+
+
+def focal_stats_exchange(
+    blocks: ray.data.Dataset,
+    *,
+    chunk: int,
+    nodata: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed 3x3 focal stats over a block dataset via halo
+    exchange: each (bx, by, pixels:binary[chunk^2] u8) row emits its
+    core plus eight boundary strips addressed to its neighbors
+    (role = which slot of the receiver's padded array the piece fills);
+    ONE groupby exchange on the receiver's block key co-locates them;
+    the per-group assembler pads absent neighbors with nodata and runs
+    the strided-window stencil.
+
+    Scale shape: halo strips are O(chunk) each, so the exchange moves
+    ~1.04x the input once; group size is bounded (<=9 pieces, core +
+    8 strips) so no group outgrows a task regardless of raster size.
+    """
+
+    def emit(b: pa.Table) -> pa.Table:
+        t_bx, t_by, roles, datas = [], [], [], []
+        bxs = b.column("bx").to_numpy(zero_copy_only=False)
+        bys = b.column("by").to_numpy(zero_copy_only=False)
+        pxs = b.column("pixels").to_pylist()
+        # coarse per-block loop (blocks are few and big); strip slicing
+        # inside is numpy
+        for bx, by, buf in zip(bxs, bys, pxs):
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(chunk, chunk)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    # piece of THIS block that the neighbor at
+                    # (bx+dx, by+dy) needs: the edge facing it
+                    if dx == 0 and dy == 0:
+                        piece = buf
+                    else:
+                        rs = slice(None) if dy == 0 else (
+                            slice(-1, None) if dy == 1 else slice(0, 1)
+                        )
+                        cs = slice(None) if dx == 0 else (
+                            slice(-1, None) if dx == 1 else slice(0, 1)
+                        )
+                        piece = np.ascontiguousarray(arr[rs, cs]).tobytes()
+                    t_bx.append(bx + dx)
+                    t_by.append(by + dy)
+                    # role: where the piece sits relative to the RECEIVER
+                    roles.append((1 - dy) * 3 + (1 - dx))
+                    datas.append(piece)
+        return pa.table(
+            {
+                "bkey": pa.array(
+                    (np.asarray(t_bx, np.int64) << np.int64(32))
+                    | (np.asarray(t_by, np.int64) & np.int64(0xFFFFFFFF)),
+                    pa.int64(),
+                ),
+                "tbx": pa.array(t_bx, pa.int32()),
+                "tby": pa.array(t_by, pa.int32()),
+                "role": pa.array(roles, pa.int8()),
+                "data": pa.array(datas, pa.binary()),
+            }
+        )
+
+    def assemble(g: pa.Table) -> pa.Table:
+        roles = g.column("role").to_numpy(zero_copy_only=False)
+        if 4 not in roles:
+            # receiver block not in the input set: strips addressed to
+            # a block outside the region — no output
+            return _OUT_SCHEMA.empty_table()
+        bx = int(g.column("tbx")[0].as_py())
+        by = int(g.column("tby")[0].as_py())
+        padded = np.full((chunk + 2, chunk + 2), nodata, dtype=np.uint8)
+        datas = g.column("data").to_pylist()
+        for role, buf in zip(roles, datas):
+            ry, rx = divmod(int(role), 3)  # 0/1/2 = top/mid/bottom etc.
+            a = np.frombuffer(buf, dtype=np.uint8)
+            rs = (slice(0, 1), slice(1, chunk + 1), slice(chunk + 1, chunk + 2))[ry]
+            cs = (slice(0, 1), slice(1, chunk + 1), slice(chunk + 1, chunk + 2))[rx]
+            h = rs.stop - rs.start
+            w = cs.stop - cs.start
+            padded[rs, cs] = a.reshape(h, w)
+        valid = padded != nodata
+        n, s, mn, mx = _stencil_stats(padded, valid, chunk)
+        return _emit_stats(bx, by, chunk, n, s, mn, mx)
+
+    exploded = blocks.map_batches(emit, batch_format="pyarrow")
+    if num_partitions:
+        exploded = exploded.repartition(num_partitions, keys=["bkey"])
+    return exploded.groupby("bkey").map_groups(assemble, batch_format="pyarrow")
+
+
+def focal_stats_windowed(
+    raster_spec: dict,
+    c0: int,
+    r0: int,
+    c1: int,
+    r1: int,
+    *,
+    chunk: int = 128,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Zero-shuffle focal stats for windowed-readable sources: each
+    task reads its chunk window PLUS the 1-pixel halo directly (overlap
+    reads), so no exchange at all — the scale path when the raster is a
+    file, not a dataset.  Pixels outside the region rectangle are
+    nodata, matching ``focal_stats_exchange`` over the same block set.
+    """
+    from ..raster.synthetic import SyntheticRaster
+
+    ids = [
+        {"bx": bx, "by": by}
+        for by in range(r0 // chunk, (r1 + chunk - 1) // chunk)
+        for bx in range(c0 // chunk, (c1 + chunk - 1) // chunk)
+    ]
+
+    class _FocalReader:
+        def __init__(self):
+            self.r = SyntheticRaster.from_spec(raster_spec)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out = []
+            bxs = b.column("bx").to_numpy(zero_copy_only=False)
+            bys = b.column("by").to_numpy(zero_copy_only=False)
+            for bx, by in zip(bxs, bys):
+                cols = np.arange(bx * chunk - 1, (bx + 1) * chunk + 1, dtype=np.int64)
+                rows = np.arange(by * chunk - 1, (by + 1) * chunk + 1, dtype=np.int64)
+                padded = self.r.values_at(cols[None, :], rows[:, None]).astype(
+                    np.uint8
+                )
+                inside = (
+                    (cols[None, :] >= c0)
+                    & (cols[None, :] < c1)
+                    & (rows[:, None] >= r0)
+                    & (rows[:, None] < r1)
+                )
+                valid = (padded != self.r.nodata) & inside
+                n, s, mn, mx = _stencil_stats(padded, valid, chunk)
+                n = np.where(inside[1:-1, 1:-1], n, 0)  # centers outside region
+                out.append(_emit_stats(int(bx), int(by), chunk, n, s, mn, mx))
+            return pa.concat_tables(out) if out else _OUT_SCHEMA.empty_table()
+
+    return ray.data.from_items(ids).map_batches(
+        _FocalReader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )
