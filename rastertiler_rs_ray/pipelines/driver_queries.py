@@ -2190,6 +2190,35 @@ FROM perpx GROUP BY 1, 2
 SQL_FOCAL_MEAN_BLOCKS = _sql_focal_mean_blocks()
 
 
+_RADIUS_M = 1_000_000.0  # pair threshold (planar EPSG:3857 meters)
+_RADIUS_ZOOM = 5  # cell side 1252 km >= radius
+
+
+def docs_radius_pairs(sf_dir: str):
+    """Distance-threshold self-join (ε-join): every unordered doc pair
+    within 1000 km planar Mercator distance, exactly once, via the
+    grid-bucketed 3x3-replication plan (spatial.py radius_self_join):
+    ONE hash exchange on the tile key, vectorized pairwise test per
+    tile, pair emitted only from its lower-id endpoint's home tile."""
+    from .spatial import radius_self_join
+
+    return radius_self_join(
+        doc_positions_dataset(sf_dir), radius_m=_RADIUS_M, zoom=_RADIUS_ZOOM
+    )
+
+
+SQL_DOCS_RADIUS_PAIRS = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}),
+p AS (SELECT doc_id, mx, my FROM merc)
+SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+       CAST(floor((a.mx - b.mx) * (a.mx - b.mx)
+                  + (a.my - b.my) * (a.my - b.my)) AS BIGINT) AS dist2_m2
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE (a.mx - b.mx) * (a.mx - b.mx) + (a.my - b.my) * (a.my - b.my)
+      <= {_RADIUS_M * _RADIUS_M!r}
+"""
+
+
 def interleaved_raster_join_docs(sf_dir: str):
     """FULLY-ORACLED north-star composition: interleaved text+media
     documents (SQL-expressible construction over the `documents` spine:
@@ -5796,6 +5825,7 @@ QUERIES = {
     "nation_supplier_box_join": (nation_supplier_box_join, SQL_NATION_SUPPLIER_BOX_JOIN),
     "focal_mean_blocks": (focal_mean_blocks, SQL_FOCAL_MEAN_BLOCKS),
     "focal_mean_windowed": (focal_mean_windowed, SQL_FOCAL_MEAN_BLOCKS),
+    "docs_radius_pairs": (docs_radius_pairs, SQL_DOCS_RADIUS_PAIRS),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

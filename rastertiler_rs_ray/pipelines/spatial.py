@@ -1286,3 +1286,106 @@ def box_intersect_join(
         return b.filter(pa.array(hit)).select(keep)
 
     return j.map_batches(overlap, batch_format="pyarrow")
+
+
+def radius_self_join(
+    pos: ray.data.Dataset,
+    *,
+    radius_m: float,
+    zoom: int,
+    id_col: str = "doc_id",
+    mx_col: str = "mx",
+    my_col: str = "my",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distance-threshold self-join: every unordered pair of points
+    within ``radius_m`` planar EPSG:3857 meters, emitted EXACTLY once
+    as (a_doc_id < b_doc_id, floor(squared distance)).
+
+    The classic grid-bucketed ε-join: points are assigned to Mercator
+    tiles at ``zoom`` (cell side CE/2^zoom, which must be >= radius_m —
+    asserted), each point is replicated to its 3x3 tile neighborhood,
+    ONE hash exchange on the tile key co-locates candidates, and each
+    group tests home points against all candidates vectorized.
+    Exactly-once by construction: a pair is emitted only from the HOME
+    tile of its lower-id endpoint (home vs replica is a flag, and the
+    lower-id endpoint's home tile always holds the higher-id one as
+    home-or-replica because the grid side bounds the distance).
+
+    Scale shape: replication is a constant 9x on narrow (id, mx, my)
+    rows — the payload never fans out; group size is the points per
+    tile, so ``zoom`` doubles as the skew knob (halve the radius bound
+    by going one zoom deeper and re-running on dense tiles — quadtree
+    refinement — if a tile outgrows a task).
+    """
+    side = CE / float(1 << zoom)
+    if side < radius_m:
+        raise ValueError(
+            f"cell side {side:.0f} m at zoom {zoom} < radius {radius_m:.0f} m: "
+            "adjacent-cell candidates would miss pairs"
+        )
+    r2 = float(radius_m) * float(radius_m)
+    nside = np.int64((1 << zoom) + 2)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = b.column(mx_col).to_numpy(zero_copy_only=False)
+        my = b.column(my_col).to_numpy(zero_copy_only=False)
+        hx, hy = point_to_tile(zoom, mx, my)
+        hx = hx.astype(np.int64)
+        hy = hy.astype(np.int64)
+        n = len(ids)
+        dxs = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], np.int64)
+        dys = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], np.int64)
+        tx = (hx[:, None] + dxs[None, :]).ravel()
+        ty = (hy[:, None] + dys[None, :]).ravel()
+        rep = np.repeat(np.arange(n), 9)
+        is_home = np.tile((dxs == 0) & (dys == 0), n)
+        tkey = (tx + 1) * nside + (ty + 1)
+        return pa.table(
+            {
+                "tkey": pa.array(tkey, pa.int64()),
+                "pid": pa.array(ids[rep], pa.int64()),
+                "pmx": pa.array(mx[rep], pa.float64()),
+                "pmy": pa.array(my[rep], pa.float64()),
+                "home": pa.array(is_home),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("a_doc_id", pa.int64()),
+            ("b_doc_id", pa.int64()),
+            ("dist2_m2", pa.int64()),
+        ]
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        home = g.column("home").to_numpy(zero_copy_only=False)
+        if not home.any():
+            return out_schema.empty_table()
+        ids = g.column("pid").to_numpy(zero_copy_only=False)
+        mx = g.column("pmx").to_numpy(zero_copy_only=False)
+        my = g.column("pmy").to_numpy(zero_copy_only=False)
+        aid, amx, amy = ids[home], mx[home], my[home]
+        # a (home, lower id) vs every candidate b in the neighborhood;
+        # float tree (a - b) kept exactly as the SQL oracle writes it
+        dx = amx[:, None] - mx[None, :]
+        dy = amy[:, None] - my[None, :]
+        d2 = dx * dx + dy * dy
+        hit = (aid[:, None] < ids[None, :]) & (d2 <= r2)
+        ai, bi = np.nonzero(hit)
+        return pa.table(
+            {
+                "a_doc_id": pa.array(aid[ai], pa.int64()),
+                "b_doc_id": pa.array(ids[bi], pa.int64()),
+                "dist2_m2": pa.array(
+                    np.floor(d2[ai, bi]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    rep = pos.map_batches(replicate, batch_format="pyarrow")
+    if num_partitions:
+        rep = rep.repartition(num_partitions, keys=["tkey"])
+    return rep.groupby("tkey").map_groups(pairs, batch_format="pyarrow")

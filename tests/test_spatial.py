@@ -659,3 +659,73 @@ def test_box_intersect_join_touching_edges_and_spanning_box(ray_session):
         cell=64.0, left_cols=["lid"], right_cols=["rid"], num_partitions=4,
     ).to_pandas()
     assert sorted(zip(got["l_lid"], got["r_rid"])) == [(0, 0), (0, 1), (1, 1)]
+
+
+class TestRadiusSelfJoin:
+    ZOOM = 5
+    RADIUS = 1_000_000.0
+
+    def _brute(self, ids, mx, my):
+        import itertools
+
+        out = set()
+        r2 = self.RADIUS * self.RADIUS
+        for i, j in itertools.combinations(range(len(ids)), 2):
+            a, b = (i, j) if ids[i] < ids[j] else (j, i)
+            dx = mx[a] - mx[b]
+            dy = my[a] - my[b]
+            if dx * dx + dy * dy <= r2:
+                out.add((ids[a], ids[b]))
+        return out
+
+    def _run(self, ids, mx, my):
+        from rastertiler_rs_ray.pipelines.spatial import radius_self_join
+
+        pos = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "mx": pa.array(mx, pa.float64()),
+                    "my": pa.array(my, pa.float64()),
+                }
+            )
+        )
+        df = radius_self_join(
+            pos, radius_m=self.RADIUS, zoom=self.ZOOM
+        ).to_pandas()
+        return df
+
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.default_rng(11)
+        n = 400
+        ids = np.arange(n, dtype=np.int64)
+        mx = rng.uniform(-2.0e7, 2.0e7, n)
+        my = rng.uniform(-1.9e7, 1.9e7, n)
+        df = self._run(ids, mx, my)
+        got = set(zip(df.a_doc_id, df.b_doc_id))
+        assert got == self._brute(ids, mx, my)
+        # exactly-once: no duplicate pairs
+        assert len(df) == len(got)
+        assert (df.a_doc_id < df.b_doc_id).all()
+
+    def test_boundary_straddling_pair(self, ray_session):
+        # two points 1 km apart across a zoom-5 tile boundary
+        from rastertiler_rs_ray.geo import CE, ORIGIN
+
+        side = CE / 32.0
+        bx = -ORIGIN + 7 * side  # tile edge
+        ids = np.array([10, 3], dtype=np.int64)
+        mx = np.array([bx - 500.0, bx + 500.0])
+        my = np.array([1234.5, 1800.0])
+        df = self._run(ids, mx, my)
+        assert len(df) == 1
+        assert (df.a_doc_id.iloc[0], df.b_doc_id.iloc[0]) == (3, 10)
+
+    def test_zoom_too_deep_rejected(self, ray_session):
+        from rastertiler_rs_ray.pipelines.spatial import radius_self_join
+
+        pos = ray.data.from_arrow(
+            pa.table({"doc_id": [1], "mx": [0.0], "my": [0.0]})
+        )
+        with pytest.raises(ValueError, match="cell side"):
+            radius_self_join(pos, radius_m=self.RADIUS, zoom=8)
