@@ -2207,6 +2207,56 @@ def docs_radius_pairs(sf_dir: str):
     )
 
 
+def lineitem_price_regression(sf_dir: str):
+    """Per-returnflag simple linear regression of extendedprice on
+    quantity via distributed cross-moment sums (relational.py
+    grouped_linear_regression): map-side x²/xy/y² partials, one
+    O(groups) exchange, normal-equation closed-form finalize — the SQL
+    mirror computes the SAME formula from sum()/count(), so the
+    contract is the formula, not a streaming-covariance algorithm."""
+    from .relational import grouped_linear_regression
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return grouped_linear_regression(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+SQL_LINEITEM_PRICE_REGRESSION = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS sx,
+         sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_quantity * l_extendedprice) AS sxy,
+         sum(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem GROUP BY l_returnflag
+), f AS (
+  SELECT l_returnflag, n,
+         n * sxy - sx * sy AS cov_n,
+         n * sxx - sx * sx AS var_x,
+         n * syy - sy * sy AS var_y,
+         sx, sy
+  FROM s
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN var_x > 0.0 AND var_y > 0.0
+            THEN CAST(floor((cov_n / var_x) * 10000 + 0.5) AS BIGINT) END
+         AS slope_e4,
+       CASE WHEN var_x > 0.0 AND var_y > 0.0
+            THEN CAST(floor(((sy - (cov_n / var_x) * sx) / n) * 10000 + 0.5)
+                      AS BIGINT) END AS intercept_e4,
+       CASE WHEN var_x > 0.0 AND var_y > 0.0
+            THEN CAST(floor(((cov_n * cov_n) / (var_x * var_y)) * 10000 + 0.5)
+                      AS BIGINT) END AS r2_e4
+FROM f
+"""
+
+
 SQL_DOCS_RADIUS_PAIRS = f"""
 WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}),
 p AS (SELECT doc_id, mx, my FROM merc)
@@ -5826,6 +5876,10 @@ QUERIES = {
     "focal_mean_blocks": (focal_mean_blocks, SQL_FOCAL_MEAN_BLOCKS),
     "focal_mean_windowed": (focal_mean_windowed, SQL_FOCAL_MEAN_BLOCKS),
     "docs_radius_pairs": (docs_radius_pairs, SQL_DOCS_RADIUS_PAIRS),
+    "lineitem_price_regression": (
+        lineitem_price_regression,
+        SQL_LINEITEM_PRICE_REGRESSION,
+    ),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

@@ -2236,3 +2236,86 @@ def global_row_number(
     return ray.data.from_arrow_refs(
         [_assign.remote(r, int(o)) for r, o in zip(refs, offs)]
     )
+
+
+def grouped_linear_regression(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    quantum: float = 1e4,
+) -> ray.data.Dataset:
+    """Per-group simple linear regression (y = slope·x + intercept, plus
+    r²) from distributed cross-moment sums: a map-side stage appends
+    x², xy, y² columns, the shared ``grouped_aggregate`` partial-combine
+    topology sums them (one O(groups) exchange), and the normal-equation
+    closed form finalizes on the merged sums.
+
+    Like ``moment_profile``, the cross-engine contract is the FORMULA
+    (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n,
+    r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)), quantized with
+    floor(x·q + 0.5)), not a library's streaming-covariance algorithm —
+    the SQL mirror computes the same closed form from sum()/count().
+    Degenerate groups (zero x or y variance) emit NULL slope/r².
+    """
+    keys = list(keys)
+
+    def cross(b: pa.Table) -> pa.Table:
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                **{k: b.column(k) for k in keys},
+                "__x": pa.array(x),
+                "__y": pa.array(y),
+                "__xx": pa.array(x * x),
+                "__xy": pa.array(x * y),
+                "__yy": pa.array(y * y),
+            }
+        )
+
+    agg = grouped_aggregate(
+        ds.map_batches(cross, batch_format="pyarrow"),
+        keys,
+        [
+            ("n", "__x", "count"),
+            ("sx", "__x", "sum"),
+            ("sy", "__y", "sum"),
+            ("sxx", "__xx", "sum"),
+            ("sxy", "__xy", "sum"),
+            ("syy", "__yy", "sum"),
+        ],
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False)
+        sy = b.column("sy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False)
+        syy = b.column("syy").to_numpy(zero_copy_only=False)
+        cov_n = n * sxy - sx * sy
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = cov_n / var_x
+            intercept = (sy - slope * sx) / n
+            r2 = (cov_n * cov_n) / (var_x * var_y)
+        ok = (var_x > 0.0) & (var_y > 0.0)
+
+        def q(v: np.ndarray) -> pa.Array:
+            out = np.where(ok, np.floor(v * quantum + 0.5), 0.0)
+            return pa.array(out.astype(np.int64), pa.int64(), mask=~ok)
+
+        return pa.table(
+            {
+                **{k: b.column(k) for k in keys},
+                "n": pa.array(n.astype(np.int64)),
+                "slope_e4": q(slope),
+                "intercept_e4": q(intercept),
+                "r2_e4": q(r2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

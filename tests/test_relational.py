@@ -1401,3 +1401,57 @@ def test_global_row_number_desc_with_tiebreak(ray_session):
     df = out[["v", "k"]].to_records(index=False).tolist()
     assert df == sorted(df, key=lambda r: (-r[0], r[1]))
     assert out["rn"].tolist() == list(range(1, 91))
+
+
+def test_grouped_linear_regression(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import grouped_linear_regression
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    g = rng.integers(0, 3, n)
+    x = rng.uniform(0.0, 50.0, n)
+    y = np.where(g == 2, 7.5, 2.0 + g) * x + 10.0 * g + rng.normal(0.0, 3.0, n)
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(g, pa.int64()), "x": x, "y": y})
+    )
+    out = (
+        grouped_linear_regression(ds, ["g"], "x", "y")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for i in range(3):
+        sl, ic, r, _ = np.linalg.lstsq(
+            np.stack([x[g == i], np.ones((g == i).sum())], 1), y[g == i],
+            rcond=None,
+        )[0][0], None, None, None
+        want_slope = sl
+        got = out.loc[i, "slope_e4"] / 1e4
+        assert abs(got - want_slope) < 2e-4
+        # r2 close to 1 for strong linear signal
+        assert out.loc[i, "r2_e4"] / 1e4 > 0.9
+    assert (out["n"].to_numpy() == np.bincount(g)).all()
+
+
+def test_grouped_linear_regression_degenerate(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import grouped_linear_regression
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": ["a"] * 4 + ["b"] * 4,
+                "x": [1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 3.0, 4.0],
+                "y": [1.0, 2.0, 3.0, 4.0, 2.0, 4.0, 6.0, 8.0],
+            }
+        )
+    )
+    out = (
+        grouped_linear_regression(ds, ["g"], "x", "y")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(out.loc[0, "slope_e4"])  # zero x-variance group
+    assert out.loc[1, "slope_e4"] == 20000  # exact y = 2x
+    assert out.loc[1, "intercept_e4"] == 0
+    assert out.loc[1, "r2_e4"] == 10000
