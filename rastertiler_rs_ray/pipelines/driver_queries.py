@@ -2207,6 +2207,74 @@ def docs_radius_pairs(sf_dir: str):
     )
 
 
+_IDW_RADIUS_M = 2_000_000.0
+_IDW_ZOOM = 4  # cell side 2504 km >= radius
+_IDW_GRID = (12, 8)  # lon x lat query grid
+
+
+def idw_docs_grid(sf_dir: str):
+    """Inverse-distance-weighted interpolation (spatial.py
+    idw_interpolate): a 12x8 global query grid interpolates a
+    deterministic per-doc value from all docs within 2000 km planar
+    Mercator distance — queries home-tiled, samples 3x3-replicated,
+    ONE union+groupby exchange, vectorized weighted sums per tile."""
+    from .spatial import idw_interpolate
+
+    def add_val(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "val", pa.array((1 + did % 97).astype(np.float64), pa.float64())
+        )
+
+    samples = doc_positions_dataset(sf_dir).map_batches(
+        add_val, batch_format="pyarrow"
+    )
+
+    nlon, nlat = _IDW_GRID
+
+    def grid(b: pa.Table) -> pa.Table:
+        qid = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = -180.0 + ((qid % nlon) + 0.5) * 30.0
+        lat = -85.0 + ((qid // nlon) + 0.5) * 21.25
+        mx, my = geo_to_mercator(lon, lat)
+        return pa.table(
+            {
+                "qid": pa.array(qid, pa.int64()),
+                "mx": pa.array(mx, pa.float64()),
+                "my": pa.array(my, pa.float64()),
+            }
+        )
+
+    queries = ray.data.range(nlon * nlat).map_batches(grid, batch_format="pyarrow")
+    return idw_interpolate(
+        queries, samples, radius_m=_IDW_RADIUS_M, zoom=_IDW_ZOOM
+    )
+
+
+SQL_IDW_DOCS_GRID = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}),
+s AS (SELECT doc_id, mx, my, CAST(1 + doc_id % 97 AS DOUBLE) AS val FROM merc),
+g AS (SELECT unnest(generate_series(0, {_IDW_GRID[0] * _IDW_GRID[1] - 1})) AS qid),
+gq AS (SELECT qid,
+              -180.0 + ((qid % {_IDW_GRID[0]}) + 0.5) * 30.0 AS lon,
+              -85.0 + ((qid // {_IDW_GRID[0]}) + 0.5) * 21.25 AS lat FROM g),
+qm AS (SELECT qid,
+              lon * ((6378137.0 * pi()) / 180.0) AS mx,
+              6378137.0 * ln(tan(pi() * 0.25 + 0.5 * (lat * (pi() / 180.0)))) AS my
+       FROM gq),
+pairs AS (
+  SELECT qid, val,
+         (qm.mx - s.mx) * (qm.mx - s.mx) + (qm.my - s.my) * (qm.my - s.my) AS d2
+  FROM qm CROSS JOIN s
+)
+SELECT qid, CAST(count(*) AS BIGINT) AS n,
+       CAST(floor((sum(val / d2) / sum(1.0 / d2)) * 10000 + 0.5) AS BIGINT)
+         AS idw_e4
+FROM pairs WHERE d2 > 0.0 AND d2 <= {_IDW_RADIUS_M * _IDW_RADIUS_M!r}
+GROUP BY qid
+"""
+
+
 def lineitem_price_regression(sf_dir: str):
     """Per-returnflag simple linear regression of extendedprice on
     quantity via distributed cross-moment sums (relational.py
@@ -5880,6 +5948,7 @@ QUERIES = {
         lineitem_price_regression,
         SQL_LINEITEM_PRICE_REGRESSION,
     ),
+    "idw_docs_grid": (idw_docs_grid, SQL_IDW_DOCS_GRID),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

@@ -1389,3 +1389,118 @@ def radius_self_join(
     if num_partitions:
         rep = rep.repartition(num_partitions, keys=["tkey"])
     return rep.groupby("tkey").map_groups(pairs, batch_format="pyarrow")
+
+
+def idw_interpolate(
+    queries: ray.data.Dataset,
+    samples: ray.data.Dataset,
+    *,
+    radius_m: float,
+    zoom: int,
+    qid_col: str = "qid",
+    val_col: str = "val",
+    quantum: float = 1e4,
+) -> ray.data.Dataset:
+    """Inverse-distance-weighted interpolation: for each query point,
+    idw = Σ(vᵢ/d²ᵢ) / Σ(1/d²ᵢ) over the samples within ``radius_m``
+    planar EPSG:3857 meters (0 < d² ≤ r²; exact-coincident samples are
+    excluded by contract so the weight is always finite).  Queries with
+    no sample in range emit nothing.
+
+    Same grid-bucket topology as ``radius_self_join`` but bipartite:
+    queries sit in their home Mercator tile at ``zoom`` (cell side must
+    be >= radius), samples replicate to their 3x3 neighborhood, the two
+    sides union into ONE hash exchange on the tile key, and each group
+    evaluates its home queries against all candidate samples with one
+    vectorized distance matrix.  A query's full candidate set is inside
+    its home group by construction, so the weighted sums finalize in
+    one pass — no second exchange.
+    """
+    side = CE / float(1 << zoom)
+    if side < radius_m:
+        raise ValueError(
+            f"cell side {side:.0f} m at zoom {zoom} < radius {radius_m:.0f} m"
+        )
+    r2 = float(radius_m) * float(radius_m)
+    nside = np.int64((1 << zoom) + 2)
+
+    def q_side(b: pa.Table) -> pa.Table:
+        ids = b.column(qid_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = b.column("mx").to_numpy(zero_copy_only=False)
+        my = b.column("my").to_numpy(zero_copy_only=False)
+        hx, hy = point_to_tile(zoom, mx, my)
+        tkey = (hx.astype(np.int64) + 1) * nside + (hy.astype(np.int64) + 1)
+        return pa.table(
+            {
+                "tkey": pa.array(tkey, pa.int64()),
+                "pid": pa.array(ids, pa.int64()),
+                "pmx": pa.array(mx, pa.float64()),
+                "pmy": pa.array(my, pa.float64()),
+                "pval": pa.array(np.zeros(len(ids)), pa.float64()),
+                "is_query": pa.array(np.ones(len(ids), dtype=bool)),
+            }
+        )
+
+    def s_side(b: pa.Table) -> pa.Table:
+        mx = b.column("mx").to_numpy(zero_copy_only=False)
+        my = b.column("my").to_numpy(zero_copy_only=False)
+        val = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        hx, hy = point_to_tile(zoom, mx, my)
+        hx = hx.astype(np.int64)
+        hy = hy.astype(np.int64)
+        n = len(mx)
+        dxs = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], np.int64)
+        dys = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], np.int64)
+        tx = (hx[:, None] + dxs[None, :]).ravel()
+        ty = (hy[:, None] + dys[None, :]).ravel()
+        rep = np.repeat(np.arange(n), 9)
+        tkey = (tx + 1) * nside + (ty + 1)
+        return pa.table(
+            {
+                "tkey": pa.array(tkey, pa.int64()),
+                "pid": pa.array(np.full(9 * n, -1, np.int64), pa.int64()),
+                "pmx": pa.array(mx[rep], pa.float64()),
+                "pmy": pa.array(my[rep], pa.float64()),
+                "pval": pa.array(val[rep], pa.float64()),
+                "is_query": pa.array(np.zeros(9 * n, dtype=bool)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("qid", pa.int64()), ("n", pa.int64()), ("idw_e4", pa.int64())]
+    )
+
+    def interp(g: pa.Table) -> pa.Table:
+        isq = g.column("is_query").to_numpy(zero_copy_only=False)
+        if not isq.any() or isq.all():
+            return out_schema.empty_table()
+        mx = g.column("pmx").to_numpy(zero_copy_only=False)
+        my = g.column("pmy").to_numpy(zero_copy_only=False)
+        qid = g.column("pid").to_numpy(zero_copy_only=False)[isq]
+        qmx, qmy = mx[isq], my[isq]
+        smx, smy = mx[~isq], my[~isq]
+        sval = g.column("pval").to_numpy(zero_copy_only=False)[~isq]
+        dx = qmx[:, None] - smx[None, :]
+        dy = qmy[:, None] - smy[None, :]
+        d2 = dx * dx + dy * dy
+        ok = (d2 > 0.0) & (d2 <= r2)
+        n = ok.sum(axis=1).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            num = np.where(ok, sval[None, :] / d2, 0.0).sum(axis=1)
+            den = np.where(ok, 1.0 / d2, 0.0).sum(axis=1)
+        keep = n > 0
+        idw = num[keep] / den[keep]
+        return pa.table(
+            {
+                "qid": pa.array(qid[keep], pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+                "idw_e4": pa.array(
+                    np.floor(idw * quantum + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    both = queries.map_batches(q_side, batch_format="pyarrow").union(
+        samples.map_batches(s_side, batch_format="pyarrow")
+    )
+    return both.groupby("tkey").map_groups(interp, batch_format="pyarrow")

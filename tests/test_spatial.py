@@ -729,3 +729,73 @@ class TestRadiusSelfJoin:
         )
         with pytest.raises(ValueError, match="cell side"):
             radius_self_join(pos, radius_m=self.RADIUS, zoom=8)
+
+
+class TestIdwInterpolate:
+    def test_matches_brute_force(self, ray_session):
+        from rastertiler_rs_ray.pipelines.spatial import idw_interpolate
+
+        rng = np.random.default_rng(3)
+        ns, nq = 300, 40
+        smx = rng.uniform(-1.9e7, 1.9e7, ns)
+        smy = rng.uniform(-1.8e7, 1.8e7, ns)
+        val = rng.uniform(1.0, 100.0, ns)
+        qmx = rng.uniform(-1.9e7, 1.9e7, nq)
+        qmy = rng.uniform(-1.8e7, 1.8e7, nq)
+        radius, zoom = 2_000_000.0, 4
+        samples = ray.data.from_arrow(
+            pa.table({"mx": smx, "my": smy, "val": val})
+        )
+        queries = ray.data.from_arrow(
+            pa.table(
+                {"qid": pa.array(np.arange(nq), pa.int64()), "mx": qmx, "my": qmy}
+            )
+        )
+        got = (
+            idw_interpolate(queries, samples, radius_m=radius, zoom=zoom)
+            .to_pandas()
+            .sort_values("qid")
+            .reset_index(drop=True)
+        )
+        # brute force
+        dx = qmx[:, None] - smx[None, :]
+        dy = qmy[:, None] - smy[None, :]
+        d2 = dx * dx + dy * dy
+        ok = (d2 > 0) & (d2 <= radius * radius)
+        n = ok.sum(1)
+        num = np.where(ok, val[None, :] / d2, 0).sum(1)
+        den = np.where(ok, 1.0 / d2, 0).sum(1)
+        keep = n > 0
+        want = pd.DataFrame(
+            {
+                "qid": np.arange(nq)[keep],
+                "n": n[keep],
+                "idw_e4": np.floor(num[keep] / den[keep] * 1e4 + 0.5).astype(
+                    np.int64
+                ),
+            }
+        ).reset_index(drop=True)
+        assert got.qid.tolist() == want.qid.tolist()
+        assert got.n.tolist() == want.n.tolist()
+        # summation order may differ by one ulp across plans
+        assert (np.abs(got.idw_e4 - want.idw_e4) <= 1).all()
+
+    def test_no_samples_in_range(self, ray_session):
+        from rastertiler_rs_ray.pipelines.spatial import idw_interpolate
+
+        samples = ray.data.from_arrow(
+            pa.table({"mx": [1.0e7], "my": [1.0e7], "val": [5.0]})
+        )
+        queries = ray.data.from_arrow(
+            pa.table(
+                {
+                    "qid": pa.array([0], pa.int64()),
+                    "mx": [-1.0e7],
+                    "my": [-1.0e7],
+                }
+            )
+        )
+        out = idw_interpolate(
+            queries, samples, radius_m=2_000_000.0, zoom=4
+        ).to_pandas()
+        assert len(out) == 0
