@@ -462,6 +462,21 @@ def _lsh_codes(mat: np.ndarray, planes: np.ndarray, bits: int) -> np.ndarray:
     return (sgn.astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(axis=1)
 
 
+def kmeans_centroids(
+    corpus: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd k-means centroid training (the first half of
+    ``kmeans_clusters``, reusable by SemDeDup-style consumers): returns
+    the k x dim centroid matrix; only centroid state ever reaches the
+    driver.  See ``kmeans_clusters`` for the topology notes."""
+    return _kmeans_train(corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col)[1]
+
+
 def kmeans_clusters(
     corpus: ray.data.Dataset,
     *,
@@ -493,6 +508,47 @@ def kmeans_clusters(
     result is invariant to block layout and float summation order
     (absorbed ulps), making assignments reproducible run to run.
     """
+    import ray as _ray
+
+    corpus, cents = _kmeans_train(
+        corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+
+    ref = _ray.put(cents)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        if len(batch) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        mat = _as_matrix(batch, vec_col)
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            }
+        )
+
+    return corpus.map_batches(assign_final, batch_format="pyarrow")
+
+
+def _kmeans_train(
+    corpus: ray.data.Dataset,
+    *,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Shared k-means training loop: returns (materialized narrow
+    corpus, k x dim centroid matrix).  Topology documented on
+    ``kmeans_clusters``."""
     import ray as _ray
 
     from .relational import grouped_aggregate
@@ -563,28 +619,7 @@ def kmeans_clusters(
         upd = np.where(n > 0, s / np.maximum(n, 1), cents)
         cents = np.round(upd * 1e9) / 1e9  # absorb summation-order ulps
 
-    ref = _ray.put(cents)
-
-    def assign_final(batch: pa.Table) -> pa.Table:
-        c = _ray.get(ref)
-        if len(batch) == 0:
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
-            )
-        mat = _as_matrix(batch, vec_col)
-        d2 = (
-            (mat * mat).sum(axis=1)[:, None]
-            - 2.0 * (mat @ c.T)
-            + (c * c).sum(axis=1)[None, :]
-        )
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
-            }
-        )
-
-    return corpus.map_batches(assign_final, batch_format="pyarrow")
+    return corpus, cents
 
 
 # --------------------------------------------------- product quantization

@@ -1339,3 +1339,109 @@ def normalized_exact_dedup(
         .groupby("__cshard")
         .map_groups(keep_min, batch_format="pandas")
     )
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.97,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dense_cluster: int = 4096,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning on an embedding column — k-means clusters
+    the corpus, then WITHIN each cluster any pair with cosine
+    similarity >= ``threshold`` is collapsed, keeping the member
+    farthest from its centroid (the paper's keep-rule; ties broken by
+    lowest id for determinism).
+
+    Topology: distributed Lloyd training (``ann.kmeans_centroids`` —
+    centroid state is the only driver payload), one tagging pass that
+    assigns each vector and computes its centroid distance, ONE hash
+    exchange on the cluster id, and a per-cluster greedy prune in
+    ``map_groups`` (members visited farthest-first; a member survives
+    iff its cosine to every already-kept member is < threshold).
+    Dropped ids are O(duplicates) driver-resident, broadcast back for
+    the map-only survivor filter — the same final shape as the LSH
+    dedups.
+
+    Scale: the within-cluster pairwise test is the algorithm's defined
+    cost (SemDeDup runs k large precisely so clusters stay small —
+    corpus/k on average; k is the knob).  Clusters up to
+    ``dense_cluster`` members use one full cosine matrix; bigger ones
+    fall back to an incremental kept-matrix product with identical
+    semantics — a memory strategy switch, never a truncation.
+    """
+    from .ann import _as_matrix, _normalize, kmeans_centroids
+
+    cents = kmeans_centroids(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    cents_ref = ray.put(cents)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.float64()),
+                    "vec": pa.array([], pa.binary()),
+                }
+            )
+        mat = _as_matrix(batch, vec_col)
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(mat)), assign]
+        return pa.table(
+            {
+                "cluster": pa.array(assign.astype(np.int64)),
+                id_col: batch.column(id_col),
+                "d2": pa.array(best, pa.float64()),
+                "vec": pa.array([row.tobytes() for row in mat], pa.binary()),
+            }
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        m = len(g)
+        if m <= 1:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        d2 = g.column("d2").to_numpy(zero_copy_only=False)
+        vecs = np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in g.column("vec").to_pylist()]
+        )
+        nm = _normalize(vecs)
+        order = np.lexsort((ids, -d2))  # farthest-from-centroid first
+        dropped = np.zeros(m, dtype=bool)
+        if m <= dense_cluster:
+            sim = nm[order] @ nm[order].T
+            for i in range(1, m):
+                kept_before = ~dropped[order[:i]]
+                if (sim[i, :i][kept_before] >= threshold).any():
+                    dropped[order[i]] = True
+        else:
+            kept_rows = [nm[order[0]]]
+            for i in range(1, m):
+                cand = nm[order[i]]
+                km = np.stack(kept_rows)
+                if (km @ cand >= threshold).any():
+                    dropped[order[i]] = True
+                else:
+                    kept_rows.append(cand)
+        return pa.table({id_col: pa.array(ids[dropped], pa.int64())})
+
+    drops = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+        .to_pandas()  # O(duplicates) driver-resident, like compute_drop_ids
+    )
+    drop = pa.array(np.sort(drops[id_col].to_numpy())) if len(drops) else None
+    return _filter_dropped(ds, drop, id_col)

@@ -2207,6 +2207,70 @@ def docs_radius_pairs(sf_dir: str):
     )
 
 
+_SEMDEDUP_DIM = 64
+_SEMDEDUP_THRESHOLD = 0.9
+
+
+def _planted_vectors(batch: pa.Table) -> pa.Table:
+    """Deterministic ±1 vectors in R^64 keyed by doc_id: docs with
+    doc_id % 5 < 3 share a base with their doc_id // 5 cohort (exact
+    duplicates); the rest are unique.  Distinct bases are
+    near-orthogonal (cos ~ N(0, 1/8)), far under the 0.9 threshold —
+    the margin is asserted by tests/test_dedup.py so the SQL oracle's
+    no-cross-group-merge assumption is pinned."""
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    base = np.where(did % 5 < 3, did // 5, 1_000_000 + did)
+    j = np.arange(_SEMDEDUP_DIM, dtype=np.uint64)[None, :]
+    h = base.astype(np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
+    h = h ^ (j * np.uint64(0xC2B2AE3D27D4EB4F))
+    h ^= h >> np.uint64(31)
+    h *= np.uint64(0xD6E8FEB86659FD93)
+    h ^= h >> np.uint64(29)
+    signs = np.where((h & np.uint64(1)) == 1, 1.0, -1.0)
+    return pa.table(
+        {
+            "vec_id": pa.array(did, pa.int64()),
+            "embedding": pa.array(
+                list(signs), pa.list_(pa.float64(), _SEMDEDUP_DIM)
+            ),
+        }
+    )
+
+
+def semdedup_planted(sf_dir: str):
+    """SemDeDup (k-means + within-cluster cosine pruning, dedup.py
+    semdedup) over a planted corpus of deterministic ±1 vectors where
+    3/5 of docs are exact copies of their cohort base: survivors are
+    exactly min-id per cohort plus every unique doc — SQL-derivable
+    without constructing vectors."""
+    from .dedup import semdedup
+
+    corpus = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _planted_vectors, batch_format="pyarrow"
+    )
+    return semdedup(
+        corpus, k=8, iters=3, threshold=_SEMDEDUP_THRESHOLD
+    ).select_columns(["vec_id"])
+
+
+SQL_SEMDEDUP_PLANTED = """
+SELECT CAST(doc_id AS BIGINT) AS vec_id FROM documents WHERE doc_id % 5 >= 3
+UNION ALL
+SELECT CAST(min(doc_id) AS BIGINT) AS vec_id FROM documents
+WHERE doc_id % 5 < 3 GROUP BY doc_id // 5
+"""
+
+
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup over the real embeddings table (rows-only: the k-means
+    partition is not SQL-expressible) — the paper-shaped semantic
+    near-dup prune at threshold 0.97."""
+    from .dedup import semdedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(emb, k=8, iters=3, threshold=0.97).select_columns(["vec_id"])
+
+
 _IDW_RADIUS_M = 2_000_000.0
 _IDW_ZOOM = 4  # cell side 2504 km >= radius
 _IDW_GRID = (12, 8)  # lon x lat query grid
@@ -5949,6 +6013,7 @@ QUERIES = {
         SQL_LINEITEM_PRICE_REGRESSION,
     ),
     "idw_docs_grid": (idw_docs_grid, SQL_IDW_DOCS_GRID),
+    "semdedup_planted": (semdedup_planted, SQL_SEMDEDUP_PLANTED),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---
@@ -5969,4 +6034,5 @@ QUERIES = {
     "interleaved_span_check": (interleaved_span_check, None),
     "span_explode_roundtrip": (span_explode_roundtrip, None),
     "interleaved_raster_join": (interleaved_raster_join, None),
+    "semdedup_embeddings": (semdedup_embeddings, None),
 }

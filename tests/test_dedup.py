@@ -576,3 +576,77 @@ def test_normalized_exact_dedup_partition_invariant(ray_session):
         ).to_pandas()
         ids.append(sorted(out["doc_id"].tolist()))
     assert ids[0] == ids[1] == list(range(10))
+
+
+class TestSemDeDup:
+    def test_planted_margin_and_survivors(self, ray_session):
+        """The planted ±1 corpus's cross-group cosine stays far below
+        the 0.9 threshold (pins the SQL oracle's no-merge assumption),
+        and semdedup keeps exactly min-id per cohort + all uniques."""
+        from rastertiler_rs_ray.pipelines.dedup import semdedup
+        from rastertiler_rs_ray.pipelines.driver_queries import (
+            _SEMDEDUP_THRESHOLD,
+            _planted_vectors,
+        )
+
+        n = 500
+        t = _planted_vectors(
+            pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+        )
+        vecs = np.asarray(t.column("embedding").combine_chunks().flatten()).reshape(
+            n, -1
+        )
+        nm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sim = nm @ nm.T
+        did = np.arange(n)
+        base = np.where(did % 5 < 3, did // 5, 1_000_000 + did)
+        cross = sim[base[:, None] != base[None, :]]
+        assert cross.max() < _SEMDEDUP_THRESHOLD - 0.05  # wide margin
+        out = semdedup(
+            ray.data.from_arrow(t), k=8, iters=3, threshold=_SEMDEDUP_THRESHOLD
+        ).to_pandas()
+        got = set(out.vec_id)
+        want = set(did[did % 5 >= 3]) | {
+            int((did[(did % 5 < 3) & (did // 5 == c)]).min())
+            for c in np.unique(did[did % 5 < 3] // 5)
+        }
+        assert got == want
+
+    def test_keep_rule_farthest_from_centroid(self, ray_session):
+        """Among near-duplicates the survivor is the member farthest
+        from its cluster centroid (SemDeDup's keep rule)."""
+        from rastertiler_rs_ray.pipelines.dedup import semdedup
+
+        rng = np.random.default_rng(2)
+        # two tight near-dup groups + isolated points, all in one cluster
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        rows, ids = [], []
+        for i in range(4):  # group A: tiny perturbations of base
+            v = base + 0.001 * (i + 1) * rng.standard_normal(16)
+            rows.append(v)
+            ids.append(10 + i)
+        far = rng.standard_normal(16)
+        far /= np.linalg.norm(far)
+        rows.append(far)
+        ids.append(99)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in rows], pa.list_(pa.float64())
+                ),
+            }
+        )
+        out = semdedup(
+            ray.data.from_arrow(t), k=1, iters=2, threshold=0.99
+        ).to_pandas()
+        kept = set(out.vec_id)
+        assert 99 in kept
+        group_kept = kept - {99}
+        assert len(group_kept) == 1
+        # the survivor must be the group member farthest from the centroid
+        vecs = np.stack(rows)
+        cent = vecs.mean(0)
+        d2 = ((vecs[:4] - cent) ** 2).sum(1)
+        assert group_kept == {ids[int(np.argmax(d2))]}
