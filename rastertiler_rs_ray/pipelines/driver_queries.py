@@ -2207,6 +2207,70 @@ def docs_radius_pairs(sf_dir: str):
     )
 
 
+def user_trajectory_paths(sf_dir: str):
+    """Trajectory session path lengths: events get deterministic
+    Mercator positions (the doc-position modular hash on event_id),
+    then spatial.py trajectory_session_paths fuses 30-min gap
+    sessionization and consecutive-hop planar distance sums into one
+    groupby(user) exchange."""
+    from .spatial import trajectory_session_paths
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def addpos(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon = ((eid * LON_MULT) % LON_MOD) / float(LON_MOD) * 360.0 - 180.0
+        lat = ((eid * LAT_MULT) % LAT_MOD) / float(LAT_MOD) * 170.0 - 85.0
+        mx, my = geo_to_mercator(lon, lat)
+        return b.append_column("mx", pa.array(mx, pa.float64())).append_column(
+            "my", pa.array(my, pa.float64())
+        )
+
+    return trajectory_session_paths(
+        ev.map_batches(addpos, batch_format="pyarrow"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "ts",
+        gap_seconds=1800,
+    )
+
+
+SQL_USER_TRAJECTORY_PATHS = """
+WITH pos AS (
+  SELECT event_id, user_id, ts,
+         (((event_id * 2654435761) % 3600000) / 3600000.0) * 360.0 - 180.0 AS lon,
+         (((event_id * 2246822519) % 1700000) / 1700000.0) * 170.0 - 85.0 AS lat
+  FROM events
+),
+m AS (
+  SELECT event_id, user_id, ts,
+         lon * ((6378137.0 * pi()) / 180.0) AS mx,
+         6378137.0 * ln(tan(pi() * 0.25 + 0.5 * (lat * (pi() / 180.0)))) AS my
+  FROM pos
+),
+lagged AS (
+  SELECT user_id, event_id, ts, mx, my,
+         LAG(ts) OVER w AS pts, LAG(mx) OVER w AS pmx, LAG(my) OVER w AS pmy
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+         CASE WHEN pts IS NOT NULL AND ts - pts <= INTERVAL 30 MINUTE
+              THEN sqrt((mx - pmx) * (mx - pmx) + (my - pmy) * (my - pmy)) END
+           AS hop
+  FROM lagged
+)
+SELECT user_id, session_id,
+       CAST(count(hop) AS BIGINT) AS n_hops,
+       CAST(floor(coalesce(sum(hop), 0.0) * 100 + 0.5) AS BIGINT) AS path_m_e2
+FROM s GROUP BY user_id, session_id
+"""
+
+
 _SEMDEDUP_DIM = 64
 _SEMDEDUP_THRESHOLD = 0.9
 
@@ -6014,6 +6078,7 @@ QUERIES = {
     ),
     "idw_docs_grid": (idw_docs_grid, SQL_IDW_DOCS_GRID),
     "semdedup_planted": (semdedup_planted, SQL_SEMDEDUP_PLANTED),
+    "user_trajectory_paths": (user_trajectory_paths, SQL_USER_TRAJECTORY_PATHS),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

@@ -1504,3 +1504,57 @@ def idw_interpolate(
         samples.map_batches(s_side, batch_format="pyarrow")
     )
     return both.groupby("tkey").map_groups(interp, batch_format="pyarrow")
+
+
+def trajectory_session_paths(
+    ds: ray.data.Dataset,
+    part_keys: list[str],
+    order_cols: list[str],
+    ts_col: str,
+    *,
+    mx_col: str = "mx",
+    my_col: str = "my",
+    gap_seconds: float,
+    quantum: float = 1e2,
+) -> ray.data.Dataset:
+    """Trajectory mining: gap-sessionize each key's ordered point
+    stream and measure every session's path length (sum of consecutive
+    planar EPSG:3857 hop distances) — sessionization and the hop
+    geometry fused into ONE groupby exchange (the ``sessionize`` /
+    ``lag_within_groups`` shape; same partitioning assumption: one
+    key's history fits a worker heap, time-bucket upstream otherwise).
+
+    Output per (part_keys..., session_id): n_hops and the path length
+    quantized with floor(x·quantum + 0.5).  Single-point sessions emit
+    n_hops = 0, path 0.
+    """
+    order_cols = list(order_cols)
+    part_keys = list(part_keys)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="mergesort")
+        ts = df[ts_col]
+        gap = ts.diff().dt.total_seconds() if str(ts.dtype).startswith(
+            "datetime"
+        ) else ts.diff()
+        new_sess = gap.isna() | (gap > gap_seconds)
+        sess = new_sess.cumsum().astype(np.int64)
+        dx = df[mx_col].diff().to_numpy()
+        dy = df[my_col].diff().to_numpy()
+        hop = np.sqrt(dx * dx + dy * dy)
+        hop[new_sess.to_numpy()] = np.nan
+        out = df[part_keys].iloc[:1].copy()
+        g = pd.DataFrame(
+            {"session_id": sess.to_numpy(), "hop": hop}
+        ).groupby("session_id", sort=True)["hop"]
+        agg = pd.DataFrame(
+            {"n_hops": g.count().astype(np.int64), "path_sum": g.sum()}
+        ).reset_index()
+        for k in part_keys:
+            agg[k] = out[k].iloc[0]
+        agg["path_m_e2"] = np.floor(
+            agg["path_sum"].fillna(0.0) * quantum + 0.5
+        ).astype(np.int64)
+        return agg[part_keys + ["session_id", "n_hops", "path_m_e2"]]
+
+    return ds.groupby(part_keys).map_groups(f, batch_format="pandas")

@@ -799,3 +799,45 @@ class TestIdwInterpolate:
             queries, samples, radius_m=2_000_000.0, zoom=4
         ).to_pandas()
         assert len(out) == 0
+
+
+def test_trajectory_session_paths(ray_session):
+    """Hand-computed sessions and path lengths for one user."""
+    from rastertiler_rs_ray.pipelines.spatial import trajectory_session_paths
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 10:00",
+            "2026-01-01 10:10",
+            "2026-01-01 10:20",
+            "2026-01-01 12:00",  # > 30 min gap -> new session
+            "2026-01-01 12:05",
+        ]
+    )
+    mx = np.array([0.0, 3.0, 3.0, 100.0, 103.0])
+    my = np.array([0.0, 4.0, 8.0, 0.0, 4.0])
+    t = pa.table(
+        {
+            "user_id": pa.array([7] * 5, pa.int64()),
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(ts),
+            "mx": mx,
+            "my": my,
+        }
+    )
+    out = (
+        trajectory_session_paths(
+            ray.data.from_arrow(t),
+            ["user_id"],
+            ["ts", "event_id"],
+            "ts",
+            gap_seconds=1800,
+        )
+        .to_pandas()
+        .sort_values("session_id")
+        .reset_index(drop=True)
+    )
+    assert out.session_id.tolist() == [1, 2]
+    assert out.n_hops.tolist() == [2, 1]
+    assert out.path_m_e2.tolist() == [900, 500]  # (5+4)*100, 5*100
+    assert (out.user_id == 7).all()
