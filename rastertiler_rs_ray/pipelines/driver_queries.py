@@ -2207,6 +2207,78 @@ def docs_radius_pairs(sf_dir: str):
     )
 
 
+_ALG_REGION = (0, 0, 768, 512)
+_ALG_CHUNK = 256
+_ALG_SEED_DELTA = 100
+
+
+def ndvi_two_rasters(sf_dir: str):
+    """Local (per-pixel) map algebra: NDVI-style normalized difference
+    of two co-registered synthetic rasters (seeds 42 / 142), pixels
+    valid iff BOTH are non-nodata, per-chunk-block rollup — zero
+    exchanges, one actor pool holding both raster handles
+    (pipelines/mapalgebra.py local_algebra)."""
+    from .mapalgebra import local_algebra
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    spec_b = {**r.spec(), "seed": r.seed + _ALG_SEED_DELTA}
+    return local_algebra(
+        r.spec(), spec_b, *_ALG_REGION, op="ndvi", chunk=_ALG_CHUNK
+    )
+
+
+def _sql_ndvi_two_rasters() -> str:
+    """DuckDB mirror of ndvi_two_rasters: four ``_sql_mix64`` stacks
+    (block + pixel hash for each seed) chained stage-by-stage, the
+    both-valid mask, and the same (a-b)/(a+b) float tree quantized e4."""
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _ALG_REGION
+    sb = r.seed + _ALG_SEED_DELTA
+    stacks = [
+        _sql_mix64(f"sc // {r.block}", f"sr // {r.block}", r.seed + 1, "bha"),
+        _sql_mix64("sc", "sr", r.seed, "pha"),
+        _sql_mix64(f"sc // {r.block}", f"sr // {r.block}", sb + 1, "bhb"),
+        _sql_mix64("sc", "sr", sb, "phb"),
+    ]
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, "
+        + ",\n  ".join(stack[i] for stack in stacks)
+        + f" FROM {prev})"
+        for i, prev in enumerate(["px", "m0", "m1", "m2"])
+    )
+    return f"""
+WITH cc AS (SELECT unnest(generate_series({c0}, {c1 - 1})) AS sc),
+cr AS (SELECT unnest(generate_series({r0}, {r1 - 1})) AS sr),
+px AS (SELECT sc, sr FROM cc CROSS JOIN cr),
+{hash_ctes},
+vals AS (
+  SELECT sc, sr,
+         CAST(CASE WHEN bha % 7 = 1 THEN 42
+                   ELSE 1 + CAST(pha % 255 AS BIGINT) END AS DOUBLE) AS va,
+         CAST(CASE WHEN bhb % 7 = 1 THEN 42
+                   ELSE 1 + CAST(phb % 255 AS BIGINT) END AS DOUBLE) AS vb
+  FROM m3 WHERE bha % 5 <> 0 AND bhb % 5 <> 0
+),
+q AS (
+  SELECT sc // {_ALG_CHUNK} AS bx, sr // {_ALG_CHUNK} AS by,
+         CAST(floor((va - vb) / (va + vb) * 10000 + 0.5) AS BIGINT) AS v
+  FROM vals
+)
+SELECT bx, by,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS val_sum,
+       CAST(min(v) AS BIGINT) AS val_min,
+       CAST(max(v) AS BIGINT) AS val_max
+FROM q GROUP BY bx, by
+"""
+
+
+SQL_NDVI_TWO_RASTERS = _sql_ndvi_two_rasters()
+
+
 def user_trajectory_paths(sf_dir: str):
     """Trajectory session path lengths: events get deterministic
     Mercator positions (the doc-position modular hash on event_id),
@@ -6079,6 +6151,7 @@ QUERIES = {
     "idw_docs_grid": (idw_docs_grid, SQL_IDW_DOCS_GRID),
     "semdedup_planted": (semdedup_planted, SQL_SEMDEDUP_PLANTED),
     "user_trajectory_paths": (user_trajectory_paths, SQL_USER_TRAJECTORY_PATHS),
+    "ndvi_two_rasters": (ndvi_two_rasters, SQL_NDVI_TWO_RASTERS),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

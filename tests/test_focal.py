@@ -135,3 +135,55 @@ def test_non_aligned_region_windowed(ray_session, raster):
         ).to_pandas()
     )
     pd.testing.assert_frame_equal(got, norm(dense_reference(raster, *region)))
+
+
+class TestLocalAlgebra:
+    def test_ndvi_matches_dense(self, ray_session, raster):
+        from rastertiler_rs_ray.pipelines.mapalgebra import local_algebra
+        from rastertiler_rs_ray.raster.synthetic import SyntheticRaster
+
+        spec_a = raster.spec()
+        spec_b = {**spec_a, "seed": raster.seed + 5}
+        region = (16, 16, 150, 120)  # deliberately non-chunk-aligned
+        got = (
+            local_algebra(spec_a, spec_b, *region, op="ndvi", chunk=CHUNK)
+            .to_pandas()
+            .sort_values(["bx", "by"])
+            .reset_index(drop=True)
+        )
+        b = SyntheticRaster.from_spec(spec_b)
+        c0, r0, c1, r1 = region
+        cs = np.arange(c0, c1)[None, :]
+        rs = np.arange(r0, r1)[:, None]
+        va = raster.values_at(cs, rs).astype(np.float64)
+        vb = b.values_at(cs, rs).astype(np.float64)
+        valid = (va != 0) & (vb != 0)
+        v = np.floor((va - vb) / (va + vb) * 1e4 + 0.5).astype(np.int64)
+        bxs = np.broadcast_to(cs // CHUNK, va.shape)
+        bys = np.broadcast_to(rs // CHUNK, va.shape)
+        rows = []
+        for bx in np.unique(bxs):
+            for by in np.unique(bys):
+                m = valid & (bxs == bx) & (bys == by)
+                if m.sum() == 0:
+                    continue
+                rows.append(
+                    {
+                        "bx": bx,
+                        "by": by,
+                        "n": int(m.sum()),
+                        "val_sum": int(v[m].sum()),
+                        "val_min": int(v[m].min()),
+                        "val_max": int(v[m].max()),
+                    }
+                )
+        want = (
+            pd.DataFrame(rows).sort_values(["bx", "by"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+    def test_unknown_op_rejected(self, ray_session, raster):
+        from rastertiler_rs_ray.pipelines.mapalgebra import local_algebra
+
+        with pytest.raises(ValueError, match="unknown op"):
+            local_algebra(raster.spec(), raster.spec(), 0, 0, 8, 8, op="mul")
