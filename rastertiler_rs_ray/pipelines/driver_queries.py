@@ -2207,6 +2207,80 @@ def docs_radius_pairs(sf_dir: str):
     )
 
 
+_DBSCAN_MIN_PTS = 3
+
+
+def dbscan_docs(sf_dir: str):
+    """Distributed DBSCAN over doc positions (ε = 1000 km planar
+    Mercator, minPts = 3): grid-bucketed ε-join → degree groupby →
+    union-find components over core-core edges → min-adjacent-core
+    border attach — all narrow-id exchanges, no driver state
+    (spatial.py dbscan_grid)."""
+    from .spatial import dbscan_grid
+
+    return dbscan_grid(
+        doc_positions_dataset(sf_dir),
+        eps_m=_RADIUS_M,
+        zoom=_RADIUS_ZOOM,
+        min_pts=_DBSCAN_MIN_PTS,
+    )
+
+
+SQL_DBSCAN_DOCS = f"""
+WITH RECURSIVE
+pos AS ({{sql_pos}}), merc AS ({{sql_merc}}),
+p AS (SELECT doc_id, mx, my FROM merc),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM p a JOIN p b ON a.doc_id < b.doc_id
+  WHERE (a.mx - b.mx) * (a.mx - b.mx) + (a.my - b.my) * (a.my - b.my)
+        <= {_RADIUS_M * _RADIUS_M!r}
+),
+deg AS (
+  SELECT pid, count(*) AS deg FROM (
+    SELECT u AS pid FROM pairs UNION ALL SELECT v AS pid FROM pairs
+  ) GROUP BY pid
+),
+core AS (SELECT pid FROM deg WHERE deg + 1 >= {_DBSCAN_MIN_PTS}),
+cc AS (
+  SELECT u, v FROM pairs
+  WHERE u IN (SELECT pid FROM core) AND v IN (SELECT pid FROM core)
+),
+edges AS (SELECT u, v AS w FROM cc UNION ALL SELECT v AS u, u AS w FROM cc),
+reach(node, x) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.node, e.w FROM reach r JOIN edges e ON e.u = r.x
+),
+comp AS (
+  SELECT c.pid AS node,
+         least(c.pid, coalesce((SELECT min(x) FROM reach r WHERE r.node = c.pid),
+                               c.pid)) AS component
+  FROM core c
+),
+bp AS (
+  SELECT v AS nc, u AS c FROM pairs
+  WHERE u IN (SELECT pid FROM core) AND v NOT IN (SELECT pid FROM core)
+  UNION ALL
+  SELECT u AS nc, v AS c FROM pairs
+  WHERE v IN (SELECT pid FROM core) AND u NOT IN (SELECT pid FROM core)
+),
+border AS (
+  SELECT bp.nc AS node, min(comp.component) AS component
+  FROM bp JOIN comp ON comp.node = bp.c GROUP BY bp.nc
+)
+SELECT node AS doc_id, CAST(component AS BIGINT) AS cluster, 'core' AS role
+FROM comp
+UNION ALL
+SELECT node AS doc_id, CAST(component AS BIGINT) AS cluster, 'border' AS role
+FROM border
+UNION ALL
+SELECT doc_id, CAST(-1 AS BIGINT) AS cluster, 'noise' AS role FROM p
+WHERE doc_id NOT IN (SELECT node FROM comp)
+  AND doc_id NOT IN (SELECT node FROM border)
+""".format(sql_pos=SQL_POS, sql_merc=SQL_MERC)
+
+
 _ALG_REGION = (0, 0, 768, 512)
 _ALG_CHUNK = 256
 _ALG_SEED_DELTA = 100
@@ -6152,6 +6226,7 @@ QUERIES = {
     "semdedup_planted": (semdedup_planted, SQL_SEMDEDUP_PLANTED),
     "user_trajectory_paths": (user_trajectory_paths, SQL_USER_TRAJECTORY_PATHS),
     "ndvi_two_rasters": (ndvi_two_rasters, SQL_NDVI_TWO_RASTERS),
+    "dbscan_docs": (dbscan_docs, SQL_DBSCAN_DOCS),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

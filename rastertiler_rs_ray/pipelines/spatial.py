@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1558,3 +1559,211 @@ def trajectory_session_paths(
         return agg[part_keys + ["session_id", "n_hops", "path_m_e2"]]
 
     return ds.groupby(part_keys).map_groups(f, batch_format="pandas")
+
+
+def dbscan_grid(
+    pos: ray.data.Dataset,
+    *,
+    eps_m: float,
+    zoom: int,
+    min_pts: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed DBSCAN over planar EPSG:3857 points, composed from
+    the engine's own primitives: the grid-bucketed ε-join
+    (``radius_self_join``) supplies the neighbor graph, degrees come
+    from one narrow groupby, core-core edges feed the sharded
+    union-find (``dedup.connected_components``), and border points
+    attach to the minimum adjacent core label (the deterministic pin of
+    DBSCAN's order-dependent border assignment).
+
+    Definitions (mirrored by the SQL oracle): a point is CORE iff its
+    ε-neighborhood, itself included, has >= ``min_pts`` members; a
+    cluster is a connected component of core points under the ε
+    relation, labeled by its smallest core id; a BORDER point is a
+    non-core point ε-adjacent to >= 1 core (label = min adjacent
+    core's label); everything else is NOISE (cluster = -1).
+
+    Scale shape: every intermediate is a narrow id table — pairs,
+    degrees, labels — shuffled at most once each; points/payloads never
+    replicate beyond the ε-join's constant 9x.  No driver-side state at
+    all (contrast ``compute_drop_ids``'s O(duplicates) pull): labels
+    stay distributed end to end.
+    """
+    from .dedup import connected_components
+    from .relational import grouped_aggregate
+
+    raw = radius_self_join(
+        pos,
+        radius_m=eps_m,
+        zoom=zoom,
+        id_col=id_col,
+        num_partitions=num_partitions,
+    )
+
+    def uv(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": b.column("a_doc_id"), "v": b.column("b_doc_id")}
+        )
+
+    pairs = raw.map_batches(uv, batch_format="pyarrow").materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pid": pa.concat_arrays(
+                    [
+                        b.column("u").combine_chunks(),
+                        b.column("v").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    deg = grouped_aggregate(
+        pairs.map_batches(endpoints, batch_format="pyarrow"),
+        ["pid"],
+        [("deg", "pid", "count")],
+    )
+
+    # groupby-based inner attach (all-int64 narrow rows): robust to
+    # arbitrarily sparse keys, unlike Ray 2.49's hash join which
+    # crashes on empty partitions (see shuffle_hash_join's note)
+    def _group_attach(left, key_col, carry_cols, right, right_key, val_col, out_col):
+        def pack_l(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table(
+                {
+                    "__k": pc.cast(b.column(key_col), pa.int64()),
+                    **{c: b.column(c) for c in carry_cols},
+                    "__val": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "__r": pa.array(np.zeros(n, bool)),
+                }
+            )
+
+        def pack_r(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table(
+                {
+                    "__k": pc.cast(b.column(right_key), pa.int64()),
+                    **{
+                        c: pa.array(np.full(n, -1, np.int64), pa.int64())
+                        for c in carry_cols
+                    },
+                    "__val": pc.cast(b.column(val_col), pa.int64()),
+                    "__r": pa.array(np.ones(n, bool)),
+                }
+            )
+
+        both = left.map_batches(pack_l, batch_format="pyarrow").union(
+            right.map_batches(pack_r, batch_format="pyarrow")
+        )
+
+        def g(t: pa.Table) -> pa.Table:
+            isr = t.column("__r").to_numpy(zero_copy_only=False)
+            out_cols = [key_col] + list(carry_cols) + [out_col]
+            if not isr.any() or isr.all():  # inner semantics
+                return pa.schema(
+                    [(c, pa.int64()) for c in out_cols]
+                ).empty_table()
+            val = t.column("__val").to_numpy(zero_copy_only=False)[isr][0]
+            lt = t.filter(pa.array(~isr))
+            n = len(lt)
+            return pa.table(
+                {
+                    key_col: lt.column("__k"),
+                    **{c: lt.column(c) for c in carry_cols},
+                    out_col: pa.array(np.full(n, val, np.int64), pa.int64()),
+                }
+            )
+
+        return both.groupby("__k").map_groups(g, batch_format="pyarrow")
+
+    with_u = _group_attach(pairs, "u", ["v"], deg, "pid", "deg", "deg_u")
+    flagged = _group_attach(
+        with_u, "v", ["u", "deg_u"], deg, "pid", "deg", "deg_v"
+    ).materialize()
+
+    def both_core(b: pa.Table) -> pa.Table:
+        du = b.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = b.column("deg_v").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((du + 1 >= min_pts) & (dv + 1 >= min_pts))).select(
+            ["u", "v"]
+        )
+
+    cc_edges = flagged.map_batches(both_core, batch_format="pyarrow")
+    comp = connected_components(cc_edges)
+
+    # isolated cores (no core-core edge) label themselves: union a
+    # self-map of every core, keep min label per node
+    def self_map(b: pa.Table) -> pa.Table:
+        d = b.column("deg").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(d + 1 >= min_pts))
+        return pa.table({"node": t.column("pid"), "component": t.column("pid")})
+
+    core_labels = grouped_aggregate(
+        comp.union(deg.map_batches(self_map, batch_format="pyarrow")),
+        ["node"],
+        [("component", "component", "min")],
+    ).materialize()
+
+    def border_pairs(b: pa.Table) -> pa.Table:
+        uc = b.column("deg_u").to_numpy(zero_copy_only=False) + 1 >= min_pts
+        vc = b.column("deg_v").to_numpy(zero_copy_only=False) + 1 >= min_pts
+        u = b.column("u").combine_chunks()
+        v = b.column("v").combine_chunks()
+        t1 = pa.table({"nc": v, "c": u}).filter(pa.array(uc & ~vc))
+        t2 = pa.table({"nc": u, "c": v}).filter(pa.array(vc & ~uc))
+        return pa.concat_tables([t1, t2])
+
+    border_labels = grouped_aggregate(
+        _group_attach(
+            flagged.map_batches(border_pairs, batch_format="pyarrow"),
+            "c",
+            ["nc"],
+            core_labels,
+            "node",
+            "component",
+            "component",
+        ).select_columns(["nc", "component"]),
+        ["nc"],
+        [("component", "component", "min")],
+    )
+
+    # assemble: core beats border beats noise, one narrow groupby
+    def tag(role, prio, node_col):
+        def f(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table(
+                {
+                    id_col: b.column(node_col),
+                    "cluster": (
+                        b.column("component")
+                        if "component" in b.column_names
+                        else pa.array(np.full(n, -1, np.int64), pa.int64())
+                    ),
+                    "role": pa.array([role] * n, pa.string()),
+                    "prio": pa.array(np.full(n, prio, np.int8), pa.int8()),
+                }
+            )
+
+        return f
+
+    cands = (
+        core_labels.map_batches(tag("core", 0, "node"), batch_format="pyarrow")
+        .union(
+            border_labels.map_batches(tag("border", 1, "nc"), batch_format="pyarrow")
+        )
+        .union(
+            pos.select_columns([id_col]).map_batches(
+                tag("noise", 2, id_col), batch_format="pyarrow"
+            )
+        )
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        best = df.sort_values("prio", kind="mergesort").head(1)
+        return best[[id_col, "cluster", "role"]]
+
+    return cands.groupby(id_col).map_groups(pick, batch_format="pandas")

@@ -841,3 +841,62 @@ def test_trajectory_session_paths(ray_session):
     assert out.n_hops.tolist() == [2, 1]
     assert out.path_m_e2.tolist() == [900, 500]  # (5+4)*100, 5*100
     assert (out.user_id == 7).all()
+
+
+def test_dbscan_grid_roles(ray_session):
+    """Hand-built scene: a dense 4-point core cluster with one border
+    point hanging off it, and an isolated noise point."""
+    from rastertiler_rs_ray.pipelines.spatial import dbscan_grid
+
+    eps = 100_000.0
+    # points 0-3: pairwise within eps (all core at min_pts=3)
+    # point 4: within eps of only point 3 (border)
+    # point 5: far away (noise)
+    mx = np.array([0.0, 30e3, 0.0, 30e3, 128e3, 5e6])
+    my = np.array([0.0, 0.0, 30e3, 30e3, 30e3, 5e6])
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(6), pa.int64()),
+            "mx": mx,
+            "my": my,
+        }
+    )
+    out = (
+        dbscan_grid(
+            ray.data.from_arrow(t), eps_m=eps, zoom=8, min_pts=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.role.tolist() == ["core"] * 4 + ["border", "noise"]
+    assert out.cluster.tolist() == [0, 0, 0, 0, 0, -1]
+
+
+def test_dbscan_grid_isolated_core(ray_session):
+    """A core point whose neighbors are all non-core self-labels its
+    cluster; the neighbors become border points with that label."""
+    from rastertiler_rs_ray.pipelines.spatial import dbscan_grid
+
+    eps = 100_000.0
+    # star: center 7 within eps of tips 8,9; tips not within eps of
+    # each other and not core (1 neighbor each)
+    mx = np.array([0.0, 60e3, -60e3])
+    my = np.array([0.0, 0.0, 0.0])
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9], pa.int64()),
+            "mx": mx,
+            "my": my,
+        }
+    )
+    out = (
+        dbscan_grid(
+            ray.data.from_arrow(t), eps_m=eps, zoom=8, min_pts=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.role.tolist() == ["core", "border", "border"]
+    assert out.cluster.tolist() == [7, 7, 7]
