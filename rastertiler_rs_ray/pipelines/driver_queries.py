@@ -2207,6 +2207,60 @@ def docs_radius_pairs(sf_dir: str):
     )
 
 
+def bilinear_tile_checksums(sf_dir: str):
+    """Bilinear-resampled tile reads (the beyond-reference resampling
+    kernel, raster/kernel.py read_decimated_bilinear): every tile of
+    zooms 1-6 covering the synthetic raster rendered with
+    resampling='bilinear' in a stateful reader pool, emitting per-tile
+    content hashes + nodata counts (rows-only: the blend arithmetic has
+    no tractable SQL mirror; goldens pin the kernel in tests)."""
+    from ..functions.hashing import content_hash64
+    from ..geo.tileid import tile_range
+    from ..raster.synthetic import SyntheticRaster, default_u8_raster
+
+    r = default_u8_raster()
+    spec = r.spec()
+    ids = []
+    for z in range(1, 7):
+        tr = tile_range(z, r.bounds())
+        ids += [
+            {"zoom": z, "x": tx, "y": ty}
+            for ty in range(tr.ymin, tr.ymax + 1)
+            for tx in range(tr.xmin, tr.xmax + 1)
+        ]
+
+    class _BilinearReader:
+        def __init__(self):
+            self.r = SyntheticRaster.from_spec(spec)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            zs, xs, ys, hs, nds = [], [], [], [], []
+            for z, tx, ty in zip(
+                *(b.column(c).to_numpy(zero_copy_only=False) for c in ("zoom", "x", "y"))
+            ):
+                buf = self.r.read_tile(int(z), int(tx), int(ty), 256, resampling="bilinear")
+                if buf is None:
+                    continue
+                zs.append(z)
+                xs.append(tx)
+                ys.append(ty)
+                hs.append(content_hash64(buf.tobytes()))
+                nds.append(int((buf == self.r.nodata).sum()))
+            return pa.table(
+                {
+                    "zoom": pa.array(zs, pa.int64()),
+                    "x": pa.array(xs, pa.int64()),
+                    "y": pa.array(ys, pa.int64()),
+                    "tile_hash": pa.array(hs, pa.int64()),
+                    "n_nodata": pa.array(nds, pa.int64()),
+                }
+            )
+
+    return ray.data.from_items(ids).map_batches(
+        _BilinearReader, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+
+
 _DBSCAN_MIN_PTS = 3
 
 
@@ -6248,4 +6302,5 @@ QUERIES = {
     "span_explode_roundtrip": (span_explode_roundtrip, None),
     "interleaved_raster_join": (interleaved_raster_join, None),
     "semdedup_embeddings": (semdedup_embeddings, None),
+    "bilinear_tile_checksums": (bilinear_tile_checksums, None),
 }

@@ -64,8 +64,64 @@ class TileReadMixin:
         vals = self.values_at((x_off + uj)[None, :], (y_off + ui)[:, None])
         return vals[iinv][:, jinv]
 
-    def read_tile(self, zoom: int, x: int, y: int, tilesize: int) -> np.ndarray | None:
-        """Render one tile buffer, or None if empty. Ref src/dataset.rs:121-196."""
+    def read_decimated_bilinear(
+        self, x_off: int, y_off: int, read_w: int, read_h: int, out_w: int, out_h: int
+    ) -> np.ndarray:
+        """Bilinear-resampled read — the beyond-reference resampling
+        path (the reference is NN-only, src/dataset.rs:168's
+        ResampleAlg::NearestNeighbour).  Destination pixel centers map
+        to source coords s = (i + 0.5)·read/out − 0.5; the four
+        surrounding source pixels blend by the fractional offsets
+        (edges clamp, GDAL-style).  Nodata contract (ours, pinned by
+        tests, simpler than GDAL's weight renormalization): if ANY of
+        the four contributors is nodata the output pixel is nodata.
+        The blend rounds half-away back to the integer dtype.  Like the
+        NN path, the pixel function is evaluated once per UNIQUE source
+        pixel and expanded by gathers."""
+        sx = (np.arange(out_w, dtype=np.float64) + 0.5) * read_w / out_w - 0.5
+        sy = (np.arange(out_h, dtype=np.float64) + 0.5) * read_h / out_h - 0.5
+        x0 = np.clip(np.floor(sx), 0, read_w - 1).astype(np.int64)
+        y0 = np.clip(np.floor(sy), 0, read_h - 1).astype(np.int64)
+        x1 = np.minimum(x0 + 1, read_w - 1)
+        y1 = np.minimum(y0 + 1, read_h - 1)
+        fx = np.clip(sx - x0, 0.0, 1.0)
+        fy = np.clip(sy - y0, 0.0, 1.0)
+        ucols, cinv = np.unique(np.concatenate([x0, x1]), return_inverse=True)
+        urows, rinv = np.unique(np.concatenate([y0, y1]), return_inverse=True)
+        grid = self.values_at(
+            (x_off + ucols)[None, :], (y_off + urows)[:, None]
+        ).astype(np.float64)
+        j0, j1 = cinv[:out_w], cinv[out_w:]
+        i0, i1 = rinv[:out_h], rinv[out_h:]
+        v00 = grid[np.ix_(i0, j0)]
+        v01 = grid[np.ix_(i0, j1)]
+        v10 = grid[np.ix_(i1, j0)]
+        v11 = grid[np.ix_(i1, j1)]
+        nd = float(self.nodata)
+        anynd = (v00 == nd) | (v01 == nd) | (v10 == nd) | (v11 == nd)
+        top = v00 * (1.0 - fx)[None, :] + v01 * fx[None, :]
+        bot = v10 * (1.0 - fx)[None, :] + v11 * fx[None, :]
+        blend = top * (1.0 - fy)[:, None] + bot * fy[:, None]
+        out = (np.sign(blend) * np.floor(np.abs(blend) + 0.5)).astype(
+            self.values_at(np.array([[0]]), np.array([[0]])).dtype
+        )
+        return np.where(anynd, out.dtype.type(self.nodata), out)
+
+    def read_tile(
+        self,
+        zoom: int,
+        x: int,
+        y: int,
+        tilesize: int,
+        *,
+        resampling: str = "nearest",
+    ) -> np.ndarray | None:
+        """Render one tile buffer, or None if empty. Ref src/dataset.rs:121-196.
+
+        ``resampling``: "nearest" (reference parity, default) or
+        "bilinear" (beyond-reference extension; identical window /
+        padding / skip arithmetic, only the decimation kernel differs).
+        """
         size = float(tilesize)
         vrt_w, vrt_h = float(self.width), float(self.height)
         vrt_transform = self.transform
@@ -101,7 +157,13 @@ class TileReadMixin:
         if read_width == 0 or read_height == 0 or width <= 0 or height <= 0:
             return None
 
-        data = self.read_decimated(
+        if resampling == "nearest":
+            reader = self.read_decimated
+        elif resampling == "bilinear":
+            reader = self.read_decimated_bilinear
+        else:
+            raise ValueError(f"unknown resampling {resampling!r}")
+        data = reader(
             int(x_offset), int(y_offset), read_width, read_height, width, height
         )
 

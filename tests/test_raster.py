@@ -122,3 +122,91 @@ def test_spec_roundtrip():
     r = default_u32_raster()
     r2 = SyntheticRaster.from_spec(r.spec())
     assert r2 == r
+
+
+class TestBilinearResampling:
+    def _mini(self):
+        """A tiny raster whose values we control via a lookup table."""
+        import numpy as np
+
+        from rastertiler_rs_ray.geo import Affine
+        from rastertiler_rs_ray.raster.kernel import TileReadMixin
+
+        class Lut(TileReadMixin):
+            dtype = "uint8"
+            nodata = 0
+            width = 4
+            height = 4
+            transform = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 4.0)
+
+            def __init__(self, grid):
+                self.grid = np.asarray(grid, dtype=np.uint8)
+
+            def values_at(self, cols, rows):
+                cols = np.asarray(cols)
+                rows = np.asarray(rows)
+                c = np.clip(cols, 0, 3)
+                r = np.clip(rows, 0, 3)
+                return np.broadcast_to(
+                    self.grid[r, c], np.broadcast_shapes(cols.shape, rows.shape)
+                ).copy()
+
+        return Lut
+
+    def test_identity_scale_equals_nearest(self):
+        import numpy as np
+
+        Lut = self._mini()
+        g = np.arange(16).reshape(4, 4) + 10
+        src = Lut(g)
+        nn = src.read_decimated(0, 0, 4, 4, 4, 4)
+        bl = src.read_decimated_bilinear(0, 0, 4, 4, 4, 4)
+        assert np.array_equal(nn, bl)
+        assert np.array_equal(bl, g.astype(np.uint8))
+
+    def test_2x_upsample_hand_values(self):
+        import numpy as np
+
+        Lut = self._mini()
+        g = np.zeros((4, 4))
+        g[:2, :2] = [[10, 20], [30, 40]]
+        src = Lut(g)
+        out = src.read_decimated_bilinear(0, 0, 2, 2, 4, 4)
+        # dst center i maps to s = (i+.5)/2 - .5 = [-0.25, .25, .75, 1.25]
+        # -> weights 0, .25, .75, 1 (clamped)
+        # half-away rounding: 12.5 -> 13, 17.5 -> 18
+        want_row0 = [10, 13, 18, 20]
+        assert out[0].tolist() == want_row0
+        # bilinear stays within the window's value envelope
+        assert out.min() >= 10 and out.max() <= 40
+
+    def test_nodata_poisons_neighbors(self):
+        import numpy as np
+
+        Lut = self._mini()
+        g = np.full((4, 4), 100)
+        g[1, 1] = 0  # nodata
+        src = Lut(g)
+        out = src.read_decimated_bilinear(0, 0, 4, 4, 8, 8)
+        # every output pixel with (1,1) among its 4 contributors is nodata
+        assert (out == 0).sum() > 0
+        # far corner untouched
+        assert out[7, 7] == 100
+
+    def test_read_tile_dispatch(self):
+        import numpy as np
+
+        from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+        r = default_u8_raster()
+        t_nn = r.read_tile(2, 1, 1, 64)
+        t_bl = r.read_tile(2, 1, 1, 64, resampling="bilinear")
+        assert t_nn is not None and t_bl is not None
+        assert t_nn.shape == t_bl.shape == (64, 64)
+        assert t_nn.dtype == t_bl.dtype
+        # downsampled noise: kernels must differ somewhere
+        assert not np.array_equal(t_nn, t_bl)
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown resampling"):
+            r.read_tile(2, 1, 1, 64, resampling="cubic")
