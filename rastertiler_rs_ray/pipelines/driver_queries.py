@@ -1461,6 +1461,49 @@ def merge_tilesets_demo(sf_dir: str):
 SQL_MERGE_TILESETS_DEMO = _sql_read_map("merge_out")
 
 
+def incremental_render_demo(sf_dir: str):
+    """Incremental re-render: a rectangular pixel region of the base
+    raster changes (raster/synthetic.py PatchedRaster); only the dirty
+    region's tile cover re-renders (render_pyramid's ``plan_bounds``)
+    and left-wins-merges over the base tileset.  The ORACLE is the
+    strongest available: a FULL re-render of the updated raster —
+    incremental output must equal batch output tile-for-tile,
+    hash-for-hash.  (The reference cannot do this at all: MBTiles::new
+    deletes the whole output, src/mbtiles.rs:53-55.)"""
+    import os
+
+    from ..raster.synthetic import PatchedRaster, default_u8_raster
+    from .merge import merge_tilesets
+    from .render import render_pyramid, tileset_map_dataset
+
+    base_r = default_u8_raster(seed=42)
+    patched = PatchedRaster(
+        base_r.spec(),
+        default_u8_raster(seed=77).spec(),
+        (1024, 1024, 1536, 1408),
+    )
+    base = os.path.join(ORACLE_TS_ROOT, "incr_base")
+    patch = os.path.join(ORACLE_TS_ROOT, "incr_patch")
+    merged = os.path.join(ORACLE_TS_ROOT, "incr_merged")
+    full = os.path.join(ORACLE_TS_ROOT, "incr_full")
+    render_pyramid(base_r, base, 2, 5, tilesize=64, resume=False)
+    render_pyramid(
+        patched,
+        patch,
+        2,
+        5,
+        tilesize=64,
+        resume=False,
+        plan_bounds=patched.dirty_bounds(),
+    )
+    merge_tilesets(patch, base, merged)
+    render_pyramid(patched, full, 2, 5, tilesize=64, resume=False)  # oracle
+    return tileset_map_dataset(merged).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_INCREMENTAL_RENDER_DEMO = _sql_read_map("incr_full")
+
+
 KNN_QUERY_POINTS = [(-122.4, 37.7), (2.35, 48.85), (139.7, 35.6), (151.2, -33.8)]
 
 
@@ -6281,6 +6324,10 @@ QUERIES = {
     "user_trajectory_paths": (user_trajectory_paths, SQL_USER_TRAJECTORY_PATHS),
     "ndvi_two_rasters": (ndvi_two_rasters, SQL_NDVI_TWO_RASTERS),
     "dbscan_docs": (dbscan_docs, SQL_DBSCAN_DOCS),
+    "incremental_render_demo": (
+        incremental_render_demo,
+        SQL_INCREMENTAL_RENDER_DEMO,
+    ),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

@@ -119,12 +119,18 @@ def render_pyramid(
     concurrency=None,
     resume: bool = True,
     target_tiles_per_group: int = 4096,
+    plan_bounds: Bounds | None = None,
 ) -> Manifest:
     """Render the z∈[minzoom, maxzoom] pyramid of ``raster`` into ``out_dir``.
 
     Returns the manifest (with per-group lineage and throughput).
     ``concurrency`` sizes the TileRenderer actor pool; defaults to the
     cluster CPU count (Ray must already be initialized by the caller).
+
+    ``plan_bounds`` restricts tile ENUMERATION to a mercator bbox (the
+    incremental/dirty-region path: only the covering tiles render; the
+    read kernel still sees the full raster, so edge tiles are not
+    nodata-padded).  Default: the raster's own bounds (full pyramid).
     """
     if colormap is not None and raster.dtype != "uint8":
         raise ValueError("colormap can only be provided for uint8 data")
@@ -138,7 +144,7 @@ def render_pyramid(
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    mercator_bounds = raster.bounds()
+    mercator_bounds = plan_bounds if plan_bounds is not None else raster.bounds()
     gxmin, gymin = mercator_to_geo(mercator_bounds.xmin, mercator_bounds.ymin)
     gxmax, gymax = mercator_to_geo(mercator_bounds.xmax, mercator_bounds.ymax)
     geo_bounds = Bounds(float(gxmin), float(gymin), float(gxmax), float(gymax))

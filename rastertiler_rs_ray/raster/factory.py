@@ -20,4 +20,8 @@ def raster_from_spec(spec: dict):
         from .geotiff import MercatorWarp
 
         return MercatorWarp.from_spec(spec)
+    if kind == "patched":
+        from .synthetic import PatchedRaster
+
+        return PatchedRaster.from_spec(spec)
     raise ValueError(f"unknown raster spec kind: {kind!r}")

@@ -168,3 +168,64 @@ def default_u32_raster(seed: int = 42) -> SyntheticRaster:
         transform=Affine(_RES, 0.0, -ORIGIN / 3.0, 0.0, -_RES, ORIGIN / 5.0),
         seed=seed,
     )
+
+
+class PatchedRaster(TileReadMixin):
+    """A raster with a rectangular pixel region overridden by another
+    source — the "changed data" model for incremental re-rendering
+    (the reference has no incremental path at all: MBTiles::new deletes
+    the whole output, src/mbtiles.rs:53-55; this engine re-renders only
+    the dirty tile cover and left-wins-merges it over the base
+    tileset).
+
+    Both operands come from factory specs so actor pools can reopen the
+    composite from one JSON spec; shape/georeferencing are the base's
+    (the patch is sampled at the same global pixel grid).
+    """
+
+    def __init__(self, base_spec: dict, patch_spec: dict, region: tuple):
+        from .factory import raster_from_spec
+
+        self.base = raster_from_spec(base_spec)
+        self.patch = raster_from_spec(patch_spec)
+        self._base_spec = dict(base_spec)
+        self._patch_spec = dict(patch_spec)
+        self.region = tuple(int(v) for v in region)  # (c0, r0, c1, r1)
+        self.dtype = self.base.dtype
+        self.nodata = self.base.nodata
+        self.width = self.base.width
+        self.height = self.base.height
+        self.transform = self.base.transform
+
+    def bounds(self) -> Bounds:
+        return self.base.bounds()
+
+    def values_at(self, cols: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        c0, r0, c1, r1 = self.region
+        cols = np.asarray(cols)
+        rows = np.asarray(rows)
+        vb = self.base.values_at(cols, rows)
+        vp = self.patch.values_at(cols, rows)
+        in_r = (cols >= c0) & (cols < c1) & (rows >= r0) & (rows < r1)
+        return np.where(np.broadcast_to(in_r, vb.shape), vp, vb)
+
+    def dirty_bounds(self) -> Bounds:
+        """Mercator bbox of the patched pixel region — the planning
+        bounds for the incremental re-render's tile cover."""
+        c0, r0, c1, r1 = self.region
+        t = self.transform
+        xs = [t.c + t.a * c0, t.c + t.a * c1]
+        ys = [t.f + t.e * r0, t.f + t.e * r1]
+        return Bounds(min(xs), min(ys), max(xs), max(ys))
+
+    def spec(self) -> dict:
+        return {
+            "kind": "patched",
+            "base": self._base_spec,
+            "patch": self._patch_spec,
+            "region": list(self.region),
+        }
+
+    @staticmethod
+    def from_spec(spec: dict) -> "PatchedRaster":
+        return PatchedRaster(spec["base"], spec["patch"], tuple(spec["region"]))

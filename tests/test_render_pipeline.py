@@ -11,6 +11,7 @@ import json
 import os
 import sqlite3
 
+import pandas as pd
 import pyarrow.dataset as pads
 import pytest
 
@@ -439,3 +440,73 @@ def test_world_raster_full_pyramid(ray_session, tmp_path):
     render_pyramid(world_u8_raster(), out2, 0, 3, tilesize=128, concurrency=7,
                    resume=False)
     assert _tile_hashes(out2) == h1
+
+
+def test_incremental_render_equals_full(ray_session, tmp_path):
+    """Dirty-cover re-render + left-wins merge == full re-render of the
+    patched raster, tile-for-tile."""
+    from rastertiler_rs_ray.pipelines.merge import merge_tilesets
+    from rastertiler_rs_ray.pipelines.render import (
+        render_pyramid,
+        tileset_map_dataset,
+    )
+    from rastertiler_rs_ray.raster.synthetic import (
+        PatchedRaster,
+        default_u8_raster,
+    )
+
+    base_r = default_u8_raster(seed=42)
+    patched = PatchedRaster(
+        base_r.spec(), default_u8_raster(seed=9).spec(), (512, 512, 1024, 896)
+    )
+    d = str(tmp_path)
+    render_pyramid(base_r, f"{d}/base", 2, 5, tilesize=64, resume=False)
+    render_pyramid(
+        patched,
+        f"{d}/patch",
+        2,
+        5,
+        tilesize=64,
+        resume=False,
+        plan_bounds=patched.dirty_bounds(),
+    )
+    merge_tilesets(f"{d}/patch", f"{d}/base", f"{d}/merged")
+    render_pyramid(patched, f"{d}/full", 2, 5, tilesize=64, resume=False)
+
+    def m(p):
+        return (
+            tileset_map_dataset(p)
+            .select_columns(["zoom", "x", "y", "tile_hash"])
+            .to_pandas()
+            .sort_values(["zoom", "x", "y"])
+            .reset_index(drop=True)
+        )
+
+    got, want = m(f"{d}/merged"), m(f"{d}/full")
+    pd.testing.assert_frame_equal(got, want)
+    # and the patch really changed something vs the base
+    assert not m(f"{d}/base").equals(want)
+
+
+def test_patched_raster_values():
+    import numpy as np
+
+    from rastertiler_rs_ray.raster.factory import raster_from_spec
+    from rastertiler_rs_ray.raster.synthetic import (
+        PatchedRaster,
+        default_u8_raster,
+    )
+
+    a = default_u8_raster(seed=42)
+    b = default_u8_raster(seed=9)
+    p = PatchedRaster(a.spec(), b.spec(), (100, 200, 300, 400))
+    cols = np.arange(50, 350)[None, :]
+    rows = np.arange(150, 450)[:, None]
+    got = p.values_at(cols, rows)
+    va = a.values_at(cols, rows)
+    vb = b.values_at(cols, rows)
+    in_r = (cols >= 100) & (cols < 300) & (rows >= 200) & (rows < 400)
+    assert np.array_equal(got, np.where(in_r, vb, va))
+    # spec roundtrip through the factory
+    p2 = raster_from_spec(p.spec())
+    assert np.array_equal(p2.values_at(cols, rows), got)
