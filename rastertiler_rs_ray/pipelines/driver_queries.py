@@ -1461,6 +1461,47 @@ def merge_tilesets_demo(sf_dir: str):
 SQL_MERGE_TILESETS_DEMO = _sql_read_map("merge_out")
 
 
+_WSAMPLE_K = 25
+_WSAMPLE_SEED = 1234
+
+
+def weighted_sample_orders(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis,
+    relational.py weighted_sample_without_replacement): 25 orders drawn
+    proportionally to o_totalprice via deterministic hash-exponential
+    keys — per-block top-k partials, no global sort, engine-mirrorable
+    selection."""
+    from .relational import weighted_sample_without_replacement
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return weighted_sample_without_replacement(
+        orders,
+        k=_WSAMPLE_K,
+        id_col="o_orderkey",
+        weight_col="o_totalprice",
+        seed=_WSAMPLE_SEED,
+    )
+
+
+def _sql_weighted_sample_orders() -> str:
+    stages = _sql_mix64("o_orderkey", "0", _WSAMPLE_SEED, "h")
+    ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {s} FROM {prev})"
+        for i, (s, prev) in enumerate(zip(stages, ["orders", "m0", "m1", "m2"]))
+    )
+    return f"""
+WITH {ctes},
+keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         -ln(((h % 9007199254740992) + 0.5) / 9007199254740992.0)
+           / o_totalprice AS key
+  FROM m3
+)
+SELECT o_orderkey, o_totalprice FROM keyed ORDER BY key LIMIT {_WSAMPLE_K}
+"""
+
+
+
 def incremental_render_demo(sf_dir: str):
     """Incremental re-render: a rectangular pixel region of the base
     raster changes (raster/synthetic.py PatchedRaster); only the dirty
@@ -1918,6 +1959,9 @@ SELECT zone_id,
        CAST(floor((sum(v) * 1.0 / count(*)) * 10000 + 0.5) AS BIGINT) AS mean_e4
 FROM vals GROUP BY zone_id
 """
+
+
+SQL_WEIGHTED_SAMPLE_ORDERS = _sql_weighted_sample_orders()
 
 
 SQL_ZONAL_STATS_NATIONS = _sql_zonal_stats_nations()
@@ -6328,6 +6372,7 @@ QUERIES = {
         incremental_render_demo,
         SQL_INCREMENTAL_RENDER_DEMO,
     ),
+    "weighted_sample_orders": (weighted_sample_orders, SQL_WEIGHTED_SAMPLE_ORDERS),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

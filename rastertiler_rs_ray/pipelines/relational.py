@@ -2319,3 +2319,50 @@ def grouped_linear_regression(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def weighted_sample_without_replacement(
+    ds: ray.data.Dataset,
+    *,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    seed: int = 1234,
+) -> pa.Table:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis exponential-jitter keys): each row gets
+    key = -ln(u)/w with u a hash-derived uniform in (0,1) keyed on the
+    row id, and the k SMALLEST keys win — exactly the distributed
+    top-k shape (per-block argpartition partials, k x blocks driver
+    merge), so selection needs no global sort and is reproducible
+    across runs, block layouts, and engines (the SQL mirror computes
+    the identical key).
+
+    The hash → uniform path is exact cross-engine ((h mod 2^53 + 0.5)
+    / 2^53 — all power-of-two float ops); ln() may differ by an ulp
+    between libms, which can only matter on measure-zero key ties.
+    Weights must be strictly positive.
+    """
+    from ..raster.synthetic import _mix
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = _mix(ids.astype(np.uint64), np.zeros(len(ids), np.uint64), seed)
+        u = ((h % np.uint64(1 << 53)).astype(np.float64) + 0.5) / float(1 << 53)
+        key = -np.log(u) / w
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                weight_col: b.column(weight_col),
+                "__key": pa.array(key, pa.float64()),
+            }
+        )
+
+    out = top_k(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        k,
+        "__key",
+        descending=False,
+    )
+    return out.select([id_col, weight_col])

@@ -1455,3 +1455,37 @@ def test_grouped_linear_regression_degenerate(ray_session):
     assert out.loc[1, "slope_e4"] == 20000  # exact y = 2x
     assert out.loc[1, "intercept_e4"] == 0
     assert out.loc[1, "r2_e4"] == 10000
+
+
+def test_weighted_sample_without_replacement(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import (
+        weighted_sample_without_replacement,
+    )
+
+    n, k = 5000, 50
+    ids = np.arange(n, dtype=np.int64)
+    # two weight tiers: heavy rows 100x likelier
+    w = np.where(ids % 50 == 0, 100.0, 1.0)
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(ids), "w": pa.array(w)})
+    ).repartition(8)
+    out = weighted_sample_without_replacement(
+        ds, k=k, id_col="id", weight_col="w", seed=7
+    )
+    assert len(out) == k
+    sel = out.column("id").to_numpy()
+    assert len(np.unique(sel)) == k  # without replacement
+    # heavy rows are 2% of rows but carry ~67% of total weight;
+    # their expected share of the sample is large
+    heavy = (sel % 50 == 0).sum()
+    assert heavy >= k // 4
+    # deterministic across block layouts
+    out2 = weighted_sample_without_replacement(
+        ds.repartition(3), k=k, id_col="id", weight_col="w", seed=7
+    )
+    assert sorted(sel) == sorted(out2.column("id").to_numpy())
+    # different seed -> (almost surely) different selection
+    out3 = weighted_sample_without_replacement(
+        ds, k=k, id_col="id", weight_col="w", seed=8
+    )
+    assert sorted(sel) != sorted(out3.column("id").to_numpy())
