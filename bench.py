@@ -303,6 +303,25 @@ def run_full() -> dict:
     timed("paragraph_dedup", lambda: Q.dedup_paragraphs_docs(SF_DIR))
     timed("incremental_dedup", lambda: Q.dedup_incremental_docs(SF_DIR))
 
+    # round-4 additions (suite keys 21-23)
+    def focal_full_raster():
+        from rastertiler_rs_ray.pipelines.focal import (
+            focal_stats_exchange,
+            raster_blocks_dataset,
+        )
+        from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+        r = default_u8_raster()
+        blocks = raster_blocks_dataset(
+            r.spec(), 0, 0, r.width // 512, r.height // 512, chunk=512,
+            concurrency=(1, NUM_CPUS),
+        )
+        return focal_stats_exchange(blocks, chunk=512, nodata=r.nodata)
+
+    timed("focal_exchange", focal_full_raster)
+    timed("radius_pairs", lambda: Q.docs_radius_pairs(SF_DIR))
+    timed("trajectory_paths", lambda: Q.user_trajectory_paths(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "tiles/sec + spatial-join rows/sec (zoom 0-%d pyramid + z%d join) with relational/dedup/ANN/text suite"

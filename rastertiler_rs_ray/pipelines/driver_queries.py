@@ -1461,6 +1461,130 @@ def merge_tilesets_demo(sf_dir: str):
 SQL_MERGE_TILESETS_DEMO = _sql_read_map("merge_out")
 
 
+_RAST_ZOOM = 3
+_RAST_TS = 32
+
+
+def _nation_merc_triangles(b: pa.Table) -> pa.Table:
+    """Deterministic EPSG:3857 triangles keyed on n_nationkey (integer
+    closed form both engines evaluate exactly)."""
+    k = np.asarray(b.column("n_nationkey")).astype(np.int64)
+    x0 = -18.0e6 + ((k * 37) % 36) * 1.0e6
+    y0 = -17.0e6 + ((k * 59) % 34) * 1.0e6
+    w = (2.0 + (k % 5)) * 1.0e6
+    h = (2.0 + (k % 7)) * 1.0e6
+    xs = np.stack([x0, x0 + w, x0 + w / 3.0], axis=1)
+    ys = np.stack([y0, y0 + h / 3.0, y0 + h], axis=1)
+    return pa.table(
+        {
+            "poly_id": pa.array(k, pa.int64()),
+            "xs": pa.array(list(xs), pa.list_(pa.float64())),
+            "ys": pa.array(list(ys), pa.list_(pa.float64())),
+        }
+    )
+
+
+def rasterize_nations_z3(sf_dir: str):
+    """Vector→raster: burn one Mercator triangle per nation onto the
+    z3 tile grid (32² pixel centers per tile), count covered centers
+    per tile — spatial.py rasterize_polygons, the PBSM replicate →
+    one-exchange → vectorized even-odd burn plan."""
+    from .spatial import rasterize_polygons
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey"])
+    return rasterize_polygons(
+        nat.map_batches(_nation_merc_triangles, batch_format="pyarrow"),
+        zoom=_RAST_ZOOM,
+        tilesize=_RAST_TS,
+    )
+
+
+def _sql_rasterize_nations_z3() -> str:
+    """DuckDB mirror of rasterize_nations_z3: triangle closed form,
+    the tile_range cover float math, the (i+0.5)·(span/ts) pixel-center
+    parameterization, and the _even_odd_mask (i, j=i-1) crossing tree —
+    all with the python kernels' exact expression order."""
+    import math
+
+    origin = 6378137.0 * math.pi
+    ce = 2.0 * origin
+    half = ce / 2.0
+    zf = float(1 << _RAST_ZOOM)
+    ts_m = ce / zf
+    zmax = int(zf) - 1
+    ts = _RAST_TS
+
+    def cross(i: int, j: int) -> str:
+        return f"""CASE WHEN (y_{i} > py) <> (y_{j} > py) THEN
+          (CASE WHEN px < ((x_{j} - x_{i}) * (py - y_{i}) / (y_{j} - y_{i}) + x_{i})
+                THEN 1 ELSE 0 END) ELSE 0 END"""
+
+    return f"""
+WITH tri AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         -18000000.0 + ((n_nationkey * 37) % 36) * 1000000.0 AS x_0,
+         -17000000.0 + ((n_nationkey * 59) % 34) * 1000000.0 AS y_0,
+         (2.0 + (n_nationkey % 5)) * 1000000.0 AS w,
+         (2.0 + (n_nationkey % 7)) * 1000000.0 AS h
+  FROM nation
+),
+v AS (
+  SELECT poly_id, x_0, y_0,
+         x_0 + w AS x_1, y_0 + (h / 3.0) AS y_1,
+         x_0 + (w / 3.0) AS x_2, y_0 + h AS y_2
+  FROM tri
+),
+bb AS (
+  SELECT *, least(x_0, x_1, x_2) AS bxmin, greatest(x_0, x_1, x_2) AS bxmax,
+         least(y_0, y_1, y_2) AS bymin, greatest(y_0, y_1, y_2) AS bymax
+  FROM v
+),
+cov AS (
+  SELECT *,
+    CAST(greatest(least(floor(((bxmin + {origin!r}) / {ce!r}) * {zf!r}),
+                        {zmax}.0), 0.0) AS BIGINT) AS txmin,
+    CAST(greatest(least(floor(((((bxmax + {origin!r}) / {ce!r})) - 1e-11) * {zf!r}),
+                        {zmax}.0), 0.0) AS BIGINT) AS txmax,
+    CAST(greatest(least(floor((1.0 - ((bymax + {origin!r}) / {ce!r})) * {zf!r}),
+                        {zmax}.0), 0.0) AS BIGINT) AS tymin,
+    CAST(greatest(least(floor((1.0 - (((bymin + {origin!r}) / {ce!r}) + 1e-11)) * {zf!r}),
+                        {zmax}.0), 0.0) AS BIGINT) AS tymax
+  FROM bb
+),
+pt AS (
+  SELECT cov.*, tx, ty,
+         tx * {ts_m!r} - {half!r} AS txmin_m,
+         {half!r} - ty * {ts_m!r} AS tymax_m
+  FROM cov,
+       unnest(generate_series(txmin, txmax)) AS t1(tx),
+       unnest(generate_series(tymin, tymax)) AS t2(ty)
+),
+sp AS (
+  SELECT *, ((txmin_m + {ts_m!r}) - txmin_m) AS span FROM pt
+),
+px AS (
+  SELECT poly_id, tx, ty, i, j,
+         txmin_m + (j + 0.5) * (span / {ts}.0) AS px,
+         tymax_m - (i + 0.5) * (span / {ts}.0) AS py,
+         x_0, y_0, x_1, y_1, x_2, y_2
+  FROM sp,
+       unnest(generate_series(0, {ts - 1})) AS g1(i),
+       unnest(generate_series(0, {ts - 1})) AS g2(j)
+),
+ins AS (
+  SELECT tx, ty, i, j,
+         max(({cross(0, 2)} + {cross(1, 0)} + {cross(2, 1)}) % 2) AS inside
+  FROM px GROUP BY tx, ty, i, j
+)
+SELECT CAST({_RAST_ZOOM} AS BIGINT) AS zoom, tx AS x, ty AS y,
+       CAST(sum(inside) AS BIGINT) AS n_covered
+FROM ins GROUP BY tx, ty HAVING sum(inside) > 0
+"""
+
+
+SQL_RASTERIZE_NATIONS_Z3 = _sql_rasterize_nations_z3()
+
+
 _WSAMPLE_K = 25
 _WSAMPLE_SEED = 1234
 
@@ -6373,6 +6497,7 @@ QUERIES = {
         SQL_INCREMENTAL_RENDER_DEMO,
     ),
     "weighted_sample_orders": (weighted_sample_orders, SQL_WEIGHTED_SAMPLE_ORDERS),
+    "rasterize_nations_z3": (rasterize_nations_z3, SQL_RASTERIZE_NATIONS_Z3),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---

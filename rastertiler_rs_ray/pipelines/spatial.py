@@ -1767,3 +1767,132 @@ def dbscan_grid(
         return best[[id_col, "cluster", "role"]]
 
     return cands.groupby(id_col).map_groups(pick, batch_format="pandas")
+
+
+def rasterize_polygons(
+    polys: ray.data.Dataset,
+    *,
+    zoom: int,
+    tilesize: int = 32,
+    id_col: str = "poly_id",
+) -> ray.data.Dataset:
+    """Vector→raster rasterization (the inverse of the engine's
+    raster↔vector joins): burn Mercator polygons onto the XYZ tile grid
+    at ``zoom``, emitting per tile the count of pixel CENTERS covered
+    by >= 1 polygon — GDAL RasterizeLayer's coverage semantics on the
+    tile pyramid, with the same even-odd center test (and float
+    expression tree) as ``zonal_stats_polygon``.
+
+    Topology = the PBSM shape: each polygon's mercator bbox explodes to
+    its covering tiles (vectorized ragged expansion, the
+    ``tile_range`` cover math), ONE hash exchange on the tile key
+    co-locates polygons per tile, and the per-group kernel ORs each
+    polygon's vectorized even-odd mask into one tilesize² bitmap.
+    Output rows: (zoom, x, y, n_covered), only tiles with coverage.
+
+    ``polys``: (id_col, xs: list<float64>, ys: list<float64>) with
+    vertices in EPSG:3857.
+    """
+    from ..geo import CE, ORIGIN
+
+    zf = float(1 << zoom)
+    eps = 1e-11
+
+    def explode(b: pa.Table) -> pa.Table:
+        xs = b.column("xs")
+        ys = b.column("ys")
+        xo = xs.combine_chunks()
+        yo = ys.combine_chunks()
+        n = len(b)
+        offs = xo.offsets.to_numpy()
+        fx = np.asarray(xo.values, dtype=np.float64)
+        fy = np.asarray(yo.values, dtype=np.float64)
+        # per-poly bbox via reduceat on the list offsets
+        starts = offs[:-1]
+        bxmin = np.minimum.reduceat(fx, starts)
+        bxmax = np.maximum.reduceat(fx, starts)
+        bymin = np.minimum.reduceat(fy, starts)
+        bymax = np.maximum.reduceat(fy, starts)
+        # tile cover (geo/tileid.py tile_range float math, vectorized)
+        txmin = np.clip(np.floor(((bxmin + ORIGIN) / CE) * zf), 0, zf - 1)
+        tymin = np.clip(np.floor((1.0 - ((bymax + ORIGIN) / CE)) * zf), 0, zf - 1)
+        txmax = np.clip(np.floor(((((bxmax + ORIGIN) / CE)) - eps) * zf), 0, zf - 1)
+        tymax = np.clip(
+            np.floor((1.0 - (((bymin + ORIGIN) / CE) + eps)) * zf), 0, zf - 1
+        )
+        nx = (txmax - txmin + 1).astype(np.int64)
+        ny = (tymax - tymin + 1).astype(np.int64)
+        cnt = nx * ny
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(n), cnt)
+        off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        gx = off % np.repeat(nx, cnt)
+        gy = off // np.repeat(nx, cnt)
+        tx = (txmin.astype(np.int64)[rep] + gx).astype(np.int64)
+        ty = (tymin.astype(np.int64)[rep] + gy).astype(np.int64)
+        return pa.table(
+            {
+                "tkey": pa.array(tx * np.int64(1 << zoom) + ty, pa.int64()),
+                "tx": pa.array(tx, pa.int64()),
+                "ty": pa.array(ty, pa.int64()),
+                id_col: pc.take(b.column(id_col), pa.array(rep)),
+                "xs": pc.take(xs, pa.array(rep)),
+                "ys": pc.take(ys, pa.array(rep)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("zoom", pa.int64()),
+            ("x", pa.int64()),
+            ("y", pa.int64()),
+            ("n_covered", pa.int64()),
+        ]
+    )
+
+    def burn(g: pa.Table) -> pa.Table:
+        from ..geo.tileid import tile_mercator_bounds
+
+        tx = int(g.column("tx")[0].as_py())
+        ty = int(g.column("ty")[0].as_py())
+        bxmin, bymin, bxmax, bymax = (
+            float(v[0])
+            for v in tile_mercator_bounds(
+                np.array([zoom]), np.array([tx]), np.array([ty])
+            )
+        )
+        span = bxmax - bxmin
+        # pixel-center grid (same (i + 0.5) / ts parameterization the
+        # SQL oracle mirrors)
+        px = bxmin + (np.arange(tilesize, dtype=np.float64) + 0.5) * (
+            span / tilesize
+        )
+        py = bymax - (np.arange(tilesize, dtype=np.float64) + 0.5) * (
+            span / tilesize
+        )
+        pxg = np.broadcast_to(px[None, :], (tilesize, tilesize))
+        pyg = np.broadcast_to(py[:, None], (tilesize, tilesize))
+        mask = np.zeros((tilesize, tilesize), dtype=bool)
+        xs_col = g.column("xs").combine_chunks()
+        ys_col = g.column("ys").combine_chunks()
+        for i in range(len(g)):  # coarse loop over polys in this tile
+            xs = np.asarray(xs_col[i].values, dtype=np.float64)
+            ys = np.asarray(ys_col[i].values, dtype=np.float64)
+            mask |= _even_odd_mask(pxg, pyg, xs, ys)
+        n = int(mask.sum())
+        if n == 0:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "zoom": pa.array([zoom], pa.int64()),
+                "x": pa.array([tx], pa.int64()),
+                "y": pa.array([ty], pa.int64()),
+                "n_covered": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        polys.map_batches(explode, batch_format="pyarrow")
+        .groupby("tkey")
+        .map_groups(burn, batch_format="pyarrow")
+    )

@@ -900,3 +900,61 @@ def test_dbscan_grid_isolated_core(ray_session):
     )
     assert out.role.tolist() == ["core", "border", "border"]
     assert out.cluster.tolist() == [7, 7, 7]
+
+
+def test_rasterize_polygons_matches_dense(ray_session):
+    """Distributed burn == dense evaluation over every tile at z3."""
+    from rastertiler_rs_ray.geo.tileid import tile_mercator_bounds
+    from rastertiler_rs_ray.pipelines.spatial import (
+        _even_odd_mask,
+        rasterize_polygons,
+    )
+
+    rng = np.random.default_rng(4)
+    ts, zoom = 16, 3
+    polys = []
+    for pid in range(12):
+        cx = rng.uniform(-1.5e7, 1.5e7)
+        cy = rng.uniform(-1.4e7, 1.4e7)
+        r = rng.uniform(5e5, 6e6)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(3, 7)))
+        polys.append(
+            {
+                "poly_id": pid,
+                "xs": (cx + r * np.cos(ang)).tolist(),
+                "ys": (cy + r * np.sin(ang)).tolist(),
+            }
+        )
+    ds = ray.data.from_items(polys)
+    got = (
+        rasterize_polygons(ds, zoom=zoom, tilesize=ts)
+        .to_pandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    # dense: every tile x every polygon
+    rows = []
+    for tx in range(8):
+        for ty in range(8):
+            bxmin, bymin, bxmax, bymax = (
+                float(v[0])
+                for v in tile_mercator_bounds(
+                    np.array([zoom]), np.array([tx]), np.array([ty])
+                )
+            )
+            span = bxmax - bxmin
+            px = bxmin + (np.arange(ts) + 0.5) * (span / ts)
+            py = bymax - (np.arange(ts) + 0.5) * (span / ts)
+            pxg = np.broadcast_to(px[None, :], (ts, ts))
+            pyg = np.broadcast_to(py[:, None], (ts, ts))
+            mask = np.zeros((ts, ts), bool)
+            for p in polys:
+                mask |= _even_odd_mask(
+                    pxg, pyg, np.asarray(p["xs"]), np.asarray(p["ys"])
+                )
+            if mask.sum():
+                rows.append(
+                    {"zoom": zoom, "x": tx, "y": ty, "n_covered": int(mask.sum())}
+                )
+    want = pd.DataFrame(rows).sort_values(["x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
