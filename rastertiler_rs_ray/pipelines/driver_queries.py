@@ -1261,6 +1261,176 @@ SELECT 'approx_distinct_users' AS metric, round(e, 1) AS estimate FROM est
 SQL_APPROX_DISTINCT_USERS = _sql_approx_distinct_users()
 
 
+def simplify_user_paths(sf_dir: str):
+    """Douglas-Peucker simplification (spatial.py simplify_polylines)
+    over per-user event trajectories (the same derived Mercator
+    positions as user_trajectory_paths, ordered by time): map-only
+    generalization pass, emitting per-user input/output vertex counts.
+    Rows-only: DP's recursive split is not SQL-expressible; the kernel
+    is pinned against a recursive reference in tests."""
+    from .spatial import simplify_polylines
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def paths(df):
+        import pandas as pd
+
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        eid = df["event_id"].to_numpy()
+        lon = ((eid * LON_MULT) % LON_MOD) / float(LON_MOD) * 360.0 - 180.0
+        lat = ((eid * LAT_MULT) % LAT_MOD) / float(LAT_MOD) * 170.0 - 85.0
+        mx, my = geo_to_mercator(lon, lat)
+        return pd.DataFrame(
+            {
+                "line_id": [int(df["user_id"].iloc[0])],
+                "xs": [mx.tolist()],
+                "ys": [my.tolist()],
+            }
+        )
+
+    lines = ev.groupby("user_id").map_groups(paths, batch_format="pandas")
+    out = simplify_polylines(lines, tolerance=500_000.0)
+    return out.select_columns(["line_id", "n_in", "n_out"])
+
+
+_KFOLD_K = 5
+_KFOLD_SEED = 31
+
+
+def kfold_split_docs(sf_dir: str):
+    """Deterministic k-fold assignment (the cross-validation splitter):
+    fold = mix64(doc_id) mod k — map-only, engine-mirrorable, stable
+    under any block layout; per-fold doc counts and char sums verify
+    the partition is complete and balanced."""
+    from ..raster.synthetic import _mix
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def f(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix(did.astype(np.uint64), np.zeros(len(did), np.uint64), _KFOLD_SEED)
+        return b.append_column(
+            "fold", pa.array((h % np.uint64(_KFOLD_K)).astype(np.int64), pa.int64())
+        )
+
+    return grouped_aggregate(
+        docs.map_batches(f, batch_format="pyarrow"),
+        ["fold"],
+        [("n_docs", "doc_id", "count"), ("chars_sum", "n_chars", "sum")],
+    )
+
+
+def _sql_kfold_split_docs() -> str:
+    stages = _sql_mix64("doc_id", "0", _KFOLD_SEED, "h")
+    ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {s} FROM {prev})"
+        for i, (s, prev) in enumerate(zip(stages, ["documents", "m0", "m1", "m2"]))
+    )
+    return f"""
+WITH {ctes}
+SELECT CAST(h % {_KFOLD_K} AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM m3 GROUP BY 1
+"""
+
+
+def bpe_tokenize_docs(sf_dir: str):
+    """BPE tokenizer train + apply (textstats.py bpe_train /
+    bpe_token_counts): 60 merges learned from the corpus's bounded
+    word-frequency table (ONE vocab-sized exchange; the merge loop runs
+    on type counts, the textbook algorithm), then a map-only broadcast
+    encode emitting per-doc BPE token counts.  Rows-only: the iterative
+    merge training is not SQL-expressible; the greedy-apply kernel is
+    pinned against a sequential reference in tests."""
+    from .textstats import bpe_token_counts, bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=60, min_count=2)
+    return bpe_token_counts(docs, merges)
+
+
+def hll_user_overlap(sf_dir: str):
+    """HLL set arithmetic (sketch.py hll_set_overlap): estimated
+    distinct clickers, purchasers, their union (register max — the
+    mergeable-summary property) and inclusion-exclusion intersection,
+    without shuffling either key set."""
+    from .sketch import hll_set_overlap
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(t):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), t)).select(["user_id"])
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    return hll_set_overlap(side("click"), side("purchase"), "user_id", p=12)
+
+
+def _sql_hll_user_overlap(p: int = 12) -> str:
+    """Three instances of the `_sql_approx_distinct_users` HLL mirror
+    (clickers / purchasers / their distinct union), then
+    inclusion-exclusion — register contents integer-exact, the float
+    estimate absorbed by the shared round(·, 1)."""
+    m = 1 << p
+    tail = 64 - p
+    m64, m32 = 1 << 64, 1 << 32
+    alpha_mm = 0.7213 / (1 + 1.079 / m) * m * m
+
+    def wrapmul(h: str, k: int) -> str:
+        return (
+            f"CAST((CAST({h} AS HUGEINT) * {k & (m32 - 1)}"
+            f" + ((CAST({h} AS HUGEINT) * {k >> 32}) % {m32}) * {m32})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    def chain(tag: str, src: str) -> str:
+        return f"""
+u_{tag} AS ({src}),
+s1_{tag} AS (SELECT xor(x, x >> 30) AS a FROM u_{tag}),
+s2_{tag} AS (SELECT {wrapmul('a', 0xBF58476D1CE4E5B9)} AS b FROM s1_{tag}),
+s3_{tag} AS (SELECT xor(b, b >> 27) AS c FROM s2_{tag}),
+s4_{tag} AS (SELECT {wrapmul('c', 0x94D049BB133111EB)} AS d FROM s3_{tag}),
+s5_{tag} AS (SELECT xor(d, d >> 31) AS h FROM s4_{tag}),
+reg_{tag} AS (
+  SELECT h >> {tail} AS bucket,
+         max({tail} - (CASE WHEN (h & {(1 << tail) - 1}) = 0 THEN 0
+                            ELSE length(bin(h & {(1 << tail) - 1})) END) + 1) AS rho
+  FROM s5_{tag} GROUP BY bucket),
+agg_{tag} AS (SELECT count(*) AS nz, sum(power(2.0, -rho)) AS s FROM reg_{tag}),
+est_{tag} AS (
+  SELECT CASE WHEN {alpha_mm!r} / (s + ({m} - nz) * 1.0) <= {2.5 * m!r} AND nz < {m}
+              THEN {m} * ln({float(m)!r} / ({m} - nz))
+              ELSE {alpha_mm!r} / (s + ({m} - nz) * 1.0) END AS e
+  FROM agg_{tag})"""
+
+    click = (
+        "SELECT DISTINCT CAST(user_id AS UBIGINT) AS x FROM events"
+        " WHERE event_type = 'click'"
+    )
+    purch = (
+        "SELECT DISTINCT CAST(user_id AS UBIGINT) AS x FROM events"
+        " WHERE event_type = 'purchase'"
+    )
+    both = f"{click} UNION {purch}"
+    return f"""
+WITH {chain('a', click)[1:]},
+{chain('b', purch)[1:]},
+{chain('u', both)[1:]}
+SELECT * FROM (
+  SELECT 'a' AS metric, round(e, 1) AS estimate FROM est_a
+  UNION ALL SELECT 'b', round(e, 1) FROM est_b
+  UNION ALL SELECT 'union', round(e, 1) FROM est_u
+  UNION ALL SELECT 'intersection',
+    round((SELECT e FROM est_a) + (SELECT e FROM est_b) - e, 1) FROM est_u
+)
+"""
+
+
+SQL_HLL_USER_OVERLAP = _sql_hll_user_overlap()
+
+
 def user_sessions_gap(sf_dir: str):
     """Gap-based session windows (30-min gap), per-event session ids."""
     from .relational import sessionize
@@ -2086,6 +2256,7 @@ FROM vals GROUP BY zone_id
 
 
 SQL_WEIGHTED_SAMPLE_ORDERS = _sql_weighted_sample_orders()
+SQL_KFOLD_SPLIT_DOCS = _sql_kfold_split_docs()
 
 
 SQL_ZONAL_STATS_NATIONS = _sql_zonal_stats_nations()
@@ -6498,6 +6669,8 @@ QUERIES = {
     ),
     "weighted_sample_orders": (weighted_sample_orders, SQL_WEIGHTED_SAMPLE_ORDERS),
     "rasterize_nations_z3": (rasterize_nations_z3, SQL_RASTERIZE_NATIONS_Z3),
+    "hll_user_overlap": (hll_user_overlap, SQL_HLL_USER_OVERLAP),
+    "kfold_split_docs": (kfold_split_docs, SQL_KFOLD_SPLIT_DOCS),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---
@@ -6520,4 +6693,6 @@ QUERIES = {
     "interleaved_raster_join": (interleaved_raster_join, None),
     "semdedup_embeddings": (semdedup_embeddings, None),
     "bilinear_tile_checksums": (bilinear_tile_checksums, None),
+    "bpe_tokenize_docs": (bpe_tokenize_docs, None),
+    "simplify_user_paths": (simplify_user_paths, None),
 }

@@ -305,3 +305,47 @@ def grouped_approx_distinct(
     return merged.groupby(group_col).map_groups(
         lambda d: estimate(d), batch_format="pandas"
     )
+
+
+def hll_set_overlap(
+    a: ray.data.Dataset, b: ray.data.Dataset, col: str, *, p: int = 12
+) -> pa.Table:
+    """Sketch-based set arithmetic: HLL estimates of |A|, |B|, |A∪B|
+    and the inclusion-exclusion intersection |A|+|B|−|A∪B| — the
+    mergeable-summary way to size audience overlap without ever
+    shuffling the key sets (each side reduces to ≤2^p register rows;
+    union = elementwise register max, the defining HLL property).
+    """
+    ra = pa.Table.from_pandas(
+        hll_registers(a, col, p=p).to_pandas()
+    ).replace_schema_metadata(None)
+    rb = pa.Table.from_pandas(
+        hll_registers(b, col, p=p).to_pandas()
+    ).replace_schema_metadata(None)
+    m = 1 << p
+    regs_a = np.zeros(m, dtype=np.int64)
+    regs_a[ra.column("bucket").to_numpy()] = ra.column("rho").to_numpy()
+    regs_b = np.zeros(m, dtype=np.int64)
+    regs_b[rb.column("bucket").to_numpy()] = rb.column("rho").to_numpy()
+    regs_u = np.maximum(regs_a, regs_b)
+
+    def est(regs: np.ndarray) -> float:
+        nz = np.flatnonzero(regs)
+        t = pa.table(
+            {"bucket": pa.array(nz, pa.int64()), "rho": pa.array(regs[nz], pa.int64())}
+        )
+        return hll_estimate(t, p=p)
+
+    ea, eb, eu = est(regs_a), est(regs_b), est(regs_u)
+    ei = ea + eb - eu
+    return pa.table(
+        {
+            "metric": pa.array(
+                ["a", "b", "union", "intersection"], pa.string()
+            ),
+            "estimate": pa.array(
+                [round(ea, 1), round(eb, 1), round(eu, 1), round(ei, 1)],
+                pa.float64(),
+            ),
+        }
+    )

@@ -1896,3 +1896,81 @@ def rasterize_polygons(
         .groupby("tkey")
         .map_groups(burn, batch_format="pyarrow")
     )
+
+
+def simplify_polylines(
+    ds: ray.data.Dataset,
+    *,
+    tolerance: float,
+    id_col: str = "line_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> ray.data.Dataset:
+    """Douglas-Peucker polyline simplification (the cartographic
+    generalization pass before vector tiling): per line, keep the
+    endpoints and recursively the point farthest from each kept chord
+    while that distance exceeds ``tolerance``.  Map-only — each row
+    simplifies independently, zero exchanges; the per-chord
+    farthest-point search is one vectorized point-segment distance
+    pass (perpendicular distance, endpoint distance for degenerate
+    chords), the recursion an explicit stack.
+
+    Output: (id_col, n_in, n_out, xs, ys) with the simplified chain in
+    input order.
+    """
+
+    def seg_dist(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            return np.hypot(px - ax, py - ay)
+        t = np.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0.0, 1.0)
+        return np.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+    def simplify(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+        n = len(xs)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            idx = np.arange(a + 1, b)
+            d = seg_dist(xs[idx], ys[idx], xs[a], ys[a], xs[b], ys[b])
+            i = int(np.argmax(d))
+            if d[i] > tolerance:
+                m = a + 1 + i
+                keep[m] = True
+                stack.append((a, m))
+                stack.append((m, b))
+        return keep
+
+    def f(b: pa.Table) -> pa.Table:
+        ids, nin, nout, oxs, oys = [], [], [], [], []
+        xs_arr = b.column(xs_col).combine_chunks()
+        ys_arr = b.column(ys_col).combine_chunks()
+        id_arr = b.column(id_col)
+        for i in range(len(b)):  # coarse per-line loop; DP inside is numpy
+            xs = np.asarray(xs_arr[i].values, dtype=np.float64)
+            ys = np.asarray(ys_arr[i].values, dtype=np.float64)
+            if len(xs) < 3:
+                keep = np.ones(len(xs), dtype=bool)
+            else:
+                keep = simplify(xs, ys)
+            ids.append(id_arr[i].as_py())
+            nin.append(len(xs))
+            nout.append(int(keep.sum()))
+            oxs.append(xs[keep].tolist())
+            oys.append(ys[keep].tolist())
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_in": pa.array(nin, pa.int64()),
+                "n_out": pa.array(nout, pa.int64()),
+                "xs": pa.array(oxs, pa.list_(pa.float64())),
+                "ys": pa.array(oys, pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1158,3 +1158,114 @@ def fuzzy_nearest_match(
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bpe_train(
+    docs: ray.data.Dataset,
+    *,
+    num_merges: int = 50,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_vocab: int = 1 << 18,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016, the
+    GPT-2 tokenizer family's core loop): learn ``num_merges`` merges
+    from the corpus word-frequency table.
+
+    The distributed part is the part that scales with the corpus: ONE
+    vocab-sized exchange (``word_counts``'s map-side value_counts
+    partials) bounded by ``_bounded_vocab``.  The merge loop itself
+    runs on that BOUNDED word-frequency table on the driver — that is
+    the textbook algorithm (BPE trains on type counts, not the token
+    stream), so driver work is O(max_vocab · num_merges) regardless of
+    corpus size.  Ties break by (count desc, pair lexicographic) for
+    determinism.
+    """
+    vocab = _bounded_vocab(
+        word_counts(docs, text_col=text_col),
+        value_col="n",
+        min_count=min_count,
+        max_vocab=max_vocab,
+    )
+    words = [tuple(w) + ("</w>",) for w in vocab["word"].astype(str)]
+    counts = vocab["n"].to_numpy().astype(np.int64)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, c in zip(words, counts):
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + int(c)
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_words = []
+        for sym in words:
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words.append(tuple(out))
+        words = new_words
+    return merges
+
+
+def bpe_token_counts(
+    docs: ray.data.Dataset,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Apply trained BPE merges and count tokens per document: merges
+    broadcast ONCE via ``ray.put``; each map task encodes its batch
+    with a per-batch unique-word cache (Zipf makes the cache hit rate
+    ~word-frequency mass, so the per-word merge loop runs per TYPE,
+    not per token).  Map-only — zero exchanges.
+    """
+    ranks_ref = ray.put({tuple(m): i for i, m in enumerate(merges)})
+
+    def encode_word(w: str, ranks: dict) -> int:
+        sym = list(w) + ["</w>"]
+        while len(sym) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return len(sym)
+
+    def f(df):
+        import pandas as pd
+
+        ranks = ray.get(ranks_ref)
+        cache: dict[str, int] = {}
+
+        def doc_tokens(text: str) -> int:
+            total = 0
+            for w in text.split():
+                n = cache.get(w)
+                if n is None:
+                    n = encode_word(w, ranks)
+                    cache[w] = n
+                total += n
+            return total
+
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_bpe_tokens": df[text_col].map(doc_tokens).astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")

@@ -151,3 +151,27 @@ def test_grouped_approx_distinct_accuracy_and_partition_invariance(ray_session):
             assert rel < 0.05, (r["g"], r["estimate"], exact[r["g"]])
     # register merge is max-associative → estimates identical across splits
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_hll_set_overlap(ray_session):
+    from rastertiler_rs_ray.pipelines.sketch import hll_set_overlap
+
+    rng = np.random.default_rng(6)
+    a_keys = np.arange(0, 3000, dtype=np.int64)
+    b_keys = np.arange(2000, 6000, dtype=np.int64)  # true overlap 1000
+    a = ray.data.from_arrow(pa.table({"k": pa.array(rng.permutation(a_keys))}))
+    b = ray.data.from_arrow(pa.table({"k": pa.array(rng.permutation(b_keys))}))
+    out = hll_set_overlap(a, b, "k", p=12).to_pandas().set_index("metric")
+    # ~1.6% standard error at p=12; allow 10%
+    assert abs(out.loc["a", "estimate"] - 3000) / 3000 < 0.1
+    assert abs(out.loc["b", "estimate"] - 4000) / 4000 < 0.1
+    assert abs(out.loc["union", "estimate"] - 6000) / 6000 < 0.1
+    assert abs(out.loc["intersection", "estimate"] - 1000) / 1000 < 0.25
+    # identity: a + b - union == intersection (exact by construction)
+    assert np.isclose(
+        out.loc["a", "estimate"]
+        + out.loc["b", "estimate"]
+        - out.loc["union", "estimate"],
+        out.loc["intersection", "estimate"],
+        atol=0.3,
+    )

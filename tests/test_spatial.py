@@ -958,3 +958,69 @@ def test_rasterize_polygons_matches_dense(ray_session):
                 )
     want = pd.DataFrame(rows).sort_values(["x", "y"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+class TestSimplifyPolylines:
+    def _ref(self, xs, ys, tol):
+        """Plain recursive Douglas-Peucker reference."""
+
+        def d(p, a, b):
+            ax, ay = a
+            bx, by = b
+            px, py = p
+            dx, dy = bx - ax, by - ay
+            L2 = dx * dx + dy * dy
+            if L2 == 0:
+                return ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+            t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+            return (
+                (px - (ax + t * dx)) ** 2 + (py - (ay + t * dy)) ** 2
+            ) ** 0.5
+
+        def rec(pts):
+            if len(pts) < 3:
+                return pts
+            dists = [d(p, pts[0], pts[-1]) for p in pts[1:-1]]
+            i = int(np.argmax(dists))
+            if dists[i] > tol:
+                left = rec(pts[: i + 2])
+                right = rec(pts[i + 1 :])
+                return left[:-1] + right
+            return [pts[0], pts[-1]]
+
+        return rec(list(zip(xs, ys)))
+
+    def test_matches_recursive_reference(self, ray_session):
+        from rastertiler_rs_ray.pipelines.spatial import simplify_polylines
+
+        rng = np.random.default_rng(8)
+        rows = []
+        for lid in range(20):
+            n = rng.integers(3, 60)
+            xs = np.cumsum(rng.normal(0, 10, n))
+            ys = np.cumsum(rng.normal(0, 10, n))
+            rows.append({"line_id": lid, "xs": xs.tolist(), "ys": ys.tolist()})
+        tol = 8.0
+        out = (
+            simplify_polylines(ray.data.from_items(rows), tolerance=tol)
+            .to_pandas()
+            .sort_values("line_id")
+            .reset_index(drop=True)
+        )
+        for r in rows:
+            got = out[out.line_id == r["line_id"]].iloc[0]
+            want = self._ref(r["xs"], r["ys"], tol)
+            assert list(zip(got["xs"], got["ys"])) == want
+            assert got["n_in"] == len(r["xs"]) and got["n_out"] == len(want)
+
+    def test_straight_line_collapses(self, ray_session):
+        from rastertiler_rs_ray.pipelines.spatial import simplify_polylines
+
+        xs = np.linspace(0, 100, 50)
+        ys = xs * 2.0
+        out = simplify_polylines(
+            ray.data.from_items([{"line_id": 1, "xs": xs.tolist(), "ys": ys.tolist()}]),
+            tolerance=0.01,
+        ).to_pandas()
+        assert out["n_out"].iloc[0] == 2  # endpoints only
+        assert out["xs"].iloc[0][0] == 0.0 and out["xs"].iloc[0][-1] == 100.0

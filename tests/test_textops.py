@@ -963,3 +963,87 @@ def test_fuzzy_tie_breaks_lexicographic(ray_session):
         ray.data.from_arrow(t), "s", ["ab", "aa"], key_cols=["id"]
     ).to_pandas()
     assert out.iloc[0]["match_word"] == "aa" and out.iloc[0]["dist"] == 1
+
+
+class TestBpe:
+    def test_train_classic_example(self, ray_session):
+        """Sennrich's canonical example: corpus of low/lower/newest/
+        widest — first merges fuse the frequent 'es', 'est</w>' family."""
+        from rastertiler_rs_ray.pipelines.textstats import bpe_train
+
+        docs = ray.data.from_items(
+            [{"doc_id": 0, "text": " ".join(
+                ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+            )}]
+        )
+        merges = bpe_train(docs, num_merges=4, min_count=1)
+        assert merges[0] == ("e", "s")  # 9 occurrences, most frequent pair
+        assert ("es", "t") in merges[:2]
+        assert ("est", "</w>") in merges[:3]
+
+    def test_encode_counts(self, ray_session):
+        from rastertiler_rs_ray.pipelines.textstats import (
+            bpe_token_counts,
+            bpe_train,
+        )
+
+        train = ray.data.from_items(
+            [{"doc_id": 0, "text": " ".join(["hello"] * 10 + ["world"] * 10)}]
+        )
+        merges = bpe_train(train, num_merges=20, min_count=1)
+        test = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "hello world"},
+                {"doc_id": 2, "text": "helxo zzz"},
+            ]
+        )
+        out = (
+            bpe_token_counts(test, merges)
+            .to_pandas()
+            .set_index("doc_id")["n_bpe_tokens"]
+        )
+        # fully-merged training words collapse to 1 token each
+        assert out.loc[1] == 2
+        # unseen words stay multi-token
+        assert out.loc[2] > 2
+
+    def test_encode_matches_reference_greedy(self, ray_session):
+        """Distributed apply == straightforward sequential reference."""
+        from rastertiler_rs_ray.pipelines.textstats import (
+            bpe_token_counts,
+            bpe_train,
+        )
+
+        rng = np.random.default_rng(3)
+        words = ["".join(rng.choice(list("abcd"), rng.integers(2, 8)))
+                 for _ in range(60)]
+        texts = [" ".join(rng.choice(words, 12)) for _ in range(30)]
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        merges = bpe_train(docs, num_merges=15, min_count=1)
+        got = (
+            bpe_token_counts(docs, merges)
+            .to_pandas()
+            .sort_values("doc_id")["n_bpe_tokens"]
+            .tolist()
+        )
+
+        ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+        def ref_word(w):
+            sym = list(w) + ["</w>"]
+            while len(sym) > 1:
+                cands = [
+                    (ranks[(sym[i], sym[i + 1])], i)
+                    for i in range(len(sym) - 1)
+                    if (sym[i], sym[i + 1]) in ranks
+                ]
+                if not cands:
+                    break
+                _, i = min(cands)
+                sym[i : i + 2] = [sym[i] + sym[i + 1]]
+            return len(sym)
+
+        want = [sum(ref_word(w) for w in t.split()) for t in texts]
+        assert got == want
