@@ -1335,6 +1335,93 @@ FROM m3 GROUP BY 1
 """
 
 
+def stratified_kfold_docs(sf_dir: str):
+    """Stratified k-fold: round-robin fold assignment by rank WITHIN
+    each language stratum (fold = row_number % k per lang, ordered by
+    doc_id), so every fold carries each stratum's exact share — one
+    groupby(lang) exchange, vectorized in-group rank."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def assign(df):
+        import pandas as pd
+
+        df = df.sort_values("doc_id", kind="mergesort")
+        df = df.assign(fold=(np.arange(len(df)) % _KFOLD_K).astype(np.int64))
+        return df
+
+    folded = docs.groupby("lang").map_groups(assign, batch_format="pandas")
+    return grouped_aggregate(
+        folded, ["lang", "fold"], [("n_docs", "doc_id", "count")]
+    )
+
+
+SQL_STRATIFIED_KFOLD_DOCS = f"""
+WITH r AS (
+  SELECT lang,
+         (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+           % {_KFOLD_K} AS fold
+  FROM documents
+)
+SELECT lang, CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n_docs
+FROM r GROUP BY lang, fold
+"""
+
+
+def orders_price_mad_outliers(sf_dir: str):
+    """Robust outlier detection: per order-priority median, MAD
+    (median absolute deviation), and the count of orders beyond
+    3 x 1.4826 x MAD — the robust z-score gate.  One groupby(priority)
+    exchange with exact in-group medians (priorities are a bounded
+    stratum set; unbounded groups would swap in the approximate
+    quantile core), mirrored by DuckDB's interpolated median()."""
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def stats(df):
+        import pandas as pd
+
+        v = df["o_totalprice"].to_numpy(np.float64)
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        thr = 3.0 * 1.4826 * mad
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+                "n": [np.int64(len(v))],
+                "median_e4": [np.int64(np.floor(med * 1e4 + 0.5))],
+                "mad_e4": [np.int64(np.floor(mad * 1e4 + 0.5))],
+                "n_outliers": [np.int64(int((np.abs(v - med) > thr).sum()))],
+            }
+        )
+
+    return orders.groupby("o_orderpriority").map_groups(
+        stats, batch_format="pandas"
+    )
+
+
+SQL_ORDERS_PRICE_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT o_orderpriority, median(o_totalprice) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS ad, m.med
+  FROM orders o JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, any_value(med) AS med, median(ad) AS mad
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(any_value(m.med) * 10000 + 0.5) AS BIGINT) AS median_e4,
+       CAST(floor(any_value(m.mad) * 10000 + 0.5) AS BIGINT) AS mad_e4,
+       CAST(sum(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+"""
+
+
 def bpe_tokenize_docs(sf_dir: str):
     """BPE tokenizer train + apply (textstats.py bpe_train /
     bpe_token_counts): 60 merges learned from the corpus's bounded
@@ -6671,6 +6758,11 @@ QUERIES = {
     "rasterize_nations_z3": (rasterize_nations_z3, SQL_RASTERIZE_NATIONS_Z3),
     "hll_user_overlap": (hll_user_overlap, SQL_HLL_USER_OVERLAP),
     "kfold_split_docs": (kfold_split_docs, SQL_KFOLD_SPLIT_DOCS),
+    "stratified_kfold_docs": (stratified_kfold_docs, SQL_STRATIFIED_KFOLD_DOCS),
+    "orders_price_mad_outliers": (
+        orders_price_mad_outliers,
+        SQL_ORDERS_PRICE_MAD_OUTLIERS,
+    ),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---
