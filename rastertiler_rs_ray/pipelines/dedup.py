@@ -57,6 +57,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1445,3 +1446,107 @@ def semdedup(
     )
     drop = pa.array(np.sort(drops[id_col].to_numpy())) if len(drops) else None
     return _filter_dropped(ds, drop, id_col)
+
+
+def record_linkage(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    name_col: str,
+    block_prefix: int = 8,
+    max_distance: int = 1,
+) -> ray.data.Dataset:
+    """Entity resolution (record linkage): cluster rows whose names are
+    within ``max_distance`` Levenshtein edits, using prefix blocking so
+    the quadratic verify only runs inside blocks — the classic
+    blocking → verify → transitive-closure pipeline (Fellegi-Sunter
+    family).
+
+    Topology: one groupby on the block key (names move once), in-group
+    pairwise byte-DP verify bounded by block size, duplicate-pair
+    stream into the sharded union-find (``connected_components``), and
+    every row labeled with its component's minimum id (singletons label
+    themselves).  Same survivor-election scale contract as the dedup
+    family; blocking recall is the caller's knob (prefix length), NOT a
+    silent cap — pairs split by blocking are out of contract by
+    definition, exactly like LSH banding.
+    """
+
+    def keyed(b: pa.Table) -> pa.Table:
+        names = pc.utf8_slice_codeunits(b.column(name_col), 0, block_prefix)
+        return pa.table(
+            {
+                "block": names,
+                id_col: b.column(id_col),
+                name_col: b.column(name_col),
+            }
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        n = len(g)
+        e = pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return e
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        names = [s.encode() for s in g.column(name_col).to_pylist()]
+
+        def lev_le(a: bytes, bb: bytes, k: int) -> bool:
+            if abs(len(a) - len(bb)) > k:
+                return False
+            prev = list(range(len(bb) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i] + [0] * len(bb)
+                for j, cb in enumerate(bb, 1):
+                    cur[j] = min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                if min(cur) > k:
+                    return False
+                prev = cur
+            return prev[-1] <= k
+
+        us, vs = [], []
+        for i in range(n):  # block-bounded quadratic verify
+            for j in range(i + 1, n):
+                a, b2 = int(ids[i]), int(ids[j])
+                if a > b2:
+                    a, b2 = b2, a
+                if lev_le(names[i], names[j], max_distance):
+                    us.append(a)
+                    vs.append(b2)
+        if not us:
+            return e
+        return pa.table({"u": pa.array(us, pa.int64()), "v": pa.array(vs, pa.int64())})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    pairs = keyed_ds.groupby("block").map_groups(verify, batch_format="pyarrow")
+    comp = connected_components(pairs)
+
+    # label every row: component min where linked, self otherwise —
+    # union a self-map and take the min per id (one narrow groupby)
+    def self_map(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(b.column(id_col), pa.int64()),
+                "component": pc.cast(b.column(id_col), pa.int64()),
+            }
+        )
+
+    from .relational import grouped_aggregate as _ga
+
+    labels = _ga(
+        comp.union(ds.map_batches(self_map, batch_format="pyarrow")),
+        ["node"],
+        [("canonical_id", "component", "min")],
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: b.column("node"), "canonical_id": b.column("canonical_id")}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")

@@ -1335,6 +1335,74 @@ FROM m3 GROUP BY 1
 """
 
 
+def entity_resolve_customers(sf_dir: str):
+    """Entity resolution flagship (dedup.py record_linkage): planted
+    customer name variants (2/3 exact + 1/3 last-char-truncated per
+    cohort) clustered by prefix blocking → in-block Levenshtein<=1
+    verify → sharded union-find — every row labeled with its
+    component's min id.  The SQL oracle recomputes true components
+    over the SAME blocked pair set (DuckDB levenshtein + recursive
+    CTE), so blocking recall itself is part of the contract."""
+    from .dedup import record_linkage
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def names(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("c_custkey")).astype(np.int64)
+        base = [(int(v) // 3 * 2654435761) % 100000007 for v in k]
+        nm = [
+            f"cust{bv}" if kv % 3 < 2 else f"cust{bv}"[:-1]
+            for kv, bv in zip(k, base)
+        ]
+        return pa.table(
+            {
+                "cust_id": pa.array(k, pa.int64()),
+                "name": pa.array(nm, pa.string()),
+            }
+        )
+
+    return record_linkage(
+        cust.map_batches(names, batch_format="pyarrow"),
+        id_col="cust_id",
+        name_col="name",
+        block_prefix=8,
+        max_distance=1,
+    )
+
+
+SQL_ENTITY_RESOLVE_CUSTOMERS = """
+WITH RECURSIVE
+named AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CASE WHEN c_custkey % 3 < 2 THEN base
+              ELSE substr(base, 1, length(base) - 1) END AS name
+  FROM (
+    SELECT c_custkey,
+           'cust' || CAST(((c_custkey // 3) * 2654435761) % 100000007 AS VARCHAR)
+             AS base
+    FROM customer
+  )
+),
+pairs AS (
+  SELECT a.id AS u, b.id AS w
+  FROM named a JOIN named b
+    ON a.id < b.id
+   AND substr(a.name, 1, 8) = substr(b.name, 1, 8)
+   AND levenshtein(a.name, b.name) <= 1
+),
+edges AS (SELECT u, w FROM pairs UNION ALL SELECT w AS u, u AS w FROM pairs),
+reach(node, x) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.node, e.w FROM reach r JOIN edges e ON e.u = r.x
+)
+SELECT id AS cust_id,
+       least(id, coalesce((SELECT min(x) FROM reach r WHERE r.node = id), id))
+         AS canonical_id
+FROM named
+"""
+
+
 def stratified_kfold_docs(sf_dir: str):
     """Stratified k-fold: round-robin fold assignment by rank WITHIN
     each language stratum (fold = row_number % k per lang, ordered by
@@ -6759,6 +6827,10 @@ QUERIES = {
     "hll_user_overlap": (hll_user_overlap, SQL_HLL_USER_OVERLAP),
     "kfold_split_docs": (kfold_split_docs, SQL_KFOLD_SPLIT_DOCS),
     "stratified_kfold_docs": (stratified_kfold_docs, SQL_STRATIFIED_KFOLD_DOCS),
+    "entity_resolve_customers": (
+        entity_resolve_customers,
+        SQL_ENTITY_RESOLVE_CUSTOMERS,
+    ),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,

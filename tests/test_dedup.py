@@ -650,3 +650,35 @@ class TestSemDeDup:
         cent = vecs.mean(0)
         d2 = ((vecs[:4] - cent) ** 2).sum(1)
         assert group_kept == {ids[int(np.argmax(d2))]}
+
+
+def test_record_linkage(ray_session):
+    """Blocking + lev<=1 verify + components: hand-built cohorts."""
+    from rastertiler_rs_ray.pipelines.dedup import record_linkage
+
+    rows = [
+        # cohort A: exact dup + one-char typo (same 8-char prefix)
+        {"cust_id": 1, "name": "aaaabbbb-one"},
+        {"cust_id": 2, "name": "aaaabbbb-one"},
+        {"cust_id": 3, "name": "aaaabbbb-onX"},
+        # same block but > 1 edit away: separate entity
+        {"cust_id": 4, "name": "aaaabbbb-twoXY"},
+        # different block entirely
+        {"cust_id": 5, "name": "zzzz-solo"},
+        # pair split by blocking (prefix differs in first 8): NOT linked
+        {"cust_id": 6, "name": "bbbbcccc-x"},
+        {"cust_id": 7, "name": "bbbbcccX-x"},
+    ]
+    out = (
+        record_linkage(
+            ray.data.from_items(rows),
+            id_col="cust_id",
+            name_col="name",
+            block_prefix=8,
+            max_distance=1,
+        )
+        .to_pandas()
+        .sort_values("cust_id")
+        .reset_index(drop=True)
+    )
+    assert out.canonical_id.tolist() == [1, 1, 1, 4, 5, 6, 7]
