@@ -1109,3 +1109,87 @@ def _quantize_int8_table(
             "q": pa.array(np.concatenate([p[2] for p in parts]), pa.int64()),
         }
     )
+
+
+def mmr_rerank(
+    corpus: ray.data.Dataset,
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    pool: int = 100,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) — the diversity-aware re-ranker: greedily pick k items
+    maximizing lam·sim(q, d) − (1−lam)·max_{s∈selected} sim(d, s).
+
+    Two-stage shape, like every production re-ranker: the DISTRIBUTED
+    stage reduces the corpus to a ``pool``-sized candidate set by
+    query cosine (per-block top-k partials, the ``top_k`` topology —
+    k×blocks rows ever reach the driver); the greedy MMR loop then
+    runs on that bounded pool (O(pool²·dim) driver math).  Ties break
+    by lowest id.  Returns (rank, id, score_e6).
+    """
+    from .relational import top_k as _top_k
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    q_ref = ray.put(q)
+
+    def scored(b: pa.Table) -> pa.Table:
+        qq = ray.get(q_ref)
+        if len(b) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "simq": pa.array([], pa.float64()),
+                    "vec": pa.array([], pa.binary()),
+                }
+            )
+        m = _normalize(_as_matrix(b, vec_col))
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "simq": pa.array(m @ qq, pa.float64()),
+                "vec": pa.array([r.tobytes() for r in m], pa.binary()),
+            }
+        )
+
+    cand = _top_k(
+        corpus.map_batches(scored, batch_format="pyarrow"), pool, "simq"
+    )
+    ids = cand.column(id_col).to_numpy()
+    simq = cand.column("simq").to_numpy()
+    vecs = np.stack(
+        [np.frombuffer(v, dtype=np.float64) for v in cand.column("vec").to_pylist()]
+    )
+    order = np.lexsort((ids, -simq))
+    ids, simq, vecs = ids[order], simq[order], vecs[order]
+    n = len(ids)
+    selected: list[int] = []
+    max_sim_sel = np.full(n, -np.inf)
+    taken = np.zeros(n, dtype=bool)
+    out_rank, out_id, out_score = [], [], []
+    for rank in range(min(k, n)):
+        if selected:
+            score = lam * simq - (1.0 - lam) * max_sim_sel
+        else:
+            score = lam * simq
+        score = np.where(taken, -np.inf, score)
+        best = int(np.lexsort((ids, -score))[0])
+        taken[best] = True
+        selected.append(best)
+        out_rank.append(rank + 1)
+        out_id.append(int(ids[best]))
+        out_score.append(int(np.floor(score[best] * 1e6 + 0.5)))
+        sim_to_best = vecs @ vecs[best]
+        max_sim_sel = np.maximum(max_sim_sel, sim_to_best)
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "score_e6": pa.array(out_score, pa.int64()),
+        }
+    )

@@ -1335,6 +1335,84 @@ FROM m3 GROUP BY 1
 """
 
 
+def mmr_rerank_embeddings(sf_dir: str):
+    """Diversity-aware retrieval (ann.py mmr_rerank, Carbonell &
+    Goldstein MMR): distributed top-100 candidate pool by query cosine
+    (per-block partials), then the greedy lam=0.7 MMR loop on the
+    bounded pool — rows-only (iterative greedy selection has no SQL
+    form; the kernel is pinned against a sequential reference in
+    tests)."""
+    from .ann import mmr_rerank
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = np.asarray(
+        qt.filter(pc.equal(qt.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    return mmr_rerank(emb, q, k=10, pool=100, lam=0.7)
+
+
+def polygon_stats_nations(sf_dir: str):
+    """Polygon geometry: shoelace signed area and vertex-mean centroid
+    of the deterministic nation triangles (map-only vectorized math;
+    the SQL mirror computes the identical closed-form float tree, so
+    the contract is the formula)."""
+    nat = _read(sf_dir, "nation", columns=["n_nationkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        t = _nation_merc_triangles(b)
+        xs = np.asarray(t.column("xs").combine_chunks().values).reshape(-1, 3)
+        ys = np.asarray(t.column("ys").combine_chunks().values).reshape(-1, 3)
+        x0, x1, x2 = xs[:, 0], xs[:, 1], xs[:, 2]
+        y0, y1, y2 = ys[:, 0], ys[:, 1], ys[:, 2]
+        area = (x0 * (y1 - y2) + x1 * (y2 - y0) + x2 * (y0 - y1)) * 0.5
+        cx = (x0 + x1 + x2) / 3.0
+        cy = (y0 + y1 + y2) / 3.0
+        return pa.table(
+            {
+                "poly_id": t.column("poly_id"),
+                "area_e2": pa.array(
+                    np.floor(np.abs(area) * 1e2 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "cx_e2": pa.array(
+                    np.floor(cx * 1e2 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "cy_e2": pa.array(
+                    np.floor(cy * 1e2 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return nat.map_batches(f, batch_format="pyarrow")
+
+
+SQL_POLYGON_STATS_NATIONS = """
+WITH tri AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         -18000000.0 + ((n_nationkey * 37) % 36) * 1000000.0 AS x_0,
+         -17000000.0 + ((n_nationkey * 59) % 34) * 1000000.0 AS y_0,
+         (2.0 + (n_nationkey % 5)) * 1000000.0 AS w,
+         (2.0 + (n_nationkey % 7)) * 1000000.0 AS h
+  FROM nation
+),
+v AS (
+  SELECT poly_id, x_0, y_0,
+         x_0 + w AS x_1, y_0 + (h / 3.0) AS y_1,
+         x_0 + (w / 3.0) AS x_2, y_0 + h AS y_2
+  FROM tri
+)
+SELECT poly_id,
+  CAST(floor(abs((x_0 * (y_1 - y_2) + x_1 * (y_2 - y_0) + x_2 * (y_0 - y_1))
+                 * 0.5) * 100 + 0.5) AS BIGINT) AS area_e2,
+  CAST(floor(((x_0 + x_1 + x_2) / 3.0) * 100 + 0.5) AS BIGINT) AS cx_e2,
+  CAST(floor(((y_0 + y_1 + y_2) / 3.0) * 100 + 0.5) AS BIGINT) AS cy_e2
+FROM v
+"""
+
+
 def entity_resolve_customers(sf_dir: str):
     """Entity resolution flagship (dedup.py record_linkage): planted
     customer name variants (2/3 exact + 1/3 last-char-truncated per
@@ -6831,6 +6909,7 @@ QUERIES = {
         entity_resolve_customers,
         SQL_ENTITY_RESOLVE_CUSTOMERS,
     ),
+    "polygon_stats_nations": (polygon_stats_nations, SQL_POLYGON_STATS_NATIONS),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,
@@ -6859,4 +6938,5 @@ QUERIES = {
     "bilinear_tile_checksums": (bilinear_tile_checksums, None),
     "bpe_tokenize_docs": (bpe_tokenize_docs, None),
     "simplify_user_paths": (simplify_user_paths, None),
+    "mmr_rerank_embeddings": (mmr_rerank_embeddings, None),
 }

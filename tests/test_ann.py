@@ -484,3 +484,53 @@ def test_quantize_int8_kernel_sliced_list_array():
     out = _quantize_int8_table(t, vec_col="embedding", id_col="vec_id")
     assert out.column("q").to_pylist() == list(want_q)
     assert out.column("vec_id").to_pylist() == list(want_ids)
+
+
+class TestMmr:
+    def test_matches_sequential_reference_and_diversifies(self, ray_session):
+        from rastertiler_rs_ray.pipelines.ann import mmr_rerank
+
+        rng = np.random.default_rng(9)
+        dim, n = 16, 200
+        base = rng.standard_normal((n, dim))
+        q = rng.standard_normal(dim)
+        # plant 5 near-copies of the best match: pure relevance would
+        # return the clones; MMR must interleave diverse items
+        best = q + 0.05 * rng.standard_normal(dim)
+        for i in range(5):
+            base[i] = best  # exact clones: pairwise cosine 1.0
+        ids = np.arange(n, dtype=np.int64)
+        corpus = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in base], pa.list_(pa.float64())
+                    ),
+                }
+            )
+        ).repartition(4)
+        k, pool, lam = 8, 50, 0.5
+        out = mmr_rerank(corpus, q, k=k, pool=pool, lam=lam).to_pandas()
+        assert len(out) == k and out["rank"].tolist() == list(range(1, k + 1))
+        # clones don't dominate: at most 2 of the 5 clones selected
+        assert (out["vec_id"] < 5).sum() <= 2
+
+        # sequential reference over the same pool
+        nm = base / np.linalg.norm(base, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        simq = nm @ qn
+        order = np.lexsort((ids, -simq))[:pool]
+        pids, psim, pvec = ids[order], simq[order], nm[order]
+        sel, got_ids = [], []
+        maxsel = np.full(pool, -np.inf)
+        taken = np.zeros(pool, bool)
+        for _ in range(k):
+            score = lam * psim - (0.0 if not sel else (1 - lam) * maxsel)
+            score = np.where(taken, -np.inf, score)
+            b = int(np.lexsort((pids, -score))[0])
+            taken[b] = True
+            sel.append(b)
+            got_ids.append(int(pids[b]))
+            maxsel = np.maximum(maxsel, pvec @ pvec[b])
+        assert out["vec_id"].tolist() == got_ids
