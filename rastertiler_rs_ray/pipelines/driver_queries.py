@@ -4984,6 +4984,65 @@ SELECT DISTINCT doc_id, pos, fp FROM sel
 SQL_WINNOW_FINGERPRINTS = _winnow_sql(8, 4)
 
 
+def cdc_chunks_docs(sf_dir: str):
+    """Content-defined chunking (textstats.py cdc_chunks): Rabin-style
+    boundaries where the k=8-gram rolling hash ≡ 0 mod 32, one chunk
+    row per (doc, boundary segment) with the (len, codepoint-sum)
+    signature chunk-level dedup groups on.  Map-only, zero shuffle."""
+    from .textstats import cdc_chunks
+
+    return cdc_chunks(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=8, mask_bits=5
+    )
+
+
+def _cdc_sql(k: int = 8, mask_bits: int = 5) -> str:
+    from ..functions.text import kgram_hash_powers
+
+    pw = ",".join(f"({j}, {int(p)})" for j, p in enumerate(kgram_hash_powers(k)))
+    m = 1 << mask_bits
+    return f"""
+WITH pw(j, p) AS (VALUES {pw}),
+src AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+h AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(SUM((CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT) * p)
+                  % 4294967296) % 4294967296 AS BIGINT) AS fp
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {k - 1})) AS i
+        FROM src), pw
+  GROUP BY doc_id, i
+),
+bnd AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS pos FROM src
+  UNION ALL
+  SELECT doc_id, pos FROM h WHERE pos > 1 AND fp % {m} = 0
+),
+ch AS (
+  SELECT b.doc_id, b.pos AS start_pos,
+         ROW_NUMBER() OVER (PARTITION BY b.doc_id ORDER BY b.pos) - 1 AS chunk_idx,
+         coalesce(LEAD(b.pos) OVER (PARTITION BY b.doc_id ORDER BY b.pos),
+                  length(s.text) + 1) AS nxt
+  FROM bnd b JOIN src s USING (doc_id)
+),
+chars AS (
+  SELECT doc_id, i AS cpos, unicode(substr(text, CAST(i AS INT), 1)) AS code
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        FROM src)
+)
+SELECT ch.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(nxt - start_pos AS BIGINT) AS chunk_len,
+       CAST(SUM(c.code) AS BIGINT) AS cpsum
+FROM ch JOIN chars c ON c.doc_id = ch.doc_id
+                     AND c.cpos >= ch.start_pos AND c.cpos < ch.nxt
+GROUP BY ch.doc_id, chunk_idx, start_pos, nxt
+"""
+
+
+SQL_CDC_CHUNKS_DOCS = _cdc_sql()
+
+
 def zorder_docs_z12(sf_dir: str):
     """Z-order locality sort: doc positions keyed by the Morton
     interleave of their z12 tile (x, y), globally range-sorted — the
@@ -6910,6 +6969,7 @@ QUERIES = {
         SQL_ENTITY_RESOLVE_CUSTOMERS,
     ),
     "polygon_stats_nations": (polygon_stats_nations, SQL_POLYGON_STATS_NATIONS),
+    "cdc_chunks_docs": (cdc_chunks_docs, SQL_CDC_CHUNKS_DOCS),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,

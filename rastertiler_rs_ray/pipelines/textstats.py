@@ -1269,3 +1269,81 @@ def bpe_token_counts(
         )
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def cdc_chunks(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 8,
+    mask_bits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Content-defined chunking (the Rabin/FastCDC family, the storage
+    side of dedup): a chunk boundary falls wherever the k-gram rolling
+    hash is ≡ 0 mod 2^mask_bits (expected chunk ≈ 2^mask_bits chars),
+    so identical passages chunk identically regardless of their byte
+    offset — the property that makes chunk-level dedup survive
+    insertions, unlike fixed-size blocks.
+
+    Map-only and fully vectorized: per batch the existing
+    ``kgram_hashes`` lane machinery marks boundaries, a cumsum assigns
+    every character its chunk, and ``np.add.at`` folds per-chunk
+    signatures.  Output per chunk: (doc_id, chunk_idx, start_pos
+    [1-based], chunk_len, cpsum) — the (len, codepoint-sum) signature
+    is what downstream chunk-level dedup groups on, and is exactly
+    SQL-expressible for the oracle.
+    """
+    from ..functions.text import flat_codepoints, kgram_hashes
+
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    def f(df):
+        import pandas as pd
+
+        texts = df[text_col]
+        codes, doc_of = flat_codepoints(texts)
+        n_chars = len(codes)
+        if n_chars == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=df[id_col].dtype),
+                    "chunk_idx": pd.Series([], dtype=np.int64),
+                    "start_pos": pd.Series([], dtype=np.int64),
+                    "chunk_len": pd.Series([], dtype=np.int64),
+                    "cpsum": pd.Series([], dtype=np.int64),
+                }
+            )
+        lens = texts.fillna("").str.len().to_numpy(np.int64)
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        is_b = np.zeros(n_chars, dtype=bool)
+        is_b[doc_start[lens > 0]] = True  # every non-empty doc starts a chunk
+        h, dix, pos = kgram_hashes(texts, k=k)
+        hit = ((h & mask) == 0) & (pos > 0)
+        is_b[doc_start[dix[hit]] + pos[hit]] = True
+        chunk_of = np.cumsum(is_b) - 1
+        starts = np.flatnonzero(is_b)
+        n_chunks = len(starts)
+        ends = np.concatenate([starts[1:], [n_chars]])
+        cpsum = np.zeros(n_chunks, dtype=np.int64)
+        np.add.at(cpsum, chunk_of, codes.astype(np.int64))
+        cdoc = doc_of[starts]
+        start_pos = starts - doc_start[cdoc] + 1  # 1-based, SQL mirror
+        first_chunk = np.zeros(n_chunks, dtype=np.int64)
+        # chunk_idx within doc: arange minus each doc's first chunk index
+        uniq, first = np.unique(cdoc, return_index=True)
+        base = np.zeros(n_chunks, dtype=np.int64)
+        base[first] = np.arange(n_chunks, dtype=np.int64)[first]
+        base = np.maximum.accumulate(base)
+        chunk_idx = np.arange(n_chunks, dtype=np.int64) - base
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy()[cdoc],
+                "chunk_idx": chunk_idx,
+                "start_pos": start_pos,
+                "chunk_len": ends - starts,
+                "cpsum": cpsum,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")

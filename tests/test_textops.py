@@ -1047,3 +1047,52 @@ class TestBpe:
 
         want = [sum(ref_word(w) for w in t.split()) for t in texts]
         assert got == want
+
+
+class TestCdcChunks:
+    def test_shift_invariance(self, ray_session):
+        """The CDC property: inserting a prefix does not move interior
+        chunk boundaries — the shared suffix chunks keep identical
+        (len, cpsum) signatures."""
+        from rastertiler_rs_ray.pipelines.textstats import cdc_chunks
+
+        rng = np.random.default_rng(12)
+        body = "".join(rng.choice(list("abcdefgh ")) for _ in range(600))
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": body},
+                {"doc_id": 2, "text": "PREFIX-INSERTED-" + body},
+            ]
+        )
+        out = cdc_chunks(docs, k=8, mask_bits=5).to_pandas()
+        sig1 = set(
+            zip(out[out.doc_id == 1].chunk_len, out[out.doc_id == 1].cpsum)
+        )
+        sig2 = set(
+            zip(out[out.doc_id == 2].chunk_len, out[out.doc_id == 2].cpsum)
+        )
+        # most of doc 1's chunks reappear verbatim in doc 2
+        assert len(sig1 & sig2) >= max(1, len(sig1) - 2)
+
+    def test_chunks_partition_document(self, ray_session):
+        from rastertiler_rs_ray.pipelines.textstats import cdc_chunks
+
+        texts = ["hello world " * 20, "x", "", "abcdefgh" * 5]
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        out = cdc_chunks(docs, k=8, mask_bits=4).to_pandas()
+        for i, t in enumerate(texts):
+            c = out[out.doc_id == i].sort_values("chunk_idx")
+            if not t:
+                assert len(c) == 0
+                continue
+            assert c.chunk_idx.tolist() == list(range(len(c)))
+            assert c.start_pos.iloc[0] == 1
+            assert c.chunk_len.sum() == len(t)
+            # contiguous: each chunk starts where the previous ended
+            assert (
+                c.start_pos.to_numpy()[1:]
+                == (c.start_pos + c.chunk_len).to_numpy()[:-1]
+            ).all()
+            assert c.cpsum.sum() == sum(ord(ch) for ch in t)
