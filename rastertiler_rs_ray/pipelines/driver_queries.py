@@ -2805,6 +2805,109 @@ FROM perpx GROUP BY 1, 2
 SQL_FOCAL_MEAN_BLOCKS = _sql_focal_mean_blocks()
 
 
+def hillshade_blocks(sf_dir: str):
+    """Horn hillshade (pipelines/focal.py hillshade_windowed, gdaldem's
+    algorithm) over the focal test window, rolled up per chunk block —
+    the weighted 3x3 gradient numerators are exact integer sums, so the
+    SQL oracle reproduces the full shade value."""
+    from .focal import hillshade_windowed
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+
+    def key(b: pa.Table) -> pa.Table:
+        gc = b.column("gcol").to_numpy(zero_copy_only=False)
+        gr = b.column("grow").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bx", pa.array(gc // _FOCAL_CHUNK, pa.int64())
+        ).append_column("by", pa.array(gr // _FOCAL_CHUNK, pa.int64()))
+
+    return grouped_aggregate(
+        hillshade_windowed(
+            r.spec(), c0, r0, c1, r1, chunk=_FOCAL_CHUNK, cellsize=10.0
+        ).map_batches(key, batch_format="pyarrow"),
+        ["bx", "by"],
+        [("n", "hillshade", "count"), ("hs_sum", "hillshade", "sum")],
+    )
+
+
+def _sql_hillshade_blocks() -> str:
+    """DuckDB mirror of hillshade_blocks: the focal neighbor
+    enumeration, integer Horn gradient numerators via weighted CASE
+    sums (exact), then the same slope/aspect/shade float tree."""
+    import math
+
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    az = math.radians(360.0 - 315.0 + 90.0)
+    zen = math.radians(90.0 - 45.0)
+    blk_stages = _sql_mix64(f"nc // {r.block}", f"nr // {r.block}", r.seed + 1, "bh")
+    px_stages = _sql_mix64("nc", "nr", r.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["nb", "m0", "m1", "m2"])
+        )
+    )
+    return f"""
+WITH cc AS (SELECT unnest(generate_series({c0}, {c1 - 1})) AS sc),
+cr AS (SELECT unnest(generate_series({r0}, {r1 - 1})) AS sr),
+ctr AS (SELECT sc, sr FROM cc CROSS JOIN cr),
+d AS (SELECT unnest([-1, 0, 1]) AS dd),
+nb AS (
+  SELECT sc, sr, dx.dd AS dx, dy.dd AS dy, sc + dx.dd AS nc, sr + dy.dd AS nr
+  FROM ctr CROSS JOIN d dx CROSS JOIN d dy
+  WHERE sc + dx.dd >= {c0} AND sc + dx.dd < {c1}
+    AND sr + dy.dd >= {r0} AND sr + dy.dd < {r1}
+),
+{hash_ctes},
+vals AS (
+  SELECT sc, sr, dx, dy,
+         CASE WHEN bh % 7 = 1 THEN 42
+              ELSE 1 + CAST(ph % 255 AS BIGINT) END AS v
+  FROM m3 WHERE bh % 5 <> 0
+),
+grad AS (
+  SELECT sc, sr,
+         SUM(CASE WHEN dx = 1 THEN (CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+                  WHEN dx = -1 THEN -(CASE WHEN dy = 0 THEN 2 ELSE 1 END) * v
+                  ELSE 0 END) AS nx,
+         SUM(CASE WHEN dy = 1 THEN (CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+                  WHEN dy = -1 THEN -(CASE WHEN dx = 0 THEN 2 ELSE 1 END) * v
+                  ELSE 0 END) AS ny
+  FROM vals GROUP BY sc, sr HAVING count(*) = 9
+),
+hs AS (
+  SELECT sc, sr,
+         CAST(floor(greatest(
+           255.0 * ({math.cos(zen)!r} * cos(atan(sqrt(
+                      ((CAST(nx AS DOUBLE) * 1.0) / 80.0)
+                        * ((CAST(nx AS DOUBLE) * 1.0) / 80.0)
+                      + ((CAST(ny AS DOUBLE) * 1.0) / 80.0)
+                        * ((CAST(ny AS DOUBLE) * 1.0) / 80.0))))
+             + {math.sin(zen)!r} * sin(atan(sqrt(
+                      ((CAST(nx AS DOUBLE) * 1.0) / 80.0)
+                        * ((CAST(nx AS DOUBLE) * 1.0) / 80.0)
+                      + ((CAST(ny AS DOUBLE) * 1.0) / 80.0)
+                        * ((CAST(ny AS DOUBLE) * 1.0) / 80.0))))
+               * cos({az!r} - atan2((CAST(ny AS DOUBLE) * 1.0) / 80.0,
+                                    -((CAST(nx AS DOUBLE) * 1.0) / 80.0)))),
+           0.0) + 0.5) AS BIGINT) AS hsv
+  FROM grad
+)
+SELECT sc // {_FOCAL_CHUNK} AS bx, sr // {_FOCAL_CHUNK} AS by,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(hsv) AS BIGINT) AS hs_sum
+FROM hs GROUP BY 1, 2
+"""
+
+
+SQL_HILLSHADE_BLOCKS = _sql_hillshade_blocks()
+
+
 _RADIUS_M = 1_000_000.0  # pair threshold (planar EPSG:3857 meters)
 _RADIUS_ZOOM = 5  # cell side 1252 km >= radius
 
@@ -6970,6 +7073,7 @@ QUERIES = {
     ),
     "polygon_stats_nations": (polygon_stats_nations, SQL_POLYGON_STATS_NATIONS),
     "cdc_chunks_docs": (cdc_chunks_docs, SQL_CDC_CHUNKS_DOCS),
+    "hillshade_blocks": (hillshade_blocks, SQL_HILLSHADE_BLOCKS),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,

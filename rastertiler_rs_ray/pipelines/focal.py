@@ -284,3 +284,101 @@ def focal_stats_windowed(
     return ray.data.from_items(ids).map_batches(
         _FocalReader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
     )
+
+
+def hillshade_windowed(
+    raster_spec: dict,
+    c0: int,
+    r0: int,
+    c1: int,
+    r1: int,
+    *,
+    chunk: int = 128,
+    cellsize: float = 10.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Horn (1981) hillshade — gdaldem's algorithm — over a pixel
+    region via overlap reads (the zero-shuffle focal plan): per pixel
+    the 3x3 Horn gradients
+    dz/dx = ((c+2f+i) − (a+2d+g)) / (8·cell),
+    dz/dy = ((g+2h+i) − (a+2b+c)) / (8·cell),
+    then 255·(cos z·cos s + sin z·sin s·cos(az − aspect)), clamped at
+    0, emitted only where ALL nine window pixels are valid and
+    in-region (Horn's validity rule).  The weighted gradient
+    numerators are exact integer sums, so the SQL oracle reproduces
+    them bit-for-bit; the transcendental tail is shared-libm stable
+    under the integer rounding.
+
+    Output per pixel: (gcol, grow, hillshade 0..255).
+    """
+    from ..raster.synthetic import SyntheticRaster
+
+    az = np.deg2rad(360.0 - azimuth_deg + 90.0)
+    zen = np.deg2rad(90.0 - altitude_deg)
+    ids = [
+        {"bx": bx, "by": by}
+        for by in range(r0 // chunk, (r1 + chunk - 1) // chunk)
+        for bx in range(c0 // chunk, (c1 + chunk - 1) // chunk)
+    ]
+    out_schema = pa.schema(
+        [("gcol", pa.int64()), ("grow", pa.int64()), ("hillshade", pa.int64())]
+    )
+
+    class _Shader:
+        def __init__(self):
+            self.r = SyntheticRaster.from_spec(raster_spec)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out = []
+            bxs = b.column("bx").to_numpy(zero_copy_only=False)
+            bys = b.column("by").to_numpy(zero_copy_only=False)
+            for bx, by in zip(bxs, bys):
+                cols = np.arange(bx * chunk - 1, (bx + 1) * chunk + 1, dtype=np.int64)
+                rows = np.arange(by * chunk - 1, (by + 1) * chunk + 1, dtype=np.int64)
+                v = self.r.values_at(cols[None, :], rows[:, None]).astype(np.int64)
+                inside = (
+                    (cols[None, :] >= c0)
+                    & (cols[None, :] < c1)
+                    & (rows[:, None] >= r0)
+                    & (rows[:, None] < r1)
+                )
+                valid = (v != self.r.nodata) & inside
+                # 3x3 neighbors: a b c / d e f / g h i (row-major)
+                a = v[:-2, :-2]; bb = v[:-2, 1:-1]; c = v[:-2, 2:]
+                d = v[1:-1, :-2]; f = v[1:-1, 2:]
+                g = v[2:, :-2]; h = v[2:, 1:-1]; i = v[2:, 2:]
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                all_ok = sliding_window_view(valid, (3, 3)).all(axis=(2, 3))
+                # exact-integer gradient numerators
+                nx = (c + 2 * f + i) - (a + 2 * d + g)
+                ny = (g + 2 * h + i) - (a + 2 * bb + c)
+                dzdx = nx.astype(np.float64) * z_factor / (8.0 * cellsize)
+                dzdy = ny.astype(np.float64) * z_factor / (8.0 * cellsize)
+                slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+                aspect = np.arctan2(dzdy, -dzdx)
+                hs = 255.0 * (
+                    np.cos(zen) * np.cos(slope)
+                    + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+                )
+                hsv = np.floor(np.maximum(hs, 0.0) + 0.5).astype(np.int64)
+                rr, cc = np.nonzero(all_ok)
+                if len(rr) == 0:
+                    continue
+                out.append(
+                    pa.table(
+                        {
+                            "gcol": pa.array(bx * chunk + cc, pa.int64()),
+                            "grow": pa.array(by * chunk + rr, pa.int64()),
+                            "hillshade": pa.array(hsv[all_ok], pa.int64()),
+                        }
+                    )
+                )
+            return pa.concat_tables(out) if out else out_schema.empty_table()
+
+    return ray.data.from_items(ids).map_batches(
+        _Shader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )

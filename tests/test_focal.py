@@ -187,3 +187,40 @@ class TestLocalAlgebra:
 
         with pytest.raises(ValueError, match="unknown op"):
             local_algebra(raster.spec(), raster.spec(), 0, 0, 8, 8, op="mul")
+
+
+def test_hillshade_flat_and_validity(ray_session, raster):
+    """A constant region shades to the flat-terrain value
+    floor(255*cos(zenith)+0.5); pixels whose 3x3 window touches nodata
+    or the region edge emit nothing."""
+    import numpy as np
+
+    from rastertiler_rs_ray.pipelines.focal import hillshade_windowed
+
+    # find a constant struct block of the test raster (bh % 7 == 1)
+    df = hillshade_windowed(
+        raster.spec(), *REGION, chunk=CHUNK, cellsize=10.0
+    ).to_pandas()
+    c0, r0, c1, r1 = REGION
+    # validity: no output on the region border (window leaves region)
+    assert not ((df.gcol == c0) | (df.gcol == c1 - 1)).any()
+    assert not ((df.grow == r0) | (df.grow == r1 - 1)).any()
+    # flat-terrain pixels (interior of const blocks) get the flat value
+    flat = int(np.floor(255.0 * np.cos(np.deg2rad(45.0)) + 0.5))
+    cols = np.arange(c0, c1)
+    rows = np.arange(r0, r1)
+    v = raster.values_at(cols[None, :], rows[:, None]).astype(np.int64)
+    # any pixel whose full 3x3 is one constant value must shade flat
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(v, (3, 3))
+    const_win = (w == w[..., 1:2, 1:2]).all(axis=(2, 3)) & (w[..., 1, 1] != 0)
+    rr, cc = np.nonzero(const_win)
+    if len(rr):
+        sel = df.set_index(["gcol", "grow"])
+        hits = 0
+        for r_, c_ in zip(rows[rr + 1], cols[cc + 1]):
+            if (c_, r_) in sel.index:
+                assert int(sel.loc[(c_, r_), "hillshade"]) == flat
+                hits += 1
+        assert hits > 0
