@@ -4032,6 +4032,108 @@ GROUP BY media_id
 """
 
 
+def phash_dedup_media(sf_dir: str):
+    """Perceptual-hash image dedup over REAL decodes: 96 deterministic
+    images (3/4 share their cohort's base content, 1/4 unique) are
+    PNG-encoded, decoded by the real codec path at the dHash geometry
+    (9x8), gradient-hashed (bit k = right pixel > left pixel — the
+    classic dHash), and grouped by hash: canonical = min media_id,
+    n_dups per group.  Fully oracled: pixels, NN resize, and the 64
+    comparison bits are all integer-exact closed forms in SQL."""
+    from ..png.writer import GRAYSCALE, encode_png_chunks
+    from ..stages.multimodal import decode_media
+
+    ids = ray.data.from_arrow(
+        pa.table({"media_id": pa.array(np.arange(96, dtype=np.int64))})
+    ).repartition(8)
+
+    def author(batch: pa.Table) -> pa.Table:
+        mids = np.asarray(batch.column("media_id"))
+        payloads = []
+        y = np.arange(24, dtype=np.int64)[:, None]
+        x = np.arange(40, dtype=np.int64)[None, :]
+        for m in mids:
+            base = int(m) // 4 if int(m) % 4 < 3 else 1000 + int(m)
+            img = ((base * 97 + y * 31 + x * 7 + x * y * (1 + base % 5)) % 251).astype(
+                np.uint8
+            )
+            payloads.append(encode_png_chunks(img, 40, 24, GRAYSCALE, 8))
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_w": pa.array(np.full(len(mids), 40, np.int32)),
+                "media_h": pa.array(np.full(len(mids), 24, np.int32)),
+            }
+        )
+
+    decoded = decode_media(
+        ids.map_batches(author, batch_format="pyarrow"),
+        out_w=9, out_h=8, fake=False, concurrency=2,
+    )
+
+    def dhash(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        px = np.asarray(
+            batch.column("pixels").combine_chunks().flatten()
+        ).reshape(n, 8, 9).astype(np.int64)
+        bits = (px[:, :, 1:] > px[:, :, :-1]).reshape(n, 64)
+        w32 = (1 << np.arange(32, dtype=np.int64))
+        lo = (bits[:, :32].astype(np.int64) * w32[None, :]).sum(axis=1)
+        hi = (bits[:, 32:].astype(np.int64) * w32[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "dhash_lo": pa.array(lo, pa.int64()),
+                "dhash_hi": pa.array(hi, pa.int64()),
+            }
+        )
+
+    return grouped_aggregate(
+        decoded.map_batches(dhash, batch_format="pyarrow"),
+        ["dhash_lo", "dhash_hi"],
+        [("canonical_id", "media_id", "min"), ("n_dups", "media_id", "count")],
+    )
+
+
+SQL_PHASH_DEDUP_MEDIA = """
+WITH m AS (SELECT unnest(range(96)) AS media_id),
+b AS (SELECT media_id,
+             CASE WHEN media_id % 4 < 3 THEN media_id // 4
+                  ELSE 1000 + media_id END AS base
+      FROM m),
+oy AS (SELECT unnest(range(8)) AS oy),
+ox AS (SELECT unnest(range(9)) AS ox),
+px AS (
+  SELECT media_id, oy, ox,
+         (base * 97
+          + CAST(floor((oy + 0.5) * 24 / 8) AS BIGINT) * 31
+          + CAST(floor((ox + 0.5) * 40 / 9) AS BIGINT) * 7
+          + CAST(floor((ox + 0.5) * 40 / 9) AS BIGINT)
+            * CAST(floor((oy + 0.5) * 24 / 8) AS BIGINT)
+            * (1 + base % 5)) % 251 AS v
+  FROM b CROSS JOIN oy CROSS JOIN ox
+),
+bits AS (
+  SELECT l.media_id, (l.oy * 8 + l.ox) // 32 AS part,
+         CASE WHEN r.v > l.v THEN 1 ELSE 0 END
+           * (CAST(1 AS BIGINT) << ((l.oy * 8 + l.ox) % 32)) AS w
+  FROM px l JOIN px r ON r.media_id = l.media_id AND r.oy = l.oy
+                      AND r.ox = l.ox + 1
+  WHERE l.ox < 8
+),
+h AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN part = 0 THEN w ELSE 0 END) AS BIGINT) AS dhash_lo,
+         CAST(sum(CASE WHEN part = 1 THEN w ELSE 0 END) AS BIGINT) AS dhash_hi
+  FROM bits GROUP BY media_id
+)
+SELECT dhash_lo, dhash_hi, CAST(min(media_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM h GROUP BY dhash_lo, dhash_hi
+"""
+
+
 def span_media_features(sf_dir: str):
     """Interleaved → multimodal bridge: media spans of the generated doc
     table → blob-store fetch stub → decode + feature actor pools.
@@ -7074,6 +7176,7 @@ QUERIES = {
     "polygon_stats_nations": (polygon_stats_nations, SQL_POLYGON_STATS_NATIONS),
     "cdc_chunks_docs": (cdc_chunks_docs, SQL_CDC_CHUNKS_DOCS),
     "hillshade_blocks": (hillshade_blocks, SQL_HILLSHADE_BLOCKS),
+    "phash_dedup_media": (phash_dedup_media, SQL_PHASH_DEDUP_MEDIA),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,
