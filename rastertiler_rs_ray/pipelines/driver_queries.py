@@ -6561,6 +6561,81 @@ SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """
 
 
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns
+    per customer over one quarter, top 20.  Plan: lineitem filtered to
+    returnflag='R' map-side (the selective predicate runs AT the read),
+    ONE big-big shuffle join lineitem ⋈ orders(date-window), then the
+    customer dimension attaches via broadcast and revenue aggregates
+    from integer e2-quantized per-term partials (no cross-engine float
+    sums) before the k=20 partial top-k."""
+    from .relational import broadcast_hash_join, shuffle_hash_join, top_k
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def returned(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev_e2": pa.array(rev, pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def window(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        lo = pa.scalar(pd.Timestamp("1995-10-01"), d.type)
+        hi = pa.scalar(pd.Timestamp("1996-01-01"), d.type)
+        return b.filter(
+            pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        ).select(["o_orderkey", "o_custkey"])
+
+    joined = shuffle_hash_join(
+        li.map_batches(returned, batch_format="pyarrow"),
+        orders.map_batches(window, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    per_cust = grouped_aggregate(joined, ["o_custkey"], [("revenue_e2", "rev_e2", "sum")])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    named = broadcast_hash_join(
+        per_cust, cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    # partial top-40 guards the rank-20 tie boundary; the exact
+    # (rev desc, custkey asc) order finalizes on the tiny merge
+    out = top_k(named, 40, "revenue_e2", columns=["o_custkey", "c_name", "revenue_e2"])
+    idx = pc.sort_indices(
+        out,
+        sort_keys=[("revenue_e2", "descending"), ("o_custkey", "ascending")],
+    )[:20]
+    out = out.take(idx).select(["o_custkey", "c_name", "revenue_e2"])
+    return out.rename_columns(["c_custkey", "c_name", "revenue_e2"])
+
+
+SQL_Q10_RETURNED_ITEMS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY c_custkey, c_name
+ORDER BY revenue_e2 DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q5_regional_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped star join — the multi-join composition showcase:
     lineitem ⋈ orders is the ONE big-big shuffle; customer, supplier,
@@ -7177,6 +7252,7 @@ QUERIES = {
     "cdc_chunks_docs": (cdc_chunks_docs, SQL_CDC_CHUNKS_DOCS),
     "hillshade_blocks": (hillshade_blocks, SQL_HILLSHADE_BLOCKS),
     "phash_dedup_media": (phash_dedup_media, SQL_PHASH_DEDUP_MEDIA),
+    "q10_returned_items": (q10_returned_items, SQL_Q10_RETURNED_ITEMS),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,
