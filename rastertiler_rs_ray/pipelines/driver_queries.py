@@ -2587,6 +2587,63 @@ def nation_supplier_box_join(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def box_overlap_areas(sf_dir: str):
+    """Overlay measure on the PBSM join: every intersecting
+    (nation-box, supplier-box) pair with its exact rectangle
+    intersection area (max(0, min(xmax) - max(xmin)) per axis, e2
+    quantized) — the pairs come from the one-exchange spatial join,
+    the measure from a map-side closed form over the keys (no second
+    join: both geometries re-derive from their integer keys)."""
+    pairs = nation_supplier_box_join(sf_dir)
+
+    def area(b: pa.Table) -> pa.Table:
+        n = b.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nx0 = ((n * 37) % 3968).astype(np.float64)
+        ny0 = ((n * 59) % 2944).astype(np.float64)
+        nx1 = nx0 + (32 + (n % 5) * 24)
+        ny1 = ny0 + (32 + (n % 7) * 16)
+        sx0 = ((s * 53) % 3500).astype(np.float64)
+        sy0 = ((s * 71) % 2500).astype(np.float64)
+        sx1 = sx0 + (200 + (s % 4) * 100)
+        sy1 = sy0 + (200 + (s % 6) * 80)
+        w = np.maximum(0.0, np.minimum(nx1, sx1) - np.maximum(nx0, sx0))
+        h = np.maximum(0.0, np.minimum(ny1, sy1) - np.maximum(ny0, sy0))
+        return b.append_column(
+            "overlap_e2",
+            pa.array(np.floor(w * h * 100.0 + 0.5).astype(np.int64), pa.int64()),
+        )
+
+    return pairs.map_batches(area, batch_format="pyarrow")
+
+
+SQL_BOX_OVERLAP_AREAS = """
+WITH nb AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+         CAST((n_nationkey * 37) % 3968 AS DOUBLE) AS xmin,
+         CAST((n_nationkey * 59) % 2944 AS DOUBLE) AS ymin,
+         CAST((n_nationkey * 37) % 3968 + 32 + (n_nationkey % 5) * 24 AS DOUBLE) AS xmax,
+         CAST((n_nationkey * 59) % 2944 + 32 + (n_nationkey % 7) * 16 AS DOUBLE) AS ymax
+  FROM nation
+),
+sb AS (
+  SELECT s_suppkey,
+         CAST((s_suppkey * 53) % 3500 AS DOUBLE) AS xmin,
+         CAST((s_suppkey * 71) % 2500 AS DOUBLE) AS ymin,
+         CAST((s_suppkey * 53) % 3500 + 200 + (s_suppkey % 4) * 100 AS DOUBLE) AS xmax,
+         CAST((s_suppkey * 71) % 2500 + 200 + (s_suppkey % 6) * 80 AS DOUBLE) AS ymax
+  FROM supplier
+)
+SELECT n_nationkey, s_suppkey,
+       CAST(floor(greatest(0.0, least(nb.xmax, sb.xmax) - greatest(nb.xmin, sb.xmin))
+                  * greatest(0.0, least(nb.ymax, sb.ymax) - greatest(nb.ymin, sb.ymin))
+                  * 100.0 + 0.5) AS BIGINT) AS overlap_e2
+FROM nb JOIN sb
+  ON nb.xmin <= sb.xmax AND sb.xmin <= nb.xmax
+ AND nb.ymin <= sb.ymax AND sb.ymin <= nb.ymax
+"""
+
+
 SQL_NATION_SUPPLIER_BOX_JOIN = """
 WITH nb AS (
   SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
@@ -7253,6 +7310,7 @@ QUERIES = {
     "hillshade_blocks": (hillshade_blocks, SQL_HILLSHADE_BLOCKS),
     "phash_dedup_media": (phash_dedup_media, SQL_PHASH_DEDUP_MEDIA),
     "q10_returned_items": (q10_returned_items, SQL_Q10_RETURNED_ITEMS),
+    "box_overlap_areas": (box_overlap_areas, SQL_BOX_OVERLAP_AREAS),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,
