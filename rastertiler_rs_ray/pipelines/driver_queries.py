@@ -2587,6 +2587,39 @@ def nation_supplier_box_join(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def triangle_box_clip_areas(sf_dir: str):
+    """Overlay analysis (spatial.py polygon_box_clip_areas): exact
+    Sutherland-Hodgman clip areas of the nation Mercator triangles
+    against deterministic supplier Mercator boxes — PBSM candidate
+    pairs, per-pair convex clip + shoelace.  Rows-only: the clip
+    recursion has no SQL form; the kernel is pinned against an
+    exact-Fraction reference in tests."""
+    from .spatial import polygon_box_clip_areas
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey"])
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def sboxes(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("s_suppkey")).astype(np.int64)
+        x0 = -1.9e7 + ((k * 53) % 37) * 1.0e6
+        y0 = -1.8e7 + ((k * 71) % 35) * 1.0e6
+        return pa.table(
+            {
+                "box_id": pa.array(k, pa.int64()),
+                "xmin": pa.array(x0),
+                "ymin": pa.array(y0),
+                "xmax": pa.array(x0 + (1 + (k % 4)) * 1.0e6),
+                "ymax": pa.array(y0 + (1 + (k % 6)) * 8.0e5),
+            }
+        )
+
+    return polygon_box_clip_areas(
+        nat.map_batches(_nation_merc_triangles, batch_format="pyarrow"),
+        sup.map_batches(sboxes, batch_format="pyarrow"),
+        cell=4.0e6,
+    )
+
+
 def box_overlap_areas(sf_dir: str):
     """Overlay measure on the PBSM join: every intersecting
     (nation-box, supplier-box) pair with its exact rectangle
@@ -7340,4 +7373,5 @@ QUERIES = {
     "bpe_tokenize_docs": (bpe_tokenize_docs, None),
     "simplify_user_paths": (simplify_user_paths, None),
     "mmr_rerank_embeddings": (mmr_rerank_embeddings, None),
+    "triangle_box_clip_areas": (triangle_box_clip_areas, None),
 }

@@ -1024,3 +1024,90 @@ class TestSimplifyPolylines:
         ).to_pandas()
         assert out["n_out"].iloc[0] == 2  # endpoints only
         assert out["xs"].iloc[0][0] == 0.0 and out["xs"].iloc[0][-1] == 100.0
+
+
+class TestPolygonBoxClip:
+    def _frac_clip_area(self, pts, x0, y0, x1, y1):
+        """Exact-Fraction Sutherland-Hodgman + shoelace reference."""
+        from fractions import Fraction as F
+
+        pts = [(F(a), F(b)) for a, b in pts]
+
+        def clip(poly, axis, bound, keep_le):
+            out = []
+            n = len(poly)
+            for i in range(n):
+                cur, prv = poly[i], poly[i - 1]
+                cin = cur[axis] <= bound if keep_le else cur[axis] >= bound
+                pin = prv[axis] <= bound if keep_le else prv[axis] >= bound
+                if cin != pin:
+                    t = (bound - prv[axis]) / (cur[axis] - prv[axis])
+                    out.append(
+                        (
+                            prv[0] + t * (cur[0] - prv[0]),
+                            prv[1] + t * (cur[1] - prv[1]),
+                        )
+                    )
+                if cin:
+                    out.append(cur)
+            return out
+
+        for axis, bound, keep in ((0, F(x1), True), (0, F(x0), False),
+                                  (1, F(y1), True), (1, F(y0), False)):
+            pts = clip(pts, axis, bound, keep)
+            if not pts:
+                return 0.0
+        if len(pts) < 3:
+            return 0.0
+        s = sum(
+            pts[i][0] * pts[(i + 1) % len(pts)][1]
+            - pts[(i + 1) % len(pts)][0] * pts[i][1]
+            for i in range(len(pts))
+        )
+        return float(abs(s) / 2)
+
+    def test_kernel_matches_exact_fractions(self):
+        from rastertiler_rs_ray.pipelines.spatial import clip_area_with_box
+
+        rng = np.random.default_rng(13)
+        for _ in range(60):
+            # random triangle + random box on a small integer grid so
+            # Fractions stay exact and floats are exact too
+            tri = rng.integers(-20, 20, (3, 2)).astype(float)
+            bx = np.sort(rng.integers(-15, 15, 2).astype(float))
+            by = np.sort(rng.integers(-15, 15, 2).astype(float))
+            got = clip_area_with_box(
+                tri[:, 0], tri[:, 1], bx[0], by[0], bx[1] + 1, by[1] + 1
+            )
+            want = self._frac_clip_area(
+                [tuple(p) for p in tri], bx[0], by[0], bx[1] + 1, by[1] + 1
+            )
+            assert abs(got - want) < 1e-9
+
+    def test_pipeline_cases(self, ray_session):
+        from rastertiler_rs_ray.pipelines.spatial import polygon_box_clip_areas
+
+        polys = ray.data.from_items(
+            [
+                # unit right triangle area 50 fully inside box 1
+                {"poly_id": 1, "xs": [0.0, 10.0, 0.0], "ys": [0.0, 0.0, 10.0]},
+                # triangle fully outside every box
+                {"poly_id": 2, "xs": [900.0, 910.0, 900.0], "ys": [900.0, 900.0, 910.0]},
+            ]
+        )
+        boxes = ray.data.from_items(
+            [
+                {"box_id": 7, "xmin": -5.0, "ymin": -5.0, "xmax": 50.0, "ymax": 50.0},
+                # half-covering box: clips the triangle at x = 5
+                {"box_id": 8, "xmin": 5.0, "ymin": -5.0, "xmax": 50.0, "ymax": 50.0},
+            ]
+        )
+        out = (
+            polygon_box_clip_areas(polys, boxes, cell=64.0)
+            .to_pandas()
+            .sort_values(["poly_id", "box_id"])
+            .reset_index(drop=True)
+        )
+        assert out.poly_id.tolist() == [1, 1]
+        assert out.box_id.tolist() == [7, 8]
+        assert out.clip_area_e2.tolist() == [5000, 1250]  # 50.0, 12.5
