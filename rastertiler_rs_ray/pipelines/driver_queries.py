@@ -3343,6 +3343,34 @@ def semdedup_embeddings(sf_dir: str):
     return semdedup(emb, k=8, iters=3, threshold=0.97).select_columns(["vec_id"])
 
 
+def docs_haversine_pairs(sf_dir: str):
+    """Great-circle ε-join (spatial.py haversine_self_join): every doc
+    pair within 1000 km TRUE spherical distance inside the |lat|<=60
+    band — lon/lat grid replication with the (2/π) arc-bound cell
+    guarantee, exactly-once by the lower-id-home rule."""
+    from .spatial import haversine_self_join
+
+    return haversine_self_join(
+        doc_positions_dataset(sf_dir), radius_m=1_000_000.0, lat_max=60.0
+    )
+
+
+_HAV_EXPR = """2.0 * 6371000.0 * asin(sqrt(
+    sin((b.rlat - a.rlat) / 2.0) * sin((b.rlat - a.rlat) / 2.0)
+    + cos(a.rlat) * cos(b.rlat)
+      * (sin((b.rlon - a.rlon) / 2.0) * sin((b.rlon - a.rlon) / 2.0))))"""
+
+SQL_DOCS_HAVERSINE_PAIRS = f"""
+WITH pos AS ({SQL_POS}),
+p AS (SELECT doc_id, lon, lat FROM pos WHERE abs(lat) <= 60.0),
+prad AS (SELECT doc_id, radians(lon) AS rlon, radians(lat) AS rlat FROM p)
+SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+       CAST(floor({_HAV_EXPR}) AS BIGINT) AS dist_m
+FROM prad a JOIN prad b ON a.doc_id < b.doc_id
+WHERE {_HAV_EXPR} <= 1000000.0
+"""
+
+
 _IDW_RADIUS_M = 2_000_000.0
 _IDW_ZOOM = 4  # cell side 2504 km >= radius
 _IDW_GRID = (12, 8)  # lon x lat query grid
@@ -7344,6 +7372,7 @@ QUERIES = {
     "phash_dedup_media": (phash_dedup_media, SQL_PHASH_DEDUP_MEDIA),
     "q10_returned_items": (q10_returned_items, SQL_Q10_RETURNED_ITEMS),
     "box_overlap_areas": (box_overlap_areas, SQL_BOX_OVERLAP_AREAS),
+    "docs_haversine_pairs": (docs_haversine_pairs, SQL_DOCS_HAVERSINE_PAIRS),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,

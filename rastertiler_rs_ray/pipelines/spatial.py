@@ -2100,3 +2100,105 @@ def polygon_box_clip_areas(
         )
 
     return j.map_batches(clip, batch_format="pyarrow")
+
+
+_EARTH_R = 6371000.0
+
+
+def haversine_self_join(
+    pos: ray.data.Dataset,
+    *,
+    radius_m: float,
+    lat_max: float = 60.0,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> ray.data.Dataset:
+    """Spherical distance-threshold self-join: every unordered pair of
+    points within ``radius_m`` GREAT-CIRCLE meters (haversine), exactly
+    once — the true-Earth counterpart of the planar
+    ``radius_self_join``.
+
+    Grid guarantee: points are restricted to |lat| <= ``lat_max`` (the
+    documented band contract; beyond it lon cells degenerate toward the
+    poles) and bucketed on a lon/lat grid of side
+    90·radius/(R·cos(lat_max)) degrees.  Since great-circle distance
+    d >= (2/π)·R·Δφ and d >= (2/π)·R·cos(φmax)·Δλ, any pair within
+    radius lands in the same or adjacent cells — same 3x3 replication
+    and lower-id-home-cell exactly-once rule as the planar join.
+    Output: (a_doc_id < b_doc_id, floor(haversine meters)).
+    """
+    import math
+
+    cell = 90.0 * radius_m / (_EARTH_R * math.cos(math.radians(lat_max)))
+    # longitude cells form a RING (the antimeridian is an ordinary cell
+    # boundary — haversine is periodic in Δλ, so pairs straddling ±180°
+    # must still land in adjacent cells); 360/n_lon >= cell keeps the
+    # adjacency guarantee with the last cell never undersized
+    n_lon = max(1, int(360.0 / cell))
+    cell_lon = 360.0 / n_lon
+    ncols = np.int64(n_lon + 3)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        lat = b.column(lat_col).to_numpy(zero_copy_only=False)
+        keep = np.abs(lat) <= lat_max
+        b = b.filter(pa.array(keep))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = b.column(lon_col).to_numpy(zero_copy_only=False)
+        lat = b.column(lat_col).to_numpy(zero_copy_only=False)
+        hx = np.clip(
+            np.floor((lon + 180.0) / cell_lon).astype(np.int64), 0, n_lon - 1
+        )
+        hy = np.floor((lat + 90.0) / cell).astype(np.int64)
+        n = len(ids)
+        dxs = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], np.int64)
+        dys = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], np.int64)
+        tx = (hx[:, None] + dxs[None, :]).ravel() % n_lon  # ring wrap
+        ty = (hy[:, None] + dys[None, :]).ravel()
+        rep = np.repeat(np.arange(n), 9)
+        is_home = np.tile((dxs == 0) & (dys == 0), n)
+        return pa.table(
+            {
+                "gkey": pa.array((tx + 1) * ncols * 4 + (ty + 1), pa.int64()),
+                "pid": pa.array(ids[rep], pa.int64()),
+                "plon": pa.array(lon[rep], pa.float64()),
+                "plat": pa.array(lat[rep], pa.float64()),
+                "home": pa.array(is_home),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("a_doc_id", pa.int64()), ("b_doc_id", pa.int64()), ("dist_m", pa.int64())]
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        home = g.column("home").to_numpy(zero_copy_only=False)
+        if not home.any():
+            return out_schema.empty_table()
+        ids = g.column("pid").to_numpy(zero_copy_only=False)
+        lon = np.deg2rad(g.column("plon").to_numpy(zero_copy_only=False))
+        lat = np.deg2rad(g.column("plat").to_numpy(zero_copy_only=False))
+        aid, alon, alat = ids[home], lon[home], lat[home]
+        # haversine, (other − home) differences — the SQL oracle keeps
+        # the identical float tree
+        sdlat = np.sin((lat[None, :] - alat[:, None]) / 2.0)
+        sdlon = np.sin((lon[None, :] - alon[:, None]) / 2.0)
+        a = sdlat * sdlat + np.cos(alat)[:, None] * np.cos(lat)[None, :] * (
+            sdlon * sdlon
+        )
+        d = 2.0 * _EARTH_R * np.arcsin(np.sqrt(a))
+        hit = (aid[:, None] < ids[None, :]) & (d <= radius_m)
+        ai, bi = np.nonzero(hit)
+        return pa.table(
+            {
+                "a_doc_id": pa.array(aid[ai], pa.int64()),
+                "b_doc_id": pa.array(ids[bi], pa.int64()),
+                "dist_m": pa.array(np.floor(d[ai, bi]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pos.map_batches(replicate, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(pairs, batch_format="pyarrow")
+    )

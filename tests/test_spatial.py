@@ -1111,3 +1111,76 @@ class TestPolygonBoxClip:
         assert out.poly_id.tolist() == [1, 1]
         assert out.box_id.tolist() == [7, 8]
         assert out.clip_area_e2.tolist() == [5000, 1250]  # 50.0, 12.5
+
+
+class TestHaversineSelfJoin:
+    RADIUS = 1_000_000.0
+    LAT_MAX = 60.0
+
+    def _brute(self, ids, lon, lat):
+        import itertools
+        import math
+
+        R = 6371000.0
+        keep = [i for i in range(len(ids)) if abs(lat[i]) <= self.LAT_MAX]
+        out = {}
+        for i, j in itertools.combinations(keep, 2):
+            a, b = (i, j) if ids[i] < ids[j] else (j, i)
+            rlat1, rlat2 = math.radians(lat[a]), math.radians(lat[b])
+            rlon1, rlon2 = math.radians(lon[a]), math.radians(lon[b])
+            s1 = math.sin((rlat2 - rlat1) / 2.0)
+            s2 = math.sin((rlon2 - rlon1) / 2.0)
+            h = s1 * s1 + math.cos(rlat1) * math.cos(rlat2) * s2 * s2
+            d = 2.0 * R * math.asin(math.sqrt(h))
+            if d <= self.RADIUS:
+                out[(ids[a], ids[b])] = math.floor(d)
+        return out
+
+    def _run(self, ids, lon, lat):
+        from rastertiler_rs_ray.pipelines.spatial import haversine_self_join
+
+        pos = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "lon": pa.array(lon, pa.float64()),
+                    "lat": pa.array(lat, pa.float64()),
+                }
+            )
+        )
+        return haversine_self_join(
+            pos, radius_m=self.RADIUS, lat_max=self.LAT_MAX
+        ).to_pandas()
+
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.default_rng(17)
+        n = 400
+        ids = np.arange(n, dtype=np.int64)
+        lon = rng.uniform(-180.0, 180.0, n)
+        lat = rng.uniform(-80.0, 80.0, n)  # some outside the band
+        df = self._run(ids, lon, lat)
+        want = self._brute(ids, lon, lat)
+        got = {
+            (a, b): d
+            for a, b, d in zip(df.a_doc_id, df.b_doc_id, df.dist_m)
+        }
+        assert got == want
+        assert len(df) == len(got)  # exactly-once
+        assert (df.a_doc_id < df.b_doc_id).all()
+
+    def test_antimeridian_pair(self, ray_session):
+        # 179.9°E and 179.9°W at the equator: Δλ = 0.2° ≈ 22 km — must
+        # pair even though the raw lon difference is 359.8°
+        ids = np.array([5, 2], dtype=np.int64)
+        lon = np.array([179.9, -179.9])
+        lat = np.array([0.0, 0.0])
+        df = self._run(ids, lon, lat)
+        assert len(df) == 1
+        assert (df.a_doc_id.iloc[0], df.b_doc_id.iloc[0]) == (2, 5)
+        assert 22000 < df.dist_m.iloc[0] < 23000
+
+    def test_band_filter(self, ray_session):
+        # both points above lat_max: dropped, no pairs
+        ids = np.array([1, 2], dtype=np.int64)
+        df = self._run(ids, np.array([0.0, 0.1]), np.array([70.0, 70.1]))
+        assert len(df) == 0
