@@ -2158,6 +2158,26 @@ def render_pyramid_map(sf_dir: str):
 SQL_RENDER_PYRAMID_MAP = _sql_read_map("render_u8")
 
 
+def rollup_overviews_map(sf_dir: str):
+    """Overview roll-up (pipelines/overview.py): render ONLY the base
+    zoom from the source, then derive z4..z3 from the zoom above each —
+    the scale path that never re-reads the source below the base zoom.
+    Returns the full map table (base + rolled levels)."""
+    import os
+
+    from ..raster.synthetic import default_u8_raster
+    from .overview import rollup_overviews
+    from .render import render_pyramid, tileset_map_dataset
+
+    out_dir = os.path.join(ORACLE_TS_ROOT, "rollup_u8")
+    render_pyramid(default_u8_raster(), out_dir, 7, 7, tilesize=128, resume=False)
+    rollup_overviews(out_dir, 4, resume=False)
+    return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_ROLLUP_OVERVIEWS_MAP = _sql_read_map("rollup_u8")
+
+
 def render_pyramid_u32_map(sf_dir: str):
     """u32 raster path: per-tile dynamic palette with RGB fallback
     (E2-E4/G4); returns the map table."""
@@ -7373,6 +7393,7 @@ QUERIES = {
     "q10_returned_items": (q10_returned_items, SQL_Q10_RETURNED_ITEMS),
     "box_overlap_areas": (box_overlap_areas, SQL_BOX_OVERLAP_AREAS),
     "docs_haversine_pairs": (docs_haversine_pairs, SQL_DOCS_HAVERSINE_PAIRS),
+    "rollup_overviews_map": (rollup_overviews_map, SQL_ROLLUP_OVERVIEWS_MAP),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,
