@@ -3391,6 +3391,90 @@ WHERE {_HAV_EXPR} <= 1000000.0
 """
 
 
+_SEG_M = 100_000  # coordinate grid
+_SEG_D = 8_000  # max |delta| per axis
+
+
+def _segments_dataset(sf_dir: str, parity: int) -> ray.data.Dataset:
+    """Deterministic integer segments from doc ids (one side of the
+    intersection join): endpoint 1 by modular hash, endpoint 2 a short
+    signed delta away — short segments keep PBSM replication bounded."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        keep = (did % 2) == parity
+        did = did[keep].astype(np.int64)
+        x1 = (did * 7919) % _SEG_M
+        y1 = (did * 104729) % _SEG_M
+        dx = (did * 1299709) % (2 * _SEG_D + 1) - _SEG_D
+        dy = (did * 15485863) % (2 * _SEG_D + 1) - _SEG_D
+        return pa.table(
+            {
+                "seg_id": pa.array(did, pa.int64()),
+                "x1": pa.array(x1, pa.int64()),
+                "y1": pa.array(y1, pa.int64()),
+                "x2": pa.array(x1 + dx, pa.int64()),
+                "y2": pa.array(y1 + dy, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def segment_crossings_docs(sf_dir: str):
+    """Segment-intersection join (spatial.py segment_intersection_join):
+    even-doc segments × odd-doc segments that intersect (proper
+    crossings + collinear/endpoint touches), exact int64 orientation
+    signs, PBSM filter-and-refine with canonical-cell exactly-once."""
+    from .spatial import segment_intersection_join
+
+    out = segment_intersection_join(
+        _segments_dataset(sf_dir, 0),
+        _segments_dataset(sf_dir, 1),
+        cell=float(2 * _SEG_D),
+        left_id="seg_id",
+        right_id="seg_id",
+    )
+    return out.rename_columns({"l_seg_id": "a_doc_id", "r_seg_id": "b_doc_id"})
+
+
+_SEG_SQL_SIDE = f"""
+SELECT doc_id AS seg_id,
+       (doc_id * 7919) % {_SEG_M} AS x1,
+       (doc_id * 104729) % {_SEG_M} AS y1,
+       (doc_id * 7919) % {_SEG_M} + ((doc_id * 1299709) % {2 * _SEG_D + 1} - {_SEG_D}) AS x2,
+       (doc_id * 104729) % {_SEG_M} + ((doc_id * 15485863) % {2 * _SEG_D + 1} - {_SEG_D}) AS y2
+FROM documents WHERE doc_id % 2 = {{parity}}
+"""
+
+SQL_SEGMENT_CROSSINGS_DOCS = f"""
+WITH a AS ({_SEG_SQL_SIDE.format(parity=0)}),
+b AS ({_SEG_SQL_SIDE.format(parity=1)}),
+o AS (
+  SELECT a.seg_id AS a_doc_id, b.seg_id AS b_doc_id,
+         sign((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1)) AS o1,
+         sign((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) AS o2,
+         sign((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1)) AS o3,
+         sign((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) AS o4,
+         a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+         b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+  FROM a, b
+)
+SELECT a_doc_id, b_doc_id FROM o
+WHERE (o1 * o2 < 0 AND o3 * o4 < 0)
+   OR (o1 = 0 AND bx1 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+              AND by1 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+   OR (o2 = 0 AND bx2 BETWEEN least(ax1, ax2) AND greatest(ax1, ax2)
+              AND by2 BETWEEN least(ay1, ay2) AND greatest(ay1, ay2))
+   OR (o3 = 0 AND ax1 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+              AND ay1 BETWEEN least(by1, by2) AND greatest(by1, by2))
+   OR (o4 = 0 AND ax2 BETWEEN least(bx1, bx2) AND greatest(bx1, bx2)
+              AND ay2 BETWEEN least(by1, by2) AND greatest(by1, by2))
+"""
+
+
 _IDW_RADIUS_M = 2_000_000.0
 _IDW_ZOOM = 4  # cell side 2504 km >= radius
 _IDW_GRID = (12, 8)  # lon x lat query grid
@@ -7394,6 +7478,7 @@ QUERIES = {
     "box_overlap_areas": (box_overlap_areas, SQL_BOX_OVERLAP_AREAS),
     "docs_haversine_pairs": (docs_haversine_pairs, SQL_DOCS_HAVERSINE_PAIRS),
     "rollup_overviews_map": (rollup_overviews_map, SQL_ROLLUP_OVERVIEWS_MAP),
+    "segment_crossings_docs": (segment_crossings_docs, SQL_SEGMENT_CROSSINGS_DOCS),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,

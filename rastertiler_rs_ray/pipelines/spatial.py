@@ -2202,3 +2202,89 @@ def haversine_self_join(
         .groupby("gkey")
         .map_groups(pairs, batch_format="pyarrow")
     )
+
+
+def segment_intersection_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    cell: float,
+    left_id: str = "seg_id",
+    right_id: str = "seg_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Line-segment intersection join: every (left, right) pair whose
+    closed segments intersect — proper crossings AND collinear /
+    endpoint touches — exactly once.
+
+    Each side carries integer endpoint columns (x1, y1, x2, y2) plus an
+    id; coordinates must stay below 2^31 so the orientation cross
+    products stay exact in int64.  Plan: bounding boxes feed the PBSM
+    ``box_intersect_join`` (one all-to-all on the grid key, canonical-
+    cell exactly-once), then the exact predicate runs vectorized on the
+    candidates — the classic filter-and-refine cascade; no second
+    exchange.  Orientation tests compare SIGNS (never sign*sign
+    products of raw crosses, which overflow int64 at 1e5-scale
+    coordinates).  Output: (l_<id>, r_<id>).
+    """
+
+    def with_bbox(b: pa.Table) -> pa.Table:
+        x1 = b.column("x1").to_numpy(zero_copy_only=False).astype(np.float64)
+        y1 = b.column("y1").to_numpy(zero_copy_only=False).astype(np.float64)
+        x2 = b.column("x2").to_numpy(zero_copy_only=False).astype(np.float64)
+        y2 = b.column("y2").to_numpy(zero_copy_only=False).astype(np.float64)
+        for name, arr in (
+            ("xmin", np.minimum(x1, x2)),
+            ("ymin", np.minimum(y1, y2)),
+            ("xmax", np.maximum(x1, x2)),
+            ("ymax", np.maximum(y1, y2)),
+        ):
+            b = b.append_column(name, pa.array(arr, pa.float64()))
+        return b
+
+    cols_l = [left_id, "x1", "y1", "x2", "y2"]
+    cols_r = [right_id, "x1", "y1", "x2", "y2"]
+    cand = box_intersect_join(
+        left.map_batches(with_bbox, batch_format="pyarrow"),
+        right.map_batches(with_bbox, batch_format="pyarrow"),
+        cell=cell,
+        left_cols=cols_l,
+        right_cols=cols_r,
+        num_partitions=num_partitions,
+    )
+
+    out_names = [f"l_{left_id}", f"r_{right_id}"]
+
+    def exact(b: pa.Table) -> pa.Table:
+        if "l_x1" not in b.column_names:  # schema-less empty block
+            return pa.table({n: pa.array([], pa.int64()) for n in out_names})
+        g = {c: b.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in ("l_x1", "l_y1", "l_x2", "l_y2", "r_x1", "r_y1", "r_x2", "r_y2")}
+
+        def orient(px, py, qx, qy, rx, ry):
+            return np.sign((qx - px) * (ry - py) - (qy - py) * (rx - px))
+
+        def onseg(px, py, qx, qy, rx, ry):
+            return (
+                (np.minimum(px, qx) <= rx) & (rx <= np.maximum(px, qx))
+                & (np.minimum(py, qy) <= ry) & (ry <= np.maximum(py, qy))
+            )
+
+        a = (g["l_x1"], g["l_y1"], g["l_x2"], g["l_y2"])
+        c = (g["r_x1"], g["r_y1"], g["r_x2"], g["r_y2"])
+        o1 = orient(a[0], a[1], a[2], a[3], c[0], c[1])
+        o2 = orient(a[0], a[1], a[2], a[3], c[2], c[3])
+        o3 = orient(c[0], c[1], c[2], c[3], a[0], a[1])
+        o4 = orient(c[0], c[1], c[2], c[3], a[2], a[3])
+        proper = (o1 * o2 < 0) & (o3 * o4 < 0)  # products of signs: safe
+        touch = (
+            ((o1 == 0) & onseg(a[0], a[1], a[2], a[3], c[0], c[1]))
+            | ((o2 == 0) & onseg(a[0], a[1], a[2], a[3], c[2], c[3]))
+            | ((o3 == 0) & onseg(c[0], c[1], c[2], c[3], a[0], a[1]))
+            | ((o4 == 0) & onseg(c[0], c[1], c[2], c[3], a[2], a[3]))
+        )
+        return b.filter(pa.array(proper | touch)).select(
+            [f"l_{left_id}", f"r_{right_id}"]
+        )
+
+    return cand.map_batches(exact, batch_format="pyarrow")

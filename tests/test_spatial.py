@@ -1184,3 +1184,83 @@ class TestHaversineSelfJoin:
         ids = np.array([1, 2], dtype=np.int64)
         df = self._run(ids, np.array([0.0, 0.1]), np.array([70.0, 70.1]))
         assert len(df) == 0
+
+
+class TestSegmentIntersectionJoin:
+    def _run(self, segs_a, segs_b, cell=64.0):
+        from rastertiler_rs_ray.pipelines.spatial import segment_intersection_join
+
+        def tbl(segs):
+            ids, x1, y1, x2, y2 = zip(*segs)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "seg_id": pa.array(ids, pa.int64()),
+                        "x1": pa.array(x1, pa.int64()),
+                        "y1": pa.array(y1, pa.int64()),
+                        "x2": pa.array(x2, pa.int64()),
+                        "y2": pa.array(y2, pa.int64()),
+                    }
+                )
+            )
+
+        df = segment_intersection_join(
+            tbl(segs_a), tbl(segs_b), cell=cell
+        ).to_pandas()
+        return set(zip(df.l_seg_id, df.r_seg_id))
+
+    def test_edge_cases(self, ray_session):
+        a = [
+            (1, 0, 0, 100, 100),   # diagonal
+            (2, 0, 200, 100, 200), # horizontal
+            (3, 0, 300, 100, 300), # horizontal (collinear cases)
+            (4, 50, 400, 50, 400), # degenerate point
+        ]
+        b = [
+            (10, 0, 100, 100, 0),    # proper X crossing with 1
+            (11, 50, 150, 50, 250),  # vertical T through 2's interior
+            (12, 100, 200, 200, 200),# shares endpoint (100,200) with 2
+            (13, 50, 300, 200, 300), # collinear overlapping with 3
+            (14, 150, 300, 200, 300),# collinear DISJOINT from 3 → no
+            (15, 0, 301, 100, 301),  # parallel, offset → no
+            (16, 0, 350, 100, 450),  # passes through point-segment 4
+        ]
+        got = self._run(a, b)
+        assert got == {(1, 10), (2, 11), (2, 12), (3, 13), (4, 16)}
+
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.default_rng(23)
+        n = 300
+        def mk(base):
+            ids = np.arange(base, base + n, dtype=np.int64)
+            x1 = rng.integers(0, 2000, n)
+            y1 = rng.integers(0, 2000, n)
+            x2 = x1 + rng.integers(-150, 151, n)
+            y2 = y1 + rng.integers(-150, 151, n)
+            return list(zip(ids.tolist(), x1.tolist(), y1.tolist(),
+                            x2.tolist(), y2.tolist()))
+        a, b = mk(0), mk(10000)
+
+        def seg_int(s, t):
+            ax1, ay1, ax2, ay2 = s[1:]
+            bx1, by1, bx2, by2 = t[1:]
+            def o(px, py, qx, qy, rx, ry):
+                v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+                return (v > 0) - (v < 0)
+            def on(px, py, qx, qy, rx, ry):
+                return min(px, qx) <= rx <= max(px, qx) and min(py, qy) <= ry <= max(py, qy)
+            o1 = o(ax1, ay1, ax2, ay2, bx1, by1)
+            o2 = o(ax1, ay1, ax2, ay2, bx2, by2)
+            o3 = o(bx1, by1, bx2, by2, ax1, ay1)
+            o4 = o(bx1, by1, bx2, by2, ax2, ay2)
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                return True
+            return (
+                (o1 == 0 and on(ax1, ay1, ax2, ay2, bx1, by1))
+                or (o2 == 0 and on(ax1, ay1, ax2, ay2, bx2, by2))
+                or (o3 == 0 and on(bx1, by1, bx2, by2, ax1, ay1))
+                or (o4 == 0 and on(bx1, by1, bx2, by2, ax2, ay2))
+            )
+
+        want = {(s[0], t[0]) for s in a for t in b if seg_int(s, t)}
+        assert self._run(a, b, cell=128.0) == want
