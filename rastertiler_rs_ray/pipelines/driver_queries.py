@@ -3391,6 +3391,48 @@ WHERE {_HAV_EXPR} <= 1000000.0
 """
 
 
+def events_peak_concurrency(sf_dir: str):
+    """Per-type peak interval concurrency (relational.py
+    grouped_peak_concurrency): each event spans [ts, ts + dur) with
+    dur = floor(|value|) % 3600 + 60 seconds; the sweep-line max
+    overlap runs as one sort + per-block segmented-scan partials +
+    an O(blocks + groups) driver fold."""
+    from .relational import grouped_peak_concurrency
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_end(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy()
+        dur = (np.floor(np.abs(b.column("value").to_numpy())).astype(np.int64) % 3600) + 60
+        end = ts + dur.astype("timedelta64[s]")
+        return b.append_column("end_ts", pa.array(end))
+
+    iv = ev.map_batches(add_end, batch_format="pyarrow")
+    return grouped_peak_concurrency(iv, "ts", "end_ts", ["event_type"])
+
+
+SQL_EVENTS_PEAK_CONCURRENCY = """
+WITH iv AS (
+  SELECT event_type, ts,
+         ts + to_seconds((CAST(floor(abs(value)) AS BIGINT) % 3600) + 60) AS end_ts
+  FROM events
+),
+b AS (
+  SELECT event_type, ts AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, end_ts AS t, -1 AS d FROM iv
+),
+s AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM b
+)
+SELECT event_type, CAST(max(c) AS BIGINT) AS peak
+FROM s GROUP BY event_type
+"""
+
+
 _SEG_M = 100_000  # coordinate grid
 _SEG_D = 8_000  # max |delta| per axis
 
@@ -7479,6 +7521,7 @@ QUERIES = {
     "docs_haversine_pairs": (docs_haversine_pairs, SQL_DOCS_HAVERSINE_PAIRS),
     "rollup_overviews_map": (rollup_overviews_map, SQL_ROLLUP_OVERVIEWS_MAP),
     "segment_crossings_docs": (segment_crossings_docs, SQL_SEGMENT_CROSSINGS_DOCS),
+    "events_peak_concurrency": (events_peak_concurrency, SQL_EVENTS_PEAK_CONCURRENCY),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,

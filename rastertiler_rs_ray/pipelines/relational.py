@@ -2366,3 +2366,94 @@ def weighted_sample_without_replacement(
         descending=False,
     )
     return out.select([id_col, weight_col])
+
+
+def grouped_peak_concurrency(
+    ds: ray.data.Dataset,
+    start_col: str,
+    end_col: str,
+    keys: Sequence[str],
+    *,
+    out_col: str = "peak",
+) -> ray.data.Dataset:
+    """Per-group PEAK interval concurrency (sweep-line max overlap):
+    for each key group, the maximum number of [start, end) intervals
+    alive at any instant.  Half-open semantics: an interval ending
+    exactly when another starts does NOT overlap it.
+
+    The distributed segmented scan: intervals explode to ±1 boundary
+    rows, ONE range-partition sort on (keys, t, d) puts each group's
+    boundaries in sweep order with ends (-1) before starts (+1) at
+    ties, then every sorted block reduces to per-group partials
+    (delta total + max running prefix within the block) — a per-block
+    remote task over block refs, the same zipWithIndex shape as
+    ``global_row_number``.  The driver folds the O(blocks x
+    groups-per-block) narrow partials in block order (each group spans
+    contiguous blocks, so the fold is O(blocks + groups)); per-row data
+    never returns to the driver.
+    """
+    boundary_keys = list(keys)
+
+    def boundaries(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        starts = b.select(boundary_keys).append_column(
+            "t", b.column(start_col)
+        ).append_column("d", pa.array(np.ones(n, np.int8)))
+        ends = b.select(boundary_keys).append_column(
+            "t", b.column(end_col)
+        ).append_column("d", pa.array(-np.ones(n, np.int8)))
+        return pa.concat_tables([starts, ends]).combine_chunks()
+
+    sorted_ds = (
+        ds.map_batches(boundaries, batch_format="pyarrow")
+        .sort(boundary_keys + ["t", "d"])
+        .materialize()
+    )
+
+    refs: list = []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, _meta in bundle.blocks:
+            refs.append(ref)
+
+    @ray.remote
+    def _partials(t):
+        t = pa.Table.from_pandas(t, preserve_index=False) if not isinstance(t, pa.Table) else t
+        if t.num_rows == 0:
+            return []
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        kcols = [
+            t.column(k).to_numpy(zero_copy_only=False) for k in boundary_keys
+        ]
+        # segment boundaries within the sorted block
+        change = np.zeros(len(d), bool)
+        for kc in kcols:
+            change[1:] |= kc[1:] != kc[:-1]
+        seg_id = np.cumsum(change)
+        c = np.cumsum(d)
+        # per segment: total delta and max prefix RELATIVE to segment start
+        out = []
+        starts = np.flatnonzero(np.concatenate([[True], change[1:]]))
+        ends = np.concatenate([starts[1:], [len(d)]])
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            base = c[s - 1] if s > 0 else 0
+            seg = c[s:e] - base
+            out.append(
+                (tuple(kc[s] for kc in kcols), int(seg[-1]), int(seg.max()))
+            )
+        return out
+
+    parts = ray.get([_partials.remote(r) for r in refs])
+
+    carry: dict = {}
+    best: dict = {}
+    for block in parts:  # block order == global sort order
+        for key, total, maxpref in block:
+            base = carry.get(key, 0)
+            cand = base + maxpref
+            if cand > best.get(key, -(1 << 62)):
+                best[key] = cand
+            carry[key] = base + total
+    karrs = list(zip(*best.keys())) if best else [[] for _ in boundary_keys]
+    out = {k: pa.array(list(v)) for k, v in zip(boundary_keys, karrs)}
+    out[out_col] = pa.array([int(v) for v in best.values()], pa.int64())
+    return ray.data.from_arrow(pa.table(out))

@@ -1489,3 +1489,54 @@ def test_weighted_sample_without_replacement(ray_session):
         ds, k=k, id_col="id", weight_col="w", seed=8
     )
     assert sorted(sel) != sorted(out3.column("id").to_numpy())
+
+
+class TestGroupedPeakConcurrency:
+    def _run(self, grp, start, end, nparts=7):
+        from rastertiler_rs_ray.pipelines.relational import grouped_peak_concurrency
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array(grp),
+                    "s": pa.array(start, pa.int64()),
+                    "e": pa.array(end, pa.int64()),
+                }
+            )
+        ).repartition(nparts)
+        df = grouped_peak_concurrency(ds, "s", "e", ["g"]).to_pandas()
+        return dict(zip(df.g, df.peak))
+
+    @staticmethod
+    def _brute(grp, start, end):
+        out = {}
+        for g in set(grp):
+            bounds = []
+            for gg, s, e in zip(grp, start, end):
+                if gg == g:
+                    bounds.append((s, 1))
+                    bounds.append((e, -1))
+            bounds.sort()  # (-1 before +1 at ties: half-open)
+            c = peak = 0
+            for _, d in bounds:
+                c += d
+                peak = max(peak, c)
+            out[g] = peak
+        return out
+
+    def test_half_open_ties(self, ray_session):
+        # back-to-back intervals never overlap; nested ones do
+        grp = ["a"] * 3 + ["b"] * 2
+        start = [0, 10, 5, 0, 0]
+        end = [10, 20, 15, 5, 5]
+        got = self._run(grp, start, end)
+        assert got == {"a": 2, "b": 2}
+
+    def test_matches_brute_force_many_blocks(self, ray_session):
+        rng = np.random.default_rng(31)
+        n = 5000
+        grp = rng.choice(["x", "y", "z"], n).tolist()
+        start = rng.integers(0, 10000, n).tolist()
+        end = (np.array(start) + rng.integers(1, 500, n)).tolist()
+        got = self._run(grp, start, end, nparts=23)
+        assert got == self._brute(grp, start, end)
