@@ -3391,6 +3391,40 @@ WHERE {_HAV_EXPR} <= 1000000.0
 """
 
 
+def adaptive_cells_docs(sf_dir: str):
+    """Skew-adaptive spatial partitioner (spatial.py
+    adaptive_cell_partition): docs land in z3 tiles unless the tile
+    holds > 10 docs, in which case they refine to z6 — one narrow
+    count groupby + a bounded hot-set broadcast, map-only assign."""
+    from .spatial import adaptive_cell_partition
+
+    return adaptive_cell_partition(
+        doc_positions_dataset(sf_dir), zoom=3, deep_zoom=6, max_per_cell=10
+    )
+
+
+def _sql_xy(z: int, alias: str) -> str:
+    s = float(1 << z)
+    return (
+        f"SELECT doc_id, "
+        f"CAST(least(greatest(floor(((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * {s}), 0.0), {s - 1}) AS BIGINT) AS {alias}x, "
+        f"CAST(least(greatest(floor((1.0 - ((my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())))) * {s}), 0.0), {s - 1}) AS BIGINT) AS {alias}y "
+        f"FROM merc"
+    )
+
+
+SQL_ADAPTIVE_CELLS_DOCS = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}),
+c AS ({_sql_xy(3, 'c')}), d AS ({_sql_xy(6, 'd')}),
+cnt AS (SELECT cx, cy, count(*) AS n FROM c GROUP BY cx, cy)
+SELECT c.doc_id,
+       CASE WHEN cnt.n > 10 THEN 6 ELSE 3 END AS cell_zoom,
+       CASE WHEN cnt.n > 10 THEN d.dx ELSE c.cx END AS cx,
+       CASE WHEN cnt.n > 10 THEN d.dy ELSE c.cy END AS cy
+FROM c JOIN d ON c.doc_id = d.doc_id JOIN cnt USING (cx, cy)
+"""
+
+
 def events_peak_concurrency(sf_dir: str):
     """Per-type peak interval concurrency (relational.py
     grouped_peak_concurrency): each event spans [ts, ts + dur) with
@@ -7522,6 +7556,7 @@ QUERIES = {
     "rollup_overviews_map": (rollup_overviews_map, SQL_ROLLUP_OVERVIEWS_MAP),
     "segment_crossings_docs": (segment_crossings_docs, SQL_SEGMENT_CROSSINGS_DOCS),
     "events_peak_concurrency": (events_peak_concurrency, SQL_EVENTS_PEAK_CONCURRENCY),
+    "adaptive_cells_docs": (adaptive_cells_docs, SQL_ADAPTIVE_CELLS_DOCS),
     "orders_price_mad_outliers": (
         orders_price_mad_outliers,
         SQL_ORDERS_PRICE_MAD_OUTLIERS,

@@ -2288,3 +2288,80 @@ def segment_intersection_join(
         )
 
     return cand.map_batches(exact, batch_format="pyarrow")
+
+
+def adaptive_cell_partition(
+    pos: ray.data.Dataset,
+    *,
+    zoom: int,
+    deep_zoom: int,
+    max_per_cell: int,
+    id_col: str = "doc_id",
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """Skew-adaptive spatial partitioner: every point lands in its
+    ``zoom``-level tile UNLESS that tile holds more than
+    ``max_per_cell`` points — then its points are assigned at
+    ``deep_zoom`` instead.  This is the repo's dense-zoom salting plan
+    (SURVEY §4 skew row) promoted to a first-class operator: the
+    output key set is what a downstream groupby / co-partitioned join
+    should shuffle on, giving bounded per-key fan-in under arbitrary
+    point skew while sparse regions keep fat, cheap cells.
+
+    Topology: one narrow (cell, count) groupby — point ids/coords
+    never enter it — then the hot-cell set (≤ N / max_per_cell keys,
+    bounded by construction) broadcasts via ``ray.put`` and the final
+    assignment is map-only.  Output: (id, cell_zoom, cx, cy).
+
+    Both levels are computed independently from the coordinates with
+    the same floor/clamp rule (geo/tileid.py point_to_tile), not by
+    bit-shifting one from the other — keeps every engine that mirrors
+    the formula (e.g. the SQL oracle) bit-consistent.
+    """
+    import pyarrow.compute as pc
+
+    def coarse_key(b: pa.Table) -> pa.Table:
+        x, y = point_to_tile(
+            zoom,
+            b.column(mx_col).to_numpy(zero_copy_only=False),
+            b.column(my_col).to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {"ckey": pa.array((x.astype(np.int64) << 32) | y.astype(np.int64))}
+        )
+
+    counts = (
+        pos.map_batches(coarse_key, batch_format="pyarrow")
+        .groupby("ckey")
+        .count()
+    )
+
+    def only_hot(b: pa.Table) -> pa.Table:
+        n = b.column("count()").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(n > max_per_cell)).select(["ckey"])
+
+    hot = counts.map_batches(only_hot, batch_format="pyarrow").take_all()
+    hot_ref = ray.put(pa.array(sorted(r["ckey"] for r in hot), pa.int64()))
+
+    def assign(b: pa.Table) -> pa.Table:
+        mx = b.column(mx_col).to_numpy(zero_copy_only=False)
+        my = b.column(my_col).to_numpy(zero_copy_only=False)
+        cx, cy = point_to_tile(zoom, mx, my)
+        dx, dy = point_to_tile(deep_zoom, mx, my)
+        ckey = (cx.astype(np.int64) << 32) | cy.astype(np.int64)
+        is_hot = pc.is_in(pa.array(ckey), value_set=ray.get(hot_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "cell_zoom": pa.array(
+                    np.where(is_hot, deep_zoom, zoom).astype(np.int64)
+                ),
+                "cx": pa.array(np.where(is_hot, dx, cx).astype(np.int64)),
+                "cy": pa.array(np.where(is_hot, dy, cy).astype(np.int64)),
+            }
+        )
+
+    return pos.map_batches(assign, batch_format="pyarrow")

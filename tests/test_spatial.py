@@ -1264,3 +1264,46 @@ class TestSegmentIntersectionJoin:
 
         want = {(s[0], t[0]) for s in a for t in b if seg_int(s, t)}
         assert self._run(a, b, cell=128.0) == want
+
+
+class TestAdaptiveCellPartition:
+    def test_hot_cells_refine_cold_stay(self, ray_session):
+        from rastertiler_rs_ray.geo.tileid import point_to_tile
+        from rastertiler_rs_ray.pipelines.spatial import adaptive_cell_partition
+        from rastertiler_rs_ray.geo import CE, ORIGIN
+
+        rng = np.random.default_rng(5)
+        # 40 points crammed into one z2 tile + 5 scattered singles
+        side = CE / 4.0
+        hot_x = -ORIGIN + 2 * side + rng.uniform(0.1, 0.9, 40) * side
+        hot_y = ORIGIN - 1 * side - rng.uniform(0.1, 0.9, 40) * side
+        cold_x = np.array([-ORIGIN + 0.5 * side, -ORIGIN + 1.5 * side,
+                           -ORIGIN + 3.5 * side, -ORIGIN + 0.5 * side,
+                           -ORIGIN + 2.5 * side])
+        cold_y = np.array([ORIGIN - 3.5 * side, ORIGIN - 2.5 * side,
+                           ORIGIN - 0.5 * side, ORIGIN - 0.5 * side,
+                           ORIGIN - 3.5 * side])
+        mx = np.concatenate([hot_x, cold_x])
+        my = np.concatenate([hot_y, cold_y])
+        ids = np.arange(len(mx), dtype=np.int64)
+        pos = ray.data.from_arrow(
+            pa.table({"doc_id": ids, "mx": mx, "my": my})
+        )
+        df = (
+            adaptive_cell_partition(
+                pos, zoom=2, deep_zoom=5, max_per_cell=10
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(df) == len(ids)  # exactly one key per point
+        hot = df.iloc[:40]
+        cold = df.iloc[40:]
+        assert (hot.cell_zoom == 5).all()
+        assert (cold.cell_zoom == 2).all()
+        # refined keys are descendants of the hot coarse tile (2,1)@z2
+        assert (hot.cx // 8 == 2).all() and (hot.cy // 8 == 1).all()
+        # each refined key matches the direct z5 assignment
+        dx, dy = point_to_tile(5, mx[:40], my[:40])
+        assert (hot.cx.to_numpy() == dx).all() and (hot.cy.to_numpy() == dy).all()
