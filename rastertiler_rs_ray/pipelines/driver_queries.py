@@ -1864,6 +1864,38 @@ def merge_tilesets_demo(sf_dir: str):
 SQL_MERGE_TILESETS_DEMO = _sql_read_map("merge_out")
 
 
+def tileset_diff_demo(sf_dir: str):
+    """Tile-level diff of two pyramid renders (merge.diff_tilesets):
+    which (zoom, x, y) addresses were added / removed / changed between
+    yesterday's tileset and today's re-render.  Blob-free: both sides
+    read only the narrow `map` projection; one groupby exchange.  The
+    oracle recomputes the diff independently in DuckDB as a full outer
+    join over the two written tileset parquet dirs."""
+    import os
+
+    from ..raster.synthetic import default_u8_raster
+    from .merge import diff_tilesets
+    from .render import render_pyramid
+
+    old = os.path.join(ORACLE_TS_ROOT, "diff_old")
+    new = os.path.join(ORACLE_TS_ROOT, "diff_new")
+    render_pyramid(default_u8_raster(seed=42), old, 2, 4, tilesize=64, resume=False)
+    render_pyramid(default_u8_raster(seed=99), new, 3, 5, tilesize=64, resume=False)
+    return diff_tilesets(old, new)
+
+
+SQL_TILESET_DIFF_DEMO = f"""
+WITH o AS ({_sql_read_map("diff_old")}),
+     n AS ({_sql_read_map("diff_new")})
+SELECT zoom, x, y,
+       CASE WHEN o.tile_hash IS NULL THEN 'added'
+            WHEN n.tile_hash IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM o FULL OUTER JOIN n USING (zoom, x, y)
+WHERE o.tile_hash IS NULL OR n.tile_hash IS NULL OR o.tile_hash <> n.tile_hash
+"""
+
+
 _RAST_ZOOM = 3
 _RAST_TS = 32
 
@@ -7362,6 +7394,7 @@ QUERIES = {
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
     "point_in_polygon_docs": (point_in_polygon_docs, SQL_POINT_IN_POLYGON),
     "merge_tilesets_demo": (merge_tilesets_demo, SQL_MERGE_TILESETS_DEMO),
+    "tileset_diff_demo": (tileset_diff_demo, SQL_TILESET_DIFF_DEMO),
     "render_pyramid_u32_map": (render_pyramid_u32_map, SQL_RENDER_PYRAMID_U32_MAP),
     "render_pyramid_colormap_map": (
         render_pyramid_colormap_map,

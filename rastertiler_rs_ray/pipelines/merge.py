@@ -152,3 +152,30 @@ def merge_tilesets(left_dir: str, right_dir: str, out_dir: str) -> Manifest:
         wall_s=wall,
     )
     return manifest
+
+
+def diff_tilesets(old_dir: str, new_dir: str) -> ray.data.Dataset:
+    """Tile-level diff of two tilesets: one row per (zoom, x, y) whose
+    content differs, with ``change`` in {'added', 'removed', 'changed'}.
+
+    The re-publish primitive the reference's ``merge`` subcommand
+    implies but never exposes (/root/reference/src/mbtiles.rs:147-221
+    resolves conflicts silently): given yesterday's pyramid and
+    today's re-render, which tile addresses must be pushed to the CDN
+    and which purged.
+
+    Scale contract: PNG blobs never leave storage — both sides read
+    the blob-free `map` projection (zoom, x, y, tile_hash; ~20 B/row)
+    and the diff is relational.snapshot_diff, whose only exchange is
+    one narrow groupby on the tile address.  Content equality is
+    tile_hash equality — the same seahash-equivalent content key the
+    sink dedups on (ref src/mbtiles.rs:104-107), so 'changed' means
+    the encoded PNG bytes differ, not merely the source pixels.
+    """
+    from .relational import snapshot_diff
+    from .render import tileset_map_dataset
+
+    cols = ["zoom", "x", "y", "tile_hash"]
+    old = tileset_map_dataset(old_dir).select_columns(cols)
+    new = tileset_map_dataset(new_dir).select_columns(cols)
+    return snapshot_diff(old, new, ["zoom", "x", "y"], ["tile_hash"])

@@ -510,3 +510,52 @@ def test_patched_raster_values():
     # spec roundtrip through the factory
     p2 = raster_from_spec(p.spec())
     assert np.array_equal(p2.values_at(cols, rows), got)
+
+
+def test_diff_tilesets(ray_session, tmp_path):
+    """diff_tilesets classifies added / removed / changed tile
+    addresses against an exact per-address hash compare of the two
+    rendered pyramids; identical tiles never appear."""
+    from rastertiler_rs_ray.pipelines.merge import diff_tilesets
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    old_dir = str(tmp_path / "old")
+    new_dir = str(tmp_path / "new")
+    render_pyramid(default_u8_raster(seed=42), old_dir, 2, 4, tilesize=64,
+                   concurrency=2, resume=False)
+    render_pyramid(default_u8_raster(seed=99), new_dir, 3, 5, tilesize=64,
+                   concurrency=2, resume=False)
+
+    got = {
+        f"{r['zoom']}/{r['x']}/{r['y']}": r["change"]
+        for r in diff_tilesets(old_dir, new_dir).take_all()
+    }
+
+    oh, nh = _tile_hashes(old_dir), _tile_hashes(new_dir)
+    want = {}
+    for k in set(oh) | set(nh):
+        if k not in oh:
+            want[k] = "added"
+        elif k not in nh:
+            want[k] = "removed"
+        elif oh[k] != nh[k]:
+            want[k] = "changed"
+    assert got == want
+    # the construction plants all three classes (zooms 2 vs 5 disjoint,
+    # zooms 3-4 shared with different seeds)
+    assert {"added", "removed", "changed"} <= set(want.values())
+
+
+def test_diff_tilesets_identical_is_empty(ray_session, tmp_path):
+    from rastertiler_rs_ray.pipelines.merge import diff_tilesets
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    render_pyramid(default_u8_raster(seed=7), a, 2, 3, tilesize=64,
+                   concurrency=2, resume=False)
+    render_pyramid(default_u8_raster(seed=7), b, 2, 3, tilesize=64,
+                   concurrency=2, resume=False)
+    assert diff_tilesets(a, b).count() == 0
