@@ -5423,6 +5423,48 @@ FROM u GROUP BY word
 """
 
 
+def gopher_quality_docs(sf_dir: str):
+    """Gopher quality rules (Rae et al. 2021 A1.1) over documents:
+    word-count / mean-word-length / symbol-ratio / alpha-word-fraction
+    / distinct-stopword rules, map-only (textstats.gopher_quality_filter).
+    min_words=40 + the stopword rule split this corpus into both
+    classes."""
+    from .textstats import gopher_quality_filter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_quality_filter(docs, min_words=40)
+
+
+SQL_GOPHER_QUALITY = """
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS words,
+         regexp_replace(text, '\\s', '', 'g') AS nospace,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(floor((CAST(length(nospace) AS DOUBLE) / len(words)) * 10000.0 + 0.5) AS BIGINT) AS mean_word_len_e4,
+         CAST(floor((CAST((length(text) - length(replace(text, '#', '')))
+                         + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+                    / len(words)) * 10000.0 + 0.5) AS BIGINT) AS symbol_ratio_e4,
+         CAST(floor((CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                    / len(words)) * 10000.0 + 0.5) AS BIGINT) AS alpha_frac_e4,
+         len(list_intersect(list_distinct(words),
+             ['the','a','of','and','to','in','be','that','have','with'])) AS stop_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len_e4, symbol_ratio_e4, alpha_frac_e4, stop_hits,
+       CASE WHEN n_words BETWEEN 40 AND 100000
+             AND mean_word_len_e4 BETWEEN 30000 AND 100000
+             AND symbol_ratio_e4 <= 1000
+             AND alpha_frac_e4 >= 8000
+             AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+FROM m
+"""
+
+
 def language_id_docs(sf_dir: str):
     """Trained char-trigram language classifier (train -> broadcast ->
     score): per-lang top-32 gram profiles from the labeled corpus, then
@@ -7420,6 +7462,7 @@ QUERIES = {
     "inverted_index_docs": (inverted_index_docs, SQL_INVERTED_INDEX_DOCS),
     "price_percentiles": (price_percentiles, SQL_PRICE_PERCENTILES),
     "language_id_docs": (language_id_docs, SQL_LANGUAGE_ID_DOCS),
+    "gopher_quality_docs": (gopher_quality_docs, SQL_GOPHER_QUALITY),
     "winnow_fingerprints_docs": (winnow_fingerprints_docs, SQL_WINNOW_FINGERPRINTS),
     "orders_price_band_join": (orders_price_band_join, SQL_ORDERS_PRICE_BAND_JOIN),
     "zorder_docs_z12": (zorder_docs_z12, SQL_ZORDER_DOCS_Z12),

@@ -1347,3 +1347,122 @@ def cdc_chunks(
         )
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "be", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> ray.data.Dataset:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1)
+    as one map-only pass: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio ('#' and '…'), fraction of words containing
+    an alphabetic character, and "≥ 2 distinct stopwords present".
+    (The line-level bullet/ellipsis rules don't apply to the corpus's
+    single-line documents and are omitted.)
+
+    Emits per doc the quantized metrics plus ``keep`` (int64 0/1) so
+    downstream curation can either filter or inspect the rule firing.
+
+    Scale contract: no shuffle, no row loop — Arrow
+    ``utf8_split_whitespace`` + flat-word kernels segment-reduced back
+    to docs via ``np.add.reduceat`` on the list offsets; stopword
+    presence is a 10-bit mask OR-reduced per doc.
+    """
+    stop_list = list(GOPHER_STOPWORDS)
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch.column(id_col)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: ids,
+                    "n_words": pa.array([], pa.int64()),
+                    "mean_word_len_e4": pa.array([], pa.int64()),
+                    "symbol_ratio_e4": pa.array([], pa.int64()),
+                    "alpha_frac_e4": pa.array([], pa.int64()),
+                    "stop_hits": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.int64()),
+                }
+            )
+        text = pc.cast(batch.column(text_col), pa.string())
+        words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        words = pa.chunked_array([words]).combine_chunks()
+        if isinstance(words, pa.ChunkedArray):
+            words = words.chunk(0)
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        starts = offsets[:-1] - offsets[0]
+        ends = offsets[1:] - offsets[0]
+        n_words = (ends - starts).astype(np.int64)
+
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_alpha = (
+            pc.match_substring_regex(flat, "[A-Za-z]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat_np = np.asarray(flat.to_pandas(), dtype=object)
+
+        def seg_sum(v: np.ndarray) -> np.ndarray:
+            # exact segment sums via prefix sums — zero-length segments
+            # (empty docs) fall out as 0 with no reduceat edge cases
+            c = np.concatenate([[0], np.cumsum(v, dtype=np.int64)])
+            return c[ends] - c[starts]
+
+        sum_len = seg_sum(wlen)
+        sum_alpha = seg_sum(is_alpha)
+        stop_hits = np.zeros(n, dtype=np.int64)
+        for w in stop_list:
+            stop_hits += (seg_sum((flat_np == w).astype(np.int64)) > 0).astype(np.int64)
+
+        n_hash = pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+        n_ell = pc.count_substring(text, "\u2026").to_numpy(zero_copy_only=False)
+        safe_w = np.maximum(n_words, 1).astype(np.float64)
+
+        def e4(v: np.ndarray) -> np.ndarray:
+            # repo-wide quantization convention: floor(x*1e4 + 0.5)
+            return np.floor(v * 1e4 + 0.5).astype(np.int64)
+
+        mean_len_e4 = e4(sum_len / safe_w)
+        sym_ratio_e4 = e4((n_hash + n_ell).astype(np.float64) / safe_w)
+        alpha_frac_e4 = e4(sum_alpha / safe_w)
+
+        # compare on the QUANTIZED values so the keep flag is decided on
+        # exactly the numbers any external engine (the DuckDB oracle)
+        # recomputes — no float-boundary divergence
+        keep = (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_len_e4 >= int(min_mean_word_len * 1e4))
+            & (mean_len_e4 <= int(max_mean_word_len * 1e4))
+            & (sym_ratio_e4 <= int(max_symbol_ratio * 1e4))
+            & (alpha_frac_e4 >= int(min_alpha_word_frac * 1e4))
+            & (stop_hits >= min_stopword_hits)
+        ).astype(np.int64)
+
+        return pa.table(
+            {
+                id_col: ids,
+                "n_words": pa.array(n_words),
+                "mean_word_len_e4": pa.array(mean_len_e4),
+                "symbol_ratio_e4": pa.array(sym_ratio_e4),
+                "alpha_frac_e4": pa.array(alpha_frac_e4),
+                "stop_hits": pa.array(stop_hits),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

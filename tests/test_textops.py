@@ -1096,3 +1096,56 @@ class TestCdcChunks:
                 == (c.start_pos + c.chunk_len).to_numpy()[:-1]
             ).all()
             assert c.cpsum.sum() == sum(ord(ch) for ch in t)
+
+
+class TestGopherQualityFilter:
+    def _run(self, texts, **kw):
+        from rastertiler_rs_ray.pipelines.textstats import gopher_quality_filter
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        return (
+            gopher_quality_filter(ds, **kw)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+
+    def test_metrics_vs_scalar_oracle(self, ray_session):
+        texts = [
+            "the cat and the dog sat with a hat of wool to be that",
+            "",
+            "   ",
+            "zz " * 60 + "#### …",
+            "the of and to in be that have with a " * 6,
+            "solo",
+        ]
+        df = self._run(texts, min_words=5, min_mean_word_len=1.0)
+        stop = {"the", "a", "of", "and", "to", "in", "be", "that", "have", "with"}
+        for i, t in enumerate(texts):
+            words = t.strip().split() or [""] if not t.strip() else t.strip().split()
+            if not t.strip():
+                words = [""]  # split-regex convention: empty text → one empty word
+            n = len(words)
+            assert df.loc[i, "n_words"] == n
+            mean_len = sum(len(w) for w in words) / n
+            assert df.loc[i, "mean_word_len_e4"] == int(np.floor(mean_len * 1e4 + 0.5))
+            sym = (t.count("#") + t.count("…")) / n
+            assert df.loc[i, "symbol_ratio_e4"] == int(np.floor(sym * 1e4 + 0.5))
+            alpha = sum(1 for w in words if re.search("[A-Za-z]", w)) / n
+            assert df.loc[i, "alpha_frac_e4"] == int(np.floor(alpha * 1e4 + 0.5))
+            assert df.loc[i, "stop_hits"] == len(stop & set(words))
+
+    def test_rules_fire(self, ray_session):
+        good = "the cats seeing a doggy " * 12  # 60 words, mean len 3.8, stopwords the+a
+        df = self._run(
+            [
+                good,                      # keeps
+                "word " * 10,              # too few words (< 20)
+                good + "#### " * 30,       # symbol ratio > 0.1
+                "big dog ran far out " * 12,  # no stopwords
+            ],
+            min_words=20,
+        )
+        assert df["keep"].tolist() == [1, 0, 0, 0]
