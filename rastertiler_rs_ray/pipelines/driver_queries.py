@@ -5423,6 +5423,40 @@ FROM u GROUP BY word
 """
 
 
+def orders_price_winsorized(sf_dir: str):
+    """Robust per-priority price stats: p10/p90 percentile_disc bounds,
+    trimmed mean (outside rows dropped) and winsorized mean (rows
+    clamped) — relational.winsorized_grouped_stats two-pass plan."""
+    from .relational import winsorized_grouped_stats
+
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    out = winsorized_grouped_stats(
+        orders, ["o_orderpriority"], "o_totalprice", lo_q=0.1, hi_q=0.9
+    )
+    return _round4(out, ["lo", "hi", "trimmed_mean", "winsor_mean"])
+
+
+SQL_ORDERS_PRICE_WINSORIZED = """
+WITH b AS (
+  SELECT o_orderpriority,
+         quantile_disc(o_totalprice, 0.1) AS lo,
+         quantile_disc(o_totalprice, 0.9) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       round(max(b.lo), 4) AS lo,
+       round(max(b.hi), 4) AS hi,
+       round(avg(CASE WHEN o.o_totalprice BETWEEN b.lo AND b.hi
+                      THEN o.o_totalprice END), 4) AS trimmed_mean,
+       round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 4) AS winsor_mean,
+       count(*) AS n,
+       CAST(sum(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+FROM orders o JOIN b USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+
 def gopher_quality_docs(sf_dir: str):
     """Gopher quality rules (Rae et al. 2021 A1.1) over documents:
     word-count / mean-word-length / symbol-ratio / alpha-word-fraction
@@ -7463,6 +7497,7 @@ QUERIES = {
     "price_percentiles": (price_percentiles, SQL_PRICE_PERCENTILES),
     "language_id_docs": (language_id_docs, SQL_LANGUAGE_ID_DOCS),
     "gopher_quality_docs": (gopher_quality_docs, SQL_GOPHER_QUALITY),
+    "orders_price_winsorized": (orders_price_winsorized, SQL_ORDERS_PRICE_WINSORIZED),
     "winnow_fingerprints_docs": (winnow_fingerprints_docs, SQL_WINNOW_FINGERPRINTS),
     "orders_price_band_join": (orders_price_band_join, SQL_ORDERS_PRICE_BAND_JOIN),
     "zorder_docs_z12": (zorder_docs_z12, SQL_ZORDER_DOCS_Z12),

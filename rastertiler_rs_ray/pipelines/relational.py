@@ -2457,3 +2457,76 @@ def grouped_peak_concurrency(
     out = {k: pa.array(list(v)) for k, v in zip(boundary_keys, karrs)}
     out[out_col] = pa.array([int(v) for v in best.values()], pa.int64())
     return ray.data.from_arrow(pa.table(out))
+
+
+def winsorized_grouped_stats(
+    ds: ray.data.Dataset,
+    by: Sequence[str],
+    col: str,
+    *,
+    lo_q: float = 0.1,
+    hi_q: float = 0.9,
+) -> ray.data.Dataset:
+    """Robust per-group statistics: exact percentile_disc bounds at
+    ``lo_q``/``hi_q``, then the TRIMMED mean (rows outside the bounds
+    dropped) and the WINSORIZED mean (rows clamped to the bounds) —
+    the outlier-resistant aggregates batch analytics reach for when a
+    plain mean is skew-dominated.
+
+    Two passes, both distributed: (1) per-group bounds via one narrow
+    (key, value) groupby + in-group sort (same rank convention as
+    ``grouped_percentiles``: ceil(q·n), DuckDB's quantile_disc); the
+    bounds table is one row per group and is broadcast via ``ray.put``;
+    (2) a map-side partial pass computes per-batch per-group
+    (clamped/filtered) sums and counts, so the second exchange moves
+    only ~5 numbers per (batch, group).  Values never shuffle twice.
+    """
+    by = list(by)
+
+    bounds = (
+        grouped_percentiles(ds, by, col, [float(lo_q), float(hi_q)])
+        .to_pandas()
+        .pivot_table(index=by, columns="q", values="value")
+    )
+    lo_map = {k: v for k, v in zip(bounds.index, bounds[float(lo_q)])}
+    hi_map = {k: v for k, v in zip(bounds.index, bounds[float(hi_q)])}
+    bref = ray.put((lo_map, hi_map))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = ray.get(bref)
+        key = df[by[0]] if len(by) == 1 else pd.MultiIndex.from_frame(df[by])
+        lo = key.map(lo_m).to_numpy(dtype=np.float64)
+        hi = key.map(hi_m).to_numpy(dtype=np.float64)
+        v = df[col].to_numpy(dtype=np.float64)
+        inside = (v >= lo) & (v <= hi)
+        g = pd.DataFrame(
+            {
+                **{k: df[k] for k in by},
+                "t_sum": np.where(inside, v, 0.0),
+                "t_n": inside.astype(np.int64),
+                "w_sum": np.clip(v, lo, hi),
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return g.groupby(by, as_index=False).sum()
+
+    agg = (
+        ds.select_columns([*by, col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .sum(["t_sum", "t_n", "w_sum", "n"])
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = ray.get(bref)
+        key = df[by[0]] if len(by) == 1 else pd.MultiIndex.from_frame(df[by])
+        out = df[by].copy()
+        out["lo"] = key.map(lo_m).to_numpy(dtype=np.float64)
+        out["hi"] = key.map(hi_m).to_numpy(dtype=np.float64)
+        out["trimmed_mean"] = df["sum(t_sum)"] / df["sum(t_n)"].replace(0, np.nan)
+        out["winsor_mean"] = df["sum(w_sum)"] / df["sum(n)"]
+        out["n"] = df["sum(n)"].astype(np.int64)
+        out["n_trimmed"] = (df["sum(n)"] - df["sum(t_n)"]).astype(np.int64)
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")

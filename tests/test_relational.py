@@ -1540,3 +1540,37 @@ class TestGroupedPeakConcurrency:
         end = (np.array(start) + rng.integers(1, 500, n)).tolist()
         got = self._run(grp, start, end, nparts=23)
         assert got == self._brute(grp, start, end)
+
+
+def test_winsorized_grouped_stats(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import winsorized_grouped_stats
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": np.round(rng.normal(100, 20, n), 2),
+        }
+    )
+    # plant outliers that a plain mean would absorb
+    df.loc[:5, "v"] = 10_000.0
+    got = (
+        winsorized_grouped_stats(ray.data.from_pandas(df), ["g"], "v", lo_q=0.1, hi_q=0.9)
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        nn = len(v)
+        lo = v[max(int(np.ceil(0.1 * nn)), 1) - 1]
+        hi = v[max(int(np.ceil(0.9 * nn)), 1) - 1]
+        inside = sub["v"][(sub["v"] >= lo) & (sub["v"] <= hi)]
+        assert got.loc[g, "lo"] == lo and got.loc[g, "hi"] == hi
+        assert got.loc[g, "trimmed_mean"] == pytest.approx(inside.mean())
+        assert got.loc[g, "winsor_mean"] == pytest.approx(sub["v"].clip(lo, hi).mean())
+        assert got.loc[g, "n"] == nn
+        assert got.loc[g, "n_trimmed"] == nn - len(inside)
+        # robustness: planted outliers clamped away
+        assert got.loc[g, "winsor_mean"] < sub["v"].mean()
