@@ -3813,6 +3813,57 @@ def point_in_polygon_cells_docs(sf_dir: str):
     )
 
 
+def snap_docs_to_segments(sf_dir: str):
+    """Nearest-boundary-segment snap (map matching, J-family): every
+    doc position snaps to the closest polygon-boundary segment of the
+    20 deterministic polygons — broadcast B×S distance matrix,
+    quantized-distance tie-break (spatial.snap_to_segments)."""
+    from ..sources.polygons import generate_polygons
+    from .spatial import polygon_boundary_segments, snap_to_segments
+
+    segs = polygon_boundary_segments(generate_polygons(20))
+    return snap_to_segments(doc_positions_dataset(sf_dir), segs).select_columns(
+        ["doc_id", "seg_id", "dist_e4"]
+    )
+
+
+def _sql_snap() -> str:
+    from ..sources.polygons import generate_polygons
+    from .spatial import polygon_boundary_segments
+
+    segs = polygon_boundary_segments(generate_polygons(20))
+    rows = ",\n    ".join(
+        f"({i}, {a!r}::DOUBLE, {b!r}::DOUBLE, {c!r}::DOUBLE, {d!r}::DOUBLE)"
+        for i, (a, b, c, d) in enumerate(segs)
+    )
+    return f"""
+WITH pos AS ({SQL_POS}),
+segs(seg_id, x1, y1, x2, y2) AS (VALUES
+    {rows}),
+d AS (
+  SELECT doc_id, seg_id,
+         CAST(floor(sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) * 10000.0 + 0.5)
+              AS BIGINT) AS dist_e4
+  FROM (
+    SELECT p.doc_id, s.seg_id, p.lon, p.lat,
+           s.x1 + t.tt * (s.x2 - s.x1) AS cx,
+           s.y1 + t.tt * (s.y2 - s.y1) AS cy
+    FROM pos p CROSS JOIN segs s,
+         LATERAL (SELECT least(greatest(
+             ((p.lon - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+             / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)),
+             0.0), 1.0) AS tt) t
+  )
+)
+SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id, dist_e4
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist_e4, seg_id) AS rn FROM d)
+WHERE rn = 1
+"""
+
+
+SQL_SNAP_DOCS = _sql_snap()
+
+
 def _sql_pip() -> str:
     """Even-odd ray-cast containment in SQL, mirroring _PolygonTester
     op-for-op: edge crossing ``(y1 > lat) != (y2 > lat)`` and intercept
@@ -7498,6 +7549,7 @@ QUERIES = {
     "language_id_docs": (language_id_docs, SQL_LANGUAGE_ID_DOCS),
     "gopher_quality_docs": (gopher_quality_docs, SQL_GOPHER_QUALITY),
     "orders_price_winsorized": (orders_price_winsorized, SQL_ORDERS_PRICE_WINSORIZED),
+    "snap_docs_to_segments": (snap_docs_to_segments, SQL_SNAP_DOCS),
     "winnow_fingerprints_docs": (winnow_fingerprints_docs, SQL_WINNOW_FINGERPRINTS),
     "orders_price_band_join": (orders_price_band_join, SQL_ORDERS_PRICE_BAND_JOIN),
     "zorder_docs_z12": (zorder_docs_z12, SQL_ZORDER_DOCS_Z12),

@@ -2365,3 +2365,90 @@ def adaptive_cell_partition(
         )
 
     return pos.map_batches(assign, batch_format="pyarrow")
+
+
+def snap_to_segments(
+    points: ray.data.Dataset,
+    segments: np.ndarray,
+    *,
+    id_col: str = "doc_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    quant: float = 1e4,
+) -> ray.data.Dataset:
+    """Map-matching primitive: snap every point to its nearest line
+    segment (closest point on the segment, endpoints clamped) and
+    report ``(id, seg_id, dist_e4)``.
+
+    ``segments`` is an (S, 4) float array of (x1, y1, x2, y2) rows;
+    ``seg_id`` is the row index.  The segment table is the SMALL side
+    (a road/boundary network tile) so it is broadcast once via
+    ``ray.put`` and each batch computes a vectorized B×S
+    point-to-segment distance matrix — map-only, no shuffle.  For
+    segment sets too big to broadcast, pre-bucket segments by cell
+    (geo/cell.py) and co-partition, the same plan as
+    ``point_in_polygon_cells``.
+
+    Determinism contract: the winning segment is chosen by
+    ``(floor(dist·quant + 0.5), seg_id)`` — the QUANTIZED distance —
+    so exact geometric ties (e.g. a point whose nearest feature is a
+    vertex shared by two segments) resolve identically in any engine
+    that recomputes the same quantity (cf. the DuckDB oracle's
+    ``row_number() OVER (ORDER BY dist_e4, seg_id)``).
+    """
+    segs = np.asarray(segments, dtype=np.float64)
+    if segs.ndim != 2 or segs.shape[1] != 4:
+        raise ValueError("segments must be (S, 4): x1, y1, x2, y2")
+    seg_ref = ray.put(segs)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: ids,
+                    "seg_id": pa.array([], pa.int64()),
+                    "dist_e4": pa.array([], pa.int64()),
+                }
+            )
+        s = ray.get(seg_ref)
+        x1, y1, x2, y2 = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        px = batch.column(x_col).to_numpy()[:, None]
+        py = batch.column(y_col).to_numpy()[:, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = ((px - x1) * dx + (py - y1) * dy) / len2
+        t = np.where(len2 > 0, np.clip(t, 0.0, 1.0), 0.0)
+        cx = x1 + t * dx
+        cy = y1 + t * dy
+        dist = np.sqrt((px - cx) ** 2 + (py - cy) ** 2)
+        de4 = np.floor(dist * quant + 0.5).astype(np.int64)
+        # lexicographic (dist_e4, seg_id) argmin
+        score = de4 * np.int64(len(s)) + np.arange(len(s), dtype=np.int64)
+        j = np.argmin(score, axis=1)
+        rows = np.arange(n)
+        return pa.table(
+            {
+                id_col: ids,
+                "seg_id": pa.array(j.astype(np.int64)),
+                "dist_e4": pa.array(de4[rows, j]),
+            }
+        )
+
+    return points.map_batches(f, batch_format="pyarrow")
+
+
+def polygon_boundary_segments(polygons) -> np.ndarray:
+    """Flatten generate_polygons-style rings into an (S, 4) segment
+    array, seg_id = enumeration order (ring order, then edge order) —
+    the same order an oracle embedding the edges as VALUES rows uses."""
+    rows = []
+    for p in polygons:
+        lon, lat = p["lon"], p["lat"]
+        m = len(lon)
+        for e in range(m):
+            k = (e + 1) % m
+            rows.append((lon[e], lat[e], lon[k], lat[k]))
+    return np.asarray(rows, dtype=np.float64)

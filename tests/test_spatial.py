@@ -1307,3 +1307,59 @@ class TestAdaptiveCellPartition:
         # each refined key matches the direct z5 assignment
         dx, dy = point_to_tile(5, mx[:40], my[:40])
         assert (hot.cx.to_numpy() == dx).all() and (hot.cy.to_numpy() == dy).all()
+
+
+class TestSnapToSegments:
+    def test_vs_scalar_oracle(self, ray_session):
+        import numpy as np
+
+        from rastertiler_rs_ray.pipelines.spatial import snap_to_segments
+
+        rng = np.random.default_rng(11)
+        segs = rng.uniform(-10, 10, size=(17, 4))
+        pts = rng.uniform(-12, 12, size=(60, 2))
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(60)), "lon": pts[:, 0], "lat": pts[:, 1]})
+        )
+        got = (
+            snap_to_segments(ds, segs).to_pandas().set_index("doc_id").sort_index()
+        )
+
+        def seg_dist(p, s):
+            a = np.array(s[:2]); b = np.array(s[2:])
+            ab = b - a
+            t = np.clip(np.dot(p - a, ab) / np.dot(ab, ab), 0.0, 1.0)
+            return float(np.linalg.norm(p - (a + t * ab)))
+
+        for i, p in enumerate(pts):
+            cand = [
+                (int(np.floor(seg_dist(p, s) * 1e4 + 0.5)), j)
+                for j, s in enumerate(segs)
+            ]
+            de4, j = min(cand)
+            assert got.loc[i, "seg_id"] == j
+            assert got.loc[i, "dist_e4"] == de4
+
+    def test_endpoint_clamp_and_degenerate(self, ray_session):
+        import numpy as np
+
+        from rastertiler_rs_ray.pipelines.spatial import snap_to_segments
+
+        # one horizontal segment and one zero-length segment (a point)
+        segs = np.array([[0.0, 0.0, 2.0, 0.0], [5.0, 5.0, 5.0, 5.0]])
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [0, 1, 2],
+                    "lon": [-1.0, 1.0, 5.0],
+                    "lat": [0.0, 3.0, 5.5],
+                }
+            )
+        )
+        got = snap_to_segments(ds, segs).to_pandas().set_index("doc_id")
+        # point left of segment clamps to endpoint (0,0): dist 1
+        assert got.loc[0, "seg_id"] == 0 and got.loc[0, "dist_e4"] == 10000
+        # point above the interior projects perpendicular: dist 3
+        assert got.loc[1, "seg_id"] == 0 and got.loc[1, "dist_e4"] == 30000
+        # degenerate segment behaves as a point: dist 0.5
+        assert got.loc[2, "seg_id"] == 1 and got.loc[2, "dist_e4"] == 5000
