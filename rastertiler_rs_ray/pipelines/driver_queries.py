@@ -7516,6 +7516,30 @@ FROM orders
 #      pytest + scripts/check_oracle.py.
 #   3. ROWS-ONLY — non-SQL-expressible pipelines (stateful/sketch/
 #      raster); the driver records a weaker rows-only check.
+
+
+def raster_components_demo(sf_dir: str):
+    """Distributed raster connected-component labeling (pipelines/ccl):
+    per-block local union-find + seam exchange + global sharded
+    union-find; returns (component, value, n_pixels).  Non-SQL (rows-only
+    check); exactness is covered by the BFS-oracle tests in
+    tests/test_ccl.py."""
+    import dataclasses
+
+    from ..raster.synthetic import default_u8_raster
+    from .ccl import component_stats
+    from .focal import raster_blocks_dataset
+
+    r = default_u8_raster(seed=42)
+    spec = {
+        "dtype": r.dtype, "nodata": r.nodata, "width": r.width,
+        "height": r.height, "transform": list(dataclasses.astuple(r.transform)),
+        "seed": r.seed, "block": 24,
+    }
+    blocks = raster_blocks_dataset(spec, 0, 0, 4, 4, chunk=64)
+    return component_stats(blocks, chunk=64, nodata=0, quantize_shift=6)
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -7727,6 +7751,7 @@ QUERIES = {
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---
+    "raster_components_demo": (raster_components_demo, None),
     "minhash_dedup_docs": (minhash_dedup_docs, None),
     "simhash_dedup_docs": (simhash_dedup_docs, None),
     "ngram_dedup_docs": (ngram_dedup_docs, None),
