@@ -4413,6 +4413,74 @@ GROUP BY media_id
 """
 
 
+def decode_media_real_bmp(sf_dir: str):
+    """REAL BMP codec, fully oracled: 64 deterministic 24x40 images
+    (pixel = (m*89 + y*29 + x*13) % 241), even ids encoded as 8-bit
+    palettized BMP, odd ids as 24-bit BGR (gray triples — integer luma
+    reproduces the value exactly), decoded by the sniffing codec chain
+    (fake=False) + 16x16 NN resize, reduced to per-image pixel sums the
+    SQL closed form recomputes."""
+    from ..png.bmp import encode_bmp_bgr24, encode_bmp_gray8
+    from ..stages.multimodal import decode_media
+
+    ids = ray.data.from_arrow(
+        pa.table({"media_id": pa.array(np.arange(64, dtype=np.int64))})
+    ).repartition(8)
+
+    def author(batch: pa.Table) -> pa.Table:
+        mids = np.asarray(batch.column("media_id"))
+        payloads = []
+        y = np.arange(24, dtype=np.int64)[:, None]
+        x = np.arange(40, dtype=np.int64)[None, :]
+        for m in mids:
+            img = ((int(m) * 89 + y * 29 + x * 13) % 241).astype(np.uint8)
+            if int(m) % 2 == 0:
+                payloads.append(encode_bmp_gray8(img))
+            else:
+                payloads.append(encode_bmp_bgr24(np.repeat(img[:, :, None], 3, axis=2)))
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_w": pa.array(np.full(len(mids), 40, np.int32)),
+                "media_h": pa.array(np.full(len(mids), 24, np.int32)),
+            }
+        )
+
+    decoded = decode_media(
+        ids.map_batches(author, batch_format="pyarrow"),
+        out_w=16, out_h=16, fake=False, concurrency=2,
+    )
+
+    def sums(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        px = np.asarray(
+            batch.column("pixels").combine_chunks().flatten()
+        ).reshape(n, -1)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "px_sum": pa.array(px.sum(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return decoded.map_batches(sums, batch_format="pyarrow")
+
+
+SQL_DECODE_MEDIA_REAL_BMP = """
+WITH oy AS (SELECT unnest(range(16)) AS oy),
+     ox AS (SELECT unnest(range(16)) AS ox),
+     m AS (SELECT unnest(range(64)) AS media_id)
+SELECT media_id,
+       CAST(sum((media_id * 89
+                 + CAST(floor((oy + 0.5) * 24 / 16) AS BIGINT) * 29
+                 + CAST(floor((ox + 0.5) * 40 / 16) AS BIGINT) * 13) % 241)
+            AS BIGINT) AS px_sum
+FROM m CROSS JOIN oy CROSS JOIN ox
+GROUP BY media_id
+"""
+
+
 def phash_dedup_media(sf_dir: str):
     """Perceptual-hash image dedup over REAL decodes: 96 deterministic
     images (3/4 share their cohort's base content, 1/4 unique) are
@@ -7764,6 +7832,7 @@ QUERIES = {
     "pca_embeddings_project": (pca_embeddings_project, None),
     "media_features_pipeline": (media_features_pipeline, None),
     "decode_media_real_png": (decode_media_real_png, SQL_DECODE_MEDIA_REAL_PNG),
+    "decode_media_real_bmp": (decode_media_real_bmp, SQL_DECODE_MEDIA_REAL_BMP),
     "span_media_features": (span_media_features, None),
     "audio_features_pipeline": (audio_features_pipeline, None),
     "interleaved_span_check": (interleaved_span_check, None),

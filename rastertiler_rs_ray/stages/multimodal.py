@@ -87,10 +87,36 @@ def _builtin_png_decoder():
     return decode
 
 
+def _builtin_bmp_decoder():
+    """Pure-Python BMP reader (png/bmp.py): BI_RGB 8-bit palettized and
+    24-bit BGR → grayscale, same luma reduction as the PNG path."""
+    from ..png.bmp import decode_bmp
+
+    return decode_bmp
+
+
 def resolve_image_decoder():
-    """First available real codec: Pillow if importable, else the
-    built-in PNG reader.  Called once per actor (``__init__``)."""
-    return _pillow_decoder() or _builtin_png_decoder()
+    """Format-sniffing real-codec chain, resolved once per actor
+    (``__init__``): payload magic picks the builtin pure-Python PNG or
+    BMP reader; anything else falls through to Pillow when importable.
+    Adding a codec = one more (magic, decoder) row."""
+    png = _builtin_png_decoder()
+    bmp = _builtin_bmp_decoder()
+    pillow = _pillow_decoder()
+
+    def decode(payload: bytes) -> np.ndarray:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return png(payload)
+        if payload[:2] == b"BM":
+            return bmp(payload)
+        if pillow is not None:
+            return pillow(payload)
+        raise ValueError(
+            f"unrecognized image payload (magic {payload[:4]!r}) and no "
+            "fallback codec (Pillow) available"
+        )
+
+    return decode
 
 
 class MediaDecoder:

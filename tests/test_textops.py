@@ -1149,3 +1149,53 @@ class TestGopherQualityFilter:
             min_words=20,
         )
         assert df["keep"].tolist() == [1, 0, 0, 0]
+
+
+class TestBmpCodec:
+    def test_roundtrip_gray8_with_padding(self, ray_session):
+        from rastertiler_rs_ray.png.bmp import decode_bmp, encode_bmp_gray8
+
+        rng = np.random.default_rng(3)
+        for w in (1, 3, 4, 37):  # non-multiple-of-4 widths exercise padding
+            img = rng.integers(0, 256, size=(11, w), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp_gray8(img)), img)
+
+    def test_roundtrip_bgr24_luma(self, ray_session):
+        from rastertiler_rs_ray.png.bmp import decode_bmp, encode_bmp_bgr24
+
+        rng = np.random.default_rng(4)
+        rgb = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+        got = decode_bmp(encode_bmp_bgr24(rgb))
+        want = (
+            (77 * rgb[..., 0].astype(np.uint32)
+             + 150 * rgb[..., 1].astype(np.uint32)
+             + 29 * rgb[..., 2].astype(np.uint32)) >> 8
+        ).astype(np.uint8)
+        assert np.array_equal(got, want)
+        # gray triples decode exactly
+        g = rng.integers(0, 256, size=(5, 8), dtype=np.uint8)
+        assert np.array_equal(
+            decode_bmp(encode_bmp_bgr24(np.repeat(g[:, :, None], 3, axis=2))), g
+        )
+
+    def test_decoder_chain_sniffs_format(self, ray_session):
+        from rastertiler_rs_ray.png.bmp import encode_bmp_gray8
+        from rastertiler_rs_ray.png.writer import GRAYSCALE, encode_png_chunks
+        from rastertiler_rs_ray.stages.multimodal import resolve_image_decoder
+
+        dec = resolve_image_decoder()
+        img = (np.arange(48, dtype=np.uint8).reshape(6, 8) * 5) % 251
+        assert np.array_equal(dec(encode_bmp_gray8(img)), img)
+        assert np.array_equal(dec(encode_png_chunks(img, 8, 6, GRAYSCALE, 8)), img)
+        with pytest.raises(ValueError, match="unrecognized|magic"):
+            dec(b"GIF89a....")
+
+    def test_rejects_compressed_and_exotic(self, ray_session):
+        from rastertiler_rs_ray.png.bmp import decode_bmp, encode_bmp_gray8
+
+        payload = bytearray(encode_bmp_gray8(np.zeros((4, 4), np.uint8)))
+        payload[30:34] = (1).to_bytes(4, "little")  # biCompression = BI_RLE8
+        with pytest.raises(ValueError, match="compression"):
+            decode_bmp(bytes(payload))
+        with pytest.raises(ValueError, match="not a BMP"):
+            decode_bmp(b"XX" + bytes(payload[2:]))
