@@ -6371,6 +6371,53 @@ FROM m GROUP BY node
 """
 
 
+def jaccard_links_docs(sf_dir: str):
+    """Neighbor-set Jaccard link prediction over the planted doc-link
+    graph (same chain+skip edges as triangle_doc_links): non-edge pairs
+    ranked by common-neighbor Jaccard (graph.jaccard_link_prediction).
+    Oracle recomputes wedges, exclusion and degrees by SQL self-joins."""
+    from .graph import jaccard_link_prediction
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        c = did[did % 10 != 0]
+        s = did[did % 10 >= 2]
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([c - 1, s - 2]), pa.int64()),
+                "v": pa.array(np.concatenate([c, s]), pa.int64()),
+            }
+        )
+
+    return jaccard_link_prediction(docs.map_batches(edges, batch_format="pyarrow"))
+
+
+SQL_JACCARD_LINKS_DOCS = """
+WITH e0 AS (
+  SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id - 2 AS a, doc_id AS b FROM documents WHERE doc_id % 10 >= 2
+),
+e AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM e0 WHERE a <> b GROUP BY 1, 2),
+adj AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+cn AS (
+  SELECT a1.m AS x, a2.m AS y, count(*) AS c
+  FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.m < a2.m
+  GROUP BY a1.m, a2.m
+)
+SELECT cn.x AS u, cn.y AS v,
+       CAST(cn.c AS BIGINT) AS common,
+       CAST(floor(10000.0 * cn.c / (d1.d + d2.d - cn.c) + 0.5) AS BIGINT) AS jaccard_e4
+FROM cn
+JOIN deg d1 ON d1.n = cn.x
+JOIN deg d2 ON d2.n = cn.y
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.x AND e.v = cn.y)
+"""
+
+
 def bfs_hops_doc_links(sf_dir: str):
     """Bounded multi-source BFS over the doc-link graph with both chain
     edges (doc_id % 10 != 0 → (doc_id-1, doc_id)) and skip edges
@@ -7768,6 +7815,7 @@ QUERIES = {
     "temperature_sample_docs": (temperature_sample_docs, SQL_TEMPERATURE_SAMPLE),
     "dedup_incremental_docs": (dedup_incremental_docs, SQL_DEDUP_INCREMENTAL),
     "pagerank_doc_links": (pagerank_doc_links, SQL_PAGERANK_DOC_LINKS),
+    "jaccard_links_docs": (jaccard_links_docs, SQL_JACCARD_LINKS_DOCS),
     "bfs_hops_doc_links": (bfs_hops_doc_links, SQL_BFS_HOPS_DOC_LINKS),
     "lineitem_cube": (lineitem_cube, SQL_LINEITEM_CUBE),
     "part_name_fuzzy_match": (part_name_fuzzy_match, SQL_PART_NAME_FUZZY_MATCH),

@@ -575,3 +575,129 @@ def bfs_hops(
         frontier = fresh
 
     return settled
+
+
+def jaccard_link_prediction(
+    edges: ray.data.Dataset,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    min_common: int = 1,
+) -> ray.data.Dataset:
+    """Neighbor-set Jaccard link prediction: for every NON-edge pair
+    (u, v) sharing at least ``min_common`` neighbors, emit
+    ``(u, v, common, jaccard_e4)`` where jaccard = |N(u)∩N(v)| /
+    |N(u)∪N(v)| — the classic common-neighbors / Jaccard score used to
+    propose missing links (citation suggestion, dedup candidate
+    seeding).
+
+    Plan: canonicalize + dedupe edges; per-center wedge enumeration in
+    one ``groupby`` (each wedge = one co-neighbor pair, emitted with a
+    count of 1); existing edges are unioned into the SAME exchange as
+    marker rows (count 0, flag 1), so common-neighbor counting and
+    known-edge exclusion cost ONE narrow groupby together.  Degrees
+    (16 B/row) are broadcast via ``ray.put`` for the final union-size
+    arithmetic — at node counts beyond broadcast reach, swap the map
+    for two ``shuffle_hash_join`` passes on u then v.
+
+    Hub caution: wedge volume is Σ deg(w)² over centers.  Unlike
+    ``triangle_counts`` this is inherent to the statistic (a hub really
+    does make all neighbor pairs candidates); cap or sample hub
+    adjacency upstream if the graph is power-law.
+    """
+    import pandas as pd
+
+    node_t = pa.int64()
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column(u_col), dtype=np.int64)
+        v = np.asarray(b.column(v_col), dtype=np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(u, v), node_t),
+                "b": pa.array(np.maximum(u, v), node_t),
+            }
+        )
+
+    from .relational import distinct
+
+    e = distinct(edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"])
+    e = e.materialize()
+
+    def both_ways(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), dtype=np.int64)
+        bb = np.asarray(b.column("b"), dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array(np.concatenate([a, bb]), node_t),
+                "m": pa.array(np.concatenate([bb, a]), node_t),
+            }
+        )
+
+    adj = e.map_batches(both_ways, batch_format="pyarrow")
+
+    deg_df = adj.groupby("n").count().to_pandas()
+    deg_ref = ray.put(
+        dict(
+            zip(
+                deg_df["n"].to_numpy(np.int64),
+                deg_df["count()"].to_numpy(np.int64),
+            )
+        )
+    )
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nb = np.sort(np.asarray(g.column("m"), dtype=np.int64))
+        k = len(nb)
+        if k < 2:
+            ii = jj = np.array([], dtype=np.int64)
+        else:
+            ii, jj = np.triu_indices(k, k=1)
+        return pa.table(
+            {
+                "x": pa.array(nb[ii] if k >= 2 else ii, node_t),
+                "y": pa.array(nb[jj] if k >= 2 else jj, node_t),
+                "one": pa.array(np.ones(len(ii), dtype=np.int64)),
+                "flag": pa.array(np.zeros(len(ii), dtype=np.int64)),
+            }
+        )
+
+    wedge_rows = adj.groupby("n").map_groups(wedges, batch_format="pyarrow")
+
+    def edge_markers(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": b.column("a"),
+                "y": b.column("b"),
+                "one": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "flag": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+
+    unioned = wedge_rows.union(e.map_batches(edge_markers, batch_format="pyarrow"))
+    agg = unioned.groupby(["x", "y"]).sum(["one", "flag"])
+
+    def score(b: pa.Table) -> pa.Table:
+        deg = ray.get(deg_ref)
+        x = np.asarray(b.column("x"), dtype=np.int64)
+        y = np.asarray(b.column("y"), dtype=np.int64)
+        c = np.asarray(b.column("sum(one)"), dtype=np.int64)
+        flag = np.asarray(b.column("sum(flag)"), dtype=np.int64)
+        keep = (flag == 0) & (c >= min_common)
+        x, y, c = x[keep], y[keep], c[keep]
+        du = pd.Series(x).map(deg).to_numpy(np.int64)
+        dv = pd.Series(y).map(deg).to_numpy(np.int64)
+        union_sz = du + dv - c
+        j_e4 = np.floor(10000.0 * c / union_sz + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(x, node_t),
+                "v": pa.array(y, node_t),
+                "common": pa.array(c),
+                "jaccard_e4": pa.array(j_e4),
+            }
+        )
+
+    return agg.map_batches(score, batch_format="pyarrow")

@@ -218,3 +218,55 @@ def test_bfs_early_exhaustion(ray_session):
     edges = [(0, 1), (5, 6)]
     got = _run_bfs(edges, [0], max_hops=10)
     assert got == {0: 0, 1: 1}
+
+
+class TestJaccardLinkPrediction:
+    def test_vs_brute_force(self, ray_session):
+        import itertools
+
+        from rastertiler_rs_ray.pipelines.graph import jaccard_link_prediction
+
+        rng = np.random.default_rng(13)
+        n_nodes = 30
+        edges = set()
+        while len(edges) < 60:
+            a, b = rng.integers(0, n_nodes, 2)
+            if a != b:
+                edges.add((min(int(a), int(b)), max(int(a), int(b))))
+        u = np.array([e[0] for e in edges], dtype=np.int64)
+        v = np.array([e[1] for e in edges], dtype=np.int64)
+        # duplicates + reversed duplicates must be harmless
+        ds = ray.data.from_arrow(
+            pa.table({"u": np.concatenate([u, v]), "v": np.concatenate([v, u])})
+        )
+        got = {
+            (r["u"], r["v"]): (r["common"], r["jaccard_e4"])
+            for r in jaccard_link_prediction(ds).take_all()
+        }
+
+        nbr = {i: set() for i in range(n_nodes)}
+        for a, b in edges:
+            nbr[a].add(b)
+            nbr[b].add(a)
+        want = {}
+        for a, b in itertools.combinations(range(n_nodes), 2):
+            if (a, b) in edges:
+                continue
+            c = len(nbr[a] & nbr[b])
+            if c >= 1:
+                un = len(nbr[a] | nbr[b])
+                want[(a, b)] = (c, int(np.floor(10000.0 * c / un + 0.5)))
+        assert got == want
+        assert len(want) > 20  # non-trivial instance
+
+    def test_existing_edges_excluded(self, ray_session):
+        from rastertiler_rs_ray.pipelines.graph import jaccard_link_prediction
+
+        # triangle + pendant: (0,1) is an edge AND shares neighbor 2 → excluded
+        ds = ray.data.from_arrow(
+            pa.table({"u": [0, 1, 0, 2], "v": [1, 2, 2, 3]})
+        )
+        got = {(r["u"], r["v"]): r["common"] for r in jaccard_link_prediction(ds).take_all()}
+        assert (0, 1) not in got and (0, 2) not in got and (1, 2) not in got
+        # (1,3) share 2; (0,3) share 2
+        assert got == {(0, 3): 1, (1, 3): 1}
