@@ -315,3 +315,113 @@ def component_stats(
         return t
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def component_bboxes(
+    blocks: ray.data.Dataset,
+    *,
+    chunk: int,
+    nodata: int = 0,
+    quantize_shift: int = 0,
+    min_pixels: int = 1,
+) -> ray.data.Dataset:
+    """Raster polygonize, step 1: per global component, the bounding
+    box in GLOBAL pixel coordinates plus pixel count and value —
+    ``(component, value, x0, y0, x1, y1, n_pixels)``, boxes inclusive.
+
+    The mask→features bridge: after CCL, each component row is a
+    feature candidate (building footprint, burn scar, cloud mask blob)
+    that downstream vector stages (cell index, PIP, spatial join) can
+    consume without ever touching pixels again.
+
+    Per-block partials (np.minimum/maximum.at over the block's local
+    unique labels) → one narrow groupby(min/max/sum).  Pixels shuffle
+    zero times, same contract as ``component_stats``.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    labeled = connected_component_labels(
+        blocks, chunk=chunk, nodata=nodata, quantize_shift=quantize_shift
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        comps, vals_, x0s, y0s, x1s, y1s, ns = [], [], [], [], [], [], []
+        bxs = batch.column("bx").to_numpy(zero_copy_only=False)
+        bys = batch.column("by").to_numpy(zero_copy_only=False)
+        for i in range(len(batch)):
+            lab = np.frombuffer(batch.column("labels")[i].as_py(), dtype=np.int64)
+            q = np.frombuffer(batch.column("qvals")[i].as_py(), dtype=np.uint8)
+            keep = lab >= 0
+            if not keep.any():
+                continue
+            flat = np.nonzero(keep)[0]
+            gx = int(bxs[i]) * chunk + (flat % chunk)
+            gy = int(bys[i]) * chunk + (flat // chunk)
+            uniq, inv, counts = np.unique(
+                lab[keep], return_inverse=True, return_counts=True
+            )
+            k = len(uniq)
+            x0 = np.full(k, np.iinfo(np.int64).max)
+            y0 = np.full(k, np.iinfo(np.int64).max)
+            x1 = np.full(k, np.iinfo(np.int64).min)
+            y1 = np.full(k, np.iinfo(np.int64).min)
+            np.minimum.at(x0, inv, gx)
+            np.minimum.at(y0, inv, gy)
+            np.maximum.at(x1, inv, gx)
+            np.maximum.at(y1, inv, gy)
+            first_idx = np.unique(lab[keep], return_index=True)[1]
+            comps.append(uniq)
+            vals_.append(q[keep][first_idx].astype(np.int64))
+            x0s.append(x0)
+            y0s.append(y0)
+            x1s.append(x1)
+            y1s.append(y1)
+            ns.append(counts.astype(np.int64))
+        if not comps:
+            empty = pa.array([], pa.int64())
+            return pa.table(
+                {c: empty for c in ["component", "value", "x0", "y0", "x1", "y1", "n"]}
+            )
+        return pa.table(
+            {
+                "component": pa.array(np.concatenate(comps)),
+                "value": pa.array(np.concatenate(vals_)),
+                "x0": pa.array(np.concatenate(x0s)),
+                "y0": pa.array(np.concatenate(y0s)),
+                "x1": pa.array(np.concatenate(x1s)),
+                "y1": pa.array(np.concatenate(y1s)),
+                "n": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    agg = (
+        labeled.map_batches(partial, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(
+            Max("value"),  # constant within a component; max = the value
+            Min("x0"),
+            Min("y0"),
+            Max("x1"),
+            Max("y1"),
+            Sum("n"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)")
+        t = pa.table(
+            {
+                "component": batch.column("component"),
+                "value": batch.column("max(value)"),
+                "x0": batch.column("min(x0)"),
+                "y0": batch.column("min(y0)"),
+                "x1": batch.column("max(x1)"),
+                "y1": batch.column("max(y1)"),
+                "n_pixels": n,
+            }
+        )
+        if min_pixels > 1:
+            t = t.filter(pa.compute.greater_equal(n, pa.scalar(min_pixels)))
+        return t
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

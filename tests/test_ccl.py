@@ -126,3 +126,34 @@ def test_component_stats_match_label_grid(ray_session):
         comp_val[row.component] = row.value
     # min-gid determinism: component ids are unique
     assert stats["component"].is_unique
+
+
+def test_component_bboxes_match_oracle(ray_session):
+    from rastertiler_rs_ray.pipelines.ccl import component_bboxes
+
+    spec = _spec()
+    blocks = raster_blocks_dataset(spec, 0, 0, 2, 2, chunk=CHUNK)
+    got = component_bboxes(
+        blocks, chunk=CHUNK, nodata=0, quantize_shift=6
+    ).to_pandas()
+
+    vals = _full_grid(spec, 0, 0, 2, 2, CHUNK)
+    valid = vals != 0
+    q = (vals >> 6).astype(np.uint8)
+    want, n_comp = _bfs_label(q, valid)
+
+    assert len(got) == n_comp
+    # compare as multisets of (value, x0, y0, x1, y1, n) — label ids differ
+    def key(v, x0, y0, x1, y1, n):
+        return (int(v), int(x0), int(y0), int(x1), int(y1), int(n))
+
+    want_rows = []
+    for lbl in range(n_comp):
+        ys, xs = np.nonzero(want == lbl)
+        want_rows.append(
+            key(q[ys[0], xs[0]], xs.min(), ys.min(), xs.max(), ys.max(), len(xs))
+        )
+    got_rows = [
+        key(r.value, r.x0, r.y0, r.x1, r.y1, r.n_pixels) for r in got.itertuples()
+    ]
+    assert sorted(got_rows) == sorted(want_rows)
