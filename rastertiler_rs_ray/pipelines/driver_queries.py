@@ -5805,6 +5805,32 @@ SELECT doc_id, CAST({_morton_sql_terms("x", "y")} AS BIGINT) AS zkey FROM xy
 """
 
 
+def zorder_range_query_docs(sf_dir: str):
+    """Spatial-index range scan (spatial.zorder_range_query): docs whose
+    z12 tile lies in the box x∈[900,1900], y∈[1500,2600], selected by
+    Morton-range membership against the exact quadtree cover — the
+    block-pruning read path of a Z-ordered layout.  The oracle applies
+    the rectangle predicate directly; equality proves the cover is
+    exact (filter-without-refine)."""
+    from .spatial import zorder_range_query
+
+    pos = doc_positions_dataset(sf_dir)
+    out = zorder_range_query(pos, zoom=12, x0=900, y0=1500, x1=1900, y1=2600)
+    return out.select_columns(["doc_id", "tx", "ty", "zkey"])
+
+
+SQL_ZORDER_RANGE_QUERY = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}), xy AS (
+  SELECT doc_id,
+    CAST(least(greatest(floor(((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS tx,
+    CAST(least(greatest(floor((1.0 - ((my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS ty
+  FROM merc)
+SELECT doc_id, tx, ty, CAST({_morton_sql_terms("tx", "ty")} AS BIGINT) AS zkey
+FROM xy
+WHERE tx BETWEEN 900 AND 1900 AND ty BETWEEN 1500 AND 2600
+"""
+
+
 def orders_price_band_join(sf_dir: str):
     """KEYLESS interval-containment join (classic range join): orders
     against overlapping price bands derived deterministically from the
@@ -7692,6 +7718,7 @@ QUERIES = {
     "winnow_fingerprints_docs": (winnow_fingerprints_docs, SQL_WINNOW_FINGERPRINTS),
     "orders_price_band_join": (orders_price_band_join, SQL_ORDERS_PRICE_BAND_JOIN),
     "zorder_docs_z12": (zorder_docs_z12, SQL_ZORDER_DOCS_Z12),
+    "zorder_range_query_docs": (zorder_range_query_docs, SQL_ZORDER_RANGE_QUERY),
     "cap_per_source_docs": (cap_per_source_docs, SQL_CAP_PER_SOURCE),
     "bm25_topk_docs": (bm25_topk_docs, SQL_BM25_TOPK),
     "token_budget_selection_docs": (

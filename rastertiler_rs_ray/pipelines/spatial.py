@@ -2452,3 +2452,101 @@ def polygon_boundary_segments(polygons) -> np.ndarray:
             k = (e + 1) % m
             rows.append((lon[e], lat[e], lon[k], lat[k]))
     return np.asarray(rows, dtype=np.float64)
+
+
+def morton_cover_ranges(zoom: int, x0: int, y0: int, x1: int, y1: int) -> np.ndarray:
+    """Exact quadtree cover of the inclusive tile rectangle
+    [x0..x1]×[y0..y1] at ``zoom`` as disjoint Morton-key ranges: an
+    (R, 2) int64 array of half-open [start, end) intervals, sorted and
+    coalesced.  R is O(perimeter · zoom), never O(area) — a 1000²-tile
+    box covers with a few hundred ranges, not 10⁶ keys.
+
+    Driver-side pure math (the BIGMIN-family trick in its simplest
+    exact form): recursively split the zoom-level quad; a quad fully
+    inside the box contributes its whole contiguous Morton interval,
+    a disjoint quad contributes nothing, a straddling quad recurses.
+    """
+    from ..geo.cell import morton_interleave
+
+    if x1 < x0 or y1 < y0:
+        return np.empty((0, 2), dtype=np.int64)
+    out: list[tuple[int, int]] = []
+
+    def rec(level: int, qx: int, qy: int) -> None:
+        # quad at `level` covers tiles [qx<<s, (qx+1)<<s) × same for y
+        s = zoom - level
+        tx0, ty0 = qx << s, qy << s
+        tx1, ty1 = tx0 + (1 << s) - 1, ty0 + (1 << s) - 1
+        if tx1 < x0 or tx0 > x1 or ty1 < y0 or ty0 > y1:
+            return
+        if x0 <= tx0 and tx1 <= x1 and y0 <= ty0 and ty1 <= y1:
+            base = int(morton_interleave(np.array([tx0]), np.array([ty0]))[0])
+            out.append((base, base + (1 << (2 * s))))
+            return
+        for dy in (0, 1):
+            for dx in (0, 1):
+                rec(level + 1, (qx << 1) | dx, (qy << 1) | dy)
+
+    rec(0, 0, 0)
+    out.sort()
+    # coalesce adjacent intervals
+    merged: list[list[int]] = []
+    for s_, e_ in out:
+        if merged and merged[-1][1] == s_:
+            merged[-1][1] = e_
+        else:
+            merged.append([s_, e_])
+    return np.asarray(merged, dtype=np.int64).reshape(-1, 2)
+
+
+def zorder_range_query(
+    pos: ray.data.Dataset,
+    *,
+    zoom: int,
+    x0: int,
+    y0: int,
+    x1: int,
+    y1: int,
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """Spatial-index range scan: select the rows whose ``zoom``-level
+    tile falls in the inclusive rectangle [x0..x1]×[y0..y1], by Morton
+    RANGE membership instead of per-row rectangle predicates — the read
+    path that a zorder_sort-ed, zkey-range-partitioned layout serves
+    with block pruning (only blocks whose zkey span intersects a cover
+    range are even read; here the filter is the in-block equivalent).
+
+    The quadtree cover is exact (no refine step needed: tile-aligned
+    rectangles decompose exactly into quads); membership is two
+    vectorized ``searchsorted`` probes per batch against the broadcast
+    (R, 2) cover table.  Emits (…input columns…, zkey, tx, ty).
+    """
+    from ..geo.cell import morton_interleave
+    from ..geo.tileid import point_to_tile
+
+    ranges = morton_cover_ranges(zoom, x0, y0, x1, y1)
+    starts_ref = ray.put((ranges[:, 0].copy(), ranges[:, 1].copy()))
+
+    def f(batch: pa.Table) -> pa.Table:
+        starts, ends = ray.get(starts_ref)
+        tx, ty = point_to_tile(
+            zoom, batch.column(mx_col).to_numpy(), batch.column(my_col).to_numpy()
+        )
+        z = morton_interleave(tx, ty).astype(np.int64)
+        if len(starts):
+            # zkey ∈ some [start, end): the candidate range is the last
+            # one starting at or before zkey
+            i = np.searchsorted(starts, z, side="right") - 1
+            ok = (i >= 0) & (z < ends[np.maximum(i, 0)])
+        else:
+            ok = np.zeros(len(z), dtype=bool)
+        m = pa.array(ok)
+        kept = batch.filter(m)
+        return (
+            kept.append_column("zkey", pa.array(z[ok]))
+            .append_column("tx", pa.array(tx[ok].astype(np.int64)))
+            .append_column("ty", pa.array(ty[ok].astype(np.int64)))
+        )
+
+    return pos.map_batches(f, batch_format="pyarrow")

@@ -1363,3 +1363,41 @@ class TestSnapToSegments:
         assert got.loc[1, "seg_id"] == 0 and got.loc[1, "dist_e4"] == 30000
         # degenerate segment behaves as a point: dist 0.5
         assert got.loc[2, "seg_id"] == 1 and got.loc[2, "dist_e4"] == 5000
+
+
+class TestZorderRangeQuery:
+    def test_cover_is_exact_random_boxes(self, ray_session):
+        import numpy as np
+
+        from rastertiler_rs_ray.geo.cell import morton_interleave
+        from rastertiler_rs_ray.pipelines.spatial import morton_cover_ranges
+
+        rng = np.random.default_rng(5)
+        zoom = 6
+        n = 1 << zoom
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        z = morton_interleave(xs.ravel(), ys.ravel()).astype(np.int64)
+        for _ in range(25):
+            x0, x1 = sorted(rng.integers(0, n, 2).tolist())
+            y0, y1 = sorted(rng.integers(0, n, 2).tolist())
+            r = morton_cover_ranges(zoom, x0, y0, x1, y1)
+            # disjoint, sorted, coalesced
+            assert (r[:, 0] < r[:, 1]).all()
+            assert (r[1:, 0] > r[:-1, 1]).all() or len(r) <= 1
+            starts, ends = r[:, 0], r[:, 1]
+            i = np.searchsorted(starts, z, side="right") - 1
+            ok = (i >= 0) & (z < ends[np.maximum(i, 0)])
+            want = (
+                (xs.ravel() >= x0) & (xs.ravel() <= x1)
+                & (ys.ravel() >= y0) & (ys.ravel() <= y1)
+            )
+            assert np.array_equal(ok, want)
+            # area conservation: covered key count == box area
+            assert int((ends - starts).sum()) == (x1 - x0 + 1) * (y1 - y0 + 1)
+
+    def test_empty_and_full_box(self, ray_session):
+        from rastertiler_rs_ray.pipelines.spatial import morton_cover_ranges
+
+        assert len(morton_cover_ranges(4, 3, 3, 2, 5)) == 0  # inverted → empty
+        full = morton_cover_ranges(4, 0, 0, 15, 15)
+        assert full.tolist() == [[0, 256]]  # whole level = one interval
