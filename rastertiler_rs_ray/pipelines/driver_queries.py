@@ -5805,6 +5805,57 @@ SELECT doc_id, CAST({_morton_sql_terms("x", "y")} AS BIGINT) AS zkey FROM xy
 """
 
 
+def click_purchase_overlaps(sf_dir: str):
+    """Interval × interval OVERLAP join (relational.interval_overlap_join,
+    1-D PBSM with canonical-bucket dedup): per user, every (click,
+    purchase) pair whose ±30-minute activity windows intersect — i.e.
+    |ts_click − ts_purchase| ≤ 60 min, which the oracle states
+    directly."""
+    from .relational import interval_overlap_join
+
+    HALF = 1_800_000_000  # 30 min in micros
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pick(kind, id_out):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch.column("event_type"), kind))
+            ts = pc.cast(b.column("ts"), pa.int64())
+            return pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "s": pc.subtract(ts, pa.scalar(HALF, pa.int64())),
+                    "e": pc.add(ts, pa.scalar(HALF, pa.int64())),
+                    id_out: b.column("event_id"),
+                }
+            )
+
+        return f
+
+    clicks = ev.map_batches(pick("click", "click_id"), batch_format="pyarrow")
+    buys = ev.map_batches(pick("purchase", "purchase_id"), batch_format="pyarrow")
+    out = interval_overlap_join(
+        clicks,
+        buys,
+        key_cols=["user_id"],
+        left_start="s",
+        left_end="e",
+        right_start="s",
+        right_end="e",
+        bucket_width=4 * HALF,
+        left_cols=["click_id"],
+        right_cols=["purchase_id"],
+    )
+    return out
+
+
+SQL_CLICK_PURCHASE_OVERLAPS = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND epoch_us(c.ts) - epoch_us(p.ts) BETWEEN -3600000000 AND 3600000000
+"""
+
+
 def zorder_range_query_docs(sf_dir: str):
     """Spatial-index range scan (spatial.zorder_range_query): docs whose
     z12 tile lies in the box x∈[900,1900], y∈[1500,2600], selected by
@@ -7819,6 +7870,7 @@ QUERIES = {
     "high_qty_items": (high_qty_items, SQL_HIGH_QTY_ITEMS),
     "events_by_type": (events_by_type, SQL_EVENTS_BY_TYPE),
     "click_purchase_pairs": (click_purchase_pairs, SQL_CLICK_PURCHASE_PAIRS),
+    "click_purchase_overlaps": (click_purchase_overlaps, SQL_CLICK_PURCHASE_OVERLAPS),
     "sample_events": (sample_events, SQL_SAMPLE_EVENTS),
     "events_with_prev": (events_with_prev, SQL_EVENTS_WITH_PREV),
     "stratified_docs_sample": (stratified_docs_sample, SQL_STRATIFIED_DOCS_SAMPLE),

@@ -2530,3 +2530,116 @@ def winsorized_grouped_stats(
         return out
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key_cols: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+) -> ray.data.Dataset:
+    """Interval × interval OVERLAP join: one output row per (left,
+    right) pair with equal ``key_cols`` whose CLOSED intervals
+    intersect (``ls <= re AND rs <= le``).  The two-sided sibling of
+    ``range_join`` (point-in-window) and ``interval_contains_join``
+    (value-in-interval): both inputs are interval sets — session ×
+    campaign overlap, downtime × deploy windows, gene ranges.
+
+    Plan: 1-D PBSM, the same filter-and-refine shape as the spatial box
+    join.  Each interval replicates to every ``bucket_width`` bucket it
+    touches (replication ≈ 1 + length/width — pick width near the
+    median interval length); ONE groupby on (key…, bucket) co-locates
+    candidates; in-group a vectorized pandas merge applies the exact
+    predicate.  A pair spanning several buckets would be reported once
+    per shared bucket, so each pair reports only in its canonical
+    bucket — the one containing ``max(ls, rs)`` — the standard PBSM
+    duplicate-elimination rule (no post-hoc distinct pass needed).
+
+    Output: key cols + ``left_cols`` + ``right_cols`` (caller keeps
+    names disjoint).  Intervals are int64 (e.g. epoch micros).
+    """
+    key_cols = list(key_cols)
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    w = int(bucket_width)
+
+    # the union pads each side with the OTHER side's payload columns —
+    # typed nulls from the real schemas, so the unioned parts agree
+    lsch = _arrow_schema_of(left)
+    rsch = _arrow_schema_of(right)
+    pad_types = {c: lsch.field(c).type for c in left_cols}
+    pad_types.update({c: rsch.field(c).type for c in right_cols})
+
+    def replicate(start_col: str, end_col: str, cols: list[str], side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            s = batch.column(start_col).to_numpy().astype(np.int64)
+            e = batch.column(end_col).to_numpy().astype(np.int64)
+            b0 = s // w
+            b1 = e // w
+            counts = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(batch)), counts)
+            # bucket sequence per row: b0[i] + (position within the run)
+            offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            buckets = b0[idx] + (np.arange(len(idx)) - offs[idx])
+            out = {k: batch.column(k).take(pa.array(idx)) for k in key_cols}
+            out["bucket"] = pa.array(buckets)
+            out["side"] = pa.array(np.full(len(idx), side, dtype=np.int8))
+            out["_s"] = pa.array(s[idx])
+            out["_e"] = pa.array(e[idx])
+            for c in cols:
+                out[c] = batch.column(c).take(pa.array(idx))
+            # pad the other side's payload columns so the union schema aligns
+            other = right_cols if side == 0 else left_cols
+            for c in other:
+                out[c] = pa.nulls(len(idx), pad_types[c])
+            return pa.table(out)
+
+        return f
+
+    lrep = left.map_batches(
+        replicate(left_start, left_end, left_cols, 0), batch_format="pyarrow"
+    )
+    rrep = right.map_batches(
+        replicate(right_start, right_end, right_cols, 1), batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["side"] == 0]
+        rg = g[g["side"] == 1]
+        empty = pd.DataFrame(
+            {
+                **{k: pd.Series([], dtype=g[k].dtype) for k in key_cols},
+                **{c: pd.Series([], dtype=g[c].dtype) for c in left_cols},
+                **{c: pd.Series([], dtype=g[c].dtype) for c in right_cols},
+            }
+        )
+        if lg.empty or rg.empty:
+            return empty
+        bucket = int(g["bucket"].iloc[0])
+        m = lg[["_s", "_e", *left_cols]].merge(
+            rg[["_s", "_e", *right_cols]], how="cross", suffixes=("_l", "_r")
+        )
+        ov = (m["_s_l"] <= m["_e_r"]) & (m["_s_r"] <= m["_e_l"])
+        canon = np.maximum(m["_s_l"].to_numpy(), m["_s_r"].to_numpy()) // w == bucket
+        m = m[ov & canon]
+        if m.empty:
+            return empty
+        out = pd.DataFrame({k: np.repeat(g[k].iloc[0], len(m)) for k in key_cols})
+        for c in left_cols:
+            out[c] = m[c].to_numpy()
+        for c in right_cols:
+            out[c] = m[c].to_numpy()
+        return out
+
+    return (
+        lrep.union(rrep)
+        .groupby([*key_cols, "bucket"])
+        .map_groups(join_bucket, batch_format="pandas")
+    )

@@ -1574,3 +1574,47 @@ def test_winsorized_grouped_stats(ray_session):
         assert got.loc[g, "n_trimmed"] == nn - len(inside)
         # robustness: planted outliers clamped away
         assert got.loc[g, "winsor_mean"] < sub["v"].mean()
+
+
+def test_interval_overlap_join_vs_brute_force(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import interval_overlap_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 80, 70
+    keys_l = rng.integers(0, 4, nl)
+    keys_r = rng.integers(0, 4, nr)
+    ls = rng.integers(0, 1000, nl).astype(np.int64)
+    le = ls + rng.integers(0, 120, nl)  # some long intervals span buckets
+    rs = rng.integers(0, 1000, nr).astype(np.int64)
+    re_ = rs + rng.integers(0, 120, nr)
+    left = ray.data.from_arrow(
+        pa.table({"k": keys_l, "s": ls, "e": le, "lid": np.arange(nl)})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": keys_r, "s": rs, "e": re_, "rid": np.arange(nr)})
+    )
+    got = {
+        (r["k"], r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, key_cols=["k"],
+            left_start="s", left_end="e", right_start="s", right_end="e",
+            bucket_width=50, left_cols=["lid"], right_cols=["rid"],
+        ).take_all()
+    }
+    want = {
+        (int(keys_l[i]), i, j)
+        for i in range(nl)
+        for j in range(nr)
+        if keys_l[i] == keys_r[j] and ls[i] <= re_[j] and rs[j] <= le[i]
+    }
+    assert got == want
+    assert len(want) > 100  # non-trivial
+
+    # no duplicates from multi-bucket replication: take_all gave a set,
+    # re-check with a list
+    rows = interval_overlap_join(
+        left, right, key_cols=["k"],
+        left_start="s", left_end="e", right_start="s", right_end="e",
+        bucket_width=50, left_cols=["lid"], right_cols=["rid"],
+    ).take_all()
+    assert len(rows) == len(want)
