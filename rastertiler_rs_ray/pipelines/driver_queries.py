@@ -1864,6 +1864,51 @@ def merge_tilesets_demo(sf_dir: str):
 SQL_MERGE_TILESETS_DEMO = _sql_read_map("merge_out")
 
 
+def tileset_audit_demo(sf_dir: str):
+    """Completeness audit (render.tileset_missing_tiles): a z3-5 render
+    audited against the z4-7 expected cover — z6/z7 addresses report
+    'missing' (the crashed-partition case), z3 tiles report 'orphan'
+    (stale zoom), z4-5 are clean.  Oracle enumerates the expected cover
+    with generate_series and full-outer-joins the written parquet."""
+    import os
+
+    from ..raster.synthetic import default_u8_raster
+    from .render import render_pyramid, tileset_missing_tiles
+
+    out = os.path.join(ORACLE_TS_ROOT, "audit_ts")
+    r = default_u8_raster(seed=42)
+    render_pyramid(r, out, 3, 5, tilesize=64, resume=False)
+    return tileset_missing_tiles(out, [4, 5, 6, 7], r.bounds())
+
+
+def _sql_tileset_audit() -> str:
+    from ..geo.tileid import tile_range
+    from ..raster.synthetic import default_u8_raster
+
+    b = default_u8_raster(seed=42).bounds()
+    rows = []
+    for z in (4, 5, 6, 7):
+        tr = tile_range(z, b)
+        rows.append(f"({z}, {tr.xmin}, {tr.xmax}, {tr.ymin}, {tr.ymax})")
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH ranges(zoom, x0, x1, y0, y1) AS (VALUES
+    {vals}),
+xs AS (SELECT zoom, y0, y1, unnest(range(x0, x1 + 1)) AS x FROM ranges),
+exp AS (SELECT zoom, x, unnest(range(y0, y1 + 1)) AS y FROM xs),
+pres AS (SELECT DISTINCT CAST(zoom AS BIGINT) AS zoom, CAST(x AS BIGINT) AS x,
+                CAST(y AS BIGINT) AS y
+         FROM read_parquet('{ORACLE_TS_ROOT}/audit_ts/tiles/*/*.parquet'))
+SELECT zoom, x, y,
+       CASE WHEN pres.zoom IS NULL THEN 'missing' ELSE 'orphan' END AS status
+FROM exp FULL OUTER JOIN pres USING (zoom, x, y)
+WHERE exp.zoom IS NULL OR pres.zoom IS NULL
+"""
+
+
+SQL_TILESET_AUDIT = _sql_tileset_audit()
+
+
 def tileset_diff_demo(sf_dir: str):
     """Tile-level diff of two pyramid renders (merge.diff_tilesets):
     which (zoom, x, y) addresses were added / removed / changed between
@@ -7738,6 +7783,7 @@ QUERIES = {
     "point_in_polygon_docs": (point_in_polygon_docs, SQL_POINT_IN_POLYGON),
     "merge_tilesets_demo": (merge_tilesets_demo, SQL_MERGE_TILESETS_DEMO),
     "tileset_diff_demo": (tileset_diff_demo, SQL_TILESET_DIFF_DEMO),
+    "tileset_audit_demo": (tileset_audit_demo, SQL_TILESET_AUDIT),
     "render_pyramid_u32_map": (render_pyramid_u32_map, SQL_RENDER_PYRAMID_U32_MAP),
     "render_pyramid_colormap_map": (
         render_pyramid_colormap_map,

@@ -585,3 +585,66 @@ def import_mbtiles(mbtiles_path: str, out_dir: str) -> Manifest:
     papq.write_table(img, os.path.join(out_dir, "images", "imported-0.parquet"))
     manifest.record_complete("images", rows=len(img), wall_s=time.time() - t0)
     return manifest
+
+
+def tileset_missing_tiles(
+    out_dir: str,
+    zooms: list[int],
+    bounds,
+) -> ray.data.Dataset:
+    """Completeness audit of a tileset against its expected cover: one
+    row per discrepancy, ``status`` ∈ {'missing', 'orphan'} — missing =
+    an address the ``zooms``×``bounds`` cover requires but the tileset
+    lacks (a crashed partition, a skipped range), orphan = a stored
+    tile outside the expected cover (stale zoom, wrong bounds).  The
+    resume/ops primitive a 100-TB render needs before re-publishing.
+
+    Fully distributed set difference in BOTH directions at once: the
+    expected cover streams from pure index arithmetic
+    (sources.tiles.tile_ids_dataset — never a driver-side list), the
+    tileset side reads the blob-free `map` projection, and a marker
+    union + ONE narrow groupby on (zoom, x, y) classifies — the same
+    single-exchange shape as snapshot_diff, no broadcast of either
+    side.
+    """
+    from ..sources.tiles import tile_ids_dataset
+
+    expected = tile_ids_dataset(list(zooms), bounds)
+    present = tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y"])
+
+    def tag(exp: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "zoom": pa.compute.cast(batch.column("zoom"), pa.int64()),
+                    "x": pa.compute.cast(batch.column("x"), pa.int64()),
+                    "y": pa.compute.cast(batch.column("y"), pa.int64()),
+                    "exp": pa.array(np.full(n, exp, dtype=np.int64)),
+                    "pres": pa.array(np.full(n, 1 - exp, dtype=np.int64)),
+                }
+            )
+
+        return f
+
+    tagged = expected.map_batches(tag(1), batch_format="pyarrow").union(
+        present.map_batches(tag(0), batch_format="pyarrow")
+    )
+    agg = tagged.groupby(["zoom", "x", "y"]).sum(["exp", "pres"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        e = np.asarray(batch.column("sum(exp)"))
+        p = np.asarray(batch.column("sum(pres)"))
+        status = np.where(p == 0, "missing", np.where(e == 0, "orphan", ""))
+        keep = status != ""
+        m = pa.array(keep)
+        return pa.table(
+            {
+                "zoom": batch.column("zoom").filter(m),
+                "x": batch.column("x").filter(m),
+                "y": batch.column("y").filter(m),
+                "status": pa.array(status[keep].astype(object), pa.string()),
+            }
+        )
+
+    return agg.map_batches(classify, batch_format="pyarrow")

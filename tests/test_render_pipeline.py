@@ -559,3 +559,48 @@ def test_diff_tilesets_identical_is_empty(ray_session, tmp_path):
     render_pyramid(default_u8_raster(seed=7), b, 2, 3, tilesize=64,
                    concurrency=2, resume=False)
     assert diff_tilesets(a, b).count() == 0
+
+
+def test_tileset_missing_tiles(ray_session, tmp_path):
+    from rastertiler_rs_ray.geo.tileid import tile_range
+    from rastertiler_rs_ray.pipelines.render import (
+        render_pyramid,
+        tileset_missing_tiles,
+    )
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    r = default_u8_raster(seed=42)
+    out = str(tmp_path / "ts")
+    render_pyramid(r, out, 3, 5, tilesize=64, concurrency=2, resume=False)
+
+    got = {
+        (row["zoom"], row["x"], row["y"]): row["status"]
+        for row in tileset_missing_tiles(out, [4, 5, 6], r.bounds()).take_all()
+    }
+
+    def cover(z):
+        tr = tile_range(z, r.bounds())
+        return {
+            (z, x, y)
+            for x in range(tr.xmin, tr.xmax + 1)
+            for y in range(tr.ymin, tr.ymax + 1)
+        }
+
+    want = {k: "missing" for k in cover(6)}        # never rendered
+    want.update({k: "orphan" for k in cover(3)})   # outside audit zooms
+    assert got == want
+    # clean zooms (4, 5) report nothing
+    assert not any(k[0] in (4, 5) for k in got)
+
+
+def test_tileset_missing_tiles_complete_is_empty(ray_session, tmp_path):
+    from rastertiler_rs_ray.pipelines.render import (
+        render_pyramid,
+        tileset_missing_tiles,
+    )
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    r = default_u8_raster(seed=7)
+    out = str(tmp_path / "ts")
+    render_pyramid(r, out, 3, 4, tilesize=64, concurrency=2, resume=False)
+    assert tileset_missing_tiles(out, [3, 4], r.bounds()).count() == 0
