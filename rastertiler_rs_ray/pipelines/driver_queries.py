@@ -1864,6 +1864,41 @@ def merge_tilesets_demo(sf_dir: str):
 SQL_MERGE_TILESETS_DEMO = _sql_read_map("merge_out")
 
 
+def merge_many_tilesets_demo(sf_dir: str):
+    """N-way priority merge (merge.merge_many_tilesets): three renders
+    with pairwise-overlapping zoom ranges stacked priority-0-wins.  The
+    oracle recomputes the winner per address INDEPENDENTLY from the
+    three INPUT tileset dirs with a row_number-over-priority window —
+    not a read-back of the merged output."""
+    import os
+
+    from ..raster.synthetic import default_u8_raster
+    from .merge import merge_many_tilesets
+    from .render import render_pyramid, tileset_map_dataset
+
+    dirs = []
+    for i, (seed, z0, z1) in enumerate([(42, 2, 4), (99, 3, 5), (7, 4, 6)]):
+        d = os.path.join(ORACLE_TS_ROOT, f"mmany_{i}")
+        render_pyramid(default_u8_raster(seed=seed), d, z0, z1, tilesize=64, resume=False)
+        dirs.append(d)
+    out = os.path.join(ORACLE_TS_ROOT, "mmany_out")
+    merge_many_tilesets(dirs, out)
+    return tileset_map_dataset(out).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_MERGE_MANY_TILESETS = f"""
+WITH all_in AS (
+  SELECT 0 AS pri, * FROM ({_sql_read_map("mmany_0")})
+  UNION ALL SELECT 1, * FROM ({_sql_read_map("mmany_1")})
+  UNION ALL SELECT 2, * FROM ({_sql_read_map("mmany_2")})
+)
+SELECT zoom, x, y, tile_hash
+FROM (SELECT *, row_number() OVER (PARTITION BY zoom, x, y ORDER BY pri) AS rn
+      FROM all_in)
+WHERE rn = 1
+"""
+
+
 def tileset_audit_demo(sf_dir: str):
     """Completeness audit (render.tileset_missing_tiles): a z3-5 render
     audited against the z4-7 expected cover — z6/z7 addresses report
@@ -7784,6 +7819,7 @@ QUERIES = {
     "merge_tilesets_demo": (merge_tilesets_demo, SQL_MERGE_TILESETS_DEMO),
     "tileset_diff_demo": (tileset_diff_demo, SQL_TILESET_DIFF_DEMO),
     "tileset_audit_demo": (tileset_audit_demo, SQL_TILESET_AUDIT),
+    "merge_many_tilesets_demo": (merge_many_tilesets_demo, SQL_MERGE_MANY_TILESETS),
     "render_pyramid_u32_map": (render_pyramid_u32_map, SQL_RENDER_PYRAMID_U32_MAP),
     "render_pyramid_colormap_map": (
         render_pyramid_colormap_map,

@@ -179,3 +179,102 @@ def diff_tilesets(old_dir: str, new_dir: str) -> ray.data.Dataset:
     old = tileset_map_dataset(old_dir).select_columns(cols)
     new = tileset_map_dataset(new_dir).select_columns(cols)
     return snapshot_diff(old, new, ["zoom", "x", "y"], ["tile_hash"])
+
+
+def merge_many_tilesets(input_dirs: list[str], out_dir: str) -> Manifest:
+    """N-way priority merge: ``input_dirs[0]`` wins every (zoom, x, y)
+    conflict, then [1], and so on — the tile-patch-stacking workflow
+    (base layer + regional updates + hotfix layer) as one job instead
+    of N−1 pairwise merges with N−2 intermediate tilesets on disk.
+
+    Same MAP-ONLY contract as ``merge_tilesets``: no PNG blob ever
+    shuffles.  For each input i, the already-claimed address set
+    (union of packed tile keys of inputs 0..i−1, 8 B/tile) and the
+    already-stored image-hash set are broadcast via ``ray.put``; input
+    i's streams filter against them into ``part=i``.  The cumulative
+    sets grow to the union of all inputs — the same broadcast bound as
+    the two-way merge (swap for a hash-shuffle anti-join on tile_key
+    past ~10⁸ tiles).
+
+    Metadata: input 0 wins (like the copied left db), zoom range =
+    union over all inputs (ref src/mbtiles.rs:181-207 generalized).
+    """
+    if len(input_dirs) < 1:
+        raise ValueError("merge_many_tilesets needs at least one input")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+
+    t0 = time.perf_counter()
+    claimed_keys = np.array([], dtype=np.int64)
+    stored_hashes = np.array([], dtype=np.int64)
+
+    for i, src in enumerate(input_dirs):
+        keys_ref = ray.put(pa.array(claimed_keys))
+        hashes_ref = ray.put(pa.array(stored_hashes))
+
+        def tile_survivors(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keys = pa.array(_packed_keys(batch))
+            mask = pc.invert(pc.is_in(keys, value_set=ray.get(keys_ref)))
+            return batch.filter(mask)
+
+        def new_images(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(
+                pc.is_in(batch.column("tile_hash"), value_set=ray.get(hashes_ref))
+            )
+            return batch.filter(mask)
+
+        tiles = ray.data.read_parquet(os.path.join(src, "tiles"), columns=TILE_COLUMNS)
+        if i > 0:
+            tiles = tiles.map_batches(tile_survivors, batch_format="pyarrow")
+        tiles.write_parquet(os.path.join(out_dir, "tiles", f"part={i}"))
+
+        images = ray.data.read_parquet(os.path.join(src, "images"))
+        if i > 0:
+            images = images.map_batches(new_images, batch_format="pyarrow")
+        images.write_parquet(os.path.join(out_dir, "images", f"part={i}"))
+
+        if i + 1 < len(input_dirs):  # last input needs no set update
+            src_keys = _collect_int_column(
+                ray.data.read_parquet(
+                    os.path.join(src, "tiles"), columns=["zoom", "x", "y"]
+                ),
+                _packed_keys,
+            )
+            src_hashes = _collect_int_column(
+                ray.data.read_parquet(
+                    os.path.join(src, "images"), columns=["tile_hash"]
+                ),
+                lambda b: b.column("tile_hash").to_numpy(),
+            )
+            claimed_keys = np.union1d(claimed_keys, src_keys)
+            stored_hashes = np.union1d(stored_hashes, src_hashes)
+
+    wall = time.perf_counter() - t0
+    manifests = [Manifest(os.path.join(d, "manifest.json")) for d in input_dirs]
+    mds = [dict(m.get_meta("metadata", {})) for m in manifests]
+    merged_md = dict(mds[0])
+    merged_md["minzoom"] = str(min(int(m.get("minzoom", 0)) for m in mds))
+    merged_md["maxzoom"] = str(max(int(m.get("maxzoom", 0)) for m in mds))
+
+    manifest = Manifest(os.path.join(out_dir, "manifest.json"))
+    manifest.set_meta(
+        metadata=merged_md,
+        tilesize=manifests[0].get_meta("tilesize"),
+        minzoom=int(merged_md["minzoom"]),
+        maxzoom=int(merged_md["maxzoom"]),
+    )
+    rows = pads.dataset(os.path.join(out_dir, "tiles"), format="parquet").count_rows()
+    manifest.record_complete(
+        "tiles/merged", rows=rows, wall_s=wall, inputs=list(input_dirs)
+    )
+    manifest.record_complete(
+        "images",
+        rows=pads.dataset(os.path.join(out_dir, "images"), format="parquet").count_rows(),
+        wall_s=wall,
+    )
+    return manifest

@@ -604,3 +604,41 @@ def test_tileset_missing_tiles_complete_is_empty(ray_session, tmp_path):
     out = str(tmp_path / "ts")
     render_pyramid(r, out, 3, 4, tilesize=64, concurrency=2, resume=False)
     assert tileset_missing_tiles(out, [3, 4], r.bounds()).count() == 0
+
+
+def test_merge_many_priority_wins(ray_session, tmp_path):
+    from rastertiler_rs_ray.pipelines.merge import merge_many_tilesets
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+    from rastertiler_rs_ray.state.manifest import Manifest
+
+    dirs = []
+    for i, (seed, z0, z1) in enumerate([(42, 3, 4), (99, 3, 5), (7, 4, 6)]):
+        d = str(tmp_path / f"in{i}")
+        render_pyramid(default_u8_raster(seed=seed), d, z0, z1, tilesize=64,
+                       concurrency=2, resume=False)
+        dirs.append(d)
+    out = str(tmp_path / "merged")
+    merge_many_tilesets(dirs, out)
+
+    hashes = [_tile_hashes(d) for d in dirs]
+    mh = _tile_hashes(out)
+    assert set(mh) == set().union(*[set(h) for h in hashes])
+    for k, v in mh.items():
+        want = next(h[k] for h in hashes if k in h)  # lowest index wins
+        assert v == want
+    md = Manifest(os.path.join(out, "manifest.json")).get_meta("metadata")
+    assert md["minzoom"] == "3" and md["maxzoom"] == "6"
+
+
+def test_merge_many_single_input_is_copy(ray_session, tmp_path):
+    from rastertiler_rs_ray.pipelines.merge import merge_many_tilesets
+    from rastertiler_rs_ray.pipelines.render import render_pyramid
+    from rastertiler_rs_ray.raster import default_u8_raster
+
+    d = str(tmp_path / "only")
+    render_pyramid(default_u8_raster(seed=5), d, 3, 4, tilesize=64,
+                   concurrency=2, resume=False)
+    out = str(tmp_path / "m")
+    merge_many_tilesets([d], out)
+    assert _tile_hashes(out) == _tile_hashes(d)
