@@ -5936,6 +5936,34 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def doc_density_tiles_z5(sf_dir: str):
+    """Point-density rasterization (spatial.point_density_tiles): doc
+    positions binned to z5 tile pixels on a 64px grid; per tile the
+    point total, lit-pixel count and the linear Σ(pixel_index+1)
+    checksum the oracle recomputes per doc — the heatmap primitive with
+    the full pixel-assignment math under cross-engine verification."""
+    from .spatial import point_density_tiles
+
+    pos = doc_positions_dataset(sf_dir)
+    return point_density_tiles(pos, zoom=5, tilesize=64)
+
+
+SQL_DOC_DENSITY_TILES_Z5 = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}), px AS (
+  SELECT doc_id,
+    CAST(least(greatest(floor((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())) * 2048.0), 0.0), 2047.0) AS BIGINT) AS px,
+    CAST(least(greatest(floor((1.0 - (my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * 2048.0), 0.0), 2047.0) AS BIGINT) AS py
+  FROM merc),
+cells AS (
+  SELECT px // 64 AS x, py // 64 AS y, (py % 64) * 64 + (px % 64) AS pidx FROM px)
+SELECT 5 AS zoom, x, y,
+       count(*) AS total,
+       count(DISTINCT pidx) AS n_px,
+       CAST(sum(pidx + 1) AS BIGINT) AS px_checksum
+FROM cells GROUP BY x, y
+"""
+
+
 def zorder_range_query_docs(sf_dir: str):
     """Spatial-index range scan (spatial.zorder_range_query): docs whose
     z12 tile lies in the box x∈[900,1900], y∈[1500,2600], selected by
@@ -7852,6 +7880,7 @@ QUERIES = {
     "orders_price_band_join": (orders_price_band_join, SQL_ORDERS_PRICE_BAND_JOIN),
     "zorder_docs_z12": (zorder_docs_z12, SQL_ZORDER_DOCS_Z12),
     "zorder_range_query_docs": (zorder_range_query_docs, SQL_ZORDER_RANGE_QUERY),
+    "doc_density_tiles_z5": (doc_density_tiles_z5, SQL_DOC_DENSITY_TILES_Z5),
     "cap_per_source_docs": (cap_per_source_docs, SQL_CAP_PER_SOURCE),
     "bm25_topk_docs": (bm25_topk_docs, SQL_BM25_TOPK),
     "token_budget_selection_docs": (

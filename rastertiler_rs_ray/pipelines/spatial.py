@@ -2550,3 +2550,136 @@ def zorder_range_query(
         )
 
     return pos.map_batches(f, batch_format="pyarrow")
+
+
+def _density_assign(
+    batch: pa.Table, *, zoom: int, tilesize: int, mx_col: str, my_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per point: (tile_x, tile_y, in-tile pixel index) at ``zoom`` on a
+    ``tilesize`` grid — the global-pixel floor math mirrored by the SQL
+    oracles (same clamp convention as point_to_tile)."""
+    from ..geo.mercator import ORIGIN
+
+    n_px = (1 << zoom) * tilesize
+    mx = batch.column(mx_col).to_numpy()
+    my = batch.column(my_col).to_numpy()
+    px = np.floor((mx + ORIGIN) / (2.0 * ORIGIN) * n_px)
+    py = np.floor((1.0 - (my + ORIGIN) / (2.0 * ORIGIN)) * n_px)
+    px = np.clip(px, 0, n_px - 1).astype(np.int64)
+    py = np.clip(py, 0, n_px - 1).astype(np.int64)
+    tx = px // tilesize
+    ty = py // tilesize
+    idx = (py % tilesize) * tilesize + (px % tilesize)
+    return tx, ty, idx
+
+
+def point_density_tiles(
+    pos: ray.data.Dataset,
+    *,
+    zoom: int,
+    tilesize: int = 256,
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """Point-density rasterization summary (the heatmap primitive):
+    per ``zoom``-level tile, ``total`` points, ``n_px`` distinct lit
+    pixels, and ``px_checksum`` = Σ_points (pixel_index + 1) — a
+    linear per-point closed form, so an external engine can verify the
+    full pixel-assignment math without materializing grids.
+
+    Two narrow exchanges: groupby (tile, pixel) counts (the density
+    grid in sparse form — the honest representation at low zooms where
+    most pixels are empty), then a per-tile rollup.  Points never
+    carry payloads; grids never materialize dense here (see
+    ``point_density_blocks`` for the renderer-facing dense form).
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tx, ty, idx = _density_assign(
+            batch, zoom=zoom, tilesize=tilesize, mx_col=mx_col, my_col=my_col
+        )
+        return pa.table(
+            {
+                "x": pa.array(tx),
+                "y": pa.array(ty),
+                "pidx": pa.array(idx),
+            }
+        )
+
+    sparse = (
+        pos.map_batches(assign, batch_format="pyarrow")
+        .groupby(["x", "y", "pidx"])
+        .count()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("count()"), dtype=np.int64)
+        pidx = np.asarray(batch.column("pidx"), dtype=np.int64)
+        return pa.table(
+            {
+                "x": batch.column("x"),
+                "y": batch.column("y"),
+                "total": pa.array(c),
+                "n_px": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "px_checksum": pa.array(c * (pidx + 1)),
+            }
+        )
+
+    agg = (
+        sparse.map_batches(partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .sum(["total", "n_px", "px_checksum"])
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "zoom": pa.array(np.full(len(batch), zoom, dtype=np.int64)),
+                "x": batch.column("x"),
+                "y": batch.column("y"),
+                "total": batch.column("sum(total)"),
+                "n_px": batch.column("sum(n_px)"),
+                "px_checksum": batch.column("sum(px_checksum)"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def point_density_blocks(
+    pos: ray.data.Dataset,
+    *,
+    zoom: int,
+    tilesize: int = 256,
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """Dense per-tile density grids: (zoom, x, y, pixels: binary uint32
+    tilesize² row-major counts) — the renderer-facing form (feed a
+    colormap encoder for heatmap PNG tiles).  Same assignment math as
+    ``point_density_tiles``; one groupby on the tile address, dense
+    grid assembled per group with ``np.add.at``."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tx, ty, idx = _density_assign(
+            batch, zoom=zoom, tilesize=tilesize, mx_col=mx_col, my_col=my_col
+        )
+        return pa.table({"x": pa.array(tx), "y": pa.array(ty), "pidx": pa.array(idx)})
+
+    def build(g: pa.Table) -> pa.Table:
+        grid = np.zeros(tilesize * tilesize, dtype=np.uint32)
+        np.add.at(grid, np.asarray(g.column("pidx"), dtype=np.int64), 1)
+        return pa.table(
+            {
+                "zoom": pa.array([zoom], pa.int64()),
+                "x": pa.array([g.column("x")[0].as_py()], pa.int64()),
+                "y": pa.array([g.column("y")[0].as_py()], pa.int64()),
+                "pixels": pa.array([grid.tobytes()], pa.binary()),
+            }
+        )
+
+    return (
+        pos.map_batches(assign, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .map_groups(build, batch_format="pyarrow")
+    )

@@ -1401,3 +1401,72 @@ class TestZorderRangeQuery:
         assert len(morton_cover_ranges(4, 3, 3, 2, 5)) == 0  # inverted → empty
         full = morton_cover_ranges(4, 0, 0, 15, 15)
         assert full.tolist() == [[0, 256]]  # whole level = one interval
+
+
+class TestPointDensity:
+    def _pos(self, n=400, seed=23):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        O = 20037508.342789244
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "mx": rng.uniform(-O, O, n),
+                    "my": rng.uniform(-O, O, n),
+                }
+            )
+        ), O
+
+    def test_summary_vs_numpy(self, ray_session):
+        import numpy as np
+
+        from rastertiler_rs_ray.pipelines.spatial import point_density_tiles
+
+        ds, O = self._pos()
+        df = ds.to_pandas()
+        zoom, ts = 3, 32
+        npx = (1 << zoom) * ts
+        px = np.clip(np.floor((df.mx + O) / (2 * O) * npx), 0, npx - 1).astype(int)
+        py = np.clip(np.floor((1 - (df.my + O) / (2 * O)) * npx), 0, npx - 1).astype(int)
+        tx, ty, idx = px // ts, py // ts, (py % ts) * ts + px % ts
+        got = (
+            point_density_tiles(ds, zoom=zoom, tilesize=ts)
+            .to_pandas()
+            .set_index(["x", "y"])
+            .sort_index()
+        )
+        import pandas as pd
+
+        want = (
+            pd.DataFrame({"x": tx, "y": ty, "idx": idx})
+            .groupby(["x", "y"])
+            .agg(total=("idx", "size"), n_px=("idx", "nunique"),
+                 px_checksum=("idx", lambda s: int((s + 1).sum())))
+            .sort_index()
+        )
+        assert got["total"].to_dict() == want["total"].to_dict()
+        assert got["n_px"].to_dict() == want["n_px"].to_dict()
+        assert got["px_checksum"].to_dict() == want["px_checksum"].to_dict()
+
+    def test_blocks_match_summary(self, ray_session):
+        import numpy as np
+
+        from rastertiler_rs_ray.pipelines.spatial import (
+            point_density_blocks,
+            point_density_tiles,
+        )
+
+        ds, _ = self._pos(n=300, seed=9)
+        zoom, ts = 2, 16
+        summary = {
+            (r["x"], r["y"]): (r["total"], r["n_px"], r["px_checksum"])
+            for r in point_density_tiles(ds, zoom=zoom, tilesize=ts).take_all()
+        }
+        for r in point_density_blocks(ds, zoom=zoom, tilesize=ts).take_all():
+            grid = np.frombuffer(r["pixels"], dtype=np.uint32)
+            t, npx, ck = summary[(r["x"], r["y"])]
+            assert int(grid.sum()) == t
+            assert int((grid > 0).sum()) == npx
+            assert int((grid * (np.arange(ts * ts) + 1)).sum()) == ck
+        assert len(summary) == point_density_blocks(ds, zoom=zoom, tilesize=ts).count()
