@@ -1944,6 +1944,27 @@ WHERE exp.zoom IS NULL OR pres.zoom IS NULL
 SQL_TILESET_AUDIT = _sql_tileset_audit()
 
 
+def heatmap_tileset_docs(sf_dir: str):
+    """Heatmap pyramid (pipelines/heatmap.render_density_tileset): doc
+    positions → per-tile density grids → grayscale PNG tiles in the
+    standard tileset layout (merge/diff/audit/export compatible).  The
+    oracle re-reads the written map projection (the render-query
+    read-back pattern); pixel-level decode parity is pinned in
+    tests/test_heatmap.py."""
+    import os
+
+    from .heatmap import render_density_tileset
+    from .render import tileset_map_dataset
+
+    out = os.path.join(ORACLE_TS_ROOT, "heatmap_ts")
+    pos = doc_positions_dataset(sf_dir).select_columns(["mx", "my"])
+    render_density_tileset(pos, out, [4, 5], tilesize=64)
+    return tileset_map_dataset(out).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_HEATMAP_TILESET = _sql_read_map("heatmap_ts")
+
+
 def tileset_diff_demo(sf_dir: str):
     """Tile-level diff of two pyramid renders (merge.diff_tilesets):
     which (zoom, x, y) addresses were added / removed / changed between
@@ -7848,6 +7869,7 @@ QUERIES = {
     "tileset_diff_demo": (tileset_diff_demo, SQL_TILESET_DIFF_DEMO),
     "tileset_audit_demo": (tileset_audit_demo, SQL_TILESET_AUDIT),
     "merge_many_tilesets_demo": (merge_many_tilesets_demo, SQL_MERGE_MANY_TILESETS),
+    "heatmap_tileset_docs": (heatmap_tileset_docs, SQL_HEATMAP_TILESET),
     "render_pyramid_u32_map": (render_pyramid_u32_map, SQL_RENDER_PYRAMID_U32_MAP),
     "render_pyramid_colormap_map": (
         render_pyramid_colormap_map,
