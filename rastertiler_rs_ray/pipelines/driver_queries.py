@@ -5451,6 +5451,104 @@ FROM documents
 """
 
 
+def scrub_spans_docs(sf_dir: str):
+    """Spans-aware PII scrub over the interleaved payload
+    (spans.scrub_text_spans): planted emails in the second text span
+    are replaced with [EMAIL]; media spans / kinds / refs / order are
+    untouched by construction (only the text child array is rebuilt).
+    Same interleaved build rules as interleaved_spans_docs so the SQL
+    mirror reproduces every output column."""
+    import pandas as pd
+
+    from .spans import scrub_text_spans, spans_to_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pandas().astype(object)
+        has_media = (ids % 3) == 0
+        n = np.where(has_media, 3, 2).astype(np.int64)
+        starts = np.cumsum(n) - n
+        total = int(n.sum())
+        kind = np.full(total, "text", dtype=object)
+        stext = np.full(total, "", dtype=object)
+        ref = np.full(total, "", dtype=object)
+        off = np.zeros(total, dtype=np.int32)
+        stext[starts] = texts.to_numpy(dtype=object)
+        contact = (
+            "reach u" + pd.Series(ids).astype(str) + "@example.com fast"
+        ).to_numpy(dtype=object)
+        stext[starts + n - 1] = contact
+        mid = starts[has_media] + 1
+        kind[mid] = "image"
+        stext[mid] = ""
+        mids = ids[has_media]
+        ref[mid] = (
+            "geo://"
+            + pd.Series(mids * 37 % 360 - 180).astype(str)
+            + ","
+            + pd.Series(mids * 53 % 170 - 85).astype(str)
+        ).to_numpy(dtype=object)
+        idx = np.arange(total, dtype=np.int64)
+        off = (idx - np.repeat(starts, n)).astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(kind, pa.string()),
+                pa.array(stext, pa.string()),
+                pa.array(ref, pa.string()),
+                pa.array(off, pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.concatenate((starts, [total])), pa.int32()), struct
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "spans": spans})
+
+    inter = docs.map_batches(to_spans, batch_format="pyarrow")
+    clean = scrub_text_spans(
+        inter,
+        pattern=r"[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]",
+        replacement="[EMAIL]",
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans").combine_chunks()
+        flat = spans.flatten()
+        parents = pc.list_parent_indices(spans).to_numpy()
+        is_img = pc.equal(flat.field("kind"), "image").to_numpy(zero_copy_only=False)
+        ref_out = np.full(len(batch), "", dtype=object)
+        ref_out[parents[is_img]] = flat.field("media_ref").to_numpy(
+            zero_copy_only=False
+        )[is_img]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "spans": spans,
+                "n_spans": pc.cast(pc.list_value_length(spans), pa.int64()),
+                "media_ref": pa.array(ref_out, pa.string()),
+            }
+        )
+
+    return spans_to_text(
+        clean.map_batches(stats, batch_format="pyarrow"),
+        keep_cols=("n_spans", "media_ref"),
+    )
+
+
+SQL_SCRUB_SPANS_DOCS = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_spans,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'geo://' || CAST(doc_id * 37 % 360 - 180 AS VARCHAR)
+                 || ',' || CAST(doc_id * 53 % 170 - 85 AS VARCHAR)
+            ELSE '' END AS media_ref,
+       text || ' reach [EMAIL] fast' AS text
+FROM documents
+"""
+
+
 def dup_ngram_coverage_docs(sf_dir: str):
     """Substring-level duplication signal (hashed analog of the
     Lee-et-al. suffix-array dedup pass): per doc, tokens covered by a
@@ -7885,6 +7983,7 @@ QUERIES = {
     "video_frame_sample": (video_frame_sample, SQL_VIDEO_FRAME_SAMPLE),
     "approx_distinct_users": (approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "interleaved_spans_docs": (interleaved_spans_docs, SQL_INTERLEAVED_SPANS_DOCS),
+    "scrub_spans_docs": (scrub_spans_docs, SQL_SCRUB_SPANS_DOCS),
     "interleaved_raster_join_docs": (
         interleaved_raster_join_docs,
         SQL_INTERLEAVED_RASTER_JOIN,

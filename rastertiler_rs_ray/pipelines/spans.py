@@ -156,3 +156,52 @@ def spans_to_text(
         return pa.table(cols)
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def scrub_text_spans(
+    docs: ray.data.Dataset,
+    *,
+    pattern: str,
+    replacement: str,
+    spans_col: str = "spans",
+) -> ray.data.Dataset:
+    """Spans-aware scrubbing: apply a regex replacement to the TEXT
+    spans of an interleaved document, leaving media spans, span kinds,
+    refs, offsets and ORDER untouched — the PII-removal pass that must
+    not break the input_hint span-sequence contract for any field it
+    didn't deliberately edit.
+
+    Arrow-surgical and batch-local: the list column's offsets and the
+    kind/media_ref/offset child arrays are reused AS-IS (zero copy);
+    only the text child is rebuilt, with the regex applied once over
+    the flattened child via ``pc.replace_substring_regex`` — never a
+    per-span Python loop.  Applying the scrub to non-text entries
+    would be wrong (a media_ref could match), so the mutated child is
+    masked back to the original where kind != 'text'.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        spans = batch.column(spans_col).combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.chunk(0) if spans.num_chunks else pa.array(
+                [], spans.type
+            )
+        flat = spans.flatten()
+        text = flat.field("text")
+        scrubbed = pc.replace_substring_regex(
+            text, pattern=pattern, replacement=replacement
+        )
+        is_text = pc.equal(flat.field("kind"), "text")
+        new_text = pc.if_else(is_text, scrubbed, text)
+        struct = pa.StructArray.from_arrays(
+            [flat.field("kind"), new_text, flat.field("media_ref"), flat.field("offset")],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        # rebase offsets: a SLICED ListArray's offsets need not start at
+        # 0, while flatten() returns only the referenced values
+        offs = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int32)
+        new_spans = pa.ListArray.from_arrays(pa.array(offs - offs[0] if len(offs) else offs, pa.int32()), struct)
+        i = batch.column_names.index(spans_col)
+        return batch.set_column(i, spans_col, new_spans)
+
+    return docs.map_batches(f, batch_format="pyarrow")

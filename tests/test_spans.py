@@ -106,3 +106,42 @@ def test_reassemble_integer_ids(ray_session):
     assert sorted(back["doc_id"]) == [5, 9]
     row5 = back[back.doc_id == 5].iloc[0]["spans"]
     assert [s["kind"] for s in row5] == ["text", "media"]
+
+
+class TestScrubTextSpans:
+    def _doc(self):
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(["text", "image", "text", "audio"], pa.string()),
+                pa.array(["mail me a@b.co now", "", "no pii here", ""], pa.string()),
+                pa.array(["", "geo://x@y.zz", "", "snd://a@b.co"], pa.string()),
+                pa.array([0, 1, 2, 3], pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans = pa.ListArray.from_arrays(pa.array([0, 2, 4], pa.int32()), struct)
+        return pa.table({"doc_id": ["d1", "d2"], "spans": spans})
+
+    def test_scrubs_only_text_spans(self, ray_session):
+        from rastertiler_rs_ray.pipelines.spans import scrub_text_spans
+
+        out = (
+            scrub_text_spans(
+                ray.data.from_arrow(self._doc()),
+                pattern=r"[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]",
+                replacement="[EMAIL]",
+            )
+            .take_all()
+        )
+        by_id = {r["doc_id"]: r["spans"] for r in out}
+        d1, d2 = by_id["d1"], by_id["d2"]
+        assert d1[0]["text"] == "mail me [EMAIL] now"
+        assert d2[0]["text"] == "no pii here"
+        # media spans untouched EVEN where their ref matches the pattern
+        assert d1[1]["media_ref"] == "geo://x@y.zz" and d1[1]["text"] == ""
+        assert d2[1]["media_ref"] == "snd://a@b.co"
+        # kinds, refs, offsets, order preserved
+        for doc in (d1, d2):
+            assert [sp["offset"] for sp in doc] == sorted(sp["offset"] for sp in doc)
+        assert [sp["kind"] for sp in d1] == ["text", "image"]
+        assert [sp["kind"] for sp in d2] == ["text", "audio"]
