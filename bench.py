@@ -322,6 +322,38 @@ def run_full() -> dict:
     timed("radius_pairs", lambda: Q.docs_radius_pairs(SF_DIR))
     timed("trajectory_paths", lambda: Q.user_trajectory_paths(SF_DIR))
 
+    # round-4b additions (suite keys 24-25)
+    def ccl_full_raster():
+        from rastertiler_rs_ray.pipelines.ccl import component_stats
+        from rastertiler_rs_ray.pipelines.focal import raster_blocks_dataset
+        from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+        r = default_u8_raster()
+        blocks = raster_blocks_dataset(
+            r.spec(), 0, 0, r.width // 256, r.height // 256, chunk=256,
+            concurrency=(1, NUM_CPUS),
+        )
+        return component_stats(blocks, chunk=256, nodata=r.nodata, quantize_shift=6)
+
+    timed("raster_ccl", ccl_full_raster)
+
+    def heatmap_render():
+        import shutil
+
+        from rastertiler_rs_ray.pipelines.driver_queries import (
+            doc_positions_dataset,
+        )
+        from rastertiler_rs_ray.pipelines.heatmap import render_density_tileset
+
+        out = "/tmp/bench_heatmap_ts"
+        shutil.rmtree(out, ignore_errors=True)
+        pos = doc_positions_dataset(SF_DIR).select_columns(["mx", "my"])
+        render_density_tileset(pos, out, [6, 7, 8], tilesize=256,
+                               concurrency=(1, NUM_CPUS))
+        return None
+
+    timed("heatmap_render", heatmap_render)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "tiles/sec + spatial-join rows/sec (zoom 0-%d pyramid + z%d join) with relational/dedup/ANN/text suite"

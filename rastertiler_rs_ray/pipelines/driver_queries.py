@@ -5741,6 +5741,30 @@ FROM u GROUP BY word
 """
 
 
+def trending_event_types(sf_dir: str):
+    """Exponentially time-decayed event counts per type
+    (relational.decayed_grouped_sum): half-life 7 days anchored at a
+    fixed 2024-02-01 epoch so the score is reproducible — the
+    "trending" aggregate where recency outranks raw volume."""
+    from .relational import decayed_grouped_sum
+
+    NOW = 1_706_745_600_000_000  # 2024-02-01T00:00:00Z in epoch micros
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+    out = decayed_grouped_sum(
+        ev, ["event_type"], ts_col="ts", now_us=NOW, half_life_s=7 * 86400
+    )
+    return _round4(out, ["decayed"])
+
+
+SQL_TRENDING_EVENT_TYPES = """
+SELECT event_type,
+       round(sum(pow(2.0, -((1706745600000000 - epoch_us(ts)) / 604800000000.0))), 4)
+           AS decayed,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def orders_price_winsorized(sf_dir: str):
     """Robust per-priority price stats: p10/p90 percentile_disc bounds,
     trimmed mean (outside rows dropped) and winsorized mean (rows
@@ -7996,6 +8020,7 @@ QUERIES = {
     "language_id_docs": (language_id_docs, SQL_LANGUAGE_ID_DOCS),
     "gopher_quality_docs": (gopher_quality_docs, SQL_GOPHER_QUALITY),
     "orders_price_winsorized": (orders_price_winsorized, SQL_ORDERS_PRICE_WINSORIZED),
+    "trending_event_types": (trending_event_types, SQL_TRENDING_EVENT_TYPES),
     "snap_docs_to_segments": (snap_docs_to_segments, SQL_SNAP_DOCS),
     "winnow_fingerprints_docs": (winnow_fingerprints_docs, SQL_WINNOW_FINGERPRINTS),
     "orders_price_band_join": (orders_price_band_join, SQL_ORDERS_PRICE_BAND_JOIN),

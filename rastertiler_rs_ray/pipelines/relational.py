@@ -2643,3 +2643,61 @@ def interval_overlap_join(
         .groupby([*key_cols, "bucket"])
         .map_groups(join_bucket, batch_format="pandas")
     )
+
+
+def decayed_grouped_sum(
+    ds: ray.data.Dataset,
+    by: Sequence[str],
+    *,
+    ts_col: str,
+    now_us: int,
+    half_life_s: float,
+    value_col: str | None = None,
+) -> ray.data.Dataset:
+    """Exponentially time-decayed aggregate — the "trending" primitive:
+    per group, ``Σ w·2^(−Δt/half_life)`` (w = 1 or ``value_col``) plus
+    the undecayed count, anchored at the CALLER-SUPPLIED ``now_us``
+    (epoch micros; explicit so reruns are reproducible — never wall
+    clock).  Recent activity dominates, old activity fades with a
+    half-life instead of a hard window cutoff.
+
+    Map-only partials (one exp() kernel per batch, weights summed per
+    group before the exchange) → one narrow groupby sum — decayed sums
+    are order-independent so the partial/merge split is exact up to
+    float addition order (outputs are round(,4)-quantized by callers,
+    the repo's float-sum convention).
+    """
+    by = list(by)
+    scale = float(half_life_s) * 1e6  # micros per half-life
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt = (now_us - df[ts_col].astype("int64").to_numpy()).astype(np.float64)
+        w = np.exp2(-dt / scale)
+        if value_col is not None:
+            w = w * df[value_col].to_numpy(dtype=np.float64)
+        g = pd.DataFrame(
+            {
+                **{k: df[k] for k in by},
+                "decayed": w,
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return g.groupby(by, as_index=False).sum()
+
+    agg = (
+        ds.select_columns([*by, ts_col] + ([value_col] if value_col else []))
+        .map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .sum(["decayed", "n"])
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                **{k: batch.column(k) for k in by},
+                "decayed": batch.column("sum(decayed)"),
+                "n": pa.compute.cast(batch.column("sum(n)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
