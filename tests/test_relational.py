@@ -1618,3 +1618,38 @@ def test_interval_overlap_join_vs_brute_force(ray_session):
         bucket_width=50, left_cols=["lid"], right_cols=["rid"],
     ).take_all()
     assert len(rows) == len(want)
+
+
+def test_decayed_grouped_sum(ray_session):
+    from rastertiler_rs_ray.pipelines.relational import decayed_grouped_sum
+
+    rng = np.random.default_rng(29)
+    n = 300
+    now = 1_700_000_000_000_000
+    ts = now - rng.integers(0, 30 * 86400_000_000, n)
+    g = rng.choice(["a", "b"], n)
+    val = rng.uniform(0, 5, n)
+    df = pd.DataFrame({"g": g, "ts": ts, "v": val})
+    for vc in (None, "v"):
+        got = (
+            decayed_grouped_sum(
+                ray.data.from_pandas(df), ["g"], ts_col="ts", now_us=now,
+                half_life_s=7 * 86400, value_col=vc,
+            )
+            .to_pandas()
+            .set_index("g")
+            .sort_index()
+        )
+        w = np.exp2(-(now - ts).astype(float) / (7 * 86400 * 1e6))
+        if vc:
+            w = w * val
+        want = pd.DataFrame({"g": g, "w": w}).groupby("g")["w"].sum()
+        for k in ("a", "b"):
+            assert got.loc[k, "decayed"] == pytest.approx(want[k])
+            assert got.loc[k, "n"] == int((g == k).sum())
+    # an event exactly one half-life old weighs half of a now-event
+    one = pd.DataFrame({"g": ["x", "x"], "ts": [now, now - 7 * 86400_000_000]})
+    got = decayed_grouped_sum(
+        ray.data.from_pandas(one), ["g"], ts_col="ts", now_us=now, half_life_s=7 * 86400
+    ).to_pandas()
+    assert got["decayed"].iloc[0] == pytest.approx(1.5)
