@@ -1965,6 +1965,62 @@ def heatmap_tileset_docs(sf_dir: str):
 SQL_HEATMAP_TILESET = _sql_read_map("heatmap_ts")
 
 
+def vector_tileset_docs(sf_dir: str):
+    """Mapbox Vector Tile pyramid (pipelines/vectortile.py): doc
+    positions → per-tile MVT protobuf blobs (one POINT feature per doc,
+    doc_id preserved as the feature id) in the standard tileset layout,
+    so merge/diff/audit/export work on a vector tileset unchanged.  The
+    oracle re-reads the written map projection (the render read-back
+    pattern); byte-level decode parity is pinned in
+    tests/test_vectortile.py."""
+    import os
+
+    from .render import tileset_map_dataset
+    from .vectortile import render_vector_tileset
+
+    out = os.path.join(ORACLE_TS_ROOT, "mvt_ts")
+    pos = doc_positions_dataset(sf_dir).select_columns(["doc_id", "mx", "my"])
+    render_vector_tileset(pos, out, [3, 4])
+    return tileset_map_dataset(out).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_VECTOR_TILESET = _sql_read_map("mvt_ts")
+
+
+_MVT_Z = 3
+_MVT_EXTENT = 4096
+
+
+def mvt_local_coords_docs(sf_dir: str):
+    """MVT coordinate math under full cross-engine verification: per
+    doc the z3 tile address and extent-local (lx, ly) the vector-tile
+    encoder writes into the protobuf geometry (vectortile.mvt_assign —
+    the density rasterizer's global-pixel floor math with
+    tilesize→extent)."""
+    from .vectortile import mvt_assign
+
+    pos = doc_positions_dataset(sf_dir)
+    return pos.map_batches(
+        lambda b: mvt_assign(b, zoom=_MVT_Z, extent=_MVT_EXTENT).rename_columns(
+            ["x", "y", "doc_id", "lx", "ly"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_MVT_NPX = float((1 << _MVT_Z) * _MVT_EXTENT)
+SQL_MVT_LOCAL_COORDS = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}), g AS (
+  SELECT doc_id,
+    CAST(least(greatest(floor((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())) * {_MVT_NPX!r}), 0.0), {_MVT_NPX - 1.0!r}) AS BIGINT) AS gx,
+    CAST(least(greatest(floor((1.0 - (my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * {_MVT_NPX!r}), 0.0), {_MVT_NPX - 1.0!r}) AS BIGINT) AS gy
+  FROM merc)
+SELECT doc_id, gx // {_MVT_EXTENT} AS x, gy // {_MVT_EXTENT} AS y,
+       gx % {_MVT_EXTENT} AS lx, gy % {_MVT_EXTENT} AS ly
+FROM g
+"""
+
+
 def tileset_diff_demo(sf_dir: str):
     """Tile-level diff of two pyramid renders (merge.diff_tilesets):
     which (zoom, x, y) addresses were added / removed / changed between
@@ -8202,6 +8258,8 @@ QUERIES = {
     ),
     "orders_price_zscore": (orders_price_zscore, SQL_ORDERS_PRICE_ZSCORE),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
+    "vector_tileset_docs": (vector_tileset_docs, SQL_VECTOR_TILESET),
+    "mvt_local_coords_docs": (mvt_local_coords_docs, SQL_MVT_LOCAL_COORDS),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---
     "raster_components_demo": (raster_components_demo, None),
     "minhash_dedup_docs": (minhash_dedup_docs, None),

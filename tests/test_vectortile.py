@@ -1,0 +1,161 @@
+"""Mapbox Vector Tile pyramid: protobuf encoding, decode parity,
+pipeline determinism, tileset-layout compatibility."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rastertiler_rs_ray.pipelines.vectortile import (
+    MVT_EXTENT,
+    decode_point_layer,
+    encode_point_layer,
+    mvt_assign,
+    render_vector_tileset,
+    varint_encode,
+    zigzag,
+)
+
+
+def _rd_varints(buf):
+    out, i = [], 0
+    while i < len(buf):
+        shift = val = 0
+        while True:
+            b = buf[i]
+            val |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                break
+            shift += 7
+        out.append(val)
+    return out
+
+
+def test_varint_roundtrip():
+    vals = [0, 1, 127, 128, 300, 16383, 16384, 2**21 - 1, 2**32 - 1, 2**56 + 7]
+    assert _rd_varints(varint_encode(np.array(vals, dtype=np.uint64))) == vals
+
+
+def test_varint_known_bytes():
+    # protobuf spec examples: 1 -> 0x01, 300 -> 0xAC 0x02
+    assert varint_encode(np.array([1])) == b"\x01"
+    assert varint_encode(np.array([300])) == b"\xac\x02"
+
+
+def test_zigzag_convention():
+    assert list(zigzag(np.array([0, -1, 1, -2, 2147483647, -2147483648]))) == [
+        0, 1, 2, 3, 4294967294, 4294967295,
+    ]
+
+
+def test_encode_decode_roundtrip():
+    ids = np.array([3, 17, 4096], dtype=np.int64)
+    px = np.array([0, 4095, 2048], dtype=np.int64)
+    py = np.array([4095, 0, 1], dtype=np.int64)
+    blob = encode_point_layer(ids, px, py, name="pts", extent=4096)
+    d = decode_point_layer(blob)
+    assert d["version"] == 2
+    assert d["name"] == "pts"
+    assert d["extent"] == 4096
+    assert d["ids"] == list(ids)
+    assert d["px"] == list(px)
+    assert d["py"] == list(py)
+
+
+def test_encode_deterministic_bytes():
+    ids = np.arange(50, dtype=np.int64)
+    px = (ids * 37) % 4096
+    py = (ids * 91) % 4096
+    a = encode_point_layer(ids, px, py)
+    b = encode_point_layer(ids.copy(), px.copy(), py.copy())
+    assert a == b
+
+
+def test_mvt_assign_matches_closed_form():
+    from rastertiler_rs_ray.geo.mercator import ORIGIN
+
+    rng = np.random.default_rng(7)
+    mx = rng.uniform(-ORIGIN, ORIGIN, 500)
+    my = rng.uniform(-ORIGIN, ORIGIN, 500)
+    t = pa.table({"doc_id": pa.array(np.arange(500)), "mx": mx, "my": my})
+    out = mvt_assign(t, zoom=2, extent=256)
+    n_px = (1 << 2) * 256
+    gx = np.clip(np.floor((mx + ORIGIN) / (2.0 * ORIGIN) * n_px), 0, n_px - 1).astype(int)
+    gy = np.clip(
+        np.floor((1.0 - (my + ORIGIN) / (2.0 * ORIGIN)) * n_px), 0, n_px - 1
+    ).astype(int)
+    assert np.array_equal(np.asarray(out.column("x")), gx // 256)
+    assert np.array_equal(np.asarray(out.column("y")), gy // 256)
+    assert np.array_equal(np.asarray(out.column("lx")), gx % 256)
+    assert np.array_equal(np.asarray(out.column("ly")), gy % 256)
+
+
+@pytest.fixture()
+def point_ds(ray_session):
+    from rastertiler_rs_ray.geo.mercator import ORIGIN
+
+    ids = np.arange(2000, dtype=np.int64)
+    mx = ((ids * 2654435761) % 3_600_000) / 3_600_000 * 2 * ORIGIN - ORIGIN
+    my = ((ids * 2246822519) % 1_700_000) / 1_700_000 * 1.7 * ORIGIN - 0.85 * ORIGIN
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "mx": mx, "my": my})
+    ).repartition(4)
+
+
+def test_render_vector_tileset(point_ds, tmp_path):
+    out = str(tmp_path / "mvt")
+    man = render_vector_tileset(point_ds, out, [1, 2], extent=MVT_EXTENT)
+    tiles = ray.data.read_parquet(os.path.join(out, "tiles")).to_pandas()
+    # every input feature appears exactly once per zoom
+    assert len(tiles) > 0
+    seen = {1: set(), 2: set()}
+    from rastertiler_rs_ray.geo.mercator import ORIGIN
+
+    for _, row in tiles.iterrows():
+        d = decode_point_layer(bytes(row["tile_data"]))
+        assert d["version"] == 2 and d["extent"] == MVT_EXTENT
+        z, x, y = int(row["zoom"]), int(row["x"]), int(row["y"])
+        assert int(row["tms_y"]) == (1 << z) - 1 - y
+        # ids sorted within tile (determinism contract)
+        assert d["ids"] == sorted(d["ids"])
+        for fid, lx, ly in zip(d["ids"], d["px"], d["py"]):
+            assert 0 <= lx < MVT_EXTENT and 0 <= ly < MVT_EXTENT
+            assert fid not in seen[z]
+            seen[z].add(fid)
+    assert seen[1] == set(range(2000)) and seen[2] == set(range(2000))
+    # manifest records both zoom parts + images
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    assert m["meta"]["metadata"]["format"] == "pbf"
+    assert m["partitions"]["tiles/g01"]["rows"] > 0
+    assert m["partitions"]["images"]["status"] == "complete"
+    # images content-dedup exists and is consistent with tile hashes
+    imgs = ray.data.read_parquet(os.path.join(out, "images")).to_pandas()
+    assert set(imgs["tile_hash"]) == set(tiles["tile_hash"])
+    assert imgs["tile_hash"].is_unique
+
+
+def test_render_vector_tileset_deterministic(point_ds, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    render_vector_tileset(point_ds, a, [2])
+    render_vector_tileset(point_ds.repartition(9), b, [2])
+    ta = ray.data.read_parquet(os.path.join(a, "tiles")).to_pandas()
+    tb = ray.data.read_parquet(os.path.join(b, "tiles")).to_pandas()
+    ta = ta.sort_values(["zoom", "x", "y"]).reset_index(drop=True)
+    tb = tb.sort_values(["zoom", "x", "y"]).reset_index(drop=True)
+    assert list(ta["tile_hash"]) == list(tb["tile_hash"])
+    assert all(bytes(p) == bytes(q) for p, q in zip(ta["tile_data"], tb["tile_data"]))
+
+
+def test_vector_tileset_audit_compatible(point_ds, tmp_path):
+    """The MVT tileset is a first-class citizen of the tileset toolset:
+    the audit sees a complete cover of its own addresses."""
+    from rastertiler_rs_ray.pipelines.merge import diff_tilesets
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    render_vector_tileset(point_ds, a, [2])
+    render_vector_tileset(point_ds, b, [2])
+    assert diff_tilesets(a, b).count() == 0
