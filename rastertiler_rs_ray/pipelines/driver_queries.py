@@ -3207,6 +3207,116 @@ FROM hs GROUP BY 1, 2
 SQL_HILLSHADE_BLOCKS = _sql_hillshade_blocks()
 
 
+_CONTOUR_LEVEL = 127.5
+
+
+def contour_segments_demo(sf_dir: str):
+    """Marching-squares contour extraction (pipelines/contour.py) at
+    iso level 127.5 over the focal window: per 2×2 cell the case index
+    and the oriented segment endpoints (e4-quantized global pixel
+    coords) — classification, interpolation and the saddle convention
+    all under cross-engine verification.  Zero-shuffle overlap-read
+    plan (cell owned by its top-left pixel's chunk)."""
+    from ..raster.synthetic import default_u8_raster
+    from .contour import contour_segments_windowed
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    return contour_segments_windowed(
+        r.spec(), c0, r0, c1, r1, level=_CONTOUR_LEVEL, chunk=_FOCAL_CHUNK
+    )
+
+
+def _sql_contour_segments() -> str:
+    """DuckDB mirror of contour_segments_demo: the synthetic pixel hash
+    (block nodata/const structure), 4-corner self-join, the bit-order
+    case index, edge interpolation t = (L - va)/(vb - va), and the
+    MS_LUT orientation folded into CASE expressions (contour.py LUT:
+    e0 per case T:{1,2,5,6,9,10,13,14} L:{3,7,8,12} R:{4,11};
+    e1 L:{1,5,14} R:{2,3,10,12,13} B:else; saddles 5→(R,B), 10→(L,B))."""
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    L = _CONTOUR_LEVEL
+    blk_stages = _sql_mix64(f"pc // {r.block}", f"pr // {r.block}", r.seed + 1, "bh")
+    px_stages = _sql_mix64("pc", "pr", r.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["g", "m0", "m1", "m2"])
+        )
+    )
+    return f"""
+WITH cc AS (SELECT unnest(generate_series({c0}, {c1 - 1})) AS pc),
+rr AS (SELECT unnest(generate_series({r0}, {r1 - 1})) AS pr),
+g AS (SELECT pc, pr FROM cc CROSS JOIN rr),
+{hash_ctes},
+pix AS (
+  SELECT pc, pr,
+    CASE WHEN bh % 5 = 0 THEN {r.nodata}
+         WHEN bh % 7 = 1 THEN 42
+         ELSE CAST(1 + ph % 255 AS BIGINT) END AS v
+  FROM m3),
+cell AS (
+  SELECT a.pc AS c, a.pr AS r,
+         CAST(a.v AS DOUBLE) AS v00, CAST(b.v AS DOUBLE) AS v10,
+         CAST(d.v AS DOUBLE) AS v01, CAST(e.v AS DOUBLE) AS v11
+  FROM pix a
+  JOIN pix b ON b.pc = a.pc + 1 AND b.pr = a.pr
+  JOIN pix d ON d.pc = a.pc AND d.pr = a.pr + 1
+  JOIN pix e ON e.pc = a.pc + 1 AND e.pr = a.pr + 1
+  WHERE a.v <> {r.nodata} AND b.v <> {r.nodata}
+    AND d.v <> {r.nodata} AND e.v <> {r.nodata}),
+cs AS (
+  SELECT *,
+    (CASE WHEN v00 >= {L!r} THEN 1 ELSE 0 END
+   + CASE WHEN v10 >= {L!r} THEN 2 ELSE 0 END
+   + CASE WHEN v11 >= {L!r} THEN 4 ELSE 0 END
+   + CASE WHEN v01 >= {L!r} THEN 8 ELSE 0 END) AS cse,
+    CAST(c AS DOUBLE) AS cf, CAST(r AS DOUBLE) AS rf
+  FROM cell),
+tt AS (
+  SELECT *,
+    CASE WHEN v10 <> v00 THEN ({L!r} - v00) / (v10 - v00) END AS tT,
+    CASE WHEN v11 <> v01 THEN ({L!r} - v01) / (v11 - v01) END AS tB,
+    CASE WHEN v01 <> v00 THEN ({L!r} - v00) / (v01 - v00) END AS tL,
+    CASE WHEN v11 <> v10 THEN ({L!r} - v10) / (v11 - v10) END AS tR
+  FROM cs WHERE cse NOT IN (0, 15)),
+seg0 AS (
+  SELECT c, r, 0 AS seg, cse,
+    CASE WHEN cse IN (3,7,8,12) THEN cf
+         WHEN cse IN (4,11) THEN cf + 1.0
+         ELSE cf + tT END AS x0,
+    CASE WHEN cse IN (3,7,8,12) THEN rf + tL
+         WHEN cse IN (4,11) THEN rf + tR
+         ELSE rf END AS y0,
+    CASE WHEN cse IN (1,5,14) THEN cf
+         WHEN cse IN (2,3,10,12,13) THEN cf + 1.0
+         ELSE cf + tB END AS x1,
+    CASE WHEN cse IN (1,5,14) THEN rf + tL
+         WHEN cse IN (2,3,10,12,13) THEN rf + tR
+         ELSE rf + 1.0 END AS y1
+  FROM tt),
+seg1 AS (
+  SELECT c, r, 1 AS seg, cse,
+    CASE WHEN cse = 5 THEN cf + 1.0 ELSE cf END AS x0,
+    CASE WHEN cse = 5 THEN rf + tR ELSE rf + tL END AS y0,
+    cf + tB AS x1, rf + 1.0 AS y1
+  FROM tt WHERE cse IN (5, 10)),
+u AS (SELECT * FROM seg0 UNION ALL SELECT * FROM seg1)
+SELECT c, r, seg, cse,
+  CAST(floor(x0 * 10000.0 + 0.5) AS BIGINT) AS x0_e4,
+  CAST(floor(y0 * 10000.0 + 0.5) AS BIGINT) AS y0_e4,
+  CAST(floor(x1 * 10000.0 + 0.5) AS BIGINT) AS x1_e4,
+  CAST(floor(y1 * 10000.0 + 0.5) AS BIGINT) AS y1_e4
+FROM u
+"""
+
+
+SQL_CONTOUR_SEGMENTS = _sql_contour_segments()
+
+
 _RADIUS_M = 1_000_000.0  # pair threshold (planar EPSG:3857 meters)
 _RADIUS_ZOOM = 5  # cell side 1252 km >= radius
 
@@ -8260,6 +8370,7 @@ QUERIES = {
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, SQL_JSONL_ROUNDTRIP),
     "vector_tileset_docs": (vector_tileset_docs, SQL_VECTOR_TILESET),
     "mvt_local_coords_docs": (mvt_local_coords_docs, SQL_MVT_LOCAL_COORDS),
+    "contour_segments_demo": (contour_segments_demo, SQL_CONTOUR_SEGMENTS),
     # --- group 3: rows-only (non-SQL-expressible: stateful/sketch/raster) ---
     "raster_components_demo": (raster_components_demo, None),
     "minhash_dedup_docs": (minhash_dedup_docs, None),
