@@ -145,28 +145,28 @@ def render_density_tileset(
     written — the sparse-pyramid convention (a CDN 404 = empty tile),
     which is what makes a z15 world heatmap feasible.
     """
-    from .spatial import point_density_blocks
+    from .spatial import point_density_blocks_multi
 
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
     t0 = time.perf_counter()
 
-    pos = pos.materialize()  # consumed once per zoom
-    for z in zooms:
-        blocks = point_density_blocks(pos, zoom=z, tilesize=tilesize)
-        tiles = blocks.map_batches(
-            _DensityTileEncoder,
-            fn_constructor_kwargs=dict(tilesize=tilesize, colormap=colormap),
-            batch_format="pyarrow",
-            concurrency=concurrency,
-            num_cpus=1,
-        )
-        tiles.write_parquet(
-            os.path.join(out_dir, "tiles"),
-            partition_cols=["part"],
-            min_rows_per_file=32768,
-        )
+    # one exchange + one encode/write job for the whole pyramid — the
+    # per-zoom fixed Ray-job cost doesn't multiply with pyramid depth
+    blocks = point_density_blocks_multi(pos, zooms=zooms, tilesize=tilesize)
+    tiles = blocks.map_batches(
+        _DensityTileEncoder,
+        fn_constructor_kwargs=dict(tilesize=tilesize, colormap=colormap),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    tiles.write_parquet(
+        os.path.join(out_dir, "tiles"),
+        partition_cols=["part"],
+        min_rows_per_file=32768,
+    )
 
     manifest = Manifest(os.path.join(out_dir, "manifest.json"))
     wall = time.perf_counter() - t0

@@ -2683,3 +2683,57 @@ def point_density_blocks(
         .groupby(["x", "y"])
         .map_groups(build, batch_format="pyarrow")
     )
+
+
+def point_density_blocks_multi(
+    pos: ray.data.Dataset,
+    *,
+    zooms: list[int],
+    tilesize: int = 256,
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """All-zooms variant of ``point_density_blocks``: assigns every
+    point to its tile/pixel at EVERY requested zoom inside one
+    map_batches (len(zooms)× narrow rows) and runs ONE
+    groupby((zoom, x, y)) for the whole pyramid — one exchange instead
+    of one per zoom, so the per-job fixed cost doesn't multiply with
+    pyramid depth.  Output schema matches ``point_density_blocks``."""
+    zs = [int(z) for z in zooms]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        parts_z, parts_x, parts_y, parts_i = [], [], [], []
+        for z in zs:
+            tx, ty, idx = _density_assign(
+                batch, zoom=z, tilesize=tilesize, mx_col=mx_col, my_col=my_col
+            )
+            parts_z.append(np.full(len(tx), z, dtype=np.int64))
+            parts_x.append(tx)
+            parts_y.append(ty)
+            parts_i.append(idx)
+        return pa.table(
+            {
+                "zoom": pa.array(np.concatenate(parts_z)),
+                "x": pa.array(np.concatenate(parts_x)),
+                "y": pa.array(np.concatenate(parts_y)),
+                "pidx": pa.array(np.concatenate(parts_i)),
+            }
+        )
+
+    def build(g: pa.Table) -> pa.Table:
+        grid = np.zeros(tilesize * tilesize, dtype=np.uint32)
+        np.add.at(grid, np.asarray(g.column("pidx"), dtype=np.int64), 1)
+        return pa.table(
+            {
+                "zoom": pa.array([g.column("zoom")[0].as_py()], pa.int64()),
+                "x": pa.array([g.column("x")[0].as_py()], pa.int64()),
+                "y": pa.array([g.column("y")[0].as_py()], pa.int64()),
+                "pixels": pa.array([grid.tobytes()], pa.binary()),
+            }
+        )
+
+    return (
+        pos.map_batches(assign, batch_format="pyarrow")
+        .groupby(["zoom", "x", "y"])
+        .map_groups(build, batch_format="pyarrow")
+    )
