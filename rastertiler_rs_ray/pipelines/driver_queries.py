@@ -8149,6 +8149,116 @@ def raster_components_demo(sf_dir: str):
     return component_stats(blocks, chunk=64, nodata=0, quantize_shift=6)
 
 
+# --------------------------------------------------------------------
+# Hexagonal (H3-style) cell index queries — geo/hexcell.py
+# --------------------------------------------------------------------
+
+# SQL mirror of geo/hexcell.hex_assign at a given res: fractional axial
+# coords then cube rounding, floor(x+0.5) tie convention both sides.
+# Constant forms match numpy's evaluation order exactly:
+# (sqrt(3)/3)*mx - (1.0/3)*my, never mx*sqrt(3)/3 or my/3.
+def _sql_hex_cte(res: int) -> str:
+    s = f"(6378137.0 * pi() / {float(1 << res)!r})"
+    return f"""
+frac AS (
+  SELECT doc_id,
+         (sqrt(3.0)/3 * mx - 1.0/3 * my) / {s} AS xf,
+         (2.0/3 * my) / {s} AS zf
+  FROM merc),
+rnd AS (
+  SELECT doc_id, xf, zf, -xf - zf AS yf,
+         floor(xf + 0.5) AS rx, floor(-xf - zf + 0.5) AS ry, floor(zf + 0.5) AS rz
+  FROM frac),
+fixed AS (
+  SELECT doc_id,
+    CASE WHEN abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf)
+         THEN -ry - rz ELSE rx END AS qf_fixed,
+    CASE WHEN NOT (abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf))
+              AND abs(rz - zf) > abs(ry - yf)
+         THEN -rx - ry ELSE rz END AS rf_fixed
+  FROM rnd),
+hexed AS (
+  SELECT doc_id,
+         CAST(qf_fixed AS BIGINT) AS hex_q,
+         CAST(rf_fixed AS BIGINT) AS hex_r,
+         {res} * 4503599627370496 + (CAST(qf_fixed AS BIGINT) + 33554432) * 67108864
+             + (CAST(rf_fixed AS BIGINT) + 33554432) AS hex_id
+  FROM fixed)
+"""
+
+
+HEX_RES = 4
+
+
+def hex_density_docs(sf_dir: str):
+    """Docs-per-hex-cell density at res=4 on the H3-style hex index
+    (geo/hexcell.py: axial assignment by cube rounding, packed int64
+    ids).  Map-side partial counts; one narrow groupby."""
+    from .spatial import hex_density
+
+    pos = doc_positions_dataset(sf_dir)
+    dens = hex_density(pos, res=HEX_RES)
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hex_q": b.column("hex_q"),
+                "hex_r": b.column("hex_r"),
+                "hex_id": b.column("hex_id"),
+                "n_docs": b.column("n_docs"),
+            }
+        )
+
+    return dens.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_HEX_DENSITY = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}), {_sql_hex_cte(HEX_RES)}
+SELECT hex_q, hex_r, hex_id, count(*) AS n_docs
+FROM hexed GROUP BY hex_q, hex_r, hex_id
+"""
+
+
+HEX_HOT_RES = 3
+HEX_HOT_MIN = 3
+
+
+def hex_hotspot_neighbors_docs(sf_dir: str):
+    """Hot hex cells (≥3 docs at res=3) with the summed doc count of
+    their 6 adjacent cells — the k-ring proximity query the hex index
+    answers instead of parent containment (hex grids do not nest)."""
+    from .spatial import hex_hotspot_neighbors
+
+    pos = doc_positions_dataset(sf_dir)
+    out = hex_hotspot_neighbors(pos, res=HEX_HOT_RES, min_docs=HEX_HOT_MIN)
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hex_q": b.column("hex_q"),
+                "hex_r": b.column("hex_r"),
+                "n_docs": b.column("n_docs"),
+                "neighbor_docs": b.column("neighbor_docs"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_HEX_HOTSPOT_NEIGHBORS = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}), {_sql_hex_cte(HEX_HOT_RES)},
+dens AS (
+  SELECT hex_q, hex_r, count(*) AS n_docs FROM hexed GROUP BY hex_q, hex_r),
+hot AS (SELECT * FROM dens WHERE n_docs >= {HEX_HOT_MIN}),
+offs(dq, dr) AS (VALUES (1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1))
+SELECT h.hex_q, h.hex_r, h.n_docs,
+       COALESCE(SUM(d.n_docs), 0) AS neighbor_docs
+FROM hot h CROSS JOIN offs o
+LEFT JOIN dens d ON d.hex_q = h.hex_q + o.dq AND d.hex_r = h.hex_r + o.dr
+GROUP BY h.hex_q, h.hex_r, h.n_docs
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8261,6 +8371,11 @@ QUERIES = {
     "top_words_cms": (top_words_cms, SQL_TOP_WORDS_CMS),
     "render_pyramid_map": (render_pyramid_map, SQL_RENDER_PYRAMID_MAP),
     "cell_index_z12": (cell_index_z12, SQL_CELL_INDEX_Z12),
+    "hex_density_docs": (hex_density_docs, SQL_HEX_DENSITY),
+    "hex_hotspot_neighbors_docs": (
+        hex_hotspot_neighbors_docs,
+        SQL_HEX_HOTSPOT_NEIGHBORS,
+    ),
     "tile_assign_z10": (tile_assign_z10, SQL_TILE_ASSIGN_Z10),
     "tile_counts_z10": (tile_counts_z10, SQL_TILE_COUNTS_Z10),
     "knn_docs_k5": (knn_docs_k5, SQL_KNN_DOCS_K5),

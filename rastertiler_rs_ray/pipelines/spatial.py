@@ -2737,3 +2737,118 @@ def point_density_blocks_multi(
         .groupby(["zoom", "x", "y"])
         .map_groups(build, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------
+# Hexagonal (H3-style) cell index operators — geo/hexcell.py kernels
+# --------------------------------------------------------------------
+
+
+def hex_density(
+    pos: ray.data.Dataset,
+    *,
+    res: int,
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """Point density per hexagonal cell at ``res``: (hex_q, hex_r,
+    hex_id, n_docs).  Map-side partial counts (np.unique per batch over
+    the packed id) before the one narrow groupby — the hex analog of
+    ``tile_assignment_counts``; point payloads never shuffle."""
+    from ..geo.hexcell import hex_assign, hex_id, hex_unpack
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, r = hex_assign(
+            batch.column(mx_col).to_numpy(), batch.column(my_col).to_numpy(), res
+        )
+        hid = hex_id(np.full(len(q), res, dtype=np.int64), q, r)
+        uniq, counts = np.unique(hid, return_counts=True)
+        _, uq, ur = hex_unpack(uniq)
+        return pa.table(
+            {
+                "hex_q": pa.array(uq),
+                "hex_r": pa.array(ur),
+                "hex_id": pa.array(uniq),
+                "n_docs": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        pos.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hex_q", "hex_r", "hex_id"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def hex_hotspot_neighbors(
+    pos: ray.data.Dataset,
+    *,
+    res: int,
+    min_docs: int,
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """For every hex cell with ≥ ``min_docs`` points, the total point
+    count over its 6 adjacent cells — the k-ring proximity primitive
+    the hex index supports instead of parent containment (hex grids do
+    not nest; see geo/hexcell.py).
+
+    Plan: density (one narrow groupby) → hot cells expand to 6 probe
+    rows (map-only, exact neighbor arithmetic) → shuffle hash join with
+    the density table on the packed neighbor id → groupby(hot cell)
+    sum.  Probe volume is 6×|hot|; density rows are narrow — at corpus
+    scale this is two narrow exchanges, never a point shuffle.
+    """
+    from ..geo.hexcell import NEIGHBOR_OFFSETS, hex_id
+    from .relational import shuffle_hash_join
+
+    dens = hex_density(pos, res=res, mx_col=mx_col, my_col=my_col).materialize()
+
+    def probes(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.greater_equal(batch.column("n_docs"), pa.scalar(min_docs))
+        t = batch.filter(mask)
+        q = t.column("hex_q").to_numpy()
+        r = t.column("hex_r").to_numpy()
+        n = t.column("n_docs").to_numpy()
+        nq = (q[:, None] + NEIGHBOR_OFFSETS[:, 0][None, :]).ravel()
+        nr = (r[:, None] + NEIGHBOR_OFFSETS[:, 1][None, :]).ravel()
+        k = len(q)
+        return pa.table(
+            {
+                "hex_q": pa.array(np.repeat(q, 6)),
+                "hex_r": pa.array(np.repeat(r, 6)),
+                "n_docs": pa.array(np.repeat(n, 6)),
+                "nbr_id": pa.array(hex_id(np.full(6 * k, res, dtype=np.int64), nq, nr)),
+            }
+        )
+
+    probe_ds = dens.map_batches(probes, batch_format="pyarrow")
+    dens_narrow = dens.select_columns(["hex_id", "n_docs"]).rename_columns(
+        ["nbr_id", "nbr_docs"]
+    )
+    joined = shuffle_hash_join(
+        probe_ds, dens_narrow, on="nbr_id", join_type="left_outer"
+    )
+
+    def partial_sum(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["nbr_docs"] = df["nbr_docs"].fillna(0).astype(np.int64)
+        g = (
+            df.groupby(["hex_q", "hex_r", "n_docs"], sort=False)["nbr_docs"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial_sum, batch_format="pyarrow")
+        .groupby(["hex_q", "hex_r", "n_docs"])
+        .aggregate(Sum("nbr_docs", alias_name="neighbor_docs"))
+    )
+    return out
