@@ -8259,6 +8259,90 @@ GROUP BY h.hex_q, h.hex_r, h.n_docs
 """
 
 
+# --------------------------------------------------------------------
+# Geohash queries — geo/geohash.py (prefix-nesting cell index)
+# --------------------------------------------------------------------
+
+
+def _sql_geohash_expr(p: int) -> str:
+    """SQL expression (over CTE columns lon, lat) producing the
+    precision-``p`` geohash string — the same floor/clamp/interleave
+    arithmetic as geo/geohash.py, generated term by term."""
+    nbits = 5 * p
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_cell = (
+        f"CAST(least(greatest(floor((lon + 180.0) / 360.0 * {float(1 << nlon)!r}),"
+        f" 0.0), {float((1 << nlon) - 1)!r}) AS BIGINT)"
+    )
+    lat_cell = (
+        f"CAST(least(greatest(floor((lat + 90.0) / 180.0 * {float(1 << nlat)!r}),"
+        f" 0.0), {float((1 << nlat) - 1)!r}) AS BIGINT)"
+    )
+    terms = []
+    for i in range(nbits):
+        if i % 2 == 0:
+            src, sh = "lonc", nlon - 1 - i // 2
+        else:
+            src, sh = "latc", nlat - 1 - i // 2
+        terms.append(f"(({src} >> {sh}) & 1) * {1 << (nbits - 1 - i)}")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz',"
+        f" CAST((code >> {5 * (p - 1 - g)}) & 31 AS INT) + 1, 1)"
+        for g in range(p)
+    )
+    return (
+        f"(SELECT {chars} FROM (SELECT ({code}) AS code FROM"
+        f" (SELECT {lon_cell} AS lonc, {lat_cell} AS latc)))"
+    )
+
+
+GH_PRECISION = 6
+GH_DENS_PRECISION = 2
+
+
+def geohash_docs(sf_dir: str):
+    """Per-doc geohash at precision 6 (map-only encode, geo/geohash.py
+    vectorized interleave; string-exact vs the SQL mirror)."""
+    from ..geo.geohash import geohash_encode
+
+    pos = doc_positions_dataset(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        gh = geohash_encode(
+            batch.column("lon").to_numpy(),
+            batch.column("lat").to_numpy(),
+            GH_PRECISION,
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "geohash": pa.array(gh)})
+
+    return pos.map_batches(f, batch_format="pyarrow")
+
+
+SQL_GEOHASH_DOCS = f"""
+WITH pos AS ({SQL_POS})
+SELECT doc_id, {_sql_geohash_expr(GH_PRECISION)} AS geohash FROM pos
+"""
+
+
+def geohash_density_docs(sf_dir: str):
+    """Docs per precision-2 geohash cell — the prefix-nesting rollup
+    (spatial.geohash_density: integer-code map-side partials, one
+    narrow groupby; strings only materialize per aggregated cell)."""
+    from .spatial import geohash_density
+
+    pos = doc_positions_dataset(sf_dir)
+    return geohash_density(pos, precision=GH_DENS_PRECISION)
+
+
+SQL_GEOHASH_DENSITY = f"""
+WITH pos AS ({SQL_POS})
+SELECT {_sql_geohash_expr(GH_DENS_PRECISION)} AS geohash, count(*) AS n_docs
+FROM pos GROUP BY 1
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8372,6 +8456,8 @@ QUERIES = {
     "render_pyramid_map": (render_pyramid_map, SQL_RENDER_PYRAMID_MAP),
     "cell_index_z12": (cell_index_z12, SQL_CELL_INDEX_Z12),
     "hex_density_docs": (hex_density_docs, SQL_HEX_DENSITY),
+    "geohash_docs": (geohash_docs, SQL_GEOHASH_DOCS),
+    "geohash_density_docs": (geohash_density_docs, SQL_GEOHASH_DENSITY),
     "hex_hotspot_neighbors_docs": (
         hex_hotspot_neighbors_docs,
         SQL_HEX_HOTSPOT_NEIGHBORS,

@@ -2852,3 +2852,42 @@ def hex_hotspot_neighbors(
         .aggregate(Sum("nbr_docs", alias_name="neighbor_docs"))
     )
     return out
+
+
+def geohash_density(
+    pos: ray.data.Dataset,
+    *,
+    precision: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> ray.data.Dataset:
+    """Point density per geohash cell: (geohash, n_docs).  Geohash
+    prefixes nest, so coarser rollups are a prefix groupby of this
+    output.  Map-side partial counts over the packed integer code (no
+    string churn inside the exchange); strings materialize only on the
+    aggregated cells."""
+    from ..geo.geohash import BASE32, geohash_code
+
+    p = int(precision)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        code = geohash_code(
+            batch.column(lon_col).to_numpy(), batch.column(lat_col).to_numpy(), p
+        )
+        uniq, counts = np.unique(code, return_counts=True)
+        chars = np.empty((len(uniq), p), dtype=np.uint8)
+        b32 = np.frombuffer(BASE32.encode(), dtype=np.uint8)
+        for g in range(p):
+            chars[:, g] = b32[(uniq >> np.int64(5 * (p - 1 - g))) & np.int64(31)]
+        gh = chars.view(f"S{p}").ravel().astype(str)
+        return pa.table(
+            {"geohash": pa.array(gh), "n_docs": pa.array(counts.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        pos.map_batches(partial, batch_format="pyarrow")
+        .groupby("geohash")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
