@@ -8343,6 +8343,67 @@ FROM pos GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------
+# Per-language convex hull of doc positions (distributed two-level)
+# --------------------------------------------------------------------
+
+
+def lang_position_hulls(sf_dir: str):
+    """Convex-hull vertex docs per language: (lang, doc_id).  Two-level
+    distributed hull (spatial.grouped_convex_hull): map-side partial
+    hulls drop interior points before the one narrow groupby, final
+    hull per group over the O(hull)-sized survivors."""
+    from .spatial import grouped_convex_hull
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def addpos(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy()
+        lon = ((did * LON_MULT) % LON_MOD) / float(LON_MOD) * 360.0 - 180.0
+        lat = ((did * LAT_MULT) % LAT_MOD) / float(LAT_MOD) * 170.0 - 85.0
+        mx, my = geo_to_mercator(lon, lat)
+        return b.append_column("mx", pa.array(mx, pa.float64())).append_column(
+            "my", pa.array(my, pa.float64())
+        )
+
+    return grouped_convex_hull(
+        docs.map_batches(addpos, batch_format="pyarrow"),
+        group_col="lang",
+        x_col="mx",
+        y_col="my",
+        id_col="doc_id",
+    )
+
+
+# Oracle: p is a hull vertex of its group iff some line through p and
+# another group point q has ALL group points on one side (the rotating
+# supporting-line characterisation) — O(n³) per group, exact on doubles
+# when no three points are collinear (true for the modular-hash
+# positions).  Singleton groups are their own hull.
+SQL_LANG_POSITION_HULLS = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}),
+pts AS (
+  SELECT d.lang, m.doc_id, m.mx AS x, m.my AS y
+  FROM merc m JOIN documents d ON d.doc_id = m.doc_id),
+flags AS (
+  SELECT a.lang, a.doc_id,
+         min((b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x)) AS mn,
+         max((b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x)) AS mx
+  FROM pts a
+  JOIN pts b ON b.lang = a.lang AND b.doc_id <> a.doc_id
+  JOIN pts r ON r.lang = a.lang
+  GROUP BY a.lang, a.doc_id, b.doc_id),
+hull AS (
+  SELECT DISTINCT lang, doc_id FROM flags WHERE mn >= 0 OR mx <= 0),
+singletons AS (
+  SELECT lang, min(doc_id) AS doc_id FROM pts
+  GROUP BY lang HAVING count(*) = 1)
+SELECT lang, doc_id FROM hull
+UNION ALL
+SELECT lang, doc_id FROM singletons
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8457,6 +8518,7 @@ QUERIES = {
     "cell_index_z12": (cell_index_z12, SQL_CELL_INDEX_Z12),
     "hex_density_docs": (hex_density_docs, SQL_HEX_DENSITY),
     "geohash_docs": (geohash_docs, SQL_GEOHASH_DOCS),
+    "lang_position_hulls": (lang_position_hulls, SQL_LANG_POSITION_HULLS),
     "geohash_density_docs": (geohash_density_docs, SQL_GEOHASH_DENSITY),
     "hex_hotspot_neighbors_docs": (
         hex_hotspot_neighbors_docs,

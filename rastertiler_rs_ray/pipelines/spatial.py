@@ -2891,3 +2891,84 @@ def geohash_density(
         .groupby("geohash")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
+
+
+# --------------------------------------------------------------------
+# Distributed per-group convex hull (two-level partial hulls)
+# --------------------------------------------------------------------
+
+
+def _hull_indices(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain: indices (into the input order) of the
+    convex-hull vertices.  Strict turns — collinear interior-edge
+    points are dropped (ties cannot occur on the random-double inputs
+    this serves; the SQL halfplane oracle agrees whenever no three
+    points are exactly collinear).  n ≤ 2 returns all points."""
+    n = len(x)
+    if n <= 2:
+        return np.arange(n, dtype=np.int64)
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+
+    def chain(rng):
+        out: list[int] = []
+        for i in rng:
+            while len(out) >= 2:
+                ax, ay = xs[out[-2]], ys[out[-2]]
+                bx, by = xs[out[-1]], ys[out[-1]]
+                if (bx - ax) * (ys[i] - ay) - (by - ay) * (xs[i] - ax) <= 0.0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out[:-1]  # endpoint repeats in the other chain
+
+    lower = chain(range(n))
+    upper = chain(range(n - 1, -1, -1))
+    return order[np.array(lower + upper, dtype=np.int64)]
+
+
+def grouped_convex_hull(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Convex-hull VERTEX SET per group: rows ``(group, id)``.
+
+    Two-level plan — the hull operator's distributive law
+    (hull(A ∪ B) = hull(hull(A) ∪ hull(B))) makes partial hulls a
+    combiner: each batch keeps only its per-group partial-hull points
+    (map-side, drops interior points before any exchange), then one
+    groupby merges the survivors and takes the final hull.  Per-group
+    state after the combine is O(hull size) = O(√n expected for random
+    points), so the final map_groups task stays bounded even when the
+    group itself would not fit in one task."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, id_col, x_col, y_col]).to_pandas()
+        keep = []
+        for _, g in df.groupby(group_col, sort=False):
+            idx = _hull_indices(g[x_col].to_numpy(), g[y_col].to_numpy())
+            keep.append(g.iloc[idx])
+        out = pd.concat(keep, ignore_index=True) if keep else df.iloc[:0]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        x = g.column(x_col).to_numpy()
+        y = g.column(y_col).to_numpy()
+        idx = _hull_indices(x, y)
+        return pa.table(
+            {
+                group_col: pa.compute.take(g.column(group_col), pa.array(idx)),
+                id_col: pa.compute.take(g.column(id_col), pa.array(idx)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
