@@ -8157,20 +8157,20 @@ def raster_components_demo(sf_dir: str):
 # coords then cube rounding, floor(x+0.5) tie convention both sides.
 # Constant forms match numpy's evaluation order exactly:
 # (sqrt(3)/3)*mx - (1.0/3)*my, never mx*sqrt(3)/3 or my/3.
-def _sql_hex_cte(res: int) -> str:
+def _sql_hex_cte(res: int, carry: str = "doc_id", src: str = "merc") -> str:
     s = f"(6378137.0 * pi() / {float(1 << res)!r})"
     return f"""
 frac AS (
-  SELECT doc_id,
+  SELECT {carry},
          (sqrt(3.0)/3 * mx - 1.0/3 * my) / {s} AS xf,
          (2.0/3 * my) / {s} AS zf
-  FROM merc),
+  FROM {src}),
 rnd AS (
-  SELECT doc_id, xf, zf, -xf - zf AS yf,
+  SELECT {carry}, xf, zf, -xf - zf AS yf,
          floor(xf + 0.5) AS rx, floor(-xf - zf + 0.5) AS ry, floor(zf + 0.5) AS rz
   FROM frac),
 fixed AS (
-  SELECT doc_id,
+  SELECT {carry},
     CASE WHEN abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf)
          THEN -ry - rz ELSE rx END AS qf_fixed,
     CASE WHEN NOT (abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf))
@@ -8178,7 +8178,7 @@ fixed AS (
          THEN -rx - ry ELSE rz END AS rf_fixed
   FROM rnd),
 hexed AS (
-  SELECT doc_id,
+  SELECT {carry},
          CAST(qf_fixed AS BIGINT) AS hex_q,
          CAST(rf_fixed AS BIGINT) AS hex_r,
          {res} * 4503599627370496 + (CAST(qf_fixed AS BIGINT) + 33554432) * 67108864
@@ -8404,6 +8404,70 @@ SELECT lang, doc_id FROM singletons
 """
 
 
+# --------------------------------------------------------------------
+# Hex-cell dwell (stay-point) extraction over event trajectories
+# --------------------------------------------------------------------
+
+DWELL_RES = 1
+DWELL_MIN_EVENTS = 3
+
+
+def user_hex_dwells(sf_dir: str):
+    """Stay-point runs per user on the res-1 hex grid: maximal runs of
+    consecutive events (ts order, event_id tie-break) in the same hex
+    cell, kept when ≥3 events long.  One groupby(user) exchange,
+    vectorized gaps-and-islands in-group (spatial.hex_dwell_runs)."""
+    from .spatial import hex_dwell_runs
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def addpos(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon = ((eid * LON_MULT) % LON_MOD) / float(LON_MOD) * 360.0 - 180.0
+        lat = ((eid * LAT_MULT) % LAT_MOD) / float(LAT_MOD) * 170.0 - 85.0
+        mx, my = geo_to_mercator(lon, lat)
+        return b.append_column("mx", pa.array(mx, pa.float64())).append_column(
+            "my", pa.array(my, pa.float64())
+        )
+
+    return hex_dwell_runs(
+        ev.map_batches(addpos, batch_format="pyarrow"),
+        res=DWELL_RES,
+        min_events=DWELL_MIN_EVENTS,
+    )
+
+
+SQL_USER_HEX_DWELLS = f"""
+WITH pos AS (
+  SELECT event_id, user_id, ts,
+         (((event_id * {LON_MULT}) % {LON_MOD}) / {float(LON_MOD)!r}) * 360.0 - 180.0 AS lon,
+         (((event_id * {LAT_MULT}) % {LAT_MOD}) / {float(LAT_MOD)!r}) * 170.0 - 85.0  AS lat
+  FROM events),
+emerc AS (
+  SELECT event_id, user_id, ts,
+         lon * ((6378137.0 * pi()) / 180.0) AS mx,
+         6378137.0 * ln(tan(pi() * 0.25 + 0.5 * (lat * (pi() / 180.0)))) AS my
+  FROM pos),
+{_sql_hex_cte(DWELL_RES, carry="event_id, user_id, ts", src="emerc")},
+seq AS (
+  SELECT user_id, ts, event_id, hex_q, hex_r,
+         CASE WHEN lag(hex_q) OVER w = hex_q AND lag(hex_r) OVER w = hex_r
+              THEN 0 ELSE 1 END AS brk
+  FROM hexed
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM seq),
+agg AS (
+  SELECT user_id, run_id, min(hex_q) AS hex_q, min(hex_r) AS hex_r,
+         min(ts) AS enter_ts, max(ts) AS exit_ts, count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id)
+SELECT user_id, hex_q, hex_r, enter_ts, exit_ts, n_events
+FROM agg WHERE n_events >= {DWELL_MIN_EVENTS}
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8519,6 +8583,7 @@ QUERIES = {
     "hex_density_docs": (hex_density_docs, SQL_HEX_DENSITY),
     "geohash_docs": (geohash_docs, SQL_GEOHASH_DOCS),
     "lang_position_hulls": (lang_position_hulls, SQL_LANG_POSITION_HULLS),
+    "user_hex_dwells": (user_hex_dwells, SQL_USER_HEX_DWELLS),
     "geohash_density_docs": (geohash_density_docs, SQL_GEOHASH_DENSITY),
     "hex_hotspot_neighbors_docs": (
         hex_hotspot_neighbors_docs,

@@ -2972,3 +2972,75 @@ def grouped_convex_hull(
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def hex_dwell_runs(
+    ev: ray.data.Dataset,
+    *,
+    res: int,
+    min_events: int = 2,
+    min_seconds: float = 0.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """Dwell (stay-point) extraction on the hex grid: per user, maximal
+    runs of CONSECUTIVE events (time order, ``order_col`` tie-break)
+    that fall in the same hex cell at ``res``; runs shorter than
+    ``min_events`` events or ``min_seconds`` of elapsed time are
+    dropped.  Output: (user, hex_q, hex_r, enter_ts, exit_ts,
+    n_events).
+
+    One groupby(user) exchange; run detection is vectorized
+    gaps-and-islands inside the group (diff on the cell sequence →
+    np.cumsum run ids → reduceat aggregates).  The SQL mirror is the
+    classic lag()+sum() islands query.
+    """
+    from ..geo.hexcell import hex_assign
+
+    def assign(batch: pa.Table) -> pa.Table:
+        q, r = hex_assign(
+            batch.column(mx_col).to_numpy(), batch.column(my_col).to_numpy(), res
+        )
+        return pa.table(
+            {
+                user_col: batch.column(user_col),
+                ts_col: batch.column(ts_col),
+                order_col: batch.column(order_col),
+                "hex_q": pa.array(q),
+                "hex_r": pa.array(r),
+            }
+        )
+
+    def runs(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values([ts_col, order_col], kind="mergesort")
+        q = df["hex_q"].to_numpy()
+        r = df["hex_r"].to_numpy()
+        ts = df[ts_col].to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (q[1:] != q[:-1]) | (r[1:] != r[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(df)] - 1
+        n = ends - starts + 1
+        enter = ts[starts]
+        exit_ = ts[ends]
+        dur_s = (exit_ - enter) / np.timedelta64(1, "s")
+        keep = (n >= min_events) & (dur_s >= min_seconds)
+        return pa.table(
+            {
+                user_col: pa.array(df[user_col].to_numpy()[starts][keep]),
+                "hex_q": pa.array(q[starts][keep]),
+                "hex_r": pa.array(r[starts][keep]),
+                "enter_ts": pa.array(enter[keep]),
+                "exit_ts": pa.array(exit_[keep]),
+                "n_events": pa.array(n[keep].astype(np.int64)),
+            }
+        )
+
+    return (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(runs, batch_format="pyarrow")
+    )

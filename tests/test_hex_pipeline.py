@@ -83,3 +83,48 @@ def test_hex_hotspot_neighbors_matches_bruteforce(points):
     assert len(got) == len(want) > 0
     for c in want.columns:
         assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_hex_dwell_runs(ray_session):
+    """Constructed trajectory: known cells/timestamps → exact runs,
+    split across many blocks to force the exchange."""
+    from rastertiler_rs_ray.geo.hexcell import hex_center
+    from rastertiler_rs_ray.pipelines.spatial import hex_dwell_runs
+
+    res = 5
+    # user 1: cells A,A,A,B,A,A ; user 2: C,C
+    cells = [(0, 0)] * 3 + [(3, -1)] + [(0, 0)] * 2 + [(7, 2)] * 2
+    users = [1] * 6 + [2] * 2
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00", "2026-01-01 00:05", "2026-01-01 00:20",
+         "2026-01-01 00:30", "2026-01-01 00:40", "2026-01-01 00:55",
+         "2026-01-01 01:00", "2026-01-01 01:30"]
+    )
+    q = np.array([c[0] for c in cells])
+    r = np.array([c[1] for c in cells])
+    mx, my = hex_center(q, r, res)
+    tbl = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "event_id": pa.array(np.arange(8), pa.int64()),
+            "ts": pa.array(ts),
+            "mx": pa.array(mx),
+            "my": pa.array(my),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = (
+        hex_dwell_runs(ds, res=res, min_events=2, min_seconds=0)
+        .to_pandas()
+        .sort_values(["user_id", "enter_ts"])
+        .reset_index(drop=True)
+    )
+    # runs: u1 A×3 (00:00-00:20), u1 A×2 (00:40-00:55), u2 C×2
+    assert len(got) == 3
+    assert got.loc[0, "n_events"] == 3 and got.loc[0, "hex_q"] == 0
+    assert got.loc[1, "n_events"] == 2 and got.loc[1, "hex_q"] == 0
+    assert got.loc[2, "user_id"] == 2 and got.loc[2, "hex_q"] == 7
+    # min_seconds filter: the 15-minute run survives a 600 s floor, the
+    # singleton-B run never appears, and min_seconds=1e6 kills all
+    none = hex_dwell_runs(ds, res=res, min_events=2, min_seconds=1e6).to_pandas()
+    assert len(none) == 0
