@@ -190,6 +190,19 @@ def _seam_pairs(labeled: ray.data.Dataset, *, chunk: int) -> ray.data.Dataset:
         )
 
     strips = labeled.map_batches(emit, batch_format="pyarrow")
+    # Coalesce the narrow strips before the seam groupby: the sort
+    # shuffle's fixed cost scales with INPUT block count, and strips
+    # inherit one tiny block per labeled raster block (each strip row
+    # is ~20 B × chunk).  ~64 source blocks of strips per partition
+    # keeps partitions well under a MB while cutting shuffle task count
+    # ~64×; the CPU floor preserves match-stage parallelism.
+    try:
+        nb = labeled.num_blocks()
+    except Exception:  # lineage not materialized — leave as-is
+        nb = None
+    if nb is not None and nb > 1:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        strips = strips.repartition(max(min(cpus, nb), nb // 64))
 
     def match(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 1]
