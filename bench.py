@@ -354,6 +354,10 @@ def run_full() -> dict:
 
     timed("heatmap_render", heatmap_render)
 
+    # round-4c additions (suite keys 26-27): hex cell index family
+    timed("hex_density", lambda: Q.hex_density_docs(SF_DIR))
+    timed("hex_dwells", lambda: Q.user_hex_dwells(SF_DIR))
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "tiles/sec + spatial-join rows/sec (zoom 0-%d pyramid + z%d join) with relational/dedup/ANN/text suite"

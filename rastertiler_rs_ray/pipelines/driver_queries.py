@@ -8468,6 +8468,80 @@ FROM agg WHERE n_events >= {DWELL_MIN_EVENTS}
 """
 
 
+# --------------------------------------------------------------------
+# Per-language union area of doc coverage boxes (sweep/compression)
+# --------------------------------------------------------------------
+
+_BOX_W_MULT, _BOX_H_MULT, _BOX_MOD = 40503, 69997, 2000
+
+
+def lang_coverage_union_area(sf_dir: str):
+    """Exact union area (m², integer) of per-doc coverage boxes per
+    language — deterministic half-open integer boxes centered on the
+    floored mercator position, half-sizes hashed from doc_id.  Runs the
+    strip-partitioned union plan (spatial.grouped_union_area): per-task
+    work bounded by rects-per-strip, never group size."""
+    from .spatial import grouped_union_area
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def boxes(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy()
+        lon = ((did * LON_MULT) % LON_MOD) / float(LON_MOD) * 360.0 - 180.0
+        lat = ((did * LAT_MULT) % LAT_MOD) / float(LAT_MOD) * 170.0 - 85.0
+        mx, my = geo_to_mercator(lon, lat)
+        cx = np.floor(mx).astype(np.int64)
+        cy = np.floor(my).astype(np.int64)
+        w = 50 + (did * _BOX_W_MULT) % _BOX_MOD
+        h = 50 + (did * _BOX_H_MULT) % _BOX_MOD
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "x0": pa.array(cx - w),
+                "y0": pa.array(cy - h),
+                "x1": pa.array(cx + w),
+                "y1": pa.array(cy + h),
+            }
+        )
+
+    return grouped_union_area(
+        docs.map_batches(boxes, batch_format="pyarrow"),
+        group_col="lang",
+        strip_width=1 << 14,
+    )
+
+
+# Oracle: coordinate compression — a compressed cell is covered iff
+# some same-lang box contains it; the union area is the sum of covered
+# cell areas.  Integer-exact.
+SQL_LANG_COVERAGE_UNION_AREA = f"""
+WITH pos AS ({SQL_POS}), merc AS ({SQL_MERC}),
+rects AS (
+  SELECT d.lang,
+         CAST(floor(m.mx) AS BIGINT) - (50 + (m.doc_id * {_BOX_W_MULT}) % {_BOX_MOD}) AS x0,
+         CAST(floor(m.my) AS BIGINT) - (50 + (m.doc_id * {_BOX_H_MULT}) % {_BOX_MOD}) AS y0,
+         CAST(floor(m.mx) AS BIGINT) + (50 + (m.doc_id * {_BOX_W_MULT}) % {_BOX_MOD}) AS x1,
+         CAST(floor(m.my) AS BIGINT) + (50 + (m.doc_id * {_BOX_H_MULT}) % {_BOX_MOD}) AS y1
+  FROM merc m JOIN documents d ON d.doc_id = m.doc_id),
+xs AS (
+  SELECT lang, x, lead(x) OVER (PARTITION BY lang ORDER BY x) AS nx
+  FROM (SELECT DISTINCT lang, x0 AS x FROM rects
+        UNION SELECT DISTINCT lang, x1 FROM rects)),
+ys AS (
+  SELECT lang, y, lead(y) OVER (PARTITION BY lang ORDER BY y) AS ny
+  FROM (SELECT DISTINCT lang, y0 AS y FROM rects
+        UNION SELECT DISTINCT lang, y1 FROM rects)),
+covered AS (
+  SELECT DISTINCT xs.lang, xs.x, ys.y, (xs.nx - xs.x) * (ys.ny - ys.y) AS a
+  FROM xs JOIN ys ON ys.lang = xs.lang
+  JOIN rects r ON r.lang = xs.lang
+    AND r.x0 <= xs.x AND xs.nx <= r.x1
+    AND r.y0 <= ys.y AND ys.ny <= r.y1
+  WHERE xs.nx IS NOT NULL AND ys.ny IS NOT NULL)
+SELECT lang, CAST(sum(a) AS BIGINT) AS union_area FROM covered GROUP BY lang
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8584,6 +8658,10 @@ QUERIES = {
     "geohash_docs": (geohash_docs, SQL_GEOHASH_DOCS),
     "lang_position_hulls": (lang_position_hulls, SQL_LANG_POSITION_HULLS),
     "user_hex_dwells": (user_hex_dwells, SQL_USER_HEX_DWELLS),
+    "lang_coverage_union_area": (
+        lang_coverage_union_area,
+        SQL_LANG_COVERAGE_UNION_AREA,
+    ),
     "geohash_density_docs": (geohash_density_docs, SQL_GEOHASH_DENSITY),
     "hex_hotspot_neighbors_docs": (
         hex_hotspot_neighbors_docs,

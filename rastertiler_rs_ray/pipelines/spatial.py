@@ -3044,3 +3044,108 @@ def hex_dwell_runs(
         .groupby(user_col)
         .map_groups(runs, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------
+# Grouped rectangle union area (strip-partitioned, exact on integers)
+# --------------------------------------------------------------------
+
+
+def _union_area_block(x0, y0, x1, y1) -> int:
+    """Exact union area of integer rectangles (half-open [x0,x1)×[y0,y1))
+    by coordinate compression + a 2-D difference array: mark each rect's
+    four corners ±1 in compressed space, 2-D prefix-sum, a cell is
+    covered iff its count > 0.  Fully vectorized; O(n²) compressed cells
+    for n rects — the per-task budget the strip clipping bounds."""
+    xs = np.unique(np.concatenate([x0, x1]))
+    ys = np.unique(np.concatenate([y0, y1]))
+    ix0 = np.searchsorted(xs, x0)
+    ix1 = np.searchsorted(xs, x1)
+    iy0 = np.searchsorted(ys, y0)
+    iy1 = np.searchsorted(ys, y1)
+    d = np.zeros((len(xs), len(ys)), dtype=np.int64)
+    np.add.at(d, (ix0, iy0), 1)
+    np.add.at(d, (ix1, iy0), -1)
+    np.add.at(d, (ix0, iy1), -1)
+    np.add.at(d, (ix1, iy1), 1)
+    cover = d.cumsum(axis=0).cumsum(axis=1)[:-1, :-1] > 0
+    dx = np.diff(xs)
+    dy = np.diff(ys)
+    return int((cover * np.outer(dx, dy)).sum())
+
+
+def grouped_union_area(
+    rects: ray.data.Dataset,
+    *,
+    group_col: str,
+    strip_width: int = 1 << 14,
+    x0_col: str = "x0",
+    y0_col: str = "y0",
+    x1_col: str = "x1",
+    y1_col: str = "y1",
+) -> ray.data.Dataset:
+    """Exact area of the union of integer rectangles per group:
+    ``(group, union_area)``.
+
+    Strip-partitioned plan: rectangles clip to fixed vertical strips of
+    ``strip_width`` (map-only explode — areas partition exactly along
+    strip boundaries, so per-strip union areas SUM to the group total),
+    one groupby((group, strip)) computes each strip's exact union by
+    compressed 2-D difference counting, then a narrow groupby(group)
+    sums.  Per-task work is bounded by rects-per-strip, not group size —
+    a continent-wide group still decomposes; hot strips are the skew
+    knob (halve strip_width, same law).  Rect coords are half-open
+    integer intervals; degenerate (empty) rects contribute 0.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        x0 = batch.column(x0_col).to_numpy().astype(np.int64)
+        y0 = batch.column(y0_col).to_numpy().astype(np.int64)
+        x1 = batch.column(x1_col).to_numpy().astype(np.int64)
+        y1 = batch.column(y1_col).to_numpy().astype(np.int64)
+        ok = (x1 > x0) & (y1 > y0)
+        g, x0, y0, x1, y1 = g[ok], x0[ok], y0[ok], x1[ok], y1[ok]
+        s0 = np.floor_divide(x0, strip_width)
+        s1 = np.floor_divide(x1 - 1, strip_width)  # inclusive last strip
+        reps = (s1 - s0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(g)), reps)
+        # strip index per exploded row
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        strip = s0[idx] + (np.arange(len(idx)) - offs[idx])
+        cx0 = np.maximum(x0[idx], strip * strip_width)
+        cx1 = np.minimum(x1[idx], (strip + 1) * strip_width)
+        return pa.table(
+            {
+                group_col: pa.array(g[idx]),
+                "strip": pa.array(strip),
+                "x0": pa.array(cx0),
+                "y0": pa.array(y0[idx]),
+                "x1": pa.array(cx1),
+                "y1": pa.array(y1[idx]),
+            }
+        )
+
+    def strip_area(t: pa.Table) -> pa.Table:
+        area = _union_area_block(
+            t.column("x0").to_numpy(),
+            t.column("y0").to_numpy(),
+            t.column("x1").to_numpy(),
+            t.column("y1").to_numpy(),
+        )
+        return pa.table(
+            {
+                group_col: pa.array([t.column(group_col)[0].as_py()]),
+                "union_area": pa.array([area], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rects.map_batches(explode, batch_format="pyarrow")
+        .groupby([group_col, "strip"])
+        .map_groups(strip_area, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("union_area", alias_name="union_area"))
+    )
