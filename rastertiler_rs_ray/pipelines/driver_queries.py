@@ -8542,6 +8542,125 @@ SELECT lang, CAST(sum(a) AS BIGINT) AS union_area FROM covered GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------
+# Hex grid ⋈ raster: sample the synthetic raster at hex cell centers
+# --------------------------------------------------------------------
+
+HEX_RASTER_RES = 10
+
+
+def _hex_raster_constants():
+    """Folded float64 constants shared verbatim by the Ray kernel and
+    the SQL mirror: hex size, inverse affine, and the integer (q, r)
+    over-cover ranges for the raster bounds (computed once in Python so
+    enumeration needs no float parity at all)."""
+    import math
+
+    from ..geo.mercator import ORIGIN
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    t = r.transform
+    a, c, e, f = t.a, t.c, t.e, t.f
+    inv_det = 1.0 / (a * e)
+    ia, ie = e * inv_det, a * inv_det
+    ic, if_ = -c * ia, -f * ie
+    b = r.bounds()
+    s = ORIGIN / float(1 << HEX_RASTER_RES)
+    sq3 = math.sqrt(3.0)
+    r_lo = math.floor(b.ymin / (1.5 * s)) - 1
+    r_hi = math.ceil(b.ymax / (1.5 * s)) + 1
+    q_lo = math.floor(b.xmin / (sq3 * s) - r_hi / 2.0) - 1
+    q_hi = math.ceil(b.xmax / (sq3 * s) - r_lo / 2.0) + 1
+    return r, s, ia, ic, ie, if_, (q_lo, q_hi, r_lo, r_hi)
+
+
+def hex_raster_sample(sf_dir: str):
+    """Raster value at every hex cell center (res 10) falling inside
+    the synthetic raster: (hex_q, hex_r, col, row, raster_value; NULL
+    over nodata blocks).  The hex↔raster bridge: enumeration is an
+    integer (q, r) over-cover range (a ray.data.range → divmod map, no
+    driver list), centers and the inverse affine use the same folded
+    float64 constants as the SQL mirror, values come from the warmed
+    synthetic sampler — the same M17 pixel function the tile renderer
+    reads. ``sf_dir`` is unused (raster-only), kept for the driver ABI."""
+    from ..geo.hexcell import SQRT3
+
+    raster, s, ia, ic, ie, if_, (q_lo, q_hi, r_lo, r_hi) = _hex_raster_constants()
+    nq = q_hi - q_lo + 1
+    n = nq * (r_hi - r_lo + 1)
+    w, h = raster.width, raster.height
+
+    def sample(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy()
+        q = q_lo + (idx % nq)
+        rr = r_lo + (idx // nq)
+        cx = s * (SQRT3 * q + SQRT3 / 2.0 * rr)
+        cy = s * (1.5 * rr)
+        col = np.floor(cx * ia + ic)
+        row = np.floor(cy * ie + if_)
+        ok = (col >= 0) & (col < w) & (row >= 0) & (row < h)
+        q, rr = q[ok], rr[ok]
+        col = col[ok].astype(np.int64)
+        row = row[ok].astype(np.int64)
+        v = raster.values_at(col, row).astype(np.int64)
+        return pa.table(
+            {
+                "hex_q": pa.array(q),
+                "hex_r": pa.array(rr),
+                "col": pa.array(col),
+                "row": pa.array(row),
+                "raster_value": pa.array(
+                    np.where(v == raster.nodata, None, v), pa.int64()
+                ),
+            }
+        )
+
+    return ray.data.range(n).map_batches(sample, batch_format="pyarrow")
+
+
+def _sql_hex_raster_sample() -> str:
+    from ..geo.hexcell import SQRT3  # noqa: F401  (documentation parity)
+
+    raster, s, ia, ic, ie, if_, (q_lo, q_hi, r_lo, r_hi) = _hex_raster_constants()
+    blk = raster.block
+    blk_stages = _sql_mix64(f"sc // {blk}", f"sr // {blk}", raster.seed + 1, "bh")
+    px_stages = _sql_mix64("sc", "sr", raster.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["spx", "m0", "m1", "m2"])
+        )
+    )
+    return f"""
+WITH cells AS (
+  SELECT q.generate_series AS hex_q, r.generate_series AS hex_r
+  FROM generate_series({q_lo}, {q_hi}) q, generate_series({r_lo}, {r_hi}) r),
+ctr AS (
+  SELECT hex_q, hex_r,
+         {s!r} * (sqrt(3.0) * hex_q + sqrt(3.0)/2 * hex_r) AS cx,
+         {s!r} * (1.5 * hex_r) AS cy
+  FROM cells),
+pix AS (
+  SELECT hex_q, hex_r, floor(cx * {ia!r} + {ic!r}) AS colf,
+         floor(cy * {ie!r} + {if_!r}) AS rowf
+  FROM ctr),
+spx AS (
+  SELECT hex_q, hex_r, CAST(colf AS BIGINT) AS sc, CAST(rowf AS BIGINT) AS sr
+  FROM pix
+  WHERE colf >= 0 AND colf < {raster.width} AND rowf >= 0 AND rowf < {raster.height}),
+{hash_ctes}
+SELECT hex_q, hex_r, sc AS col, sr AS row,
+       CASE WHEN bh % 5 = 0 THEN NULL
+            WHEN bh % 7 = 1 THEN 42
+            ELSE 1 + CAST(ph % 255 AS BIGINT) END AS raster_value
+FROM m3
+"""
+
+
+SQL_HEX_RASTER_SAMPLE = _sql_hex_raster_sample()
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8658,6 +8777,7 @@ QUERIES = {
     "geohash_docs": (geohash_docs, SQL_GEOHASH_DOCS),
     "lang_position_hulls": (lang_position_hulls, SQL_LANG_POSITION_HULLS),
     "user_hex_dwells": (user_hex_dwells, SQL_USER_HEX_DWELLS),
+    "hex_raster_sample": (hex_raster_sample, SQL_HEX_RASTER_SAMPLE),
     "lang_coverage_union_area": (
         lang_coverage_union_area,
         SQL_LANG_COVERAGE_UNION_AREA,
