@@ -8661,6 +8661,60 @@ FROM m3
 SQL_HEX_RASTER_SAMPLE = _sql_hex_raster_sample()
 
 
+# --------------------------------------------------------------------
+# Ancestor closure over the deterministic doc forest (pointer doubling)
+# --------------------------------------------------------------------
+
+_ANC_K = 4  # parent(doc) = doc // 4; chains end at 0
+
+
+def doc_ancestor_closure(sf_dir: str):
+    """All (doc_id, ancestor_id, depth) pairs of the deterministic doc
+    forest parent(d) = d // 4 (ancestors walk to root 0) — computed in
+    O(log depth) shuffle rounds by pointer doubling
+    (graph.ancestor_closure), the scale-safe form of a recursive
+    hierarchy flatten."""
+    from .graph import ancestor_closure
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        d = d[d >= 1]
+        return pa.table(
+            {"node": pa.array(d), "parent": pa.array(d // _ANC_K)}
+        )
+
+    out = ancestor_closure(docs.map_batches(edges, batch_format="pyarrow"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("node"),
+                "ancestor_id": b.column("anc"),
+                "depth": b.column("depth"),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+# Presence-aware walk (JOIN documents at each step) — the exact mirror
+# of the closure's reach-join semantics: chains extend only through
+# ancestors that exist as docs (with contiguous ids the two readings
+# coincide, but this one stays correct under gaps).
+SQL_DOC_ANCESTOR_CLOSURE = f"""
+WITH RECURSIVE anc AS (
+  SELECT doc_id, doc_id // {_ANC_K} AS ancestor_id, CAST(1 AS BIGINT) AS depth
+  FROM documents WHERE doc_id >= 1
+  UNION ALL
+  SELECT a.doc_id, p.doc_id // {_ANC_K}, a.depth + 1
+  FROM anc a JOIN documents p ON p.doc_id = a.ancestor_id
+  WHERE p.doc_id >= 1)
+SELECT doc_id, ancestor_id, depth FROM anc
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8778,6 +8832,7 @@ QUERIES = {
     "lang_position_hulls": (lang_position_hulls, SQL_LANG_POSITION_HULLS),
     "user_hex_dwells": (user_hex_dwells, SQL_USER_HEX_DWELLS),
     "hex_raster_sample": (hex_raster_sample, SQL_HEX_RASTER_SAMPLE),
+    "doc_ancestor_closure": (doc_ancestor_closure, SQL_DOC_ANCESTOR_CLOSURE),
     "lang_coverage_union_area": (
         lang_coverage_union_area,
         SQL_LANG_COVERAGE_UNION_AREA,

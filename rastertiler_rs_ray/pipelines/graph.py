@@ -701,3 +701,69 @@ def jaccard_link_prediction(
         )
 
     return agg.map_batches(score, batch_format="pyarrow")
+
+
+def ancestor_closure(
+    edges: ray.data.Dataset,
+    *,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_rounds: int = 40,
+) -> ray.data.Dataset:
+    """Transitive closure of a FOREST (one parent per node): every
+    (node, ancestor, depth) pair, computed in O(log depth) shuffle
+    rounds by pointer doubling instead of O(depth) sequential walks.
+
+    Round k joins the exact-distance-2^k jump edges against all known
+    paths of length ≤ 2^k: a path of length 2^k + d (1 ≤ d ≤ 2^k)
+    decomposes UNIQUELY at the 2^k mark (single-parent ⇒ unique paths),
+    so rounds emit each (node, ancestor) pair exactly once and no
+    round-level dedup exchange is needed.  Terminates when no jump
+    edges of the next power length exist — ceil(log2(max depth))
+    rounds total; at a 10^12-row forest of depth 10^3 that is 10
+    bounded hash-join exchanges, never a 10^3-step driver loop.
+
+    The SQL mirror is the classic WITH RECURSIVE ancestor walk.
+    """
+    from .relational import shuffle_hash_join
+
+    def base(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.compute.cast(b.column(node_col), pa.int64()),
+                "anc": pa.compute.cast(b.column(parent_col), pa.int64()),
+                "depth": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    reach = edges.map_batches(base, batch_format="pyarrow").materialize()
+    for k in range(max_rounds):
+        step = 1 << k
+
+        def exact(b: pa.Table, _s=step) -> pa.Table:
+            t = b.filter(pa.compute.equal(b.column("depth"), pa.scalar(_s)))
+            return pa.table({"jnode": t.column("node"), "jmid": t.column("anc")})
+
+        # materialize + empty check BEFORE the join: an all-filtered
+        # dataset loses its schema and the hash join rejects it; no
+        # exact-2^k paths also means no longer paths can exist — the
+        # natural termination.
+        jump = reach.map_batches(exact, batch_format="pyarrow").materialize()
+        if jump.count() == 0:
+            break
+        joined = shuffle_hash_join(jump, reach, on="jmid", right_on="node")
+
+        def extend(b: pa.Table, _s=step) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("jnode"),
+                    "anc": b.column("anc"),
+                    "depth": pa.compute.add(b.column("depth"), pa.scalar(_s)),
+                }
+            )
+
+        new = joined.map_batches(extend, batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        reach = reach.union(new).materialize()
+    return reach
