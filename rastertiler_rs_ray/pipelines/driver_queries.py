@@ -8715,6 +8715,58 @@ SELECT doc_id, ancestor_id, depth FROM anc
 """
 
 
+# --------------------------------------------------------------------
+# Trajectory legs: spherical distance + initial bearing per hop
+# --------------------------------------------------------------------
+
+
+def user_leg_bearings(sf_dir: str):
+    """Per-user consecutive-event legs with TRUE spherical distance
+    (haversine, floored metres) and initial great-circle bearing
+    (e4-quantized degrees) — spatial.trajectory_legs, one groupby(user)
+    exchange, vectorized in-group."""
+    from .spatial import trajectory_legs
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def addpos(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon = ((eid * LON_MULT) % LON_MOD) / float(LON_MOD) * 360.0 - 180.0
+        lat = ((eid * LAT_MULT) % LAT_MOD) / float(LAT_MOD) * 170.0 - 85.0
+        return b.append_column("lon", pa.array(lon, pa.float64())).append_column(
+            "lat", pa.array(lat, pa.float64())
+        )
+
+    return trajectory_legs(ev.map_batches(addpos, batch_format="pyarrow"))
+
+
+SQL_USER_LEG_BEARINGS = f"""
+WITH pos AS (
+  SELECT event_id, user_id, ts,
+         radians((((event_id * {LON_MULT}) % {LON_MOD}) / {float(LON_MOD)!r}) * 360.0 - 180.0) AS rlon,
+         radians((((event_id * {LAT_MULT}) % {LAT_MOD}) / {float(LAT_MOD)!r}) * 170.0 - 85.0)  AS rlat
+  FROM events),
+lagged AS (
+  SELECT user_id, event_id, rlon, rlat,
+         lag(rlon) OVER w AS plon, lag(rlat) OVER w AS plat
+  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+legs AS (
+  SELECT user_id, event_id,
+         2.0 * 6371000.0 * asin(sqrt(
+           sin((rlat - plat) / 2.0) * sin((rlat - plat) / 2.0)
+           + cos(plat) * cos(rlat)
+             * (sin((rlon - plon) / 2.0) * sin((rlon - plon) / 2.0)))) AS dist,
+         degrees(atan2(sin(rlon - plon) * cos(rlat),
+                       cos(plat) * sin(rlat)
+                       - sin(plat) * cos(rlat) * cos(rlon - plon))) AS theta
+  FROM lagged WHERE plon IS NOT NULL)
+SELECT user_id, event_id,
+       CAST(floor(dist) AS BIGINT) AS dist_m,
+       CAST(floor(fmod(theta + 360.0, 360.0) * 10000.0 + 0.5) AS BIGINT) AS bearing_e4
+FROM legs
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8833,6 +8885,7 @@ QUERIES = {
     "user_hex_dwells": (user_hex_dwells, SQL_USER_HEX_DWELLS),
     "hex_raster_sample": (hex_raster_sample, SQL_HEX_RASTER_SAMPLE),
     "doc_ancestor_closure": (doc_ancestor_closure, SQL_DOC_ANCESTOR_CLOSURE),
+    "user_leg_bearings": (user_leg_bearings, SQL_USER_LEG_BEARINGS),
     "lang_coverage_union_area": (
         lang_coverage_union_area,
         SQL_LANG_COVERAGE_UNION_AREA,

@@ -3149,3 +3149,60 @@ def grouped_union_area(
         .groupby(group_col)
         .aggregate(Sum("union_area", alias_name="union_area"))
     )
+
+
+def trajectory_legs(
+    ev: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> ray.data.Dataset:
+    """Per-user trajectory legs: for every CONSECUTIVE event pair
+    (time order, ``order_col`` tie-break) the true spherical distance
+    (haversine, R=6371000, floored integer metres) and initial
+    great-circle bearing (degrees in [0, 360), e4-quantized).  One
+    groupby(user) exchange; leg math is vectorized in-group (shifted
+    arrays, no row loop).  Leg identity = the DESTINATION event."""
+
+    def legs(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values([ts_col, order_col], kind="mergesort")
+        if len(df) < 2:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    order_col: pa.array([], pa.int64()),
+                    "dist_m": pa.array([], pa.int64()),
+                    "bearing_e4": pa.array([], pa.int64()),
+                }
+            )
+        rlon = np.radians(df[lon_col].to_numpy())
+        rlat = np.radians(df[lat_col].to_numpy())
+        r1lon, r2lon = rlon[:-1], rlon[1:]
+        r1lat, r2lat = rlat[:-1], rlat[1:]
+        dlat2 = (r2lat - r1lat) / 2.0
+        dlon2 = (r2lon - r1lon) / 2.0
+        hav = (
+            np.sin(dlat2) * np.sin(dlat2)
+            + np.cos(r1lat) * np.cos(r2lat) * (np.sin(dlon2) * np.sin(dlon2))
+        )
+        dist = 2.0 * 6371000.0 * np.arcsin(np.sqrt(hav))
+        dlon = r2lon - r1lon
+        yb = np.sin(dlon) * np.cos(r2lat)
+        xb = np.cos(r1lat) * np.sin(r2lat) - np.sin(r1lat) * np.cos(r2lat) * np.cos(dlon)
+        theta = np.degrees(np.arctan2(yb, xb))
+        bearing = np.mod(theta + 360.0, 360.0)
+        return pa.table(
+            {
+                user_col: pa.array(df[user_col].to_numpy()[1:]),
+                order_col: pa.array(df[order_col].to_numpy()[1:]),
+                "dist_m": pa.array(np.floor(dist).astype(np.int64)),
+                "bearing_e4": pa.array(
+                    np.floor(bearing * 1e4 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return ev.groupby(user_col).map_groups(legs, batch_format="pyarrow")
