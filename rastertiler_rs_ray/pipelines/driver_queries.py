@@ -8767,6 +8767,96 @@ FROM legs
 """
 
 
+# --------------------------------------------------------------------
+# gdaldem-family terrain metrics: TRI / TPI / roughness (integer-exact)
+# --------------------------------------------------------------------
+
+
+def terrain_metrics_blocks(sf_dir: str):
+    """gdaldem TRI/TPI/roughness (focal.terrain_ruggedness_windowed —
+    overlap reads, zero shuffle, all-nine-valid rule) over the focal
+    window, rolled up per chunk block.  All three metrics are integer-
+    exact end-to-end, so the SQL oracle needs no float tree at all."""
+    from ..raster.synthetic import default_u8_raster
+    from .focal import terrain_ruggedness_windowed
+    from .relational import grouped_aggregate
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+
+    def key(b: pa.Table) -> pa.Table:
+        gc = b.column("gcol").to_numpy(zero_copy_only=False)
+        gr = b.column("grow").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bx", pa.array(gc // _FOCAL_CHUNK, pa.int64())
+        ).append_column("by", pa.array(gr // _FOCAL_CHUNK, pa.int64()))
+
+    return grouped_aggregate(
+        terrain_ruggedness_windowed(
+            r.spec(), c0, r0, c1, r1, chunk=_FOCAL_CHUNK
+        ).map_batches(key, batch_format="pyarrow"),
+        ["bx", "by"],
+        [
+            ("n", "tri8", "count"),
+            ("tri_sum", "tri8", "sum"),
+            ("tpi_sum", "tpi8", "sum"),
+            ("rough_sum", "roughness", "sum"),
+        ],
+    )
+
+
+def _sql_terrain_metrics_blocks() -> str:
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    blk_stages = _sql_mix64(f"nc // {r.block}", f"nr // {r.block}", r.seed + 1, "bh")
+    px_stages = _sql_mix64("nc", "nr", r.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["nb", "m0", "m1", "m2"])
+        )
+    )
+    return f"""
+WITH cc AS (SELECT unnest(generate_series({c0}, {c1 - 1})) AS sc),
+cr AS (SELECT unnest(generate_series({r0}, {r1 - 1})) AS sr),
+ctr AS (SELECT sc, sr FROM cc CROSS JOIN cr),
+d AS (SELECT unnest([-1, 0, 1]) AS dd),
+nb AS (
+  SELECT sc, sr, dx.dd AS dx, dy.dd AS dy, sc + dx.dd AS nc, sr + dy.dd AS nr
+  FROM ctr CROSS JOIN d dx CROSS JOIN d dy
+  WHERE sc + dx.dd >= {c0} AND sc + dx.dd < {c1}
+    AND sr + dy.dd >= {r0} AND sr + dy.dd < {r1}
+),
+{hash_ctes},
+vals AS (
+  SELECT sc, sr, dx, dy,
+         CASE WHEN bh % 7 = 1 THEN 42
+              ELSE 1 + CAST(ph % 255 AS BIGINT) END AS v
+  FROM m3 WHERE bh % 5 <> 0
+),
+cvals AS (SELECT sc, sr, v AS cv FROM vals WHERE dx = 0 AND dy = 0),
+px AS (
+  SELECT v.sc, v.sr,
+         sum(abs(v.v - c.cv)) AS tri8,
+         9 * any_value(c.cv) - sum(v.v) AS tpi8,
+         max(v.v) - min(v.v) AS roughness
+  FROM vals v JOIN cvals c ON c.sc = v.sc AND c.sr = v.sr
+  GROUP BY v.sc, v.sr HAVING count(*) = 9
+)
+SELECT sc // {_FOCAL_CHUNK} AS bx, sr // {_FOCAL_CHUNK} AS by,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(tri8) AS BIGINT) AS tri_sum,
+       CAST(sum(tpi8) AS BIGINT) AS tpi_sum,
+       CAST(sum(roughness) AS BIGINT) AS rough_sum
+FROM px GROUP BY 1, 2
+"""
+
+
+SQL_TERRAIN_METRICS_BLOCKS = _sql_terrain_metrics_blocks()
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8886,6 +8976,7 @@ QUERIES = {
     "hex_raster_sample": (hex_raster_sample, SQL_HEX_RASTER_SAMPLE),
     "doc_ancestor_closure": (doc_ancestor_closure, SQL_DOC_ANCESTOR_CLOSURE),
     "user_leg_bearings": (user_leg_bearings, SQL_USER_LEG_BEARINGS),
+    "terrain_metrics_blocks": (terrain_metrics_blocks, SQL_TERRAIN_METRICS_BLOCKS),
     "lang_coverage_union_area": (
         lang_coverage_union_area,
         SQL_LANG_COVERAGE_UNION_AREA,

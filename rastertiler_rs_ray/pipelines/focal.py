@@ -382,3 +382,90 @@ def hillshade_windowed(
     return ray.data.from_items(ids).map_batches(
         _Shader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
     )
+
+
+def terrain_ruggedness_windowed(
+    raster_spec: dict,
+    c0: int,
+    r0: int,
+    c1: int,
+    r1: int,
+    *,
+    chunk: int = 128,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """gdaldem-family terrain metrics with EXACT integer values — the
+    trig-free complement of ``hillshade_windowed`` (same overlap-read
+    zero-shuffle plan, same all-nine-valid rule):
+
+    - ``tri8``      Σ|nᵢ − c| over the 8 neighbors (Wilson TRI × 8)
+    - ``tpi8``      8·c − Σnᵢ          (TPI × 8, signed)
+    - ``roughness`` max − min of the full 3×3 window (gdaldem roughness)
+
+    All three stay in integer space end-to-end, so the SQL mirror is
+    bit-exact with no float tree at all.
+    """
+    from ..raster.synthetic import SyntheticRaster
+
+    ids = [
+        {"bx": bx, "by": by}
+        for by in range(r0 // chunk, (r1 + chunk - 1) // chunk)
+        for bx in range(c0 // chunk, (c1 + chunk - 1) // chunk)
+    ]
+    out_schema = pa.schema(
+        [
+            ("gcol", pa.int64()),
+            ("grow", pa.int64()),
+            ("tri8", pa.int64()),
+            ("tpi8", pa.int64()),
+            ("roughness", pa.int64()),
+        ]
+    )
+
+    class _Terrain:
+        def __init__(self):
+            self.r = SyntheticRaster.from_spec(raster_spec)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            out = []
+            bxs = b.column("bx").to_numpy(zero_copy_only=False)
+            bys = b.column("by").to_numpy(zero_copy_only=False)
+            for bx, by in zip(bxs, bys):
+                cols = np.arange(bx * chunk - 1, (bx + 1) * chunk + 1, dtype=np.int64)
+                rows = np.arange(by * chunk - 1, (by + 1) * chunk + 1, dtype=np.int64)
+                v = self.r.values_at(cols[None, :], rows[:, None]).astype(np.int64)
+                inside = (
+                    (cols[None, :] >= c0)
+                    & (cols[None, :] < c1)
+                    & (rows[:, None] >= r0)
+                    & (rows[:, None] < r1)
+                )
+                valid = (v != self.r.nodata) & inside
+                win = sliding_window_view(v, (3, 3))
+                all_ok = sliding_window_view(valid, (3, 3)).all(axis=(2, 3))
+                c = win[:, :, 1, 1]
+                nsum = win.sum(axis=(2, 3)) - c
+                tri8 = np.abs(win - c[:, :, None, None]).sum(axis=(2, 3))
+                tpi8 = 8 * c - nsum
+                rough = win.max(axis=(2, 3)) - win.min(axis=(2, 3))
+                rr, cc2 = np.nonzero(all_ok)
+                if len(rr) == 0:
+                    continue
+                out.append(
+                    pa.table(
+                        {
+                            "gcol": pa.array(bx * chunk + cc2, pa.int64()),
+                            "grow": pa.array(by * chunk + rr, pa.int64()),
+                            "tri8": pa.array(tri8[all_ok], pa.int64()),
+                            "tpi8": pa.array(tpi8[all_ok], pa.int64()),
+                            "roughness": pa.array(rough[all_ok], pa.int64()),
+                        }
+                    )
+                )
+            return pa.concat_tables(out) if out else out_schema.empty_table()
+
+    return ray.data.from_items(ids).map_batches(
+        _Terrain, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )
