@@ -8857,6 +8857,124 @@ FROM px GROUP BY 1, 2
 SQL_TERRAIN_METRICS_BLOCKS = _sql_terrain_metrics_blocks()
 
 
+# --------------------------------------------------------------------
+# Time-weighted average value per user (finance/telemetry TWA)
+# --------------------------------------------------------------------
+
+
+def user_time_weighted_value(sf_dir: str):
+    """Time-weighted average event value per user: each value holds
+    from its event until the user's next event; TWA = Σ v·Δt / Σ Δt.
+    Values e2-quantized and gaps in whole seconds so the weighted sums
+    are integer-exact on both engines (< 2^53, the float-exact range);
+    only the final ratio is float, e4-quantized.  One groupby(user)
+    exchange, vectorized in-group."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def twa(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"], kind="mergesort")
+        if len(df) < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "span_s": pa.array([], pa.int64()),
+                    "twa_e4": pa.array([], pa.int64()),
+                }
+            )
+        v = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        ts = df["ts"].to_numpy()
+        dt = ((ts[1:] - ts[:-1]) // np.timedelta64(1, "s")).astype(np.int64)
+        wsum = int((v[:-1] * dt).sum())
+        tsum = int(dt.sum())
+        if tsum <= 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "span_s": pa.array([], pa.int64()),
+                    "twa_e4": pa.array([], pa.int64()),
+                }
+            )
+        twa_e4 = int(np.floor(float(wsum) / float(tsum) * 1e4 + 0.5))
+        return pa.table(
+            {
+                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "span_s": pa.array([tsum], pa.int64()),
+                "twa_e4": pa.array([twa_e4], pa.int64()),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(twa, batch_format="pyarrow")
+
+
+SQL_USER_TIME_WEIGHTED_VALUE = """
+WITH q AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+  FROM events),
+l AS (
+  SELECT user_id, v,
+         (lead(us) OVER w - us) // 1000000 AS dt
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+a AS (
+  SELECT user_id, sum(v * dt) AS wsum, sum(dt) AS tsum
+  FROM l WHERE dt IS NOT NULL GROUP BY user_id)
+SELECT user_id, CAST(tsum AS BIGINT) AS span_s,
+       CAST(floor(CAST(wsum AS DOUBLE) / CAST(tsum AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS twa_e4
+FROM a WHERE tsum > 0
+"""
+
+
+# --------------------------------------------------------------------
+# Hex origin→destination flow matrix over event trajectories
+# --------------------------------------------------------------------
+
+
+def hex_od_matrix_events(sf_dir: str):
+    """Mobility OD matrix at hex res 1: per-user consecutive-event cell
+    transitions (same-cell hops excluded — those are dwells), counted
+    per (from, to) pair.  spatial.hex_od_matrix: two narrow exchanges
+    (user lag, then map-side-combined pair count)."""
+    from .spatial import hex_od_matrix
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def addpos(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon = ((eid * LON_MULT) % LON_MOD) / float(LON_MOD) * 360.0 - 180.0
+        lat = ((eid * LAT_MULT) % LAT_MOD) / float(LAT_MOD) * 170.0 - 85.0
+        mx, my = geo_to_mercator(lon, lat)
+        return b.append_column("mx", pa.array(mx, pa.float64())).append_column(
+            "my", pa.array(my, pa.float64())
+        )
+
+    return hex_od_matrix(
+        ev.map_batches(addpos, batch_format="pyarrow"), res=DWELL_RES
+    )
+
+
+SQL_HEX_OD_MATRIX = f"""
+WITH pos AS (
+  SELECT event_id, user_id, ts,
+         (((event_id * {LON_MULT}) % {LON_MOD}) / {float(LON_MOD)!r}) * 360.0 - 180.0 AS lon,
+         (((event_id * {LAT_MULT}) % {LAT_MOD}) / {float(LAT_MOD)!r}) * 170.0 - 85.0  AS lat
+  FROM events),
+emerc AS (
+  SELECT event_id, user_id, ts,
+         lon * ((6378137.0 * pi()) / 180.0) AS mx,
+         6378137.0 * ln(tan(pi() * 0.25 + 0.5 * (lat * (pi() / 180.0)))) AS my
+  FROM pos),
+{_sql_hex_cte(DWELL_RES, carry="event_id, user_id, ts", src="emerc")},
+lagged AS (
+  SELECT hex_q AS to_q, hex_r AS to_r,
+         lag(hex_q) OVER w AS from_q, lag(hex_r) OVER w AS from_r
+  FROM hexed WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT from_q, from_r, to_q, to_r, count(*) AS n_trips
+FROM lagged
+WHERE from_q IS NOT NULL AND (from_q <> to_q OR from_r <> to_r)
+GROUP BY from_q, from_r, to_q, to_r
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -8977,6 +9095,11 @@ QUERIES = {
     "doc_ancestor_closure": (doc_ancestor_closure, SQL_DOC_ANCESTOR_CLOSURE),
     "user_leg_bearings": (user_leg_bearings, SQL_USER_LEG_BEARINGS),
     "terrain_metrics_blocks": (terrain_metrics_blocks, SQL_TERRAIN_METRICS_BLOCKS),
+    "hex_od_matrix_events": (hex_od_matrix_events, SQL_HEX_OD_MATRIX),
+    "user_time_weighted_value": (
+        user_time_weighted_value,
+        SQL_USER_TIME_WEIGHTED_VALUE,
+    ),
     "lang_coverage_union_area": (
         lang_coverage_union_area,
         SQL_LANG_COVERAGE_UNION_AREA,

@@ -3206,3 +3206,73 @@ def trajectory_legs(
         )
 
     return ev.groupby(user_col).map_groups(legs, batch_format="pyarrow")
+
+
+def hex_od_matrix(
+    ev: ray.data.Dataset,
+    *,
+    res: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """Origin→destination flow matrix on the hex grid: per user,
+    consecutive-event cell transitions (time order, ``order_col``
+    tie-break), same-cell hops excluded (those are dwells), counted per
+    (from, to) cell pair — the classic mobility-analytics aggregate.
+
+    Two narrow exchanges: groupby(user) for the in-group lag, then a
+    map-side-combined groupby((from,to)) count; positions never
+    shuffle twice."""
+    from ..geo.hexcell import hex_assign
+
+    def assign(batch: pa.Table) -> pa.Table:
+        q, r = hex_assign(
+            batch.column(mx_col).to_numpy(), batch.column(my_col).to_numpy(), res
+        )
+        return pa.table(
+            {
+                user_col: batch.column(user_col),
+                ts_col: batch.column(ts_col),
+                order_col: batch.column(order_col),
+                "hq": pa.array(q),
+                "hr": pa.array(r),
+            }
+        )
+
+    def hops(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values([ts_col, order_col], kind="mergesort")
+        q = df["hq"].to_numpy()
+        r = df["hr"].to_numpy()
+        move = (q[1:] != q[:-1]) | (r[1:] != r[:-1])
+        return pa.table(
+            {
+                "from_q": pa.array(q[:-1][move]),
+                "from_r": pa.array(r[:-1][move]),
+                "to_q": pa.array(q[1:][move]),
+                "to_r": pa.array(r[1:][move]),
+            }
+        )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        gcounts = (
+            df.groupby(["from_q", "from_r", "to_q", "to_r"], sort=False)
+            .size()
+            .rename("n_trips")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(gcounts, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(hops, batch_format="pyarrow")
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["from_q", "from_r", "to_q", "to_r"])
+        .aggregate(Sum("n_trips", alias_name="n_trips"))
+    )
