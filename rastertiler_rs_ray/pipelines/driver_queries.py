@@ -8975,6 +8975,95 @@ GROUP BY from_q, from_r, to_q, to_r
 """
 
 
+# --------------------------------------------------------------------
+# Space-time cube: hourly event density per hex cell
+# --------------------------------------------------------------------
+
+
+def hex_hourly_density(sf_dir: str):
+    """Space-time cube at (hour, hex res 2): event counts per hex cell
+    per UTC hour bucket — the hex analog of events_hourly_windows.
+    Map-side partial counts over the packed (hour, cell) key before the
+    one narrow groupby; event payloads never shuffle."""
+    from ..geo.hexcell import hex_assign
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        lon = ((eid * LON_MULT) % LON_MOD) / float(LON_MOD) * 360.0 - 180.0
+        lat = ((eid * LAT_MULT) % LAT_MOD) / float(LAT_MOD) * 170.0 - 85.0
+        mx, my = geo_to_mercator(lon, lat)
+        q, r = hex_assign(mx, my, 2)
+        ts = b.column("ts").to_numpy()
+        hour = ts.astype("datetime64[h]")
+        df = pd.DataFrame({"hour": hour, "hex_q": q, "hex_r": r})
+        g = df.groupby(["hour", "hex_q", "hex_r"], sort=False).size().rename("n_events").reset_index()
+        g["hour"] = g["hour"].astype("datetime64[us]")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hour", "hex_q", "hex_r"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
+SQL_HEX_HOURLY_DENSITY = f"""
+WITH pos AS (
+  SELECT event_id, ts,
+         (((event_id * {LON_MULT}) % {LON_MOD}) / {float(LON_MOD)!r}) * 360.0 - 180.0 AS lon,
+         (((event_id * {LAT_MULT}) % {LAT_MOD}) / {float(LAT_MOD)!r}) * 170.0 - 85.0  AS lat
+  FROM events),
+emerc AS (
+  SELECT event_id, date_trunc('hour', ts) AS hour,
+         lon * ((6378137.0 * pi()) / 180.0) AS mx,
+         6378137.0 * ln(tan(pi() * 0.25 + 0.5 * (lat * (pi() / 180.0)))) AS my
+  FROM pos),
+{_sql_hex_cte(2, carry="event_id, hour", src="emerc")}
+SELECT hour, hex_q, hex_r, count(*) AS n_events
+FROM hexed GROUP BY hour, hex_q, hex_r
+"""
+
+
+# --------------------------------------------------------------------
+# Contour → MVT LINESTRING tileset (vector-tile lines path)
+# --------------------------------------------------------------------
+
+
+def contour_mvt_tileset(sf_dir: str):
+    """Marching-squares contour segments rendered as an MVT LINESTRING
+    tileset at z11 (vectortile.render_contour_mvt: midpoint tile
+    assignment in e4 integer space, endpoints keep true positions via
+    the MVT buffer convention).  Read-back oracle on the written map;
+    byte-level decode parity is pinned in tests/test_vectortile.py."""
+    import dataclasses
+    import os
+
+    from ..raster.synthetic import default_u8_raster
+    from .contour import contour_segments_windowed
+    from .render import tileset_map_dataset
+    from .vectortile import render_contour_mvt
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    segs = contour_segments_windowed(
+        r.spec(), c0, r0, c1, r1, level=_CONTOUR_LEVEL, chunk=_FOCAL_CHUNK
+    )
+    out = os.path.join(ORACLE_TS_ROOT, "contour_mvt_ts")
+    render_contour_mvt(
+        segs, dataclasses.astuple(r.transform), out, zoom=11
+    )
+    return tileset_map_dataset(out).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_CONTOUR_MVT_TILESET = _sql_read_map("contour_mvt_ts")
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9096,6 +9185,8 @@ QUERIES = {
     "user_leg_bearings": (user_leg_bearings, SQL_USER_LEG_BEARINGS),
     "terrain_metrics_blocks": (terrain_metrics_blocks, SQL_TERRAIN_METRICS_BLOCKS),
     "hex_od_matrix_events": (hex_od_matrix_events, SQL_HEX_OD_MATRIX),
+    "hex_hourly_density": (hex_hourly_density, SQL_HEX_HOURLY_DENSITY),
+    "contour_mvt_tileset": (contour_mvt_tileset, SQL_CONTOUR_MVT_TILESET),
     "user_time_weighted_value": (
         user_time_weighted_value,
         SQL_USER_TIME_WEIGHTED_VALUE,

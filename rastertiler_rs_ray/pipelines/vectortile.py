@@ -124,6 +124,159 @@ def encode_point_layer(
     return _len_delimited(3, layer)
 
 
+MVT_LINESTRING = 2
+
+
+def encode_line_layer(
+    ids: np.ndarray,
+    starts: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+    *,
+    name: str = "lines",
+    extent: int = MVT_EXTENT,
+) -> bytes:
+    """One MVT layer of LINESTRING features.  ``px/py`` hold the
+    concatenated vertex lists of all features; ``starts`` are the
+    offsets (len = n_features + 1); ``ids`` one per feature (sorted for
+    deterministic bytes).  Geometry per feature: MoveTo(1) to the first
+    vertex then LineTo(k-1) with zigzag deltas — the spec's cursor
+    encoding.  Coordinates may lie outside [0, extent) (buffer
+    convention for features near tile edges)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n = len(ids)
+    kk = starts[1:] - starts[:-1]
+    has_line = kk > 1
+    # Every byte of an MVT feature frame is itself a varint (the field
+    # keys 0x12/0x08/0x18/0x22 are single-byte varints, the lengths and
+    # the packed geometry are varints), so the WHOLE feature sequence
+    # is one uint64 value stream per layer:
+    #   [0x12, bodylen, 0x08, id, 0x18, 2, 0x22, geomlen,
+    #    MoveTo(9), zx0, zy0, (LineTo, zx1, zy1, ...)?]  per feature
+    # — assembled by vectorized scatter and varint-encoded in ONE pass:
+    # zero per-feature Python.
+    geom_vals = 3 + np.where(has_line, 1 + 2 * (kk - 1), 0)
+    # geometry byte lengths: nbytes of each geometry value, cumsummed
+    gv_starts = np.concatenate(([0], np.cumsum(geom_vals)))
+    gstream = np.empty(gv_starts[-1], dtype=np.uint64)
+    s0 = gv_starts[:-1]
+    gstream[s0] = 9
+    gstream[s0[has_line] + 3] = (2 | ((kk[has_line] - 1) << 3)).astype(np.uint64)
+    d_px = np.diff(px, prepend=0)
+    d_py = np.diff(py, prepend=0)
+    d_px[starts[:-1]] = px[starts[:-1]]
+    d_py[starts[:-1]] = py[starts[:-1]]
+    feat_of = np.repeat(np.arange(n), kk)
+    j = np.arange(len(px)) - starts[feat_of]
+    tgt = np.where(j == 0, s0[feat_of] + 1, s0[feat_of] + 4 + 2 * (j - 1))
+    gstream[tgt] = zigzag(d_px)
+    gstream[tgt + 1] = zigzag(d_py)
+    g_byte_off = _varint_offsets(gstream)
+    geom_bytes = (g_byte_off[gv_starts[1:]] - g_byte_off[gv_starts[:-1]]).astype(np.uint64)
+
+    def _nbytes(v: np.ndarray) -> np.ndarray:
+        o = _varint_offsets(v)
+        return (o[1:] - o[:-1]).astype(np.uint64)
+
+    glen_nb = _nbytes(geom_bytes)
+    body_len = 4 + _nbytes(ids) + glen_nb + geom_bytes  # 0x08,0x18,2,0x22
+    vals2 = 8 + geom_vals
+    f2 = np.concatenate(([0], np.cumsum(vals2)))
+    stream2 = np.empty(f2[-1], dtype=np.uint64)
+    h = f2[:-1]
+    stream2[h] = 0x12
+    stream2[h + 1] = body_len
+    stream2[h + 2] = 0x08
+    stream2[h + 3] = ids
+    stream2[h + 4] = 0x18
+    stream2[h + 5] = MVT_LINESTRING
+    stream2[h + 6] = 0x22
+    stream2[h + 7] = geom_bytes
+    # geometry values relocate to h + 8 (+ their intra-feature offset)
+    shift = (h + 8) - s0
+    stream2[tgt + shift[feat_of]] = zigzag(d_px)
+    stream2[tgt + 1 + shift[feat_of]] = zigzag(d_py)
+    stream2[s0 + shift] = 9
+    stream2[(s0 + 3 + shift)[has_line]] = (
+        2 | ((kk[has_line] - 1) << 3)
+    ).astype(np.uint64)
+    feats_b = varint_encode(stream2)
+    layer = (
+        b"\x78\x02"
+        + _len_delimited(1, name.encode())
+        + feats_b
+        + _field(5, 0) + varint_encode(np.array([extent]))
+    )
+    return _len_delimited(3, layer)
+
+
+def decode_line_layer(tile: bytes) -> dict:
+    """Minimal decoder for a LINESTRING layer: {name, extent, version,
+    ids, lines:[[(x,y),...], ...]}."""
+    def rd_varint(buf, i):
+        shift = val = 0
+        while True:
+            b = buf[i]
+            val |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                return val, i
+            shift += 7
+
+    def unzig(v):
+        return (v >> 1) ^ -(v & 1)
+
+    def fields(buf):
+        i = 0
+        while i < len(buf):
+            key, i = rd_varint(buf, i)
+            tag, wire = key >> 3, key & 7
+            if wire == 0:
+                val, i = rd_varint(buf, i)
+            elif wire == 2:
+                ln, i = rd_varint(buf, i)
+                val = buf[i:i + ln]
+                i += ln
+            else:  # pragma: no cover
+                raise ValueError(f"wire {wire}")
+            yield tag, val
+
+    out = {"ids": [], "lines": [], "extent": MVT_EXTENT, "version": None, "name": None}
+    for tag, val in fields(tile):
+        if tag != 3:
+            continue
+        for ltag, lval in fields(val):
+            if ltag == 15:
+                out["version"] = lval
+            elif ltag == 1:
+                out["name"] = lval.decode()
+            elif ltag == 5:
+                out["extent"] = lval
+            elif ltag == 2:
+                fid, line = None, []
+                for ftag, fval in fields(lval):
+                    if ftag == 1:
+                        fid = fval
+                    elif ftag == 4:
+                        i = cx = cy = 0
+                        while i < len(fval):
+                            cmd, i = rd_varint(fval, i)
+                            cid, cnt = cmd & 7, cmd >> 3
+                            for _ in range(cnt):
+                                zx, i = rd_varint(fval, i)
+                                zy, i = rd_varint(fval, i)
+                                cx += unzig(zx)
+                                cy += unzig(zy)
+                                assert cid in (1, 2)
+                                line.append((cx, cy))
+                out["ids"].append(fid)
+                out["lines"].append(line)
+    return out
+
+
 def _varint_offsets(v: np.ndarray) -> np.ndarray:
     nb = np.ones(v.shape, dtype=np.int64)
     for k in range(1, 10):
@@ -309,5 +462,134 @@ def render_vector_tileset(
             else 0
         )
         manifest.record_complete(f"tiles/g{z:02d}", rows=rows, wall_s=wall, zooms=[z])
+    _dedupe_images(out_dir, manifest)
+    return manifest
+
+
+def render_contour_mvt(
+    segments: ray.data.Dataset,
+    raster_transform,
+    out_dir: str,
+    *,
+    zoom: int,
+    extent: int = MVT_EXTENT,
+    layer_name: str = "contours",
+) -> Manifest:
+    """Render marching-squares contour segments (contour.py output:
+    e4-quantized global-PIXEL endpoints) as an MVT LINESTRING pyramid
+    level in the standard tileset layout.
+
+    Tile assignment is by segment MIDPOINT (computed in e4 integer
+    space — no /2 — so the SQL mirror shares the exact float tree);
+    endpoints keep their true positions in extent-local coordinates,
+    which may fall slightly outside [0, extent) at tile edges — the MVT
+    buffer convention, decoders clip.  Feature id packs (cell col, row,
+    seg) so bytes are deterministic.  One narrow groupby exchange on
+    the tile address; blobs are born in map_groups."""
+    from ..geo.mercator import ORIGIN
+
+    a, _, coff, _, e, foff = raster_transform
+    n_px = float((1 << zoom) * extent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        x0 = b.column("x0_e4").to_numpy().astype(np.float64)
+        y0 = b.column("y0_e4").to_numpy().astype(np.float64)
+        x1 = b.column("x1_e4").to_numpy().astype(np.float64)
+        y1 = b.column("y1_e4").to_numpy().astype(np.float64)
+        # mercator endpoints (pixel = e4 / 1e4)
+        mx0 = x0 / 10000.0 * a + coff
+        my0 = y0 / 10000.0 * e + foff
+        mx1 = x1 / 10000.0 * a + coff
+        my1 = y1 / 10000.0 * e + foff
+        # midpoint in e4 integer space, then the same merc transform
+        mmx = (x0 + x1) / 20000.0 * a + coff
+        mmy = (y0 + y1) / 20000.0 * e + foff
+        gx = np.clip(np.floor((mmx + ORIGIN) / (2.0 * ORIGIN) * n_px), 0, n_px - 1)
+        gy = np.clip(np.floor((1.0 - (mmy + ORIGIN) / (2.0 * ORIGIN)) * n_px), 0, n_px - 1)
+        tx = (gx // extent).astype(np.int64)
+        ty = (gy // extent).astype(np.int64)
+
+        def local(m, t, flip):
+            g = (m + ORIGIN) / (2.0 * ORIGIN) * n_px if not flip else (
+                1.0 - (m + ORIGIN) / (2.0 * ORIGIN)
+            ) * n_px
+            return np.floor(g).astype(np.int64) - t * extent
+
+        c = b.column("c").to_numpy().astype(np.int64)
+        r = b.column("r").to_numpy().astype(np.int64)
+        seg = b.column("seg").to_numpy().astype(np.int64)
+        fid = (c << np.int64(22)) | (r << np.int64(2)) | seg
+        return pa.table(
+            {
+                "x": pa.array(tx),
+                "y": pa.array(ty),
+                "fid": pa.array(fid),
+                "lx0": pa.array(local(mx0, tx, False)),
+                "ly0": pa.array(local(my0, ty, True)),
+                "lx1": pa.array(local(mx1, tx, False)),
+                "ly1": pa.array(local(my1, ty, True)),
+            }
+        )
+
+    def build(g: pa.Table) -> pa.Table:
+        fid = np.asarray(g.column("fid"), dtype=np.int64)
+        order = np.argsort(fid, kind="stable")
+        n = len(fid)
+        px = np.empty(2 * n, dtype=np.int64)
+        py = np.empty(2 * n, dtype=np.int64)
+        px[0::2] = np.asarray(g.column("lx0"), dtype=np.int64)[order]
+        px[1::2] = np.asarray(g.column("lx1"), dtype=np.int64)[order]
+        py[0::2] = np.asarray(g.column("ly0"), dtype=np.int64)[order]
+        py[1::2] = np.asarray(g.column("ly1"), dtype=np.int64)[order]
+        starts = np.arange(0, 2 * n + 1, 2)
+        blob = encode_line_layer(
+            fid[order], starts, px, py, name=layer_name, extent=extent
+        )
+        x = int(g.column("x")[0].as_py())
+        y = int(g.column("y")[0].as_py())
+        return pa.table(
+            {
+                "zoom": pa.array([zoom], pa.uint8()),
+                "x": pa.array([x], pa.uint32()),
+                "y": pa.array([y], pa.uint32()),
+                "tms_y": pa.array([(1 << zoom) - 1 - y], pa.uint32()),
+                "tile_hash": pa.array([content_hash64(blob)], pa.int64()),
+                "tile_data": pa.array([blob], pa.binary()),
+                "part": pa.array([f"g{zoom:02d}"], pa.string()),
+            }
+        )
+
+    from .heatmap import _dedupe_images
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    t0 = time.perf_counter()
+    tiles = (
+        segments.map_batches(assign, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .map_groups(build, batch_format="pyarrow")
+    )
+    tiles.write_parquet(
+        os.path.join(out_dir, "tiles"), partition_cols=["part"],
+        min_rows_per_file=32768,
+    )
+    manifest = Manifest(os.path.join(out_dir, "manifest.json"))
+    manifest.set_meta(
+        metadata={
+            "name": layer_name, "type": "overlay", "format": "pbf",
+            "version": "1.0.0", "minzoom": str(zoom), "maxzoom": str(zoom),
+        },
+        tilesize=extent, minzoom=zoom, maxzoom=zoom,
+    )
+    part_dir = os.path.join(out_dir, "tiles", f"part=g{zoom:02d}")
+    rows = (
+        pads.dataset(part_dir, format="parquet").count_rows()
+        if os.path.exists(part_dir) else 0
+    )
+    manifest.record_complete(
+        f"tiles/g{zoom:02d}", rows=rows,
+        wall_s=time.perf_counter() - t0, zooms=[zoom],
+    )
     _dedupe_images(out_dir, manifest)
     return manifest

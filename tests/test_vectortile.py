@@ -159,3 +159,63 @@ def test_vector_tileset_audit_compatible(point_ds, tmp_path):
     render_vector_tileset(point_ds, a, [2])
     render_vector_tileset(point_ds, b, [2])
     assert diff_tilesets(a, b).count() == 0
+
+
+def test_line_layer_roundtrip_fuzz():
+    from rastertiler_rs_ray.pipelines.vectortile import (
+        decode_line_layer,
+        encode_line_layer,
+    )
+
+    rng = np.random.default_rng(12)
+    for _ in range(25):
+        nf = int(rng.integers(1, 50))
+        kk = rng.integers(1, 10, nf)
+        starts = np.concatenate([[0], np.cumsum(kk)])
+        px = rng.integers(-6000, 6000, starts[-1])
+        py = rng.integers(-6000, 6000, starts[-1])
+        ids = np.sort(rng.choice(10**7, nf, replace=False))
+        d = decode_line_layer(encode_line_layer(ids, starts, px, py, name="l"))
+        assert d["name"] == "l" and d["version"] == 2
+        assert d["ids"] == ids.tolist()
+        want = [
+            [(int(px[a + i]), int(py[a + i])) for i in range(b - a)]
+            for a, b in zip(starts[:-1], starts[1:])
+        ]
+        assert d["lines"] == want
+
+
+def test_contour_mvt_end_to_end(ray_session, tmp_path):
+    """Contour segments → MVT lines tileset → decode a tile back and
+    check the features against the segment table (endpoints survive the
+    encode/decode; buffer coords beyond [0, extent) allowed)."""
+    import dataclasses
+
+    import pyarrow.dataset as pads
+
+    from rastertiler_rs_ray.pipelines.contour import contour_segments_windowed
+    from rastertiler_rs_ray.pipelines.vectortile import (
+        decode_line_layer,
+        render_contour_mvt,
+    )
+    from rastertiler_rs_ray.raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    segs = contour_segments_windowed(
+        r.spec(), 256, 256, 384, 384, level=127.5, chunk=64
+    ).materialize()
+    n_segs = segs.count()
+    out = str(tmp_path / "cmvt")
+    render_contour_mvt(
+        segs, dataclasses.astuple(r.transform), out, zoom=12
+    )
+    tiles = pads.dataset(out + "/tiles", format="parquet", partitioning="hive").to_table()
+    assert tiles.num_rows > 0
+    total = 0
+    for blob in tiles.column("tile_data"):
+        d = decode_line_layer(blob.as_py())
+        assert d["name"] == "contours" and d["version"] == 2
+        assert all(len(line) == 2 for line in d["lines"])
+        assert d["ids"] == sorted(d["ids"])  # deterministic bytes
+        total += len(d["ids"])
+    assert total == n_segs  # every segment landed in exactly one tile
