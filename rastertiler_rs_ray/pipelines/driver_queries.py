@@ -9064,6 +9064,138 @@ def contour_mvt_tileset(sf_dir: str):
 SQL_CONTOUR_MVT_TILESET = _sql_read_map("contour_mvt_ts")
 
 
+# --------------------------------------------------------------------
+# Precision/recall curve (classifier-eval aggregate)
+# --------------------------------------------------------------------
+
+
+def quality_pr_curve(sf_dir: str):
+    """Precision/recall curve of a doc score (n_chars) against a binary
+    label (lang = 'en'), one point per distinct score threshold
+    (descending; predict-positive = score ≥ threshold).
+
+    Plan: one narrow groupby on the score bucket (map-side (pos, neg)
+    partial counts — doc payloads never shuffle), then the cumulative
+    TP/FP sweep runs on the driver over the BOUNDED bucket table
+    (≤ distinct scores, quantization-capped) — the same bounded-small-
+    result contract as the percentile selectors.  Ties share a bucket,
+    so the curve is the correct step function."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["pos"] = (df["lang"] == "en").astype(np.int64)
+        df["neg"] = 1 - df["pos"]
+        g = df.groupby("n_chars", sort=False)[["pos", "neg"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    buckets = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .to_pandas()  # bounded: one row per distinct score
+    )
+    buckets = buckets.sort_values("n_chars", ascending=False).reset_index(drop=True)
+    tp = buckets["pos"].cumsum().to_numpy()
+    fp = buckets["neg"].cumsum().to_numpy()
+    p_total = int(buckets["pos"].sum())
+    precision_e4 = np.floor(tp / (tp + fp) * 1e4 + 0.5).astype(np.int64)
+    recall_e4 = np.floor(tp / float(p_total) * 1e4 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "threshold": pa.array(buckets["n_chars"].to_numpy().astype(np.int64)),
+            "tp": pa.array(tp.astype(np.int64)),
+            "fp": pa.array(fp.astype(np.int64)),
+            "precision_e4": pa.array(precision_e4),
+            "recall_e4": pa.array(recall_e4),
+        }
+    )
+
+
+SQL_QUALITY_PR_CURVE = """
+WITH b AS (
+  SELECT n_chars AS threshold,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+  FROM documents GROUP BY n_chars),
+c AS (
+  SELECT threshold,
+         sum(pos) OVER w AS tp, sum(neg) OVER w AS fp,
+         sum(pos) OVER () AS p_total
+  FROM b WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING))
+SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(floor(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS precision_e4,
+  CAST(floor(CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS recall_e4
+FROM c
+"""
+
+
+def quality_auc(sf_dir: str):
+    """Mann-Whitney AUC of the n_chars score for the lang='en' label,
+    tie-exact: U2 = Σ_buckets pos_b · (2·neg_below + neg_b) keeps the
+    whole statistic in integers (ties contribute the exact half via the
+    ×2 form); AUC_e4 = floor(U2 / (2·P·N) · 1e4 + 0.5).  Same bounded
+    score-bucket exchange as the PR curve."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        df["pos"] = (df["lang"] == "en").astype(np.int64)
+        df["neg"] = 1 - df["pos"]
+        g = df.groupby("n_chars", sort=False)[["pos", "neg"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    buckets = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .to_pandas()  # bounded: one row per distinct score
+    ).sort_values("n_chars").reset_index(drop=True)
+    pos = buckets["pos"].to_numpy()
+    neg = buckets["neg"].to_numpy()
+    neg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
+    u2 = int((pos * (2 * neg_below + neg)).sum())
+    p_total, n_total = int(pos.sum()), int(neg.sum())
+    auc_e4 = int(np.floor(u2 / float(2 * p_total * n_total) * 1e4 + 0.5))
+    return pa.table(
+        {
+            "u2": pa.array([u2], pa.int64()),
+            "n_pos": pa.array([p_total], pa.int64()),
+            "n_neg": pa.array([n_total], pa.int64()),
+            "auc_e4": pa.array([auc_e4], pa.int64()),
+        }
+    )
+
+
+SQL_QUALITY_AUC = """
+WITH b AS (
+  SELECT n_chars,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+  FROM documents GROUP BY n_chars),
+c AS (
+  SELECT pos, neg,
+         COALESCE(sum(neg) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM b),
+a AS (
+  SELECT CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS u2,
+         CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg
+  FROM c)
+SELECT u2, n_pos, n_neg,
+  CAST(floor(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS auc_e4
+FROM a
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9187,6 +9319,8 @@ QUERIES = {
     "hex_od_matrix_events": (hex_od_matrix_events, SQL_HEX_OD_MATRIX),
     "hex_hourly_density": (hex_hourly_density, SQL_HEX_HOURLY_DENSITY),
     "contour_mvt_tileset": (contour_mvt_tileset, SQL_CONTOUR_MVT_TILESET),
+    "quality_pr_curve": (quality_pr_curve, SQL_QUALITY_PR_CURVE),
+    "quality_auc": (quality_auc, SQL_QUALITY_AUC),
     "user_time_weighted_value": (
         user_time_weighted_value,
         SQL_USER_TIME_WEIGHTED_VALUE,
