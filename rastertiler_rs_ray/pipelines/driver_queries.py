@@ -9196,6 +9196,68 @@ FROM a
 """
 
 
+# --------------------------------------------------------------------
+# Histogram equalization (global-stats → broadcast → remap, 2 passes)
+# --------------------------------------------------------------------
+
+
+def equalize_raster_blocks(sf_dir: str):
+    """Histogram equalization over the focal window
+    (focal.equalize_blocks): 256-bin histogram reduce → broadcast CDF
+    LUT → per-block remap rollup (bx, by, n, eq_sum).  Integer-exact
+    classic transfer eq = (cdf(v) − cdf_min)·255 // (N − cdf_min)."""
+    from ..raster.synthetic import default_u8_raster
+    from .focal import equalize_blocks
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    return equalize_blocks(r.spec(), c0, r0, c1, r1, chunk=_FOCAL_CHUNK)
+
+
+def _sql_equalize_raster_blocks() -> str:
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _FOCAL_REGION
+    blk_stages = _sql_mix64(f"sc // {r.block}", f"sr // {r.block}", r.seed + 1, "bh")
+    px_stages = _sql_mix64("sc", "sr", r.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["pxs", "m0", "m1", "m2"])
+        )
+    )
+    return f"""
+WITH cc AS (SELECT unnest(generate_series({c0}, {c1 - 1})) AS sc),
+cr AS (SELECT unnest(generate_series({r0}, {r1 - 1})) AS sr),
+pxs AS (SELECT sc, sr FROM cc CROSS JOIN cr),
+{hash_ctes},
+vals AS (
+  SELECT sc, sr,
+         CASE WHEN bh % 7 = 1 THEN 42
+              ELSE 1 + CAST(ph % 255 AS BIGINT) END AS v
+  FROM m3 WHERE bh % 5 <> 0
+),
+hist AS (SELECT v AS bin, count(*) AS n FROM vals GROUP BY v),
+cdf AS (
+  SELECT bin, sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+         sum(n) OVER () AS total, min(bin) OVER () AS bin_min
+  FROM hist),
+cm AS (SELECT total, (SELECT c FROM cdf WHERE bin = bin_min) AS cdf_min FROM cdf LIMIT 1),
+lut AS (
+  SELECT bin,
+         least(greatest((c - cm.cdf_min) * 255 // greatest(cm.total - cm.cdf_min, 1), 0), 255) AS eq
+  FROM cdf, cm)
+SELECT v.sc // {_FOCAL_CHUNK} AS bx, v.sr // {_FOCAL_CHUNK} AS by,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(l.eq) AS BIGINT) AS eq_sum
+FROM vals v JOIN lut l ON l.bin = v.v
+GROUP BY 1, 2
+"""
+
+
+SQL_EQUALIZE_RASTER_BLOCKS = _sql_equalize_raster_blocks()
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9321,6 +9383,7 @@ QUERIES = {
     "contour_mvt_tileset": (contour_mvt_tileset, SQL_CONTOUR_MVT_TILESET),
     "quality_pr_curve": (quality_pr_curve, SQL_QUALITY_PR_CURVE),
     "quality_auc": (quality_auc, SQL_QUALITY_AUC),
+    "equalize_raster_blocks": (equalize_raster_blocks, SQL_EQUALIZE_RASTER_BLOCKS),
     "user_time_weighted_value": (
         user_time_weighted_value,
         SQL_USER_TIME_WEIGHTED_VALUE,

@@ -469,3 +469,105 @@ def terrain_ruggedness_windowed(
     return ray.data.from_items(ids).map_batches(
         _Terrain, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
     )
+
+
+def equalize_blocks(
+    raster_spec: dict,
+    c0: int,
+    r0: int,
+    c1: int,
+    r1: int,
+    *,
+    chunk: int = 128,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Histogram equalization over a pixel window — the classic
+    GLOBAL-then-MAP raster shape: pass 1 reduces the window to a
+    256-bin histogram (map-side bincount partials, one bounded
+    groupby), the driver folds the CDF (256 ints) and broadcasts it,
+    pass 2 remaps every pixel and rolls each block up to
+    (bx, by, n, eq_sum) — integer-exact end-to-end with the classic
+    integer transfer ``eq = (cdf(v) − cdf_min) · 255 // (N − cdf_min)``
+    (nodata pixels excluded).  Two passes over the source, zero pixel
+    shuffles, O(256) driver state."""
+    from ..raster.synthetic import SyntheticRaster
+
+    ids = [
+        {"bx": bx, "by": by}
+        for by in range(r0 // chunk, (r1 + chunk - 1) // chunk)
+        for bx in range(c0 // chunk, (c1 + chunk - 1) // chunk)
+    ]
+
+    def window(reader, bx, by):
+        cols = np.arange(
+            max(bx * chunk, c0), min((bx + 1) * chunk, c1), dtype=np.int64
+        )
+        rows = np.arange(
+            max(by * chunk, r0), min((by + 1) * chunk, r1), dtype=np.int64
+        )
+        v = reader.values_at(cols[None, :], rows[:, None])
+        return v[v != reader.nodata].astype(np.int64)
+
+    class _Hist:
+        def __init__(self):
+            self.r = SyntheticRaster.from_spec(raster_spec)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            h = np.zeros(256, dtype=np.int64)
+            for bx, by in zip(
+                b.column("bx").to_numpy(zero_copy_only=False),
+                b.column("by").to_numpy(zero_copy_only=False),
+            ):
+                h += np.bincount(window(self.r, bx, by), minlength=256)
+            return pa.table(
+                {"bin": pa.array(np.arange(256, dtype=np.int64)), "n": pa.array(h)}
+            )
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ids_ds = _ray.data.from_items(ids)
+    hist = (
+        ids_ds.map_batches(_Hist, batch_format="pyarrow", concurrency=concurrency,
+                           num_cpus=1)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: exactly 256 rows
+        .sort_values("bin")
+    )
+    counts = np.zeros(256, dtype=np.int64)
+    counts[hist["bin"].to_numpy()] = hist["n"].to_numpy()
+    cdf = np.cumsum(counts)
+    total = int(cdf[-1])
+    nz = np.flatnonzero(counts)
+    cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+    denom = max(total - cdf_min, 1)
+    lut = np.clip((cdf - cdf_min) * 255 // denom, 0, 255).astype(np.int64)
+    lut_ref = _ray.put(lut)
+
+    class _Remap:
+        def __init__(self):
+            self.r = SyntheticRaster.from_spec(raster_spec)
+            self.lut = _ray.get(lut_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bxs = b.column("bx").to_numpy(zero_copy_only=False)
+            bys = b.column("by").to_numpy(zero_copy_only=False)
+            out_n, out_s = [], []
+            for bx, by in zip(bxs, bys):
+                v = window(self.r, bx, by)
+                eq = self.lut[v]
+                out_n.append(len(v))
+                out_s.append(int(eq.sum()))
+            return pa.table(
+                {
+                    "bx": pa.array(bxs, pa.int64()),
+                    "by": pa.array(bys, pa.int64()),
+                    "n": pa.array(out_n, pa.int64()),
+                    "eq_sum": pa.array(out_s, pa.int64()),
+                }
+            )
+
+    return ids_ds.map_batches(
+        _Remap, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )
