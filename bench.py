@@ -354,9 +354,11 @@ def run_full() -> dict:
 
     timed("heatmap_render", heatmap_render)
 
-    # round-4c additions (suite keys 26-27): hex cell index family
+    # round-4c additions (suite keys 26-28): hex cell index family +
+    # the vector-tile LINESTRING path (contour → MVT, loop-free encoder)
     timed("hex_density", lambda: Q.hex_density_docs(SF_DIR))
     timed("hex_dwells", lambda: Q.user_hex_dwells(SF_DIR))
+    timed("contour_mvt", lambda: Q.contour_mvt_tileset(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     result = {
