@@ -1193,3 +1193,74 @@ def mmr_rerank(
             "score_e6": pa.array(out_score, pa.int64()),
         }
     )
+
+
+def logistic_irls(
+    ds: ray.data.Dataset,
+    x_cols: "Sequence[str]",
+    y_col: str,
+    *,
+    iters: int = 8,
+    ridge: float = 1e-9,
+) -> tuple[np.ndarray, int]:
+    """Distributed logistic regression by IRLS (Newton-Raphson on the
+    log-likelihood): each iteration broadcasts β, every block computes
+    its partial Gram XᵀWX and XᵀWz over [1 | x_cols] (W = p(1−p),
+    z = Xβ + (y−p)/W, the working response), ONE bounded reduce sums
+    the (d+1)² partials, the driver solves the (d+1)×(d+1) system.
+
+    The classic model-training shape for the engine: per-iteration
+    driver state is O(d²), the corpus never moves, and ``iters`` is
+    fixed (no data-dependent convergence test) so runs are
+    deterministic.  Returns (β, n_rows).
+    """
+    x_cols = list(x_cols)
+    d = len(x_cols) + 1
+
+    def features(b: pa.Table) -> pa.Table:
+        cols = {"__y": pa.array(
+            b.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        )}
+        for c in x_cols:
+            cols["__" + c] = pa.array(
+                b.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+        return pa.table(cols)
+
+    feats = ds.map_batches(features, batch_format="pyarrow").materialize()
+    beta = np.zeros(d, dtype=np.float64)
+    n_rows = feats.count()
+
+    for _ in range(iters):
+        beta_ref = ray.put(beta.copy())
+
+        def partials(b: pa.Table) -> pa.Table:
+            bb = ray.get(beta_ref)
+            n = len(b)
+            X = np.empty((n, d), dtype=np.float64)
+            X[:, 0] = 1.0
+            for j, c in enumerate(x_cols):
+                X[:, j + 1] = b.column("__" + c).to_numpy()
+            y = b.column("__y").to_numpy()
+            eta = X @ bb
+            p = 1.0 / (1.0 + np.exp(-eta))
+            w = np.maximum(p * (1.0 - p), 1e-9)
+            z = eta + (y - p) / w
+            Xw = X * w[:, None]
+            gram = X.T @ Xw  # d×d
+            rhs = Xw.T @ z  # d
+            flat = np.concatenate([gram.ravel(), rhs])
+            return pa.table(
+                {f"g{i}": pa.array([flat[i]]) for i in range(d * d + d)}
+            )
+
+        sums = (
+            feats.map_batches(partials, batch_format="pyarrow")
+            .to_pandas()  # bounded: one row per block, d²+d floats each
+            .sum(axis=0)
+            .to_numpy()
+        )
+        gram = sums[: d * d].reshape(d, d) + ridge * np.eye(d)
+        rhs = sums[d * d :]
+        beta = np.linalg.solve(gram, rhs)
+    return beta, n_rows

@@ -9258,6 +9258,40 @@ GROUP BY 1, 2
 SQL_EQUALIZE_RASTER_BLOCKS = _sql_equalize_raster_blocks()
 
 
+def train_quality_classifier(sf_dir: str):
+    """Distributed logistic regression (ann.logistic_irls, 8 fixed IRLS
+    iterations: broadcast β → per-block Gram partials → bounded reduce
+    → driver solve) training a doc-quality filter: label lang='en',
+    feature n_chars/1000.  Rows-only (iterative training is not
+    SQL-expressible); distributed-vs-local parity is pinned to 1e-7 in
+    tests/test_logistic.py."""
+    from .ann import logistic_irls
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": pa.array(
+                    b.column("n_chars").to_numpy(zero_copy_only=False) / 1000.0
+                ),
+                "y": pa.array(
+                    (b.column("lang").to_pandas() == "en").to_numpy(np.float64)
+                ),
+            }
+        )
+
+    ds = docs.map_batches(feats, batch_format="pyarrow")
+    beta, n = logistic_irls(ds, ["x"], "y", iters=8)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "beta0_e4": pa.array([int(np.floor(beta[0] * 1e4 + 0.5))], pa.int64()),
+            "beta1_e4": pa.array([int(np.floor(beta[1] * 1e4 + 0.5))], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9384,6 +9418,7 @@ QUERIES = {
     "quality_pr_curve": (quality_pr_curve, SQL_QUALITY_PR_CURVE),
     "quality_auc": (quality_auc, SQL_QUALITY_AUC),
     "equalize_raster_blocks": (equalize_raster_blocks, SQL_EQUALIZE_RASTER_BLOCKS),
+    "train_quality_classifier": (train_quality_classifier, None),
     "user_time_weighted_value": (
         user_time_weighted_value,
         SQL_USER_TIME_WEIGHTED_VALUE,
