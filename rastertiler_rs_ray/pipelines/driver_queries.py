@@ -9292,6 +9292,109 @@ def train_quality_classifier(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------
+# TPC-H Q6 (forecast revenue change) and a Q12-style lateness report
+# --------------------------------------------------------------------
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6: predicate-pruned scan + one global sum — the pure
+    filter-aggregate shape (predicates pushed into the batch filter,
+    map-side partial sums, no shuffle beyond the scalar reduce)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        qty = b.column("l_quantity").to_numpy()
+        price = b.column("l_extendedprice").to_numpy()
+        m = (
+            (ship >= np.datetime64("1996-01-01"))
+            & (ship < np.datetime64("1997-01-01"))
+            & (disc >= 0.05)
+            & (disc <= 0.07)
+            & (qty < 24.0)
+        )
+        return pa.table(
+            {
+                "rev": pa.array([float((price[m] * disc[m]).sum())]),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n_lines"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "revenue_e2": pa.array(
+                [int(np.floor(float(out["rev"].iloc[0]) * 100.0 + 0.5))], pa.int64()
+            ),
+            "n_lines": pa.array([int(out["n_lines"].iloc[0])], pa.int64()),
+        }
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(floor(sum(l_extendedprice * l_discount) * 100.0 + 0.5) AS BIGINT) AS revenue_e2,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
+"""
+
+
+def q12_late_lines(sf_dir: str):
+    """Q12-style shipping lateness report: lineitems shipped more than
+    90 days after their order date, counted per order priority — the
+    join + conditional-aggregate shape (broadcast the narrow orders
+    side, map-side partial counts)."""
+    from .relational import broadcast_hash_join, grouped_aggregate
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    small = pa.concat_tables(ray.get(orders.to_arrow_refs()))
+    joined = broadcast_hash_join(
+        li, small, left_on="l_orderkey", right_on="o_orderkey"
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        od = b.column("o_orderdate").to_numpy()
+        late = ((ship - od) > np.timedelta64(90, "D")).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "late": pa.array(late),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    return grouped_aggregate(
+        joined.map_batches(flags, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("n_lines", "one", "sum"), ("n_late", "late", "sum")],
+    )
+
+
+SQL_Q12_LATE = """
+SELECT o.o_orderpriority, count(*) AS n_lines,
+       sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) AS n_late
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9419,6 +9522,8 @@ QUERIES = {
     "quality_auc": (quality_auc, SQL_QUALITY_AUC),
     "equalize_raster_blocks": (equalize_raster_blocks, SQL_EQUALIZE_RASTER_BLOCKS),
     "train_quality_classifier": (train_quality_classifier, None),
+    "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+    "q12_late_lines": (q12_late_lines, SQL_Q12_LATE),
     "user_time_weighted_value": (
         user_time_weighted_value,
         SQL_USER_TIME_WEIGHTED_VALUE,
