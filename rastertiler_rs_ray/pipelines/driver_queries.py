@@ -9395,6 +9395,62 @@ GROUP BY o.o_orderpriority
 """
 
 
+# --------------------------------------------------------------------
+# Cohort retention (weekly cohorts × week offset)
+# --------------------------------------------------------------------
+
+
+def user_cohort_retention(sf_dir: str):
+    """Classic cohort retention: users cohorted by the Monday-start
+    week of their FIRST event; per (cohort_week, week_offset) the
+    number of distinct users active that week.  ONE groupby(user)
+    exchange (cohort and active-week offsets both derive in-group),
+    then a map-side-combined count."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy()
+        days = ts.astype("datetime64[D]")
+        # Monday truncation: 1970-01-01 was a Thursday → +3 ⇒ Monday = 0
+        dow = (days.astype(np.int64) + 3) % 7
+        monday = days - dow.astype("timedelta64[D]")
+        cohort = monday.min()
+        weeks = np.unique(monday)
+        off = ((weeks - cohort) // np.timedelta64(7, "D")).astype(np.int64)
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    np.full(len(off), cohort, dtype="datetime64[us]")
+                ),
+                "week_offset": pa.array(off),
+                "n_users": pa.array(np.ones(len(off), np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_USER_COHORT_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events
+  GROUP BY user_id),
+active AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS week_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+       count(*) AS n_users
+FROM active GROUP BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9523,6 +9579,7 @@ QUERIES = {
     "equalize_raster_blocks": (equalize_raster_blocks, SQL_EQUALIZE_RASTER_BLOCKS),
     "train_quality_classifier": (train_quality_classifier, None),
     "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
+    "user_cohort_retention": (user_cohort_retention, SQL_USER_COHORT_RETENTION),
     "q12_late_lines": (q12_late_lines, SQL_Q12_LATE),
     "user_time_weighted_value": (
         user_time_weighted_value,
