@@ -9451,6 +9451,88 @@ FROM active GROUP BY cohort_week, week_offset
 """
 
 
+# --------------------------------------------------------------------
+# Viewshed (gdal_viewshed analog, integer-exact LOS)
+# --------------------------------------------------------------------
+
+_VS_OBS = (320, 320)
+_VS_REGION = (256, 256, 384, 384)
+
+
+def viewshed_blocks(sf_dir: str):
+    """Viewshed from observer (320,320) over a 128² window
+    (focal.viewshed_windowed): cross-multiplied integer line-of-sight
+    test along the discrete ray pos_k = obs + (t−obs)·k // K; per-block
+    (n_total, n_visible) rollup."""
+    from ..raster.synthetic import default_u8_raster
+    from .focal import viewshed_windowed
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _VS_REGION
+    return viewshed_windowed(
+        r.spec(), _VS_OBS[0], _VS_OBS[1], c0, r0, c1, r1, chunk=64
+    )
+
+
+def _sql_viewshed_blocks() -> str:
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    oc, orr = _VS_OBS
+    c0, r0, c1, r1 = _VS_REGION
+    e0 = int(
+        r.values_at(np.array([[oc]]), np.array([[orr]])).astype(np.int64)[0, 0]
+    )
+    kmax = max(c1 - c0, r1 - r0)
+
+    def hash_chain(src: str, out_prefix: str) -> str:
+        blk = _sql_mix64(f"sc // {r.block}", f"sr // {r.block}", r.seed + 1, "bh")
+        px = _sql_mix64("sc", "sr", r.seed, "ph")
+        return ",\n".join(
+            f"{out_prefix}{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+            for i, (bs, ps, prev) in enumerate(
+                zip(blk, px, [src, f"{out_prefix}0", f"{out_prefix}1", f"{out_prefix}2"])
+            )
+        )
+
+    val = """CASE WHEN bh % 5 = 0 THEN 0
+             WHEN bh % 7 = 1 THEN 42
+             ELSE 1 + CAST(ph % 255 AS BIGINT) END"""
+    return f"""
+WITH tc AS (SELECT unnest(generate_series({c0}, {c1 - 1})) AS sc),
+tr AS (SELECT unnest(generate_series({r0}, {r1 - 1})) AS sr),
+tgt0 AS (SELECT sc, sr FROM tc CROSS JOIN tr),
+{hash_chain('tgt0', 'tm')},
+tgt AS (
+  SELECT sc AS ct, sr AS rt, sc - {oc} AS dc, sr - {orr} AS dr,
+         greatest(abs(sc - {oc}), abs(sr - {orr})) AS kk,
+         {val} AS et
+  FROM tm3),
+ks AS (SELECT unnest(generate_series(1, {kmax})) AS k),
+steps0 AS (
+  SELECT t.ct, t.rt, t.kk, t.et, k.k,
+         {oc} + CAST(floor(CAST(t.dc * k.k AS DOUBLE) / t.kk) AS BIGINT) AS sc,
+         {orr} + CAST(floor(CAST(t.dr * k.k AS DOUBLE) / t.kk) AS BIGINT) AS sr
+  FROM tgt t JOIN ks k ON k.k < t.kk),
+{hash_chain('steps0', 'sm')},
+blocked AS (
+  SELECT ct, rt,
+         bool_or((({val}) - {e0}) * kk >= (et - {e0}) * k) AS blk
+  FROM sm3 GROUP BY ct, rt),
+vis AS (
+  SELECT t.ct, t.rt,
+         CASE WHEN b.blk IS NULL OR NOT b.blk THEN 1 ELSE 0 END AS v
+  FROM tgt t LEFT JOIN blocked b ON b.ct = t.ct AND b.rt = t.rt)
+SELECT ct // 64 AS bx, rt // 64 AS by,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(v) AS BIGINT) AS n_visible
+FROM vis GROUP BY 1, 2
+"""
+
+
+SQL_VIEWSHED_BLOCKS = _sql_viewshed_blocks()
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9580,6 +9662,7 @@ QUERIES = {
     "train_quality_classifier": (train_quality_classifier, None),
     "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
     "user_cohort_retention": (user_cohort_retention, SQL_USER_COHORT_RETENTION),
+    "viewshed_blocks": (viewshed_blocks, SQL_VIEWSHED_BLOCKS),
     "q12_late_lines": (q12_late_lines, SQL_Q12_LATE),
     "user_time_weighted_value": (
         user_time_weighted_value,
