@@ -9533,6 +9533,49 @@ FROM vis GROUP BY 1, 2
 SQL_VIEWSHED_BLOCKS = _sql_viewshed_blocks()
 
 
+def hex_density_mvt_tileset(sf_dir: str):
+    """Hex-cell density rendered as an ATTRIBUTED MVT point tileset:
+    res-4 cell centers become POINT features carrying their doc count
+    as an MVT tag (layer keys/values tables, per-feature tag pairs) —
+    the analytics-to-tiles bridge.  Read-back oracle; tag decode parity
+    is pinned in tests/test_vectortile.py."""
+    import os
+
+    from ..geo.hexcell import hex_center
+    from .render import tileset_map_dataset
+    from .spatial import hex_density
+    from .vectortile import render_vector_tileset
+
+    pos = doc_positions_dataset(sf_dir)
+    dens = hex_density(pos, res=HEX_RES)
+
+    def centers(b: pa.Table) -> pa.Table:
+        q = b.column("hex_q").to_numpy()
+        r = b.column("hex_r").to_numpy()
+        mx, my = hex_center(q, r, HEX_RES)
+        return pa.table(
+            {
+                "doc_id": b.column("hex_id"),
+                "mx": pa.array(mx),
+                "my": pa.array(my),
+                "n_docs": b.column("n_docs"),
+            }
+        )
+
+    out = os.path.join(ORACLE_TS_ROOT, "hexmvt_ts")
+    render_vector_tileset(
+        dens.map_batches(centers, batch_format="pyarrow"),
+        out,
+        [3, 4],
+        layer_name="hex_density",
+        attr_cols=["n_docs"],
+    )
+    return tileset_map_dataset(out).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_HEX_DENSITY_MVT = _sql_read_map("hexmvt_ts")
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9663,6 +9706,7 @@ QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
     "user_cohort_retention": (user_cohort_retention, SQL_USER_COHORT_RETENTION),
     "viewshed_blocks": (viewshed_blocks, SQL_VIEWSHED_BLOCKS),
+    "hex_density_mvt_tileset": (hex_density_mvt_tileset, SQL_HEX_DENSITY_MVT),
     "q12_late_lines": (q12_late_lines, SQL_Q12_LATE),
     "user_time_weighted_value": (
         user_time_weighted_value,

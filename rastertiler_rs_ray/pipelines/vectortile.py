@@ -89,17 +89,56 @@ MVT_EXTENT = 4096
 
 def encode_point_layer(
     ids: np.ndarray, px: np.ndarray, py: np.ndarray, *, name: str = "points",
-    extent: int = MVT_EXTENT,
+    extent: int = MVT_EXTENT, attrs: "dict[str, np.ndarray] | None" = None,
 ) -> bytes:
     """One MVT layer of POINT features.  ``ids/px/py`` are parallel
     arrays (already sorted by id for deterministic bytes); coords are
     tile-local in [0, extent).  Feature framing is built with
     vectorized varints: all per-feature segments are computed as
-    arrays, then concatenated once."""
+    arrays, then concatenated once.
+
+    ``attrs`` adds per-feature attributes the MVT way: layer-level
+    ``keys`` (field 3) and deduplicated ``values`` (field 4, int64
+    values; first-occurrence order for deterministic bytes), each
+    feature carrying packed (key-index, value-index) tag pairs
+    (feature field 2)."""
     n = len(ids)
     ids = np.asarray(ids, dtype=np.uint64)
     # geometry: MoveTo count=1 (command 9), zigzag(px), zigzag(py)
     zx, zy = zigzag(px), zigzag(py)
+    # attribute tables: values deduped per key, first-occurrence order
+    key_blocks = b""
+    val_blocks = b""
+    tag_arr = None
+    if attrs:
+        names = list(attrs.keys())
+        tag_cols = []
+        n_vals = 0
+        for ki, aname in enumerate(names):
+            key_blocks += _len_delimited(3, aname.encode())
+            vals = np.asarray(attrs[aname], dtype=np.int64)
+            # first-occurrence order of unique values
+            first_idx = np.sort(np.unique(vals, return_index=True)[1])
+            uniq_first = vals[first_idx]
+            remap = {int(v): j for j, v in enumerate(uniq_first)}
+            inv_first = np.array([remap[int(v)] for v in vals], dtype=np.uint64)
+            for v in uniq_first:
+                # Value message: int_value (field 4, varint) for v >= 0,
+                # sint_value (field 6, zigzag) otherwise
+                if v >= 0:
+                    val_blocks += _len_delimited(
+                        4, b"\x20" + varint_encode(np.array([v], dtype=np.uint64))
+                    )
+                else:
+                    val_blocks += _len_delimited(
+                        4, b"\x30" + varint_encode(zigzag(np.array([v])))
+                    )
+            tag_cols.append((ki, inv_first + n_vals))
+            n_vals += len(uniq_first)
+        tag_arr = np.empty((n, 2 * len(names)), dtype=np.uint64)
+        for j, (ki, vidx) in enumerate(tag_cols):
+            tag_arr[:, 2 * j] = ki
+            tag_arr[:, 2 * j + 1] = vidx
     feats = []
     # per-feature bytes: small, but assembled from vectorized varint
     # streams sliced per feature (avoids a Python int-by-int encoder).
@@ -109,8 +148,12 @@ def encode_point_layer(
     zx_off, zy_off = _varint_offsets(zx), _varint_offsets(zy)
     for i in range(n):
         geom = b"\x09" + zx_b[zx_off[i]:zx_off[i + 1]] + zy_b[zy_off[i]:zy_off[i + 1]]
+        tags = b""
+        if tag_arr is not None:
+            tags = _len_delimited(2, varint_encode(tag_arr[i]))
         body = (
             b"\x08" + id_b[id_off[i]:id_off[i + 1]]  # field 1: id
+            + tags  # field 2: packed tag pairs
             + b"\x18\x01"  # field 3: type = POINT
             + _len_delimited(4, geom)  # field 4: packed geometry
         )
@@ -119,6 +162,8 @@ def encode_point_layer(
         b"\x78\x02"  # field 15: version = 2
         + _len_delimited(1, name.encode())
         + b"".join(feats)
+        + key_blocks
+        + val_blocks
         + _field(5, 0) + varint_encode(np.array([extent]))
     )
     return _len_delimited(3, layer)
@@ -313,7 +358,7 @@ def decode_point_layer(tile: bytes) -> dict:
             yield tag, val
 
     out = {"ids": [], "px": [], "py": [], "extent": MVT_EXTENT, "version": None,
-           "name": None}
+           "name": None, "keys": [], "values": [], "tags": []}
     for tag, val in fields(tile):
         if tag != 3:
             continue
@@ -324,11 +369,25 @@ def decode_point_layer(tile: bytes) -> dict:
                 out["name"] = lval.decode()
             elif ltag == 5:
                 out["extent"] = lval
+            elif ltag == 3:
+                out["keys"].append(lval.decode())
+            elif ltag == 4:
+                for vtag, vval in fields(lval):
+                    if vtag == 4:  # int_value
+                        out["values"].append(vval)
+                    elif vtag == 6:  # sint_value (zigzag)
+                        out["values"].append((vval >> 1) ^ -(vval & 1))
             elif ltag == 2:
                 fid = gx = gy = None
+                ftags: list[int] = []
                 for ftag, fval in fields(lval):
                     if ftag == 1:
                         fid = fval
+                    elif ftag == 2:  # packed tag pairs
+                        i = 0
+                        while i < len(fval):
+                            t, i = rd_varint(fval, i)
+                            ftags.append(t)
                     elif ftag == 4:
                         i = 0
                         cmd, i = rd_varint(fval, i)
@@ -340,6 +399,12 @@ def decode_point_layer(tile: bytes) -> dict:
                 out["ids"].append(fid)
                 out["px"].append(gx)
                 out["py"].append(gy)
+                out["tags"].append(ftags)
+    # resolve tag pairs → per-feature attr dicts
+    out["attrs"] = [
+        {out["keys"][ft[j]]: out["values"][ft[j + 1]] for j in range(0, len(ft), 2)}
+        for ft in out["tags"]
+    ]
     return out
 
 
@@ -349,6 +414,7 @@ def decode_point_layer(tile: bytes) -> dict:
 def mvt_assign(
     batch: pa.Table, *, zoom: int, extent: int = MVT_EXTENT,
     mx_col: str = "mx", my_col: str = "my", id_col: str = "doc_id",
+    attr_cols: "Sequence[str] | None" = None,
 ) -> pa.Table:
     """Per point: (x, y, fid, lx, ly) — tile address + extent-local
     coords at ``zoom``; the density rasterizer's global-pixel floor
@@ -363,27 +429,34 @@ def mvt_assign(
     gy = np.clip(
         np.floor((1.0 - (my + ORIGIN) / (2.0 * ORIGIN)) * n_px), 0, n_px - 1
     ).astype(np.int64)
-    return pa.table(
-        {
-            "x": pa.array(gx // extent),
-            "y": pa.array(gy // extent),
-            "fid": batch.column(id_col),
-            "lx": pa.array(gx % extent),
-            "ly": pa.array(gy % extent),
-        }
-    )
+    out = {
+        "x": pa.array(gx // extent),
+        "y": pa.array(gy // extent),
+        "fid": batch.column(id_col),
+        "lx": pa.array(gx % extent),
+        "ly": pa.array(gy % extent),
+    }
+    for c in attr_cols or ():
+        out[c] = batch.column(c)
+    return pa.table(out)
 
 
-def _encode_group(zoom: int, extent: int, layer_name: str):
+def _encode_group(zoom: int, extent: int, layer_name: str,
+                  attr_cols: "Sequence[str] | None" = None):
     def build(g: pa.Table) -> pa.Table:
         ids = np.asarray(g.column("fid"), dtype=np.int64)
         order = np.argsort(ids, kind="stable")
+        attrs = {
+            c: np.asarray(g.column(c), dtype=np.int64)[order]
+            for c in attr_cols or ()
+        } or None
         blob = encode_point_layer(
             ids[order],
             np.asarray(g.column("lx"), dtype=np.int64)[order],
             np.asarray(g.column("ly"), dtype=np.int64)[order],
             name=layer_name,
             extent=extent,
+            attrs=attrs,
         )
         x = int(g.column("x")[0].as_py())
         y = int(g.column("y")[0].as_py())
@@ -410,6 +483,7 @@ def render_vector_tileset(
     extent: int = MVT_EXTENT,
     layer_name: str = "points",
     id_col: str = "doc_id",
+    attr_cols: "Sequence[str] | None" = None,
 ) -> Manifest:
     """Render an MVT point pyramid into the standard tileset layout.
     Sparse-pyramid convention: only tiles containing ≥1 feature are
@@ -427,11 +501,13 @@ def render_vector_tileset(
     for z in zooms:
         tiles = (
             pos.map_batches(
-                lambda b, z=z: mvt_assign(b, zoom=z, extent=extent, id_col=id_col),
+                lambda b, z=z: mvt_assign(b, zoom=z, extent=extent, id_col=id_col,
+                                          attr_cols=attr_cols),
                 batch_format="pyarrow",
             )
             .groupby(["x", "y"])
-            .map_groups(_encode_group(z, extent, layer_name), batch_format="pyarrow")
+            .map_groups(_encode_group(z, extent, layer_name, attr_cols),
+                        batch_format="pyarrow")
         )
         tiles.write_parquet(
             os.path.join(out_dir, "tiles"),

@@ -219,3 +219,29 @@ def test_contour_mvt_end_to_end(ray_session, tmp_path):
         assert d["ids"] == sorted(d["ids"])  # deterministic bytes
         total += len(d["ids"])
     assert total == n_segs  # every segment landed in exactly one tile
+
+
+def test_point_layer_attrs_roundtrip():
+    from rastertiler_rs_ray.pipelines.vectortile import (
+        decode_point_layer,
+        encode_point_layer,
+    )
+
+    rng = np.random.default_rng(33)
+    n = 60
+    ids = np.sort(rng.choice(10**6, n, replace=False))
+    px = rng.integers(0, 4096, n)
+    py = rng.integers(0, 4096, n)
+    counts = rng.integers(-50, 50, n)  # negatives exercise sint values
+    ranks = rng.integers(0, 5, n)
+    blob = encode_point_layer(
+        ids, px, py, attrs={"n_docs": counts, "rank": ranks}
+    )
+    d = decode_point_layer(blob)
+    assert d["keys"] == ["n_docs", "rank"]
+    assert d["ids"] == ids.tolist()
+    for i in range(n):
+        assert d["attrs"][i] == {"n_docs": int(counts[i]), "rank": int(ranks[i])}
+    # attribute-free bytes are unchanged (no keys/values blocks)
+    d0 = decode_point_layer(encode_point_layer(ids, px, py))
+    assert d0["keys"] == [] and d0["attrs"] == [{}] * n
