@@ -9576,6 +9576,132 @@ def hex_density_mvt_tileset(sf_dir: str):
 SQL_HEX_DENSITY_MVT = _sql_read_map("hexmvt_ts")
 
 
+def component_boxes_mvt_tileset(sf_dir: str):
+    """Raster polygonize, end-to-end: CCL component bounding boxes
+    (ccl.component_bboxes, seam-exchange union-find) rendered as an
+    ATTRIBUTED MVT POLYGON tileset at z9 — rectangle exterior rings
+    (CW, ClosePath) carrying n_pixels and the quantized value as tags.
+    The mask→features→tiles bridge in one pipeline.  Read-back oracle;
+    ring/tag decode parity is pinned in tests/test_vectortile.py."""
+    import dataclasses
+    import os
+
+    from ..geo.mercator import ORIGIN
+    from ..raster.synthetic import default_u8_raster
+    from .ccl import component_bboxes
+    from .focal import raster_blocks_dataset
+    from .render import tileset_map_dataset
+    from .vectortile import MVT_EXTENT, encode_polygon_box_layer
+
+    r = default_u8_raster(seed=42)
+    spec = {
+        "dtype": r.dtype, "nodata": r.nodata, "width": r.width,
+        "height": r.height, "transform": list(dataclasses.astuple(r.transform)),
+        "seed": r.seed, "block": 24,
+    }
+    blocks = raster_blocks_dataset(spec, 0, 0, 4, 4, chunk=64)
+    boxes = component_bboxes(
+        blocks, chunk=64, nodata=0, quantize_shift=6, min_pixels=20
+    )
+    t = r.transform
+    a, coff, e, foff = t.a, t.c, t.e, t.f
+    zoom, extent = 9, MVT_EXTENT
+    n_px = float((1 << zoom) * extent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        # pixel box → mercator box → tile of the box CENTER (buffer
+        # convention for spill-over, like the contour lines)
+        px0 = b.column("x0").to_numpy().astype(np.float64)
+        py0 = b.column("y0").to_numpy().astype(np.float64)
+        px1 = (b.column("x1").to_numpy() + 1).astype(np.float64)  # exclusive edge
+        py1 = (b.column("y1").to_numpy() + 1).astype(np.float64)
+        mx0 = px0 * a + coff
+        mx1 = px1 * a + coff
+        my0 = py0 * e + foff  # top (e < 0)
+        my1 = py1 * e + foff  # bottom
+        cgx = np.floor(((px0 + px1) * a / 2.0 + coff + ORIGIN) / (2.0 * ORIGIN) * n_px)
+        cgy = np.floor(
+            (1.0 - (((py0 + py1) * e / 2.0 + foff) + ORIGIN) / (2.0 * ORIGIN)) * n_px
+        )
+        tx = np.clip(cgx, 0, n_px - 1).astype(np.int64) // extent
+        ty = np.clip(cgy, 0, n_px - 1).astype(np.int64) // extent
+
+        def local(m, tt, flip):
+            g = (
+                (1.0 - (m + ORIGIN) / (2.0 * ORIGIN)) * n_px
+                if flip
+                else (m + ORIGIN) / (2.0 * ORIGIN) * n_px
+            )
+            return np.floor(g).astype(np.int64) - tt * extent
+
+        return pa.table(
+            {
+                "x": pa.array(tx),
+                "y": pa.array(ty),
+                "fid": b.column("component"),
+                "lx0": pa.array(local(mx0, tx, False)),
+                "ly0": pa.array(local(my0, ty, True)),
+                "lx1": pa.array(local(mx1, tx, False)),
+                "ly1": pa.array(local(my1, ty, True)),
+                "n_pixels": b.column("n_pixels"),
+                "value": b.column("value"),
+            }
+        )
+
+    def build(g: pa.Table) -> pa.Table:
+        from ..functions.hashing import content_hash64
+
+        fid = np.asarray(g.column("fid"), dtype=np.int64)
+        order = np.argsort(fid, kind="stable")
+        blob = encode_polygon_box_layer(
+            fid[order],
+            np.asarray(g.column("lx0"), dtype=np.int64)[order],
+            np.asarray(g.column("ly0"), dtype=np.int64)[order],
+            np.asarray(g.column("lx1"), dtype=np.int64)[order],
+            np.asarray(g.column("ly1"), dtype=np.int64)[order],
+            name="components",
+            attrs={
+                "n_pixels": np.asarray(g.column("n_pixels"), dtype=np.int64)[order],
+                "value": np.asarray(g.column("value"), dtype=np.int64)[order],
+            },
+        )
+        x = int(g.column("x")[0].as_py())
+        y = int(g.column("y")[0].as_py())
+        return pa.table(
+            {
+                "zoom": pa.array([zoom], pa.uint8()),
+                "x": pa.array([x], pa.uint32()),
+                "y": pa.array([y], pa.uint32()),
+                "tms_y": pa.array([(1 << zoom) - 1 - y], pa.uint32()),
+                "tile_hash": pa.array([content_hash64(blob)], pa.int64()),
+                "tile_data": pa.array([blob], pa.binary()),
+                "part": pa.array([f"g{zoom:02d}"], pa.string()),
+            }
+        )
+
+    import shutil
+
+    from ..state.manifest import Manifest
+
+    out = os.path.join(ORACLE_TS_ROOT, "cboxmvt_ts")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    tiles = (
+        boxes.map_batches(assign, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .map_groups(build, batch_format="pyarrow")
+    )
+    tiles.write_parquet(os.path.join(out, "tiles"), partition_cols=["part"])
+    m = Manifest(os.path.join(out, "manifest.json"))
+    m.set_meta(metadata={"name": "components", "format": "pbf",
+                         "minzoom": str(zoom), "maxzoom": str(zoom)})
+    return tileset_map_dataset(out).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_COMPONENT_BOXES_MVT = _sql_read_map("cboxmvt_ts")
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9707,6 +9833,10 @@ QUERIES = {
     "user_cohort_retention": (user_cohort_retention, SQL_USER_COHORT_RETENTION),
     "viewshed_blocks": (viewshed_blocks, SQL_VIEWSHED_BLOCKS),
     "hex_density_mvt_tileset": (hex_density_mvt_tileset, SQL_HEX_DENSITY_MVT),
+    "component_boxes_mvt_tileset": (
+        component_boxes_mvt_tileset,
+        SQL_COMPONENT_BOXES_MVT,
+    ),
     "q12_late_lines": (q12_late_lines, SQL_Q12_LATE),
     "user_time_weighted_value": (
         user_time_weighted_value,

@@ -669,3 +669,196 @@ def render_contour_mvt(
     )
     _dedupe_images(out_dir, manifest)
     return manifest
+
+
+MVT_POLYGON = 3
+
+
+def encode_polygon_box_layer(
+    ids: np.ndarray,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    *,
+    name: str = "boxes",
+    extent: int = MVT_EXTENT,
+    attrs: "dict[str, np.ndarray] | None" = None,
+) -> bytes:
+    """One MVT layer of axis-aligned rectangle POLYGON features
+    (exterior rings only, CW in tile coords per spec v2.1 — positive
+    shoelace area in the y-down screen space): MoveTo(x0,y0) +
+    LineTo(3) around the ring + ClosePath.  Corners are inclusive
+    integer tile-local coords; attrs use the same tags mechanism as
+    ``encode_point_layer`` (shared key/value table builder)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    x0 = np.asarray(x0, dtype=np.int64)
+    y0 = np.asarray(y0, dtype=np.int64)
+    x1 = np.asarray(x1, dtype=np.int64)
+    y1 = np.asarray(y1, dtype=np.int64)
+    n = len(ids)
+    # ring: (x0,y0) → (x1,y0) → (x1,y1) → (x0,y1) → close  (CW in
+    # y-down tile space ⇒ positive area per the MVT winding rule)
+    w = x1 - x0
+    h = y1 - y0
+    feats = []
+    id_b = varint_encode(ids)
+    id_off = _varint_offsets(ids)
+    # geometry value stream per feature (vectorized over features):
+    # [9, zz(x0), zz(y0), 26, zz(w), 0, 0, zz(h), zz(-w), 0, 15]
+    vals = np.empty((n, 11), dtype=np.uint64)
+    vals[:, 0] = 9
+    vals[:, 1] = zigzag(x0)
+    vals[:, 2] = zigzag(y0)
+    vals[:, 3] = (2 | (3 << 3))  # LineTo count 3
+    vals[:, 4] = zigzag(w)
+    vals[:, 5] = 0
+    vals[:, 6] = 0
+    vals[:, 7] = zigzag(h)
+    vals[:, 8] = zigzag(-w)
+    vals[:, 9] = 0
+    vals[:, 10] = 15  # ClosePath count 1
+    flat = vals.ravel()
+    flat_b = varint_encode(flat)
+    off = _varint_offsets(flat)
+    g0 = off[np.arange(n) * 11]
+    g1 = off[(np.arange(n) + 1) * 11]
+    # reuse the tags builder from the point encoder by inlining the
+    # same table construction
+    key_blocks = b""
+    val_blocks = b""
+    tag_arr = None
+    if attrs:
+        names = list(attrs.keys())
+        tag_cols = []
+        n_vals = 0
+        for ki, aname in enumerate(names):
+            key_blocks += _len_delimited(3, aname.encode())
+            avals = np.asarray(attrs[aname], dtype=np.int64)
+            first_idx = np.sort(np.unique(avals, return_index=True)[1])
+            uniq_first = avals[first_idx]
+            remap = {int(v): j for j, v in enumerate(uniq_first)}
+            inv_first = np.array([remap[int(v)] for v in avals], dtype=np.uint64)
+            for v in uniq_first:
+                if v >= 0:
+                    val_blocks += _len_delimited(
+                        4, b"\x20" + varint_encode(np.array([v], dtype=np.uint64))
+                    )
+                else:
+                    val_blocks += _len_delimited(
+                        4, b"\x30" + varint_encode(zigzag(np.array([v])))
+                    )
+            tag_cols.append((ki, inv_first + n_vals))
+            n_vals += len(uniq_first)
+        tag_arr = np.empty((n, 2 * len(names)), dtype=np.uint64)
+        for j, (ki, vidx) in enumerate(tag_cols):
+            tag_arr[:, 2 * j] = ki
+            tag_arr[:, 2 * j + 1] = vidx
+    for i in range(n):
+        tags = b""
+        if tag_arr is not None:
+            tags = _len_delimited(2, varint_encode(tag_arr[i]))
+        body = (
+            b"\x08" + id_b[id_off[i]:id_off[i + 1]]
+            + tags
+            + b"\x18\x03"  # field 3: type = POLYGON
+            + b"\x22" + varint_encode(np.array([g1[i] - g0[i]], dtype=np.uint64))
+            + flat_b[g0[i]:g1[i]]
+        )
+        feats.append(_len_delimited(2, body))
+    layer = (
+        b"\x78\x02"
+        + _len_delimited(1, name.encode())
+        + b"".join(feats)
+        + key_blocks
+        + val_blocks
+        + _field(5, 0) + varint_encode(np.array([extent]))
+    )
+    return _len_delimited(3, layer)
+
+
+def decode_polygon_box_layer(tile: bytes) -> dict:
+    """Decoder for the rectangle POLYGON layer: {name, ids, boxes:
+    [(x0,y0,x1,y1)], attrs} — verifies the ring walk + ClosePath."""
+    def rd_varint(buf, i):
+        shift = val = 0
+        while True:
+            b = buf[i]
+            val |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                return val, i
+            shift += 7
+
+    def unzig(v):
+        return (v >> 1) ^ -(v & 1)
+
+    def fields(buf):
+        i = 0
+        while i < len(buf):
+            key, i = rd_varint(buf, i)
+            tag, wire = key >> 3, key & 7
+            if wire == 0:
+                val, i = rd_varint(buf, i)
+            elif wire == 2:
+                ln, i = rd_varint(buf, i)
+                val = buf[i:i + ln]
+                i += ln
+            else:  # pragma: no cover
+                raise ValueError(f"wire {wire}")
+            yield tag, val
+
+    out = {"ids": [], "boxes": [], "keys": [], "values": [], "tags": [],
+           "name": None, "version": None}
+    for tag, val in fields(tile):
+        if tag != 3:
+            continue
+        for ltag, lval in fields(val):
+            if ltag == 15:
+                out["version"] = lval
+            elif ltag == 1:
+                out["name"] = lval.decode()
+            elif ltag == 3:
+                out["keys"].append(lval.decode())
+            elif ltag == 4:
+                for vtag, vval in fields(lval):
+                    if vtag == 4:
+                        out["values"].append(vval)
+                    elif vtag == 6:
+                        out["values"].append(unzig(vval))
+            elif ltag == 2:
+                fid, ring, ftags = None, [], []
+                for ftag, fval in fields(lval):
+                    if ftag == 1:
+                        fid = fval
+                    elif ftag == 2:
+                        i = 0
+                        while i < len(fval):
+                            t, i = rd_varint(fval, i)
+                            ftags.append(t)
+                    elif ftag == 4:
+                        i = cx = cy = 0
+                        closed = False
+                        while i < len(fval):
+                            cmd, i = rd_varint(fval, i)
+                            cid, cnt = cmd & 7, cmd >> 3
+                            if cid == 7:
+                                closed = True
+                                continue
+                            for _ in range(cnt):
+                                zx, i = rd_varint(fval, i)
+                                zy, i = rd_varint(fval, i)
+                                cx += unzig(zx)
+                                cy += unzig(zy)
+                                ring.append((cx, cy))
+                        assert closed, "polygon ring must ClosePath"
+                xs = [p[0] for p in ring]
+                ys = [p[1] for p in ring]
+                out["ids"].append(fid)
+                out["boxes"].append((min(xs), min(ys), max(xs), max(ys)))
+                out["tags"].append(ftags)
+    out["attrs"] = [
+        {out["keys"][ft[j]]: out["values"][ft[j + 1]] for j in range(0, len(ft), 2)}
+        for ft in out["tags"]
+    ]
+    return out

@@ -245,3 +245,30 @@ def test_point_layer_attrs_roundtrip():
     # attribute-free bytes are unchanged (no keys/values blocks)
     d0 = decode_point_layer(encode_point_layer(ids, px, py))
     assert d0["keys"] == [] and d0["attrs"] == [{}] * n
+
+
+def test_polygon_box_layer_roundtrip():
+    from rastertiler_rs_ray.pipelines.vectortile import (
+        decode_polygon_box_layer,
+        encode_polygon_box_layer,
+    )
+
+    rng = np.random.default_rng(44)
+    n = 40
+    ids = np.sort(rng.choice(10**6, n, replace=False))
+    x0 = rng.integers(-500, 3000, n)
+    y0 = rng.integers(-500, 3000, n)
+    x1 = x0 + rng.integers(1, 800, n)
+    y1 = y0 + rng.integers(1, 800, n)
+    areas = (x1 - x0) * (y1 - y0)
+    d = decode_polygon_box_layer(
+        encode_polygon_box_layer(ids, x0, y0, x1, y1, attrs={"area": areas})
+    )
+    assert d["version"] == 2 and d["name"] == "boxes"
+    assert d["ids"] == ids.tolist()
+    assert d["boxes"] == [
+        (int(a), int(b), int(c), int(e)) for a, b, c, e in zip(x0, y0, x1, y1)
+    ]
+    assert all(
+        d["attrs"][i] == {"area": int(areas[i])} for i in range(n)
+    )
