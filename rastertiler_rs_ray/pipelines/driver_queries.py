@@ -9702,6 +9702,41 @@ def component_boxes_mvt_tileset(sf_dir: str):
 SQL_COMPONENT_BOXES_MVT = _sql_read_map("cboxmvt_ts")
 
 
+def doc_lang_mvt_tileset(sf_dir: str):
+    """Doc positions as MVT POINT features carrying STRING (lang) and
+    integer (n_chars) tags — exercises the full MVT Value-message
+    surface (string/int/sint) through the tileset renderer.  Read-back
+    oracle; tag decode parity in tests/test_vectortile.py."""
+    import os
+
+    from .render import tileset_map_dataset
+    from .vectortile import render_vector_tileset
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def addpos(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy()
+        lon = ((did * LON_MULT) % LON_MOD) / float(LON_MOD) * 360.0 - 180.0
+        lat = ((did * LAT_MULT) % LAT_MOD) / float(LAT_MOD) * 170.0 - 85.0
+        mx, my = geo_to_mercator(lon, lat)
+        return b.append_column("mx", pa.array(mx, pa.float64())).append_column(
+            "my", pa.array(my, pa.float64())
+        )
+
+    out = os.path.join(ORACLE_TS_ROOT, "langmvt_ts")
+    render_vector_tileset(
+        docs.map_batches(addpos, batch_format="pyarrow"),
+        out,
+        [3],
+        layer_name="docs",
+        attr_cols=["lang", "n_chars"],
+    )
+    return tileset_map_dataset(out).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_DOC_LANG_MVT = _sql_read_map("langmvt_ts")
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9833,6 +9868,7 @@ QUERIES = {
     "user_cohort_retention": (user_cohort_retention, SQL_USER_COHORT_RETENTION),
     "viewshed_blocks": (viewshed_blocks, SQL_VIEWSHED_BLOCKS),
     "hex_density_mvt_tileset": (hex_density_mvt_tileset, SQL_HEX_DENSITY_MVT),
+    "doc_lang_mvt_tileset": (doc_lang_mvt_tileset, SQL_DOC_LANG_MVT),
     "component_boxes_mvt_tileset": (
         component_boxes_mvt_tileset,
         SQL_COMPONENT_BOXES_MVT,

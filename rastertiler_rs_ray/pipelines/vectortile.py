@@ -116,16 +116,25 @@ def encode_point_layer(
         n_vals = 0
         for ki, aname in enumerate(names):
             key_blocks += _len_delimited(3, aname.encode())
-            vals = np.asarray(attrs[aname], dtype=np.int64)
+            raw = np.asarray(attrs[aname])
+            is_str = raw.dtype.kind in ("U", "S", "O")
+            vals = raw if is_str else raw.astype(np.int64)
             # first-occurrence order of unique values
             first_idx = np.sort(np.unique(vals, return_index=True)[1])
             uniq_first = vals[first_idx]
-            remap = {int(v): j for j, v in enumerate(uniq_first)}
-            inv_first = np.array([remap[int(v)] for v in vals], dtype=np.uint64)
-            for v in uniq_first:
-                # Value message: int_value (field 4, varint) for v >= 0,
-                # sint_value (field 6, zigzag) otherwise
-                if v >= 0:
+            remap = {v: j for j, v in enumerate(uniq_first.tolist())}
+            inv_first = np.array(
+                [remap[v] for v in vals.tolist()], dtype=np.uint64
+            )
+            for v in uniq_first.tolist():
+                # Value message: string_value (field 1) for strings,
+                # int_value (field 4, varint) for v >= 0, sint_value
+                # (field 6, zigzag) otherwise
+                if is_str:
+                    val_blocks += _len_delimited(
+                        4, _len_delimited(1, str(v).encode())
+                    )
+                elif v >= 0:
                     val_blocks += _len_delimited(
                         4, b"\x20" + varint_encode(np.array([v], dtype=np.uint64))
                     )
@@ -373,7 +382,9 @@ def decode_point_layer(tile: bytes) -> dict:
                 out["keys"].append(lval.decode())
             elif ltag == 4:
                 for vtag, vval in fields(lval):
-                    if vtag == 4:  # int_value
+                    if vtag == 1:  # string_value
+                        out["values"].append(vval.decode())
+                    elif vtag == 4:  # int_value
                         out["values"].append(vval)
                     elif vtag == 6:  # sint_value (zigzag)
                         out["values"].append((vval >> 1) ^ -(vval & 1))
@@ -446,10 +457,12 @@ def _encode_group(zoom: int, extent: int, layer_name: str,
     def build(g: pa.Table) -> pa.Table:
         ids = np.asarray(g.column("fid"), dtype=np.int64)
         order = np.argsort(ids, kind="stable")
-        attrs = {
-            c: np.asarray(g.column(c), dtype=np.int64)[order]
-            for c in attr_cols or ()
-        } or None
+        def _col(c):
+            arr = g.column(c).to_numpy(zero_copy_only=False)
+            return (arr if arr.dtype.kind in ("U", "S", "O")
+                    else arr.astype(np.int64))[order]
+
+        attrs = {c: _col(c) for c in attr_cols or ()} or None
         blob = encode_point_layer(
             ids[order],
             np.asarray(g.column("lx"), dtype=np.int64)[order],

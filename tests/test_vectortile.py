@@ -272,3 +272,26 @@ def test_polygon_box_layer_roundtrip():
     assert all(
         d["attrs"][i] == {"area": int(areas[i])} for i in range(n)
     )
+
+
+def test_point_layer_string_tags():
+    from rastertiler_rs_ray.pipelines.vectortile import (
+        decode_point_layer,
+        encode_point_layer,
+    )
+
+    ids = np.array([1, 2, 3, 4])
+    px = py = np.array([0, 1, 2, 3])
+    langs = np.array(["en", "fr", "en", "zh"])
+    n = np.array([10, -1, 10, 0])
+    d = decode_point_layer(
+        encode_point_layer(ids, px, py, attrs={"lang": langs, "n": n})
+    )
+    assert d["attrs"] == [
+        {"lang": "en", "n": 10},
+        {"lang": "fr", "n": -1},
+        {"lang": "en", "n": 10},
+        {"lang": "zh", "n": 0},
+    ]
+    # string values table deduped in first-occurrence order
+    assert d["values"][:3] == ["en", "fr", "zh"]
