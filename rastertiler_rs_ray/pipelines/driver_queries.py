@@ -9737,6 +9737,119 @@ def doc_lang_mvt_tileset(sf_dir: str):
 SQL_DOC_LANG_MVT = _sql_read_map("langmvt_ts")
 
 
+def cohort_cumulative_value(sf_dir: str):
+    """Cohort LTV curve: cumulative event value per (cohort week, week
+    offset) — value e2-quantized per event so sums are integer-exact.
+    Same one-exchange cohorting as user_cohort_retention, then a window
+    cumsum over the bounded (cohort, offset) table on the driver."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy()
+        v = np.floor(g.column("value").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        days = ts.astype("datetime64[D]")
+        dow = (days.astype(np.int64) + 3) % 7
+        monday = days - dow.astype("timedelta64[D]")
+        cohort = monday.min()
+        off = ((monday - cohort) // np.timedelta64(7, "D")).astype(np.int64)
+        df = pd.DataFrame({"off": off, "v": v}).groupby("off")["v"].sum().reset_index()
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    np.full(len(df), cohort, dtype="datetime64[us]")
+                ),
+                "week_offset": pa.array(df["off"].to_numpy()),
+                "value_e2": pa.array(df["v"].to_numpy()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ev.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("value_e2", alias_name="value_e2"))
+        .to_pandas()  # bounded: cohorts × offsets
+    ).sort_values(["cohort_week", "week_offset"])
+    agg["cum_value_e2"] = agg.groupby("cohort_week")["value_e2"].cumsum()
+    return pa.Table.from_pandas(agg.reset_index(drop=True), preserve_index=False)
+
+
+SQL_COHORT_CUMULATIVE_VALUE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events
+  GROUP BY user_id),
+wk AS (
+  SELECT f.cohort_week,
+         date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS week_offset,
+         CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS v
+  FROM events e JOIN firsts f ON f.user_id = e.user_id),
+agg AS (
+  SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+         sum(v) AS value_e2
+  FROM wk GROUP BY cohort_week, week_offset)
+SELECT cohort_week, week_offset, CAST(value_e2 AS BIGINT) AS value_e2,
+       CAST(sum(value_e2) OVER (PARTITION BY cohort_week ORDER BY week_offset
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e2
+FROM agg
+"""
+
+
+def kcore_doc_links(sf_dir: str):
+    """3-core of the planted doc-link graph: the chain+skip edges
+    (which peel away completely at k=3 — chain ends cascade) plus
+    arithmetic 5-cliques over multiples of 25 (4-regular, so they
+    survive exactly).  graph.k_core runs distributed peeling — degree
+    groupby + survivor semi-joins per round, no broadcast of the
+    survivor set.  The CLOSED FORM of the fixpoint (3-core = precisely
+    the clique nodes) gives the iterative algorithm a SQL oracle;
+    general-graph peeling parity is pinned in tests/test_kcore.py."""
+    from .graph import k_core
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"))
+        c = did[did % 10 != 0]
+        s = did[did % 10 >= 2]
+        m = did[did % 25 == 0]
+        cu, cv = [c - 1, s - 2], [c, s]
+        for j in range(1, 5):
+            ok = (m % 125) // 25 + j <= 4
+            cu.append(m[ok])
+            cv.append(m[ok] + 25 * j)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(cu), pa.int64()),
+                "v": pa.array(np.concatenate(cv), pa.int64()),
+            }
+        )
+
+    out = k_core(docs.map_batches(edges, batch_format="pyarrow"), 3)
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.compute.cast(b.column("node"), pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+# Closed form of the peeling fixpoint on this planted graph: chains
+# peel to nothing, each arithmetic 5-clique is 4-regular and survives —
+# the 3-core is exactly the distinct clique-edge endpoints.
+SQL_KCORE_DOC_LINKS = """
+WITH m AS (SELECT doc_id AS u FROM documents WHERE doc_id % 25 = 0),
+ce AS (
+  SELECT u, u + 25 * j.j AS v
+  FROM m CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) j
+  WHERE (u % 125) // 25 + j.j <= 4)
+SELECT DISTINCT node FROM (
+  SELECT u AS node FROM ce UNION ALL SELECT v FROM ce)
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9855,6 +9968,7 @@ QUERIES = {
     "user_hex_dwells": (user_hex_dwells, SQL_USER_HEX_DWELLS),
     "hex_raster_sample": (hex_raster_sample, SQL_HEX_RASTER_SAMPLE),
     "doc_ancestor_closure": (doc_ancestor_closure, SQL_DOC_ANCESTOR_CLOSURE),
+    "kcore_doc_links": (kcore_doc_links, SQL_KCORE_DOC_LINKS),
     "user_leg_bearings": (user_leg_bearings, SQL_USER_LEG_BEARINGS),
     "terrain_metrics_blocks": (terrain_metrics_blocks, SQL_TERRAIN_METRICS_BLOCKS),
     "hex_od_matrix_events": (hex_od_matrix_events, SQL_HEX_OD_MATRIX),
@@ -9866,6 +9980,10 @@ QUERIES = {
     "train_quality_classifier": (train_quality_classifier, None),
     "q6_forecast_revenue": (q6_forecast_revenue, SQL_Q6),
     "user_cohort_retention": (user_cohort_retention, SQL_USER_COHORT_RETENTION),
+    "cohort_cumulative_value": (
+        cohort_cumulative_value,
+        SQL_COHORT_CUMULATIVE_VALUE,
+    ),
     "viewshed_blocks": (viewshed_blocks, SQL_VIEWSHED_BLOCKS),
     "hex_density_mvt_tileset": (hex_density_mvt_tileset, SQL_HEX_DENSITY_MVT),
     "doc_lang_mvt_tileset": (doc_lang_mvt_tileset, SQL_DOC_LANG_MVT),

@@ -767,3 +767,81 @@ def ancestor_closure(
             break
         reach = reach.union(new).materialize()
     return reach
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    *,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_rounds: int = 100,
+) -> ray.data.Dataset:
+    """Nodes of the k-core (maximal subgraph with min degree ≥ k) by
+    distributed peeling: each round computes degrees (one narrow
+    groupby), keeps nodes with degree ≥ k, and semi-joins the edge list
+    against the survivor set on BOTH endpoints (shuffle hash joins —
+    the survivor set can be huge, so no broadcast).  Converges when a
+    round removes nothing; rounds are bounded by the degeneracy
+    ordering depth, typically ≪ max_rounds.  Returns (node)."""
+    from .relational import shuffle_hash_join
+
+    def undirect(b: pa.Table) -> pa.Table:
+        u = pa.compute.cast(b.column(u_col), pa.int64())
+        v = pa.compute.cast(b.column(v_col), pa.int64())
+        return pa.table(
+            {
+                "u": pa.concat_arrays([u.combine_chunks(), v.combine_chunks()]),
+                "v": pa.concat_arrays([v.combine_chunks(), u.combine_chunks()]),
+            }
+        )
+
+    # SET semantics: parallel edges must not inflate degrees
+    und = distinct(
+        edges.map_batches(undirect, batch_format="pyarrow"), ["u", "v"]
+    ).materialize()
+    keep = None
+    for _ in range(max_rounds):
+        deg = und.groupby("u").count().materialize()
+
+        def thresh(b: pa.Table, ge: bool) -> pa.Table:
+            cmp = pa.compute.greater_equal if ge else pa.compute.less
+            t = b.filter(cmp(b.column("count()"), pa.scalar(k)))
+            return pa.table({"node": t.column("u")})
+
+        keep = deg.map_batches(
+            lambda b: thresh(b, True), batch_format="pyarrow"
+        ).materialize()
+        bad = deg.map_batches(lambda b: thresh(b, False), batch_format="pyarrow")
+        n_bad = bad.count()
+        if keep.count() == 0 or n_bad == 0:
+            break
+        # Peeling removes FEW nodes per round after the first (bounded
+        # by the degeneracy frontier), so the removed set broadcasts
+        # and edges filter map-only; the shuffle semi-joins are the
+        # fallback when a round's removal set is itself huge.
+        if n_bad <= 2_000_000:
+            bad_arr = pa.array(
+                bad.to_pandas()["node"].to_numpy(), pa.int64()
+            )  # bounded by the n_bad guard
+            bad_ref = ray.put(bad_arr)
+
+            def drop(b: pa.Table) -> pa.Table:
+                bs = ray.get(bad_ref)
+                m = pa.compute.and_(
+                    pa.compute.invert(pa.compute.is_in(b.column("u"), value_set=bs)),
+                    pa.compute.invert(pa.compute.is_in(b.column("v"), value_set=bs)),
+                )
+                return b.filter(m)
+
+            und = und.map_batches(drop, batch_format="pyarrow").materialize()
+        else:
+            und = shuffle_hash_join(
+                und, keep.map_batches(lambda b: b, batch_format="pyarrow"),
+                on="u", right_on="node",
+            ).select_columns(["u", "v"])
+            und = shuffle_hash_join(
+                und, keep.map_batches(lambda b: b, batch_format="pyarrow"),
+                on="v", right_on="node",
+            ).select_columns(["u", "v"]).materialize()
+    return keep

@@ -1,0 +1,60 @@
+"""Distributed k-core peeling vs a local peeling oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rastertiler_rs_ray.pipelines.graph import k_core
+
+
+def _local_kcore(us, vs, k):
+    edges = set()
+    for a, b in zip(us, vs):
+        edges.add((int(a), int(b)))
+        edges.add((int(b), int(a)))
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return set(deg)
+        edges = {(a, b) for a, b in edges if a not in bad and b not in bad}
+        if not edges:
+            return set()
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_matches_local(ray_session, k):
+    rng = np.random.default_rng(55)
+    # chain+skip graph (triangle ladder) + random noise edges + a clique
+    n = 200
+    did = np.arange(n)
+    c = did[did % 10 != 0]
+    s = did[did % 10 >= 2]
+    us = np.concatenate([c - 1, s - 2, rng.integers(0, n, 40)])
+    vs = np.concatenate([c, s, rng.integers(0, n, 40)])
+    clique = np.array([500, 501, 502, 503, 504])
+    cu, cv = np.meshgrid(clique, clique)
+    m = cu < cv
+    us = np.concatenate([us, cu[m]])
+    vs = np.concatenate([vs, cv[m]])
+    keep = us != vs
+    us, vs = us[keep], vs[keep]
+    ds = ray.data.from_arrow(
+        pa.table({"u": pa.array(us), "v": pa.array(vs)})
+    ).repartition(4)
+    got = set(k_core(ds, k).to_pandas()["node"].tolist())
+    want = _local_kcore(us, vs, k)
+    assert got == want
+    if k == 3:
+        assert set(clique.tolist()) <= got  # 4-regular clique survives k=3
+
+
+def test_kcore_empty(ray_session):
+    # a bare chain has no 3-core
+    us = np.arange(1, 10)
+    vs = us - 1
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(us), "v": pa.array(vs)}))
+    assert k_core(ds, 3).count() == 0
