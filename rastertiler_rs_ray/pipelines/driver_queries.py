@@ -9850,6 +9850,92 @@ SELECT DISTINCT node FROM (
 """
 
 
+def dedup_cluster_histogram(sf_dir: str):
+    """Dedup observability: histogram of exact-duplicate cluster sizes
+    (normalized text key, the exact_dedup_docs normalization) —
+    (cluster_size, n_clusters).  Two narrow exchanges: per-key counts
+    (map-side partials over the hash), then counts-of-counts."""
+    from .dedup import _norm_hash64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        h = _norm_hash64(b.column("text"))
+        uniq, counts = np.unique(h, return_counts=True)
+        return pa.table({"k": pa.array(uniq), "n": pa.array(counts)})
+
+    from ray.data.aggregate import Sum
+
+    sizes = (
+        docs.map_batches(keys, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        sz, cnt = np.unique(b.column("n").to_numpy(), return_counts=True)
+        return pa.table(
+            {"cluster_size": pa.array(sz), "n_clusters": pa.array(cnt.astype(np.int64))}
+        )
+
+    return (
+        sizes.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+
+SQL_DEDUP_CLUSTER_HISTOGRAM = r"""
+WITH keys AS (
+  SELECT regexp_replace(trim(text), '\s+', ' ', 'g') AS k, count(*) AS n
+  FROM documents GROUP BY 1)
+SELECT n AS cluster_size, count(*) AS n_clusters FROM keys GROUP BY n
+"""
+
+
+def benford_order_prices(sf_dir: str):
+    """Benford first-significant-digit audit of o_totalprice: digit
+    counts plus the e4-quantized expected Benford share — the
+    data-forensics screen (fabricated totals flunk it).  Map-side
+    digit partials, one 9-row exchange."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column("o_totalprice").to_numpy()
+        x = x[x > 0]
+        d = np.floor(x / np.power(10.0, np.floor(np.log10(x)))).astype(np.int64)
+        d = np.clip(d, 1, 9)
+        dig, cnt = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(dig), "n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_expected(b: pa.Table) -> pa.Table:
+        d = b.column("digit").to_numpy().astype(np.float64)
+        exp_e4 = np.floor(np.log10(1.0 + 1.0 / d) * 1e4 + 0.5).astype(np.int64)
+        return b.append_column("benford_e4", pa.array(exp_e4))
+
+    return agg.map_batches(add_expected, batch_format="pyarrow")
+
+
+SQL_BENFORD_ORDER_PRICES = """
+WITH d AS (
+  SELECT CAST(least(greatest(floor(o_totalprice /
+           power(10.0, floor(log10(o_totalprice)))), 1.0), 9.0) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0)
+SELECT digit, count(*) AS n,
+       CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)
+         AS benford_e4
+FROM d GROUP BY digit
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -9987,6 +10073,11 @@ QUERIES = {
     "viewshed_blocks": (viewshed_blocks, SQL_VIEWSHED_BLOCKS),
     "hex_density_mvt_tileset": (hex_density_mvt_tileset, SQL_HEX_DENSITY_MVT),
     "doc_lang_mvt_tileset": (doc_lang_mvt_tileset, SQL_DOC_LANG_MVT),
+    "dedup_cluster_histogram": (
+        dedup_cluster_histogram,
+        SQL_DEDUP_CLUSTER_HISTOGRAM,
+    ),
+    "benford_order_prices": (benford_order_prices, SQL_BENFORD_ORDER_PRICES),
     "component_boxes_mvt_tileset": (
         component_boxes_mvt_tileset,
         SQL_COMPONENT_BOXES_MVT,
