@@ -9936,6 +9936,70 @@ FROM d GROUP BY digit
 """
 
 
+def customer_rfm_segments(sf_dir: str):
+    """RFM customer segmentation: per customer the last-order epoch
+    day (R), order count (F), e2 spend (M), each assigned an NTILE(5)
+    score over all customers (repo ntile semantics: total order with
+    the custkey tie-break, SQL size rule).  One per-customer aggregate
+    exchange + three narrow ntile passes over the bounded customer
+    table."""
+    from .relational import grouped_aggregate, ntile_in_groups
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        days = (
+            b.column("o_orderdate").to_numpy().astype("datetime64[D]").astype(np.int64)
+        )
+        spend = np.floor(b.column("o_totalprice").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "day": pa.array(days),
+                "spend_e2": pa.array(spend),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    per_cust = grouped_aggregate(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        [
+            ("last_day", "day", "max"),
+            ("n_orders", "one", "sum"),
+            ("spend_e2", "spend_e2", "sum"),
+        ],
+    )
+
+    def addg(b: pa.Table) -> pa.Table:
+        return b.append_column("g", pa.array(np.zeros(len(b), np.int64)))
+
+    ds = per_cust.map_batches(addg, batch_format="pyarrow")
+    ds = ntile_in_groups(ds, ["g"], ["last_day", "o_custkey"], 5, out_col="r_score")
+    ds = ntile_in_groups(ds, ["g"], ["n_orders", "o_custkey"], 5, out_col="f_score")
+    ds = ntile_in_groups(ds, ["g"], ["spend_e2", "o_custkey"], 5, out_col="m_score")
+    return ds.select_columns(
+        ["o_custkey", "last_day", "n_orders", "spend_e2", "r_score", "f_score", "m_score"]
+    )
+
+
+SQL_CUSTOMER_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS last_day,
+         count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spend_e2
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, last_day, n_orders, spend_e2,
+  CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT) AS r_score,
+  CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f_score,
+  CAST(ntile(5) OVER (ORDER BY spend_e2, o_custkey) AS BIGINT) AS m_score
+FROM per_cust
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -10078,6 +10142,7 @@ QUERIES = {
         SQL_DEDUP_CLUSTER_HISTOGRAM,
     ),
     "benford_order_prices": (benford_order_prices, SQL_BENFORD_ORDER_PRICES),
+    "customer_rfm_segments": (customer_rfm_segments, SQL_CUSTOMER_RFM),
     "component_boxes_mvt_tileset": (
         component_boxes_mvt_tileset,
         SQL_COMPONENT_BOXES_MVT,
