@@ -10000,6 +10000,62 @@ FROM per_cust
 """
 
 
+BASKET_MIN_SUPPORT = 2
+
+
+def part_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, counted across orders, kept at support ≥ 2.  One
+    groupby(order) exchange emits the in-order pairs (bounded by the
+    per-order line count — the classic basket-size contract: salt or
+    cap pathological baskets upstream), then a map-side-combined pair
+    count.  DISTINCT parts per order (a part twice in one order counts
+    once)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        p = np.unique(g.column("l_partkey").to_numpy())
+        if len(p) < 2:
+            return pa.table(
+                {"part_a": pa.array([], pa.int64()), "part_b": pa.array([], pa.int64())}
+            )
+        i, j = np.triu_indices(len(p), k=1)
+        return pa.table({"part_a": pa.array(p[i]), "part_b": pa.array(p[j])})
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        g = df.groupby(["part_a", "part_b"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    def thresh(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pa.compute.greater_equal(b.column("n_orders"), pa.scalar(BASKET_MIN_SUPPORT))
+        )
+
+    return agg.map_batches(thresh, batch_format="pyarrow")
+
+
+SQL_PART_BASKET_PAIRS = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM d a JOIN d b ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= {BASKET_MIN_SUPPORT}
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -10143,6 +10199,7 @@ QUERIES = {
     ),
     "benford_order_prices": (benford_order_prices, SQL_BENFORD_ORDER_PRICES),
     "customer_rfm_segments": (customer_rfm_segments, SQL_CUSTOMER_RFM),
+    "part_basket_pairs": (part_basket_pairs, SQL_PART_BASKET_PAIRS),
     "component_boxes_mvt_tileset": (
         component_boxes_mvt_tileset,
         SQL_COMPONENT_BOXES_MVT,
