@@ -10056,6 +10056,116 @@ HAVING count(*) >= {BASKET_MIN_SUPPORT}
 """
 
 
+def hex_density_incremental(sf_dir: str):
+    """Incremental view maintenance for the hex density aggregate: the
+    SEALED corpus (doc_id % 5 != 0) has a materialized density; the new
+    batch (doc_id % 5 == 0) computes only ITS density and merges by
+    cell-key sum — the delta exchange is sized by the batch, never the
+    corpus.  Oracle: the merged view must equal the full recompute."""
+    from ray.data.aggregate import Sum
+
+    from .spatial import hex_density
+
+    pos = doc_positions_dataset(sf_dir)
+
+    def split(keep_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            did = b.column("doc_id").to_numpy()
+            m = (did % 5 == 0) if keep_new else (did % 5 != 0)
+            return b.filter(pa.array(m))
+
+        return f
+
+    sealed = hex_density(
+        pos.map_batches(split(False), batch_format="pyarrow"), res=HEX_RES
+    ).materialize()  # the standing materialized view
+    delta = hex_density(
+        pos.map_batches(split(True), batch_format="pyarrow"), res=HEX_RES
+    )
+    return (
+        sealed.union(delta)
+        .groupby(["hex_q", "hex_r", "hex_id"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+# the merged incremental view must equal the full recompute
+SQL_HEX_DENSITY_INCREMENTAL = SQL_HEX_DENSITY
+
+
+_MORPH_REGION = (256, 256, 384, 384)
+_MORPH_T = 128
+
+
+def morphological_opening_demo(sf_dir: str):
+    """Binary morphological opening (erode→dilate, 3×3) of the mask
+    value ≥ 128 over a 128² window — focal.morphological_opening_blocks
+    chains the windowed-read plan (mask) with TWO halo-exchange passes
+    (erosion stats, then dilation of the COMPUTED eroded raster).
+    Output per 64² block: (bx, by, n_mask, n_eroded, n_opened)."""
+    from ..raster.synthetic import default_u8_raster
+    from .focal import morphological_opening_blocks
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _MORPH_REGION
+    return morphological_opening_blocks(
+        r.spec(), c0, r0, c1, r1, threshold=_MORPH_T, chunk=64
+    )
+
+
+def _sql_morphological_opening() -> str:
+    from ..raster.synthetic import default_u8_raster
+
+    r = default_u8_raster()
+    c0, r0, c1, r1 = _MORPH_REGION
+    blk_stages = _sql_mix64(f"sc // {r.block}", f"sr // {r.block}", r.seed + 1, "bh")
+    px_stages = _sql_mix64("sc", "sr", r.seed, "ph")
+    hash_ctes = ",\n".join(
+        f"m{i} AS (SELECT *, {bs},\n  {ps} FROM {prev})"
+        for i, (bs, ps, prev) in enumerate(
+            zip(blk_stages, px_stages, ["pxs", "m0", "m1", "m2"])
+        )
+    )
+    return f"""
+WITH cc AS (SELECT unnest(generate_series({c0}, {c1 - 1})) AS sc),
+cr AS (SELECT unnest(generate_series({r0}, {r1 - 1})) AS sr),
+pxs AS (SELECT sc, sr FROM cc CROSS JOIN cr),
+{hash_ctes},
+mask AS (
+  SELECT sc, sr,
+         CASE WHEN bh % 5 = 0 THEN 0
+              WHEN (CASE WHEN bh % 7 = 1 THEN 42
+                         ELSE 1 + CAST(ph % 255 AS BIGINT) END) >= {_MORPH_T}
+              THEN 1 ELSE 0 END AS m
+  FROM m3),
+d AS (SELECT unnest([-1, 0, 1]) AS dd),
+er AS (
+  SELECT p.sc, p.sr,
+         CASE WHEN count(*) = 9 AND min(q.m) = 1 THEN 1 ELSE 0 END AS e
+  FROM mask p
+  JOIN d dx ON TRUE JOIN d dy ON TRUE
+  JOIN mask q ON q.sc = p.sc + dx.dd AND q.sr = p.sr + dy.dd
+  GROUP BY p.sc, p.sr),
+op AS (
+  SELECT p.sc, p.sr, max(q.e) AS o
+  FROM er p
+  JOIN d dx ON TRUE JOIN d dy ON TRUE
+  JOIN er q ON q.sc = p.sc + dx.dd AND q.sr = p.sr + dy.dd
+  GROUP BY p.sc, p.sr)
+SELECT m.sc // 64 AS bx, m.sr // 64 AS by,
+       CAST(sum(m.m) AS BIGINT) AS n_mask,
+       CAST(sum(e.e) AS BIGINT) AS n_eroded,
+       CAST(sum(o.o) AS BIGINT) AS n_opened
+FROM mask m
+JOIN er e ON e.sc = m.sc AND e.sr = m.sr
+JOIN op o ON o.sc = m.sc AND o.sr = m.sr
+GROUP BY 1, 2
+"""
+
+
+SQL_MORPHOLOGICAL_OPENING = _sql_morphological_opening()
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -10169,6 +10279,7 @@ QUERIES = {
     "render_pyramid_map": (render_pyramid_map, SQL_RENDER_PYRAMID_MAP),
     "cell_index_z12": (cell_index_z12, SQL_CELL_INDEX_Z12),
     "hex_density_docs": (hex_density_docs, SQL_HEX_DENSITY),
+    "hex_density_incremental": (hex_density_incremental, SQL_HEX_DENSITY_INCREMENTAL),
     "geohash_docs": (geohash_docs, SQL_GEOHASH_DOCS),
     "lang_position_hulls": (lang_position_hulls, SQL_LANG_POSITION_HULLS),
     "user_hex_dwells": (user_hex_dwells, SQL_USER_HEX_DWELLS),
@@ -10191,6 +10302,10 @@ QUERIES = {
         SQL_COHORT_CUMULATIVE_VALUE,
     ),
     "viewshed_blocks": (viewshed_blocks, SQL_VIEWSHED_BLOCKS),
+    "morphological_opening_demo": (
+        morphological_opening_demo,
+        SQL_MORPHOLOGICAL_OPENING,
+    ),
     "hex_density_mvt_tileset": (hex_density_mvt_tileset, SQL_HEX_DENSITY_MVT),
     "doc_lang_mvt_tileset": (doc_lang_mvt_tileset, SQL_DOC_LANG_MVT),
     "dedup_cluster_histogram": (

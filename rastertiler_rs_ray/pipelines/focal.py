@@ -663,3 +663,164 @@ def viewshed_windowed(
     return ray.data.from_items(ids).map_batches(
         _Viewshed, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
     )
+
+
+def morphological_opening_blocks(
+    raster_spec: dict,
+    c0: int,
+    r0: int,
+    c1: int,
+    r1: int,
+    *,
+    threshold: int,
+    chunk: int = 64,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Binary morphological OPENING (erosion then dilation, 3×3
+    structuring element) of the mask ``value ≥ threshold`` over a pixel
+    window — chaining BOTH focal physical plans: the mask blocks read
+    directly (windowed plan), but the eroded raster exists only as
+    computed blocks, so the dilation pass runs through the halo
+    EXCHANGE plan (``focal_stats_exchange``).
+
+    Boundary semantics (mirrored by the SQL oracle): outside-window is
+    FALSE — erosion requires all nine in-window neighbors present and
+    true (n == 9 and min == 1); dilation is any-true over whatever
+    neighbors exist (max == 1).  Output per block:
+    (bx, by, n_mask, n_eroded, n_opened).
+    """
+    from ..raster.synthetic import SyntheticRaster
+
+    bx0, bx1 = c0 // chunk, (c1 + chunk - 1) // chunk
+    by0, by1 = r0 // chunk, (r1 + chunk - 1) // chunk
+    ids = [{"bx": bx, "by": by} for by in range(by0, by1) for bx in range(bx0, bx1)]
+
+    class _MaskReader:
+        def __init__(self):
+            self.r = SyntheticRaster.from_spec(raster_spec)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bufs = []
+            bxs = b.column("bx").to_numpy(zero_copy_only=False)
+            bys = b.column("by").to_numpy(zero_copy_only=False)
+            for bx, by in zip(bxs, bys):
+                cols = np.arange(bx * chunk, (bx + 1) * chunk, dtype=np.int64)[None, :]
+                rows = np.arange(by * chunk, (by + 1) * chunk, dtype=np.int64)[:, None]
+                v = self.r.values_at(cols, rows)
+                inside = (
+                    (cols >= c0) & (cols < c1) & (rows >= r0) & (rows < r1)
+                )
+                m = ((v >= threshold) & inside).astype(np.uint8)
+                bufs.append(m.tobytes())
+            return pa.table(
+                {
+                    "bx": pa.array(bxs, pa.int32()),
+                    "by": pa.array(bys, pa.int32()),
+                    "pixels": pa.array(bufs, pa.binary()),
+                }
+            )
+
+    import ray as _ray
+
+    mask_blocks = _ray.data.from_items(ids).map_batches(
+        _MaskReader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    ).materialize()
+
+    # pass 1: erosion — 3×3 stats via halo exchange (nodata=255 never
+    # occurs in a 0/1 mask, so every pixel is valid and n counts
+    # in-window presence)
+    er_stats = focal_stats_exchange(mask_blocks, chunk=chunk, nodata=255)
+
+    def eroded_to_blocks(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        df["bx"] = df["gcol"] // chunk
+        df["by"] = df["grow"] // chunk
+        er = ((df["n"] == 9) & (df["min_val"] == 1)).astype(np.uint8)
+        df["er"] = er
+        out_bx, out_by, bufs = [], [], []
+        for (bx, by), g in df.groupby(["bx", "by"], sort=False):
+            grid = np.zeros(chunk * chunk, dtype=np.uint8)
+            idx = (g["grow"].to_numpy() % chunk) * chunk + (g["gcol"].to_numpy() % chunk)
+            grid[idx] = g["er"].to_numpy()
+            out_bx.append(int(bx))
+            out_by.append(int(by))
+            bufs.append(grid.tobytes())
+        return pa.table(
+            {
+                "bx": pa.array(out_bx, pa.int32()),
+                "by": pa.array(out_by, pa.int32()),
+                "pixels": pa.array(bufs, pa.binary()),
+            }
+        )
+
+    # the stats stream is row-per-pixel; regroup to blocks with one
+    # narrow exchange keyed by the block address
+    er_blocks = (
+        er_stats.map_batches(
+            lambda b: b.append_column(
+                "bkey",
+                pa.array(
+                    (b.column("grow").to_numpy() // chunk) * (1 << 20)
+                    + b.column("gcol").to_numpy() // chunk
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bkey")
+        .map_groups(eroded_to_blocks, batch_format="pyarrow")
+    ).materialize()
+
+    # pass 2: dilation of the eroded raster — exchange plan again
+    dil_stats = focal_stats_exchange(er_blocks, chunk=chunk, nodata=255)
+
+    def rollup(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        df["bx"] = df["gcol"] // chunk
+        df["by"] = df["grow"] // chunk
+        df["opened"] = (df["max_val"] == 1).astype(np.int64)
+        g = df.groupby(["bx", "by"], sort=False)["opened"].sum().reset_index()
+        g.rename(columns={"opened": "n_opened"}, inplace=True)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    opened = (
+        dil_stats.map_batches(rollup, batch_format="pyarrow")
+        .groupby(["bx", "by"])
+        .aggregate(Sum("n_opened", alias_name="n_opened"))
+    ).materialize()
+
+    # mask and eroded per-block counts ride along for the oracle
+    def mask_counts(b: pa.Table) -> pa.Table:
+        out = []
+        for i in range(len(b)):
+            m = np.frombuffer(b.column("pixels")[i].as_py(), dtype=np.uint8)
+            out.append(int(m.sum()))
+        return pa.table(
+            {
+                "bx": pa.compute.cast(b.column("bx"), pa.int64()),
+                "by": pa.compute.cast(b.column("by"), pa.int64()),
+                "n": pa.array(out, pa.int64()),
+            }
+        )
+
+    nm = mask_blocks.map_batches(mask_counts, batch_format="pyarrow").to_pandas()
+    ne = er_blocks.map_batches(mask_counts, batch_format="pyarrow").to_pandas()
+    big = opened.to_pandas()  # bounded: one row per block
+    big["bx"] = big["bx"].astype(np.int64)
+    big["by"] = big["by"].astype(np.int64)
+    merged = (
+        nm.rename(columns={"n": "n_mask"})
+        .merge(ne.rename(columns={"n": "n_eroded"}), on=["bx", "by"], how="left")
+        .merge(big, on=["bx", "by"], how="left")
+        .fillna(0)
+    )
+    for c in ("n_eroded", "n_opened"):
+        merged[c] = merged[c].astype(np.int64)
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.Table.from_pandas(merged, preserve_index=False))
