@@ -10166,6 +10166,56 @@ GROUP BY 1, 2
 SQL_MORPHOLOGICAL_OPENING = _sql_morphological_opening()
 
 
+_QNORM_BUCKET = 10_000_000
+
+
+def embedding_qnorm_histogram(sf_dir: str):
+    """Embedding-norm distribution diagnostic: per vector the
+    integer-exact quantized squared norm Σ floor(xᵢ·1e4+0.5)² (element
+    quantization BEFORE summing makes the statistic summation-order
+    free — float sums of raw squares would differ between engines),
+    bucketed and histogrammed.  Map-side partial counts, one 9-ish-row
+    exchange."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.asarray(arr.offsets)
+        flat = np.asarray(arr.values, dtype=np.float64)
+        flat = flat[offs[0]: offs[-1]]
+        offs = offs - offs[0]
+        q = np.floor(flat * 1e4 + 0.5).astype(np.int64)
+        sq = np.add.reduceat(q * q, offs[:-1])
+        sq[offs[:-1] == offs[1:]] = 0  # empty vectors
+        bucket = sq // _QNORM_BUCKET
+        ub, cnt = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(ub), "n_vecs": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+    )
+
+
+SQL_EMBEDDING_QNORM_HISTOGRAM = f"""
+WITH q AS (
+  SELECT vec_id,
+         sum(CAST(floor(x * 10000.0 + 0.5) AS BIGINT)
+             * CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS sq
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id)
+SELECT sq // {_QNORM_BUCKET} AS bucket, count(*) AS n_vecs
+FROM q GROUP BY 1
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -10226,6 +10276,10 @@ QUERIES = {
     "dsir_weights_docs": (dsir_weights_docs, SQL_DSIR_WEIGHTS),
     "training_shards_docs": (training_shards_docs, SQL_TRAINING_SHARDS),
     "quantize_embeddings_docs": (quantize_embeddings_docs, SQL_QUANTIZE_EMBEDDINGS),
+    "embedding_qnorm_histogram": (
+        embedding_qnorm_histogram,
+        SQL_EMBEDDING_QNORM_HISTOGRAM,
+    ),
     # --- group 2: STANDARD oracled (first ~35 complete the window) ---
     "events_user_hybrid_join": (events_user_hybrid_join, SQL_EVENTS_USER_HYBRID_JOIN),
     "normalized_dedup_docs": (normalized_dedup_docs, SQL_NORMALIZED_DEDUP),
