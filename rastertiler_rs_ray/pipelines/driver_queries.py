@@ -10216,6 +10216,120 @@ FROM q GROUP BY 1
 """
 
 
+def event_volume_cusum(sf_dir: str):
+    """Change-point screen on hourly event volume: the CUSUM deviation
+    kept INTEGER by cross-multiplication — dev_k = n·S_k − k·T (S_k =
+    cumulative count through hour k, T = total, n = number of hours), so
+    a drift in rate shows as a sustained |dev| ramp with no float
+    anywhere.  One hourly-count exchange; the cumsum runs on the
+    bounded hour table."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = b.column("ts").to_numpy().astype("datetime64[h]")
+        uh, cnt = np.unique(hour, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(uh.astype("datetime64[us]")),
+                "n_events": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hours = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()  # bounded: one row per hour
+    ).sort_values("hour").reset_index(drop=True)
+    n = len(hours)
+    total = int(hours["n_events"].sum())
+    s = hours["n_events"].cumsum().to_numpy()
+    k = np.arange(1, n + 1)
+    hours["cusum_dev"] = n * s - k * total
+    return pa.Table.from_pandas(hours, preserve_index=False)
+
+
+SQL_EVENT_VOLUME_CUSUM = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1),
+c AS (
+  SELECT hour, n_events,
+         sum(n_events) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING) AS s,
+         row_number() OVER (ORDER BY hour) AS k,
+         sum(n_events) OVER () AS total,
+         count(*) OVER () AS n
+  FROM h)
+SELECT CAST(hour AS TIMESTAMP) AS hour, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n * s - k * total AS BIGINT) AS cusum_dev
+FROM c
+"""
+
+
+def customer_spend_gini(sf_dir: str):
+    """Gini concentration of customer spend, integer-exact via the
+    rank formula cross-multiplied: G_num = 2·Σ rank·x − (n+1)·Σx,
+    G_den = n·Σx (spend e2-quantized; ranks by (spend, custkey) total
+    order) — gini_e4 = floor(num/den·1e4+0.5).  Per-customer aggregate
+    exchange, then the rank sweep over the bounded customer table."""
+    from .relational import grouped_aggregate
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        spend = np.floor(b.column("o_totalprice").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {"o_custkey": b.column("o_custkey"), "spend_e2": pa.array(spend)}
+        )
+
+    per_cust = grouped_aggregate(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("spend_e2", "spend_e2", "sum")],
+    ).to_pandas()  # bounded: one row per customer
+    per_cust = per_cust.sort_values(["spend_e2", "o_custkey"]).reset_index(drop=True)
+    x = per_cust["spend_e2"].to_numpy()
+    n = len(x)
+    rank = np.arange(1, n + 1, dtype=np.int64)
+    num = int(2 * (rank * x).sum() - (n + 1) * x.sum())
+    den = int(n * x.sum())
+    gini_e4 = int(np.floor(num / den * 1e4 + 0.5))
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "gini_num": pa.array([num], pa.int64()),
+            "gini_den": pa.array([den], pa.int64()),
+            "gini_e4": pa.array([gini_e4], pa.int64()),
+        }
+    )
+
+
+SQL_CUSTOMER_SPEND_GINI = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS spend_e2
+  FROM orders GROUP BY o_custkey),
+r AS (
+  SELECT spend_e2, row_number() OVER (ORDER BY spend_e2, o_custkey) AS rk,
+         count(*) OVER () AS n
+  FROM per_cust),
+a AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_customers,
+         CAST(2 * sum(rk * spend_e2) - (max(n) + 1) * sum(spend_e2) AS BIGINT) AS gini_num,
+         CAST(max(n) * sum(spend_e2) AS BIGINT) AS gini_den
+  FROM r)
+SELECT n_customers, gini_num, gini_den,
+       CAST(floor(CAST(gini_num AS DOUBLE) / CAST(gini_den AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS gini_e4
+FROM a
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -10368,6 +10482,8 @@ QUERIES = {
     ),
     "benford_order_prices": (benford_order_prices, SQL_BENFORD_ORDER_PRICES),
     "customer_rfm_segments": (customer_rfm_segments, SQL_CUSTOMER_RFM),
+    "event_volume_cusum": (event_volume_cusum, SQL_EVENT_VOLUME_CUSUM),
+    "customer_spend_gini": (customer_spend_gini, SQL_CUSTOMER_SPEND_GINI),
     "part_basket_pairs": (part_basket_pairs, SQL_PART_BASKET_PAIRS),
     "component_boxes_mvt_tileset": (
         component_boxes_mvt_tileset,
