@@ -10330,6 +10330,126 @@ FROM a
 """
 
 
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 (promo revenue share) over a one-year ship window:
+    broadcast the narrow part-type side, per-line discounted price
+    e2-quantized BEFORE summing (integer-exact sums), share as an e4
+    ratio of exact integers."""
+    from .relational import broadcast_hash_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    small = pa.concat_tables(ray.get(part.to_arrow_refs()))
+    joined = broadcast_hash_join(li, small, left_on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        m = (ship >= np.datetime64("1996-01-01")) & (ship < np.datetime64("1997-01-01"))
+        price = b.column("l_extendedprice").to_numpy()[m]
+        disc = b.column("l_discount").to_numpy()[m]
+        promo = (b.column("p_type").to_pandas() == "PROMO").to_numpy()[m]
+        dp = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "promo_e2": pa.array([int(dp[promo].sum())], pa.int64()),
+                "all_e2": pa.array([int(dp.sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("promo_e2", alias_name="promo_e2"), Sum("all_e2", alias_name="all_e2"))
+        .to_pandas()
+    )
+    promo, alle = int(out["promo_e2"].iloc[0]), int(out["all_e2"].iloc[0])
+    share_e4 = int(np.floor(promo / alle * 1e4 + 0.5))
+    return pa.table(
+        {
+            "promo_e2": pa.array([promo], pa.int64()),
+            "all_e2": pa.array([alle], pa.int64()),
+            "promo_share_e4": pa.array([share_e4], pa.int64()),
+        }
+    )
+
+
+SQL_Q14_PROMO = """
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS dp,
+         p.p_type = 'PROMO' AS promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'),
+a AS (
+  SELECT CAST(sum(CASE WHEN promo THEN dp ELSE 0 END) AS BIGINT) AS promo_e2,
+         CAST(sum(dp) AS BIGINT) AS all_e2
+  FROM j)
+SELECT promo_e2, all_e2,
+       CAST(floor(CAST(promo_e2 AS DOUBLE) / CAST(all_e2 AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS promo_share_e4
+FROM a
+"""
+
+
+def q4_priority_check(sf_dir: str):
+    """TPC-H Q4 analog: orders (per priority) having AT LEAST ONE
+    lineitem shipped > 60 days after the order date — the EXISTS
+    semi-join shape: the late-order key set reduces map-side to
+    distinct keys, broadcasts once, and orders filter map-only."""
+    from .relational import broadcast_hash_join, grouped_aggregate, semi_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    osmall = pa.concat_tables(ray.get(orders.to_arrow_refs()))
+    j = broadcast_hash_join(li, osmall, left_on="l_orderkey", right_on="o_orderkey")
+
+    def late_keys(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        od = b.column("o_orderdate").to_numpy()
+        late = (ship - od) > np.timedelta64(60, "D")
+        k = np.unique(b.column("l_orderkey").to_numpy()[late])
+        return pa.table({"o_orderkey": pa.array(k)})
+
+    late = pa.concat_tables(
+        ray.get(
+            j.map_batches(late_keys, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    late_set = pa.table({"o_orderkey": pa.array(
+        np.unique(np.asarray(late.column("o_orderkey")))
+    )})
+    filtered = semi_join(orders, late_set, on="o_orderkey")
+
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    return grouped_aggregate(
+        filtered.map_batches(one, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("order_count", "one", "sum")],
+    )
+
+
+SQL_Q4_PRIORITY = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -10490,6 +10610,8 @@ QUERIES = {
         SQL_COMPONENT_BOXES_MVT,
     ),
     "q12_late_lines": (q12_late_lines, SQL_Q12_LATE),
+    "q14_promo_revenue": (q14_promo_revenue, SQL_Q14_PROMO),
+    "q4_priority_check": (q4_priority_check, SQL_Q4_PRIORITY),
     "user_time_weighted_value": (
         user_time_weighted_value,
         SQL_USER_TIME_WEIGHTED_VALUE,
