@@ -10450,6 +10450,190 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13: distribution of orders-per-customer INCLUDING
+    zero-order customers (the left-join-then-histogram shape): orders
+    count per customer (map-side partials), left-anti fill from the
+    customer table, counts-of-counts."""
+    import pandas as pd
+
+    from .relational import anti_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k, c = np.unique(b.column("o_custkey").to_numpy(), return_counts=True)
+        return pa.table({"c_custkey": pa.array(k), "n": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    ).materialize()
+    with_orders = pa.concat_tables(
+        ray.get(per_cust.select_columns(["c_custkey"]).to_arrow_refs())
+    )
+    zeros = anti_join(cust, with_orders, on="c_custkey")
+
+    def zero_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_count": pa.array(np.zeros(len(b), np.int64)),
+            }
+        )
+
+    allc = per_cust.union(zeros.map_batches(zero_rows, batch_format="pyarrow"))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        k, c = np.unique(b.column("c_count").to_numpy(), return_counts=True)
+        return pa.table({"c_count": pa.array(k), "custdist": pa.array(c.astype(np.int64))})
+
+    return (
+        allc.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+
+
+SQL_Q13_CUSTOMER_DISTRIBUTION = """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15: supplier(s) with the maximum revenue over a quarter
+    — per-supplier e2 revenue (map-side partials), max over the bounded
+    supplier table, equality filter (ties all returned, the spec's
+    subquery semantics)."""
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        m = (ship >= np.datetime64("1996-01-01")) & (ship < np.datetime64("1996-04-01"))
+        sk = b.column("l_suppkey").to_numpy()[m]
+        rev = np.floor(
+            b.column("l_extendedprice").to_numpy()[m]
+            * (1.0 - b.column("l_discount").to_numpy()[m]) * 100.0 + 0.5
+        ).astype(np.int64)
+        import pandas as pd
+
+        g = pd.DataFrame({"s": sk, "r": rev}).groupby("s")["r"].sum().reset_index()
+        return pa.table(
+            {"l_suppkey": pa.array(g["s"].to_numpy()), "rev_e2": pa.array(g["r"].to_numpy())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_e2", alias_name="total_revenue_e2"))
+    ).to_pandas()  # bounded: one row per supplier
+    best = int(per_supp["total_revenue_e2"].max())
+    top = per_supp[per_supp["total_revenue_e2"] == best].copy()
+    top["l_suppkey"] = top["l_suppkey"].astype(np.int64)
+    return pa.Table.from_pandas(
+        top.sort_values("l_suppkey").reset_index(drop=True), preserve_index=False
+    )
+
+
+SQL_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+           AS total_revenue_e2
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT l_suppkey, CAST(total_revenue_e2 AS BIGINT) AS total_revenue_e2
+FROM rev WHERE total_revenue_e2 = (SELECT max(total_revenue_e2) FROM rev)
+"""
+
+
+Q18_QTY = 150.0
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18: orders whose total quantity exceeds a threshold,
+    with the owning customer — per-order quantity sums (map-side
+    partials), threshold filter, broadcast join to orders+customer
+    metadata."""
+    from .relational import broadcast_hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        q = np.floor(b.column("l_quantity").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"k": b.column("l_orderkey").to_numpy(), "q": q})
+            .groupby("k")["q"].sum().reset_index()
+        )
+        return pa.table(
+            {"o_orderkey": pa.array(g["k"].to_numpy()), "qty_e2": pa.array(g["q"].to_numpy())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_order = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("qty_e2", alias_name="qty_e2"))
+    )
+
+    def thresh(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pa.compute.greater(b.column("qty_e2"), pa.scalar(int(Q18_QTY * 100)))
+        )
+
+    big = per_order.map_batches(thresh, batch_format="pyarrow")
+    osmall = pa.concat_tables(ray.get(orders.to_arrow_refs()))
+    joined = broadcast_hash_join(big, osmall, left_on="o_orderkey", right_on="o_orderkey")
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "qty_e2": b.column("qty_e2"),
+                "totalprice_e2": pa.array(
+                    np.floor(
+                        b.column("o_totalprice").to_numpy() * 100.0 + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return joined.map_batches(out, batch_format="pyarrow")
+
+
+SQL_Q18_LARGE_VOLUME = f"""
+WITH per_order AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS qty_e2
+  FROM lineitem GROUP BY l_orderkey)
+SELECT p.o_orderkey, o.o_custkey, CAST(p.qty_e2 AS BIGINT) AS qty_e2,
+       CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS totalprice_e2
+FROM per_order p JOIN orders o ON o.o_orderkey = p.o_orderkey
+WHERE p.qty_e2 > {int(Q18_QTY * 100)}
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -10612,6 +10796,15 @@ QUERIES = {
     "q12_late_lines": (q12_late_lines, SQL_Q12_LATE),
     "q14_promo_revenue": (q14_promo_revenue, SQL_Q14_PROMO),
     "q4_priority_check": (q4_priority_check, SQL_Q4_PRIORITY),
+    "q13_customer_distribution": (
+        q13_customer_distribution,
+        SQL_Q13_CUSTOMER_DISTRIBUTION,
+    ),
+    "q15_top_supplier": (q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
+    "q18_large_volume_customers": (
+        q18_large_volume_customers,
+        SQL_Q18_LARGE_VOLUME,
+    ),
     "user_time_weighted_value": (
         user_time_weighted_value,
         SQL_USER_TIME_WEIGHTED_VALUE,
