@@ -10634,6 +10634,228 @@ WHERE p.qty_e2 > {int(Q18_QTY * 100)}
 """
 
 
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 analog: revenue from lineitems with quantity below
+    20% of their part's average — the correlated-subquery-threshold
+    shape made integer-exact by cross-multiplication
+    (qty < 0.2·avg ⟺ 5·qty_e2·n < sum_e2, no float threshold).
+    Per-part (sum, n) partials broadcast; lines filter map-only."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        q = np.floor(b.column("l_quantity").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"p": b.column("l_partkey").to_numpy(), "q": q, "one": 1})
+            .groupby("p").agg(sum_q=("q", "sum"), n=("one", "sum")).reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))
+    ).to_pandas()  # bounded: one row per part
+    lut_p = per_part["p"].to_numpy().astype(np.int64)
+    order = np.argsort(lut_p)
+    lut_ref = ray.put(
+        (lut_p[order], per_part["sum_q"].to_numpy()[order].astype(np.int64),
+         per_part["n"].to_numpy()[order].astype(np.int64))
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        pk, sq, nn = ray.get(lut_ref)
+        p = b.column("l_partkey").to_numpy()
+        pos = np.searchsorted(pk, p)
+        q_e2 = np.floor(b.column("l_quantity").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        small = 5 * q_e2 * nn[pos] < sq[pos]
+        price_e2 = np.floor(
+            b.column("l_extendedprice").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "rev_e2": pa.array([int(price_e2[small].sum())], pa.int64()),
+                "n_lines": pa.array([int(small.sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _S
+
+    out = (
+        li.map_batches(flag, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(_S("rev_e2", alias_name="rev_e2"), _S("n_lines", alias_name="n_lines"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "rev_e2": pa.array([int(out["rev_e2"].iloc[0])], pa.int64()),
+            "n_lines": pa.array([int(out["n_lines"].iloc[0])], pa.int64()),
+        }
+    )
+
+
+SQL_Q17_SMALL_QUANTITY = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_q,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e2,
+       count(*) AS n_lines
+FROM lineitem l JOIN per_part p ON p.l_partkey = l.l_partkey
+WHERE 5 * CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT) * p.n < p.sum_q
+"""
+
+
+def q19_bracketed_revenue(sf_dir: str):
+    """TPC-H Q19 analog: discounted revenue under disjunctive
+    part-predicate brackets (brand × size × quantity bands) — the
+    multi-predicate OR pushdown shape, broadcast part side."""
+    from .relational import broadcast_hash_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    small = pa.concat_tables(ray.get(part.to_arrow_refs()))
+    j = broadcast_hash_join(li, small, left_on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand").to_pandas().to_numpy(dtype=object)
+        size = b.column("p_size").to_numpy()
+        qty = b.column("l_quantity").to_numpy()
+        m = (
+            ((brand == "Brand#1") & (size <= 10) & (qty >= 1) & (qty <= 15))
+            | ((brand == "Brand#2") & (size <= 20) & (qty >= 5) & (qty <= 25))
+            | ((brand == "Brand#3") & (size <= 30) & (qty >= 10) & (qty <= 35))
+        )
+        dp = np.floor(
+            b.column("l_extendedprice").to_numpy()[m]
+            * (1.0 - b.column("l_discount").to_numpy()[m]) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "rev_e2": pa.array([int(dp.sum())], pa.int64()),
+                "n_lines": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("rev_e2", alias_name="rev_e2"), Sum("n_lines", alias_name="n_lines"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "rev_e2": pa.array([int(out["rev_e2"].iloc[0])], pa.int64()),
+            "n_lines": pa.array([int(out["n_lines"].iloc[0])], pa.int64()),
+        }
+    )
+
+
+SQL_Q19_BRACKETED = """
+SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e2,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 AND l.l_quantity BETWEEN 5 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 30 AND l.l_quantity BETWEEN 10 AND 35)
+"""
+
+
+def q22_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 analog: customers with above-average positive account
+    balance and FEW (< 5) orders — cross-multiplied threshold
+    (bal·n > sum over positive balances, integer-exact on e2) and a
+    broadcast join against the per-customer order counts (this corpus
+    has no zero-order customers, so the spec's NOT EXISTS is relaxed to
+    a low-activity band that keeps the result non-trivial)."""
+    from .relational import anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        bal = np.floor(b.column("c_acctbal").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        p = bal[bal > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(p.sum())], pa.int64()),
+                "n": pa.array([int(len(p))], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        cust.map_batches(pos_partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    s_tot, n_tot = int(agg["s"].iloc[0]), int(agg["n"].iloc[0])
+
+    def rich(b: pa.Table) -> pa.Table:
+        bal = np.floor(b.column("c_acctbal").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        m = bal * n_tot > s_tot
+        t = b.filter(pa.array(m))
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "acctbal_e2": pa.array(bal[m]),
+            }
+        )
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+
+    def order_counts(b: pa.Table) -> pa.Table:
+        k, c = np.unique(b.column("o_custkey").to_numpy(), return_counts=True)
+        return pa.table(
+            {"c_custkey": pa.array(k), "n": pa.array(c.astype(np.int64))}
+        )
+
+    per_cust = (
+        orders.map_batches(order_counts, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    ).to_pandas()  # bounded: one row per customer
+    few = per_cust[per_cust["n_orders"] < 5]
+    few_set = pa.table({"c_custkey": pa.array(few["c_custkey"].to_numpy(), pa.int64())})
+    from .relational import semi_join
+
+    out = semi_join(rich_ds, few_set, on="c_custkey").to_pandas()
+    return pa.table(
+        {
+            "c_custkey": pa.array(
+                out["c_custkey"].to_numpy() if len(out) else [], pa.int64()
+            ),
+            "acctbal_e2": pa.array(
+                out["acctbal_e2"].to_numpy() if len(out) else [], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q22_SALES_OPPORTUNITY = """
+WITH avgp AS (
+  SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS s, count(*) AS n
+  FROM customer WHERE floor(c_acctbal * 100.0 + 0.5) > 0)
+SELECT c.c_custkey,
+       CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_e2
+FROM customer c, avgp
+WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * avgp.n > avgp.s
+  AND (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) < 5
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -10801,6 +11023,15 @@ QUERIES = {
         SQL_Q13_CUSTOMER_DISTRIBUTION,
     ),
     "q15_top_supplier": (q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
+    "q17_small_quantity_revenue": (
+        q17_small_quantity_revenue,
+        SQL_Q17_SMALL_QUANTITY,
+    ),
+    "q19_bracketed_revenue": (q19_bracketed_revenue, SQL_Q19_BRACKETED),
+    "q22_global_sales_opportunity": (
+        q22_global_sales_opportunity,
+        SQL_Q22_SALES_OPPORTUNITY,
+    ),
     "q18_large_volume_customers": (
         q18_large_volume_customers,
         SQL_Q18_LARGE_VOLUME,
