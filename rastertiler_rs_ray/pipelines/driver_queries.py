@@ -10856,6 +10856,92 @@ WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * avgp.n > avgp.s
 """
 
 
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 analog: discounted revenue by (supplier nation,
+    customer nation, ship year) for cross-nation trade — the
+    DUAL-SIDED dimension join: both the supplier→nation and
+    order→customer→nation lookups broadcast (tiny dimension chains
+    folded driver-side into flat arrays), the fact table joins map-only
+    and aggregates with map-side partials."""
+    import pandas as pd
+
+    from .relational import grouped_aggregate
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+    supp = pa.concat_tables(
+        ray.get(_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_arrow_refs())
+    ).to_pandas()
+    cust = pa.concat_tables(
+        ray.get(_read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_arrow_refs())
+    ).to_pandas()
+    orders = pa.concat_tables(
+        ray.get(_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_arrow_refs())
+    ).to_pandas()
+    nation = pa.concat_tables(
+        ray.get(_read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs())
+    ).to_pandas()
+    n_name = nation.set_index("n_nationkey")["n_name"]
+    supp_nation = supp.set_index("s_suppkey")["s_nationkey"].map(n_name)
+    order_nation = orders.set_index("o_orderkey")["o_custkey"].map(
+        cust.set_index("c_custkey")["c_nationkey"]
+    ).map(n_name)
+    sn_ref = ray.put(
+        (supp_nation.index.to_numpy(np.int64), supp_nation.to_numpy(dtype=object))
+    )
+    on_ref = ray.put(
+        (order_nation.index.to_numpy(np.int64), order_nation.to_numpy(dtype=object))
+    )
+
+    def annotate(b: pa.Table) -> pa.Table:
+        sk_idx, sk_val = ray.get(sn_ref)
+        ok_idx, ok_val = ray.get(on_ref)
+        s_order = np.argsort(sk_idx)
+        o_order = np.argsort(ok_idx)
+        sk = b.column("l_suppkey").to_numpy()
+        okey = b.column("l_orderkey").to_numpy()
+        supp_n = sk_val[s_order][np.searchsorted(sk_idx[s_order], sk)]
+        cust_n = ok_val[o_order][np.searchsorted(ok_idx[o_order], okey)]
+        year = b.column("l_shipdate").to_numpy().astype("datetime64[Y]").astype(int) + 1970
+        dp = np.floor(
+            b.column("l_extendedprice").to_numpy()
+            * (1.0 - b.column("l_discount").to_numpy()) * 100.0 + 0.5
+        ).astype(np.int64)
+        keep = supp_n != cust_n  # cross-nation trade only
+        return pa.table(
+            {
+                "supp_nation": pa.array(supp_n[keep].astype(str)),
+                "cust_nation": pa.array(cust_n[keep].astype(str)),
+                "l_year": pa.array(year[keep].astype(np.int64)),
+                "rev_e2": pa.array(dp[keep]),
+            }
+        )
+
+    return grouped_aggregate(
+        li.map_batches(annotate, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        [("revenue_e2", "rev_e2", "sum")],
+    )
+
+
+SQL_Q7_VOLUME_SHIPPING = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -11023,6 +11109,7 @@ QUERIES = {
         SQL_Q13_CUSTOMER_DISTRIBUTION,
     ),
     "q15_top_supplier": (q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
+    "q7_volume_shipping": (q7_volume_shipping, SQL_Q7_VOLUME_SHIPPING),
     "q17_small_quantity_revenue": (
         q17_small_quantity_revenue,
         SQL_Q17_SMALL_QUANTITY,
