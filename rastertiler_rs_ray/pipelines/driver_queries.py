@@ -10942,6 +10942,192 @@ GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
 """
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 analog: NATION_1 suppliers' share of discounted
+    revenue into region 0's customers, per ship year — numerators and
+    denominators kept as exact e2 integers, share as the e4 ratio.
+    Same broadcast-dimension-chain topology as Q7."""
+    import pandas as pd
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+    supp = pa.concat_tables(
+        ray.get(_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_arrow_refs())
+    ).to_pandas()
+    cust = pa.concat_tables(
+        ray.get(_read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_arrow_refs())
+    ).to_pandas()
+    orders = pa.concat_tables(
+        ray.get(_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_arrow_refs())
+    ).to_pandas()
+    nation = pa.concat_tables(
+        ray.get(_read(sf_dir, "nation",
+                      columns=["n_nationkey", "n_name", "n_regionkey"]).to_arrow_refs())
+    ).to_pandas()
+    supp_is_target = supp.set_index("s_suppkey")["s_nationkey"].map(
+        nation.set_index("n_nationkey")["n_name"]
+    ) == "NATION_1"
+    cust_region = cust.set_index("c_custkey")["c_nationkey"].map(
+        nation.set_index("n_nationkey")["n_regionkey"]
+    )
+    order_in_region = orders.set_index("o_orderkey")["o_custkey"].map(cust_region) == 0
+    st_ref = ray.put(
+        (supp_is_target.index.to_numpy(np.int64),
+         supp_is_target.to_numpy(bool))
+    )
+    orr_ref = ray.put(
+        (order_in_region.index.to_numpy(np.int64),
+         order_in_region.to_numpy(bool))
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk_idx, sk_val = ray.get(st_ref)
+        ok_idx, ok_val = ray.get(orr_ref)
+        so, oo = np.argsort(sk_idx), np.argsort(ok_idx)
+        sk = b.column("l_suppkey").to_numpy()
+        okey = b.column("l_orderkey").to_numpy()
+        is_target = sk_val[so][np.searchsorted(sk_idx[so], sk)]
+        in_region = ok_val[oo][np.searchsorted(ok_idx[oo], okey)]
+        year = b.column("l_shipdate").to_numpy().astype("datetime64[Y]").astype(int) + 1970
+        dp = np.floor(
+            b.column("l_extendedprice").to_numpy()
+            * (1.0 - b.column("l_discount").to_numpy()) * 100.0 + 0.5
+        ).astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_year": year[in_region].astype(np.int64),
+                "num": np.where(is_target[in_region], dp[in_region], 0),
+                "den": dp[in_region],
+            }
+        )
+        g = df.groupby("l_year")[["num", "den"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_year")
+        .aggregate(Sum("num", alias_name="nation_e2"), Sum("den", alias_name="total_e2"))
+        .to_pandas()
+    ).sort_values("l_year").reset_index(drop=True)
+    agg["share_e4"] = np.floor(
+        agg["nation_e2"].to_numpy() / agg["total_e2"].to_numpy() * 1e4 + 0.5
+    ).astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+SQL_Q8_MARKET_SHARE = """
+WITH f AS (
+  SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT) AS dp,
+         ns.n_name = 'NATION_1' AS is_target
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  WHERE nc.n_regionkey = 0)
+SELECT l_year,
+       CAST(sum(CASE WHEN is_target THEN dp ELSE 0 END) AS BIGINT) AS nation_e2,
+       CAST(sum(dp) AS BIGINT) AS total_e2,
+       CAST(floor(CAST(sum(CASE WHEN is_target THEN dp ELSE 0 END) AS DOUBLE)
+            / CAST(sum(dp) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS share_e4
+FROM f GROUP BY l_year
+"""
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 analog: per (supplier nation, ship year) profit with
+    the part's retail price standing in for ps_supplycost (absent from
+    this schema): profit_e2 = Σ floor(price·(1−disc)·100+.5) −
+    Σ floor(qty·retail·10+.5)·10/… kept integer-exact by quantizing
+    each term before summation."""
+    import pandas as pd
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_partkey", "l_shipdate", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    supp = pa.concat_tables(
+        ray.get(_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_arrow_refs())
+    ).to_pandas()
+    nation = pa.concat_tables(
+        ray.get(_read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs())
+    ).to_pandas()
+    part = pa.concat_tables(
+        ray.get(_read(sf_dir, "part", columns=["p_partkey", "p_retailprice"]).to_arrow_refs())
+    ).to_pandas()
+    sn = supp.set_index("s_suppkey")["s_nationkey"].map(
+        nation.set_index("n_nationkey")["n_name"]
+    )
+    sn_ref = ray.put((sn.index.to_numpy(np.int64), sn.to_numpy(dtype=object)))
+    pr = part.set_index("p_partkey")["p_retailprice"]
+    pr_ref = ray.put((pr.index.to_numpy(np.int64), pr.to_numpy(np.float64)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk_idx, sk_val = ray.get(sn_ref)
+        pk_idx, pk_val = ray.get(pr_ref)
+        so, po = np.argsort(sk_idx), np.argsort(pk_idx)
+        nat = sk_val[so][np.searchsorted(sk_idx[so], b.column("l_suppkey").to_numpy())]
+        retail = pk_val[po][np.searchsorted(pk_idx[po], b.column("l_partkey").to_numpy())]
+        year = b.column("l_shipdate").to_numpy().astype("datetime64[Y]").astype(int) + 1970
+        rev = np.floor(
+            b.column("l_extendedprice").to_numpy()
+            * (1.0 - b.column("l_discount").to_numpy()) * 100.0 + 0.5
+        ).astype(np.int64)
+        cost = np.floor(
+            b.column("l_quantity").to_numpy() * retail * 10.0 + 0.5
+        ).astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"nation": nat.astype(str), "o_year": year.astype(np.int64),
+             "rev_e2": rev, "cost_e1": cost}
+        )
+        g = df.groupby(["nation", "o_year"])[["rev_e2", "cost_e1"]].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("rev_e2", alias_name="rev_e2"), Sum("cost_e1", alias_name="cost_e1"))
+    )
+
+    def profit(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "profit_e2",
+            pa.array(
+                b.column("rev_e2").to_numpy() - 10 * b.column("cost_e1").to_numpy()
+            ),
+        )
+
+    return agg.map_batches(profit, batch_format="pyarrow")
+
+
+SQL_Q9_PRODUCT_PROFIT = """
+SELECT ns.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e2,
+       CAST(sum(CAST(floor(l.l_quantity * p.p_retailprice * 10.0 + 0.5) AS BIGINT)) AS BIGINT) AS cost_e1,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT))
+            - 10 * sum(CAST(floor(l.l_quantity * p.p_retailprice * 10.0 + 0.5) AS BIGINT)) AS BIGINT) AS profit_e2
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY ns.n_name, year(l.l_shipdate)
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -11110,6 +11296,8 @@ QUERIES = {
     ),
     "q15_top_supplier": (q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
     "q7_volume_shipping": (q7_volume_shipping, SQL_Q7_VOLUME_SHIPPING),
+    "q8_market_share": (q8_market_share, SQL_Q8_MARKET_SHARE),
+    "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "q17_small_quantity_revenue": (
         q17_small_quantity_revenue,
         SQL_Q17_SMALL_QUANTITY,
