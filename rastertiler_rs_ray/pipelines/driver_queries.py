@@ -11128,6 +11128,99 @@ GROUP BY ns.n_name, year(l.l_shipdate)
 """
 
 
+def event_transition_matrix(sf_dir: str):
+    """Behavioral Markov-chain estimate: (prev event_type → event_type)
+    transition counts per user step (ts order, event_id tie-break) —
+    one groupby(user) exchange with the in-group lag, then a map-side
+    combined pair count."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def hops(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"], kind="mergesort")
+        t = df["event_type"].to_numpy(dtype=object)
+        return pa.table(
+            {
+                "from_type": pa.array(t[:-1].astype(str)),
+                "to_type": pa.array(t[1:].astype(str)),
+            }
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        g = df.groupby(["from_type", "to_type"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(hops, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n_transitions"))
+    )
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH s AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM s WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+"""
+
+
+def source_lang_entropy(sf_dir: str):
+    """Language-diversity entropy per doc source: H = −Σ p·ln p over
+    the source's language distribution, e4-quantized (probabilities are
+    exact ratios of integer counts; ln under shared libm).  Map-side
+    (source, lang) partials, bounded final table."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby(["source", "lang"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    sl = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: sources × langs
+    )
+    rows = []
+    for src, g in sl.groupby("source"):
+        n = g["n"].to_numpy().astype(np.float64)
+        total = n.sum()
+        p = n / total
+        h = float(-(p * np.log(p)).sum())
+        rows.append((src, int(total), len(g), int(np.floor(h * 1e4 + 0.5))))
+    out = pd.DataFrame(
+        rows, columns=["source", "n_docs", "n_langs", "entropy_e4"]
+    ).sort_values("source")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_SOURCE_LANG_ENTROPY = """
+WITH sl AS (
+  SELECT source, lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+  GROUP BY source, lang),
+tot AS (SELECT source, sum(n) AS total FROM sl GROUP BY source)
+SELECT sl.source, CAST(tot.total AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(floor(-sum((sl.n / tot.total) * ln(sl.n / tot.total)) * 10000.0 + 0.5) AS BIGINT) AS entropy_e4
+FROM sl JOIN tot ON tot.source = sl.source
+GROUP BY sl.source, tot.total
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -11298,6 +11391,11 @@ QUERIES = {
     "q7_volume_shipping": (q7_volume_shipping, SQL_Q7_VOLUME_SHIPPING),
     "q8_market_share": (q8_market_share, SQL_Q8_MARKET_SHARE),
     "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
+    "event_transition_matrix": (
+        event_transition_matrix,
+        SQL_EVENT_TRANSITION_MATRIX,
+    ),
+    "source_lang_entropy": (source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "q17_small_quantity_revenue": (
         q17_small_quantity_revenue,
         SQL_Q17_SMALL_QUANTITY,
