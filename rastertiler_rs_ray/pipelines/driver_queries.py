@@ -11221,6 +11221,50 @@ GROUP BY sl.source, tot.total
 """
 
 
+def nation_trade_balance(sf_dir: str):
+    """Net trade balance per nation from the Q7 cross-nation flows:
+    exports (as supplier nation) minus imports (as customer nation),
+    exact e2 integers end-to-end — a driver-side fold over the bounded
+    Q7 aggregate (nations × nations × years)."""
+    import pandas as pd
+
+    flows = q7_volume_shipping(sf_dir).to_pandas()  # bounded aggregate
+    exp = flows.groupby("supp_nation")["revenue_e2"].sum()
+    imp = flows.groupby("cust_nation")["revenue_e2"].sum()
+    nations = sorted(set(exp.index) | set(imp.index))
+    out = pd.DataFrame(
+        {
+            "nation": nations,
+            "exports_e2": [int(exp.get(n, 0)) for n in nations],
+            "imports_e2": [int(imp.get(n, 0)) for n in nations],
+        }
+    )
+    out["balance_e2"] = out["exports_e2"] - out["imports_e2"]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_NATION_TRADE_BALANCE = """
+WITH f AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT) AS dp
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  WHERE ns.n_name <> nc.n_name),
+e AS (SELECT supp_nation AS nation, sum(dp) AS exports_e2 FROM f GROUP BY 1),
+i AS (SELECT cust_nation AS nation, sum(dp) AS imports_e2 FROM f GROUP BY 1),
+n AS (SELECT nation FROM e UNION SELECT nation FROM i)
+SELECT n.nation,
+       CAST(COALESCE(e.exports_e2, 0) AS BIGINT) AS exports_e2,
+       CAST(COALESCE(i.imports_e2, 0) AS BIGINT) AS imports_e2,
+       CAST(COALESCE(e.exports_e2, 0) - COALESCE(i.imports_e2, 0) AS BIGINT) AS balance_e2
+FROM n LEFT JOIN e ON e.nation = n.nation LEFT JOIN i ON i.nation = n.nation
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -11390,6 +11434,7 @@ QUERIES = {
     "q15_top_supplier": (q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
     "q7_volume_shipping": (q7_volume_shipping, SQL_Q7_VOLUME_SHIPPING),
     "q8_market_share": (q8_market_share, SQL_Q8_MARKET_SHARE),
+    "nation_trade_balance": (nation_trade_balance, SQL_NATION_TRADE_BALANCE),
     "q9_product_profit": (q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "event_transition_matrix": (
         event_transition_matrix,
