@@ -11265,6 +11265,72 @@ FROM n LEFT JOIN e ON e.nation = n.nation LEFT JOIN i ON i.nation = n.nation
 """
 
 
+COVISIT_MIN_HOURS = 12
+
+
+def user_covisitation_pairs(sf_dir: str):
+    """Temporal co-occurrence: user pairs active in the same UTC hour,
+    counted over distinct shared hours, kept at ≥ 12 shared hours —
+    the time-bucket sibling of the market-basket pair op (same
+    groupby(bucket) pair-explode plan; per-bucket user counts bound the
+    explode, the documented hot-bucket contract)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        hour = b.column("ts").to_numpy().astype("datetime64[h]")
+        df = pd.DataFrame({"hour": hour, "user_id": b.column("user_id").to_numpy()})
+        df = df.drop_duplicates()
+        df["hour"] = df["hour"].astype("datetime64[us]")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        u = np.unique(g.column("user_id").to_numpy())
+        if len(u) < 2:
+            return pa.table(
+                {"user_a": pa.array([], pa.int64()), "user_b": pa.array([], pa.int64())}
+            )
+        i, j = np.triu_indices(len(u), k=1)
+        return pa.table({"user_a": pa.array(u[i]), "user_b": pa.array(u[j])})
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        g = df.groupby(["user_a", "user_b"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_a", "user_b"])
+        .aggregate(Sum("n", alias_name="n_shared_hours"))
+    )
+
+    def thresh(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pa.compute.greater_equal(
+                b.column("n_shared_hours"), pa.scalar(COVISIT_MIN_HOURS)
+            )
+        )
+
+    return agg.map_batches(thresh, batch_format="pyarrow")
+
+
+SQL_USER_COVISITATION = f"""
+WITH d AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events)
+SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_shared_hours
+FROM d a JOIN d b ON b.hour = a.hour AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id
+HAVING count(*) >= {COVISIT_MIN_HOURS}
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -11420,6 +11486,10 @@ QUERIES = {
     "event_volume_cusum": (event_volume_cusum, SQL_EVENT_VOLUME_CUSUM),
     "customer_spend_gini": (customer_spend_gini, SQL_CUSTOMER_SPEND_GINI),
     "part_basket_pairs": (part_basket_pairs, SQL_PART_BASKET_PAIRS),
+    "user_covisitation_pairs": (
+        user_covisitation_pairs,
+        SQL_USER_COVISITATION,
+    ),
     "component_boxes_mvt_tileset": (
         component_boxes_mvt_tileset,
         SQL_COMPONENT_BOXES_MVT,
