@@ -11331,6 +11331,70 @@ HAVING count(*) >= {COVISIT_MIN_HOURS}
 """
 
 
+def customer_lorenz_deciles(sf_dir: str):
+    """Lorenz curve of customer spend by decile (the Gini companion):
+    customers sorted by (spend_e2, custkey), split with the SQL NTILE
+    size rule (first n%10 deciles get the extra row), per-decile spend
+    and the cumulative share e4 — integer-exact except the final
+    ratio."""
+    from .relational import grouped_aggregate
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        spend = np.floor(b.column("o_totalprice").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {"o_custkey": b.column("o_custkey"), "spend_e2": pa.array(spend)}
+        )
+
+    per_cust = grouped_aggregate(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("spend_e2", "spend_e2", "sum")],
+    ).to_pandas()  # bounded: one row per customer
+    per_cust = per_cust.sort_values(["spend_e2", "o_custkey"]).reset_index(drop=True)
+    n = len(per_cust)
+    base, extra = divmod(n, 10)
+    sizes = np.full(10, base, dtype=np.int64)
+    sizes[:extra] += 1
+    decile = np.repeat(np.arange(1, 11, dtype=np.int64), sizes)
+    x = per_cust["spend_e2"].to_numpy()
+    total = int(x.sum())
+    import pandas as pd
+
+    df = pd.DataFrame({"decile": decile, "spend_e2": x})
+    g = df.groupby("decile")["spend_e2"].sum().reset_index()
+    g["cum_spend_e2"] = g["spend_e2"].cumsum()
+    g["cum_share_e4"] = np.floor(
+        g["cum_spend_e2"].to_numpy() / float(total) * 1e4 + 0.5
+    ).astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+SQL_CUSTOMER_LORENZ = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS spend_e2
+  FROM orders GROUP BY o_custkey),
+t AS (
+  SELECT spend_e2,
+         ntile(10) OVER (ORDER BY spend_e2, o_custkey) AS decile,
+         sum(spend_e2) OVER () AS total
+  FROM per_cust),
+g AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(sum(spend_e2) AS BIGINT) AS spend_e2, max(total) AS total
+  FROM t GROUP BY decile)
+SELECT decile, spend_e2,
+       CAST(sum(spend_e2) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_e2,
+       CAST(floor(CAST(sum(spend_e2) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            / CAST(total AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS cum_share_e4
+FROM g
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -11485,6 +11549,7 @@ QUERIES = {
     "customer_rfm_segments": (customer_rfm_segments, SQL_CUSTOMER_RFM),
     "event_volume_cusum": (event_volume_cusum, SQL_EVENT_VOLUME_CUSUM),
     "customer_spend_gini": (customer_spend_gini, SQL_CUSTOMER_SPEND_GINI),
+    "customer_lorenz_deciles": (customer_lorenz_deciles, SQL_CUSTOMER_LORENZ),
     "part_basket_pairs": (part_basket_pairs, SQL_PART_BASKET_PAIRS),
     "user_covisitation_pairs": (
         user_covisitation_pairs,
