@@ -11395,6 +11395,61 @@ FROM g
 """
 
 
+def key_uniqueness_audit(sf_dir: str):
+    """Data-quality audit of primary-key uniqueness across the four
+    key'd tables: (table, n_rows, n_distinct_keys, n_dup_rows) — the
+    schema-contract check every ingestion pipeline runs first.  Per
+    table: map-side distinct partials, one narrow groupby; results fold
+    into one bounded report."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    specs = [
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey"),
+    ]
+    rows = []
+    for tbl, key in specs:
+        ds = _read(sf_dir, tbl, columns=[key])
+
+        def partial(b: pa.Table, _k=key) -> pa.Table:
+            k, c = np.unique(b.column(_k).to_numpy(), return_counts=True)
+            return pa.table({"k": pa.array(k), "n": pa.array(c.astype(np.int64))})
+
+        per_key = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()  # bounded: one row per key
+        )
+        n_rows = int(per_key["n"].sum())
+        n_distinct = len(per_key)
+        rows.append((tbl, n_rows, n_distinct, n_rows - n_distinct))
+    out = pd.DataFrame(
+        rows, columns=["table_name", "n_rows", "n_distinct_keys", "n_dup_rows"]
+    ).sort_values("table_name")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_KEY_UNIQUENESS_AUDIT = """
+SELECT 'orders' AS table_name, count(*) AS n_rows,
+       count(DISTINCT o_orderkey) AS n_distinct_keys,
+       count(*) - count(DISTINCT o_orderkey) AS n_dup_rows FROM orders
+UNION ALL
+SELECT 'customer', count(*), count(DISTINCT c_custkey),
+       count(*) - count(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'part', count(*), count(DISTINCT p_partkey),
+       count(*) - count(DISTINCT p_partkey) FROM part
+UNION ALL
+SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+       count(*) - count(DISTINCT s_suppkey) FROM supplier
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -11541,6 +11596,7 @@ QUERIES = {
     ),
     "hex_density_mvt_tileset": (hex_density_mvt_tileset, SQL_HEX_DENSITY_MVT),
     "doc_lang_mvt_tileset": (doc_lang_mvt_tileset, SQL_DOC_LANG_MVT),
+    "key_uniqueness_audit": (key_uniqueness_audit, SQL_KEY_UNIQUENESS_AUDIT),
     "dedup_cluster_histogram": (
         dedup_cluster_histogram,
         SQL_DEDUP_CLUSTER_HISTOGRAM,
