@@ -11450,6 +11450,84 @@ SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
 """
 
 
+def tileset_storage_audit(sf_dir: str):
+    """Storage-efficiency audit of the flagship rendered tileset: per
+    zoom the tile count, distinct content hashes (dedup win), and total
+    PNG bytes — the operational question every tile CDN asks.  Renders
+    the z0–4 pyramid (idempotent under ORACLE_TS_ROOT), then a blobs
+    pass with map-side partials; the oracle reads the SAME written
+    parquet, so the byte accounting is checked end-to-end."""
+    import os
+
+    import pandas as pd
+
+    from ..raster.synthetic import default_u8_raster
+    from .render import render_pyramid
+
+    out_dir = os.path.join(ORACLE_TS_ROOT, "render_u8_audit")
+    render_pyramid(default_u8_raster(), out_dir, 0, 4, tilesize=256, resume=False)
+
+    tiles = ray.data.read_parquet(
+        os.path.join(out_dir, "tiles"), columns=["zoom", "tile_hash", "tile_data"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        z = b.column("zoom").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b.column("tile_hash").to_numpy()
+        nbytes = pa.compute.binary_length(b.column("tile_data")).to_numpy().astype(
+            np.int64
+        )
+        df = pd.DataFrame({"zoom": z, "h": h, "nb": nbytes})
+        g = df.groupby("zoom").agg(
+            n_tiles=("h", "size"), total_bytes=("nb", "sum")
+        ).reset_index()
+        # distinct hashes need the cross-block union → ship (zoom, hash)
+        dh = df[["zoom", "h"]].drop_duplicates()
+        g2 = pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {
+                "zoom": pa.concat_arrays(
+                    [g2.column("zoom").combine_chunks(),
+                     pa.array(dh["zoom"].to_numpy(), pa.int64())]
+                ),
+                "n_tiles": pa.concat_arrays(
+                    [pa.compute.cast(g2.column("n_tiles"), pa.int64()).combine_chunks(),
+                     pa.array(np.zeros(len(dh), np.int64))]
+                ),
+                "total_bytes": pa.concat_arrays(
+                    [pa.compute.cast(g2.column("total_bytes"), pa.int64()).combine_chunks(),
+                     pa.array(np.zeros(len(dh), np.int64))]
+                ),
+                "h": pa.concat_arrays(
+                    [pa.array(np.full(len(g2), -1, np.int64)),
+                     pa.array(dh["h"].to_numpy(), pa.int64())]
+                ),
+            }
+        )
+
+    mixed = tiles.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = mixed[mixed["h"] == -1].groupby("zoom")[["n_tiles", "total_bytes"]].sum()
+    distinct = (
+        mixed[mixed["h"] != -1][["zoom", "h"]].drop_duplicates()
+        .groupby("zoom").size().rename("n_distinct")
+    )
+    out = counts.join(distinct).reset_index()
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("zoom").reset_index(drop=True), preserve_index=False
+    )
+
+
+SQL_TILESET_STORAGE_AUDIT = """
+SELECT CAST(zoom AS BIGINT) AS zoom,
+       count(*) AS n_tiles,
+       CAST(sum(octet_length(tile_data)) AS BIGINT) AS total_bytes,
+       count(DISTINCT tile_hash) AS n_distinct
+FROM read_parquet('/tmp/graft_oracle_tilesets/render_u8_audit/tiles/*/*.parquet')
+GROUP BY zoom
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -11597,6 +11675,7 @@ QUERIES = {
     "hex_density_mvt_tileset": (hex_density_mvt_tileset, SQL_HEX_DENSITY_MVT),
     "doc_lang_mvt_tileset": (doc_lang_mvt_tileset, SQL_DOC_LANG_MVT),
     "key_uniqueness_audit": (key_uniqueness_audit, SQL_KEY_UNIQUENESS_AUDIT),
+    "tileset_storage_audit": (tileset_storage_audit, SQL_TILESET_STORAGE_AUDIT),
     "dedup_cluster_histogram": (
         dedup_cluster_histogram,
         SQL_DEDUP_CLUSTER_HISTOGRAM,
