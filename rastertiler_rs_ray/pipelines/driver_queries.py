@@ -11528,6 +11528,72 @@ GROUP BY zoom
 """
 
 
+def order_fulfillment_latency(sf_dir: str):
+    """Fulfillment-latency histogram: days from order date to the
+    order's LAST shipment, bucketed by week (floor division — this
+    synthetic corpus has shipments BEFORE the order date, so negative
+    buckets are real and the floor/truncate distinction matters) —
+    per-order max-shipdate partials (one narrow groupby), broadcast
+    order dates, counts-of-buckets."""
+    import pandas as pd
+
+    from .relational import broadcast_hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": b.column("l_orderkey").to_numpy(),
+                "ship": b.column("l_shipdate").to_numpy(),
+            }
+        )
+        g = df.groupby("o_orderkey")["ship"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    last_ship = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Max("ship", alias_name="last_ship"))
+    )
+    osmall = pa.concat_tables(ray.get(orders.to_arrow_refs()))
+    joined = broadcast_hash_join(
+        last_ship, osmall, left_on="o_orderkey", right_on="o_orderkey"
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        days = (
+            (b.column("last_ship").to_numpy() - b.column("o_orderdate").to_numpy())
+            // np.timedelta64(1, "D")
+        ).astype(np.int64)
+        week = days // 7
+        uw, cnt = np.unique(week, return_counts=True)
+        return pa.table(
+            {"latency_weeks": pa.array(uw), "n_orders": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("latency_weeks")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+SQL_ORDER_FULFILLMENT_LATENCY = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(floor(CAST(date_diff('day', o.o_orderdate, s.last_ship) AS DOUBLE) / 7.0) AS BIGINT) AS latency_weeks,
+       count(*) AS n_orders
+FROM last_ship s JOIN orders o ON o.o_orderkey = s.l_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     # --- group 1: PRIORITY oracled (inside the 50-query window) ---
     "raster_vector_join_z8": (raster_vector_join_z8, SQL_RASTER_VECTOR_JOIN_Z8),
@@ -11695,6 +11761,10 @@ QUERIES = {
         SQL_COMPONENT_BOXES_MVT,
     ),
     "q12_late_lines": (q12_late_lines, SQL_Q12_LATE),
+    "order_fulfillment_latency": (
+        order_fulfillment_latency,
+        SQL_ORDER_FULFILLMENT_LATENCY,
+    ),
     "q14_promo_revenue": (q14_promo_revenue, SQL_Q14_PROMO),
     "q4_priority_check": (q4_priority_check, SQL_Q4_PRIORITY),
     "q13_customer_distribution": (
