@@ -9356,15 +9356,17 @@ WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 def q12_late_lines(sf_dir: str):
     """Q12-style shipping lateness report: lineitems shipped more than
     90 days after their order date, counted per order priority — the
-    join + conditional-aggregate shape (broadcast the narrow orders
-    side, map-side partial counts)."""
-    from .relational import broadcast_hash_join, grouped_aggregate
+    fact ⋈ fact join shape: orders is itself fact-scale, so lineitem ⋈
+    orders is the ONE big-big shuffle hash join on the orderkey
+    (neither side ever reaches the driver), then map-side partial
+    counts per priority."""
+    from .relational import grouped_aggregate, shuffle_hash_join
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
-    small = pa.concat_tables(ray.get(orders.to_arrow_refs()))
-    joined = broadcast_hash_join(
-        li, small, left_on="l_orderkey", right_on="o_orderkey"
+    joined = shuffle_hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
     )
 
     def flags(b: pa.Table) -> pa.Table:
@@ -10397,14 +10399,21 @@ FROM a
 def q4_priority_check(sf_dir: str):
     """TPC-H Q4 analog: orders (per priority) having AT LEAST ONE
     lineitem shipped > 60 days after the order date — the EXISTS
-    semi-join shape: the late-order key set reduces map-side to
-    distinct keys, broadcasts once, and orders filter map-only."""
-    from .relational import broadcast_hash_join, grouped_aggregate, semi_join
+    semi-join shape, kept fully distributed: lineitem ⋈ orders-dates is
+    a shuffle hash join on the orderkey (orders is fact-scale — it
+    never reaches the driver), the late-key set dedupes map-side then
+    via a distinct exchange, and the EXISTS itself is a second shuffle
+    join of orders against the distinct late keys.  The late-key set
+    grows with the fact table, so it is never collected driver-side."""
+    from .relational import distinct, grouped_aggregate, shuffle_hash_join
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
-    osmall = pa.concat_tables(ray.get(orders.to_arrow_refs()))
-    j = broadcast_hash_join(li, osmall, left_on="l_orderkey", right_on="o_orderkey")
+    j = shuffle_hash_join(
+        li, orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on="l_orderkey", right_on="o_orderkey",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    )
 
     def late_keys(b: pa.Table) -> pa.Table:
         ship = b.column("l_shipdate").to_numpy()
@@ -10413,16 +10422,15 @@ def q4_priority_check(sf_dir: str):
         k = np.unique(b.column("l_orderkey").to_numpy()[late])
         return pa.table({"o_orderkey": pa.array(k)})
 
-    late = pa.concat_tables(
-        ray.get(
-            j.map_batches(late_keys, batch_format="pyarrow")
-            .to_arrow_refs()
+    late = distinct(
+        j.map_batches(late_keys, batch_format="pyarrow"), ["o_orderkey"]
+    ).materialize()
+    if late.count() == 0:
+        return pa.table(
+            {"o_orderpriority": pa.array([], pa.string()),
+             "order_count": pa.array([], pa.int64())}
         )
-    )
-    late_set = pa.table({"o_orderkey": pa.array(
-        np.unique(np.asarray(late.column("o_orderkey")))
-    )})
-    filtered = semi_join(orders, late_set, on="o_orderkey")
+    filtered = shuffle_hash_join(orders, late, on="o_orderkey", num_partitions=16)
 
     def one(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -10453,11 +10461,12 @@ GROUP BY o.o_orderpriority
 def q13_customer_distribution(sf_dir: str):
     """TPC-H Q13: distribution of orders-per-customer INCLUDING
     zero-order customers (the left-join-then-histogram shape): orders
-    count per customer (map-side partials), left-anti fill from the
-    customer table, counts-of-counts."""
-    import pandas as pd
-
-    from .relational import anti_join
+    count per customer (map-side partials), then a LEFT-OUTER shuffle
+    hash join of the customer table against the per-customer counts —
+    the distinct-customer key set grows with the fact table, so it is
+    never collected driver-side; zero-order customers surface as
+    null-filled counts coalesced to 0 map-side — then counts-of-counts."""
+    from .relational import shuffle_hash_join
 
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
@@ -10472,25 +10481,23 @@ def q13_customer_distribution(sf_dir: str):
         orders.map_batches(partial, batch_format="pyarrow")
         .groupby("c_custkey")
         .aggregate(Sum("n", alias_name="c_count"))
-    ).materialize()
-    with_orders = pa.concat_tables(
-        ray.get(per_cust.select_columns(["c_custkey"]).to_arrow_refs())
     )
-    zeros = anti_join(cust, with_orders, on="c_custkey")
-
-    def zero_rows(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_custkey": b.column("c_custkey"),
-                "c_count": pa.array(np.zeros(len(b), np.int64)),
-            }
-        )
-
-    allc = per_cust.union(zeros.map_batches(zero_rows, batch_format="pyarrow"))
+    allc = shuffle_hash_join(
+        cust, per_cust, on="c_custkey", join_type="left_outer",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    )
 
     def hist_partial(b: pa.Table) -> pa.Table:
-        k, c = np.unique(b.column("c_count").to_numpy(), return_counts=True)
-        return pa.table({"c_count": pa.array(k), "custdist": pa.array(c.astype(np.int64))})
+        if b.num_rows == 0:
+            return pa.table(
+                {"c_count": pa.array([], pa.int64()),
+                 "custdist": pa.array([], pa.int64())}
+            )
+        c = pc.fill_null(b.column("c_count"), pa.scalar(0, pa.int64()))
+        k, n = np.unique(
+            c.to_numpy(zero_copy_only=False).astype(np.int64), return_counts=True
+        )
+        return pa.table({"c_count": pa.array(k), "custdist": pa.array(n.astype(np.int64))})
 
     return (
         allc.map_batches(hist_partial, batch_format="pyarrow")
@@ -10567,8 +10574,11 @@ Q18_QTY = 150.0
 def q18_large_volume_customers(sf_dir: str):
     """TPC-H Q18: orders whose total quantity exceeds a threshold,
     with the owning customer — per-order quantity sums (map-side
-    partials), threshold filter, broadcast join to orders+customer
-    metadata."""
+    partials), threshold filter, then the ORDERS fact table is joined
+    map-only against the broadcast of the thresholded survivors: only
+    the post-threshold per-order set (TPC-H Q18 selectivity ~1e-5 of
+    orders BY CONSTRUCTION of the quantity cutoff) ever reaches the
+    driver; the fact table itself never does."""
     from .relational import broadcast_hash_join
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
@@ -10602,8 +10612,19 @@ def q18_large_volume_customers(sf_dir: str):
         )
 
     big = per_order.map_batches(thresh, batch_format="pyarrow")
-    osmall = pa.concat_tables(ray.get(orders.to_arrow_refs()))
-    joined = broadcast_hash_join(big, osmall, left_on="o_orderkey", right_on="o_orderkey")
+    # Bounded driver set: (o_orderkey, qty_e2) survivors of the threshold
+    # filter only — NOT the orders fact table, which stays distributed.
+    survivors = pa.concat_tables(ray.get(big.to_arrow_refs()))
+    if survivors.num_rows == 0:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "o_custkey": pa.array([], pa.int64()),
+             "qty_e2": pa.array([], pa.int64()),
+             "totalprice_e2": pa.array([], pa.int64())}
+        )
+    joined = broadcast_hash_join(
+        orders, survivors, left_on="o_orderkey", right_on="o_orderkey"
+    )
 
     def out(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -10858,53 +10879,51 @@ WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * avgp.n > avgp.s
 
 def q7_volume_shipping(sf_dir: str):
     """TPC-H Q7 analog: discounted revenue by (supplier nation,
-    customer nation, ship year) for cross-nation trade — the
-    DUAL-SIDED dimension join: both the supplier→nation and
-    order→customer→nation lookups broadcast (tiny dimension chains
-    folded driver-side into flat arrays), the fact table joins map-only
-    and aggregates with map-side partials."""
-    import pandas as pd
-
-    from .relational import grouped_aggregate
+    customer nation, ship year) for cross-nation trade — fact sides
+    stay distributed: orders ⋈ customer shuffles on the custkey to
+    attach the customer's nationkey, then lineitem ⋈ that shuffles on
+    the orderkey (the two big-big exchanges); only the genuinely
+    bounded dimensions broadcast — nation (25 rows) as a dense
+    nationkey→name array and supplier (smallest dimension, ref-style
+    broadcast side) as a sorted suppkey→nation-name lookup."""
+    from .relational import grouped_aggregate, shuffle_hash_join
 
     li = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"],
     )
-    supp = pa.concat_tables(
-        ray.get(_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_arrow_refs())
-    ).to_pandas()
-    cust = pa.concat_tables(
-        ray.get(_read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_arrow_refs())
-    ).to_pandas()
-    orders = pa.concat_tables(
-        ray.get(_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_arrow_refs())
-    ).to_pandas()
-    nation = pa.concat_tables(
-        ray.get(_read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs())
-    ).to_pandas()
-    n_name = nation.set_index("n_nationkey")["n_name"]
-    supp_nation = supp.set_index("s_suppkey")["s_nationkey"].map(n_name)
-    order_nation = orders.set_index("o_orderkey")["o_custkey"].map(
-        cust.set_index("c_custkey")["c_nationkey"]
-    ).map(n_name)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+
+    # dense nationkey → name array (nation keys are small ints)
+    nk = nation.column("n_nationkey").to_numpy()
+    nat_names = np.empty(int(nk.max()) + 1, dtype=object)
+    nat_names[nk] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    sk = supp.column("s_suppkey").to_numpy()
+    s_order = np.argsort(sk)
     sn_ref = ray.put(
-        (supp_nation.index.to_numpy(np.int64), supp_nation.to_numpy(dtype=object))
+        (sk[s_order], nat_names[supp.column("s_nationkey").to_numpy()][s_order])
     )
-    on_ref = ray.put(
-        (order_nation.index.to_numpy(np.int64), order_nation.to_numpy(dtype=object))
+    nat_ref = ray.put(nat_names)
+
+    # the two big-big shuffles: orders⋈customer on custkey, lineitem⋈that
+    # on orderkey
+    oj = shuffle_hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    j = shuffle_hash_join(
+        li, oj, on="l_orderkey", right_on="o_orderkey", num_partitions=16
     )
 
     def annotate(b: pa.Table) -> pa.Table:
         sk_idx, sk_val = ray.get(sn_ref)
-        ok_idx, ok_val = ray.get(on_ref)
-        s_order = np.argsort(sk_idx)
-        o_order = np.argsort(ok_idx)
-        sk = b.column("l_suppkey").to_numpy()
-        okey = b.column("l_orderkey").to_numpy()
-        supp_n = sk_val[s_order][np.searchsorted(sk_idx[s_order], sk)]
-        cust_n = ok_val[o_order][np.searchsorted(ok_idx[o_order], okey)]
+        names = ray.get(nat_ref)
+        supp_n = sk_val[np.searchsorted(sk_idx, b.column("l_suppkey").to_numpy())]
+        cust_n = names[b.column("c_nationkey").to_numpy()]
         year = b.column("l_shipdate").to_numpy().astype("datetime64[Y]").astype(int) + 1970
         dp = np.floor(
             b.column("l_extendedprice").to_numpy()
@@ -10921,7 +10940,7 @@ def q7_volume_shipping(sf_dir: str):
         )
 
     return grouped_aggregate(
-        li.map_batches(annotate, batch_format="pyarrow"),
+        j.map_batches(annotate, batch_format="pyarrow"),
         ["supp_nation", "cust_nation", "l_year"],
         [("revenue_e2", "rev_e2", "sum")],
     )
@@ -10946,51 +10965,58 @@ def q8_market_share(sf_dir: str):
     """TPC-H Q8 analog: NATION_1 suppliers' share of discounted
     revenue into region 0's customers, per ship year — numerators and
     denominators kept as exact e2 integers, share as the e4 ratio.
-    Same broadcast-dimension-chain topology as Q7."""
-    import pandas as pd
+    Same distributed topology as Q7 (orders ⋈ customer shuffle on
+    custkey, lineitem ⋈ that on orderkey), with the region-0 filter
+    pushed BELOW the big join — only in-region orders enter the
+    lineitem exchange (the inner join makes pre- and post-join
+    filtering equivalent).  Broadcasts: nation regionkeys (25 rows)
+    and the supplier is-target bitmap."""
+    from .relational import shuffle_hash_join
 
     li = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"],
     )
-    supp = pa.concat_tables(
-        ray.get(_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_arrow_refs())
-    ).to_pandas()
-    cust = pa.concat_tables(
-        ray.get(_read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_arrow_refs())
-    ).to_pandas()
-    orders = pa.concat_tables(
-        ray.get(_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_arrow_refs())
-    ).to_pandas()
-    nation = pa.concat_tables(
-        ray.get(_read(sf_dir, "nation",
-                      columns=["n_nationkey", "n_name", "n_regionkey"]).to_arrow_refs())
-    ).to_pandas()
-    supp_is_target = supp.set_index("s_suppkey")["s_nationkey"].map(
-        nation.set_index("n_nationkey")["n_name"]
-    ) == "NATION_1"
-    cust_region = cust.set_index("c_custkey")["c_nationkey"].map(
-        nation.set_index("n_nationkey")["n_regionkey"]
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
     )
-    order_in_region = orders.set_index("o_orderkey")["o_custkey"].map(cust_region) == 0
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+
+    nk = nation.column("n_nationkey").to_numpy()
+    nat_names = np.empty(int(nk.max()) + 1, dtype=object)
+    nat_names[nk] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    nat_region = np.full(int(nk.max()) + 1, -1, dtype=np.int64)
+    nat_region[nk] = nation.column("n_regionkey").to_numpy()
+    sk = supp.column("s_suppkey").to_numpy()
+    s_order = np.argsort(sk)
     st_ref = ray.put(
-        (supp_is_target.index.to_numpy(np.int64),
-         supp_is_target.to_numpy(bool))
+        (sk[s_order],
+         (nat_names[supp.column("s_nationkey").to_numpy()] == "NATION_1")[s_order])
     )
-    orr_ref = ray.put(
-        (order_in_region.index.to_numpy(np.int64),
-         order_in_region.to_numpy(bool))
+    reg_ref = ray.put(nat_region)
+
+    oj = shuffle_hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    )
+
+    def in_region(b: pa.Table) -> pa.Table:
+        reg = ray.get(reg_ref)
+        keep = reg[b.column("c_nationkey").to_numpy()] == 0
+        return b.filter(pa.array(keep)).select(["o_orderkey"])
+
+    oj = oj.map_batches(in_region, batch_format="pyarrow")
+    j = shuffle_hash_join(
+        li, oj, on="l_orderkey", right_on="o_orderkey", num_partitions=16
     )
 
     def partial(b: pa.Table) -> pa.Table:
         sk_idx, sk_val = ray.get(st_ref)
-        ok_idx, ok_val = ray.get(orr_ref)
-        so, oo = np.argsort(sk_idx), np.argsort(ok_idx)
-        sk = b.column("l_suppkey").to_numpy()
-        okey = b.column("l_orderkey").to_numpy()
-        is_target = sk_val[so][np.searchsorted(sk_idx[so], sk)]
-        in_region = ok_val[oo][np.searchsorted(ok_idx[oo], okey)]
+        is_target = sk_val[np.searchsorted(sk_idx, b.column("l_suppkey").to_numpy())]
         year = b.column("l_shipdate").to_numpy().astype("datetime64[Y]").astype(int) + 1970
         dp = np.floor(
             b.column("l_extendedprice").to_numpy()
@@ -11000,9 +11026,9 @@ def q8_market_share(sf_dir: str):
 
         df = pd.DataFrame(
             {
-                "l_year": year[in_region].astype(np.int64),
-                "num": np.where(is_target[in_region], dp[in_region], 0),
-                "den": dp[in_region],
+                "l_year": year.astype(np.int64),
+                "num": np.where(is_target, dp, 0),
+                "den": dp,
             }
         )
         g = df.groupby("l_year")[["num", "den"]].sum().reset_index()
@@ -11011,7 +11037,7 @@ def q8_market_share(sf_dir: str):
     from ray.data.aggregate import Sum
 
     agg = (
-        li.map_batches(partial, batch_format="pyarrow")
+        j.map_batches(partial, batch_format="pyarrow")
         .groupby("l_year")
         .aggregate(Sum("num", alias_name="nation_e2"), Sum("den", alias_name="total_e2"))
         .to_pandas()
@@ -11533,11 +11559,13 @@ def order_fulfillment_latency(sf_dir: str):
     order's LAST shipment, bucketed by week (floor division — this
     synthetic corpus has shipments BEFORE the order date, so negative
     buckets are real and the floor/truncate distinction matters) —
-    per-order max-shipdate partials (one narrow groupby), broadcast
-    order dates, counts-of-buckets."""
+    per-order max-shipdate partials (one narrow groupby), then a
+    shuffle hash join against the orders fact table on the orderkey
+    (both sides are fact-scale — neither reaches the driver),
+    counts-of-buckets."""
     import pandas as pd
 
-    from .relational import broadcast_hash_join
+    from .relational import shuffle_hash_join
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
@@ -11559,9 +11587,9 @@ def order_fulfillment_latency(sf_dir: str):
         .groupby("o_orderkey")
         .aggregate(Max("ship", alias_name="last_ship"))
     )
-    osmall = pa.concat_tables(ray.get(orders.to_arrow_refs()))
-    joined = broadcast_hash_join(
-        last_ship, osmall, left_on="o_orderkey", right_on="o_orderkey"
+    joined = shuffle_hash_join(
+        last_ship, orders, on="o_orderkey",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
     )
 
     def bucketize(b: pa.Table) -> pa.Table:

@@ -744,11 +744,23 @@ def shuffle_hash_join(
     them into schema-ful neighbors.  Remove once Ray's join tolerates
     schema-less empties.
     """
+    ncpu = float(ray.cluster_resources().get("CPU", 8))
     if num_partitions is None:
-        num_partitions = max(int(ray.cluster_resources().get("CPU", 8)) * 2, 8)
+        num_partitions = max(int(ncpu) * 2, 8)
 
     def _ident(b: pa.Table) -> pa.Table:
         return b
+
+    # Cap each join's aggregator-actor pool at ~1/4 of cluster CPUs.
+    # Ray 2.49's default reserves min(num_partitions, CPU/2) cores per
+    # JoinOperator; a plan with two cascaded joins (e.g. orders⋈customer
+    # then lineitem⋈that) then reserves EVERY core for aggregators on a
+    # small session and the feeding map tasks starve — a scheduling
+    # deadlock.  1/4 per join keeps two concurrent joins + their
+    # producers runnable everywhere, and on ≥32-CPU sessions this
+    # matches Ray's own 8-core default budget.
+    n_agg = min(num_partitions, 64)
+    agg_cpus = min(1.0, max(0.05, (ncpu / 4.0) / n_agg))
 
     left = left.map_batches(_ident, batch_format="pyarrow", batch_size=1 << 20)
     right = right.map_batches(_ident, batch_format="pyarrow", batch_size=1 << 20)
@@ -758,6 +770,10 @@ def shuffle_hash_join(
         num_partitions=num_partitions,
         on=(on,),
         right_on=(right_on,) if right_on else None,
+        aggregator_ray_remote_args={
+            "num_cpus": agg_cpus,
+            "scheduling_strategy": "SPREAD",
+        },
     )
 
 
