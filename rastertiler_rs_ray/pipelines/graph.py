@@ -844,4 +844,10 @@ def k_core(
                 und, keep.map_batches(lambda b: b, batch_format="pyarrow"),
                 on="v", right_on="node",
             ).select_columns(["u", "v"]).materialize()
+    # Empty-core guard (same Ray pitfall triangle_counts handles): when
+    # peeling empties the edge list, the final groupby emits zero-COLUMN
+    # empty blocks and downstream out["node"] would KeyError — pin the
+    # schema explicitly.
+    if keep is None or keep.count() == 0:
+        return ray.data.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
     return keep

@@ -203,6 +203,13 @@ def encode_line_layer(
     starts = np.asarray(starts, dtype=np.int64)
     n = len(ids)
     kk = starts[1:] - starts[:-1]
+    if n and int(kk.min()) < 2:
+        # MVT v2.1: a LINESTRING needs MoveTo + ≥1 LineTo; a bare MoveTo
+        # is invalid geometry — reject rather than emit silently.
+        raise ValueError(
+            f"linestring feature with {int(kk.min())} vertex/vertices "
+            "(every feature needs >= 2)"
+        )
     has_line = kk > 1
     # Every byte of an MVT feature frame is itself a varint (the field
     # keys 0x12/0x08/0x18/0x22 are single-byte varints, the lengths and
@@ -607,7 +614,16 @@ def render_contour_mvt(
         c = b.column("c").to_numpy().astype(np.int64)
         r = b.column("r").to_numpy().astype(np.int64)
         seg = b.column("seg").to_numpy().astype(np.int64)
-        fid = (c << np.int64(22)) | (r << np.int64(2)) | seg
+        # fid packs (cell-col, cell-row, segment) into one int64:
+        # seg 2 bits, r 32 bits, c the remaining 29 — fail loudly past
+        # the field widths instead of silently colliding feature ids.
+        if len(r) and (int(r.max()) >= (1 << 32) or int(c.max()) >= (1 << 29)):
+            raise ValueError(
+                f"contour grid too large for fid packing "
+                f"(r<{1 << 32}, c<{1 << 29}; got r<=%d c<=%d)"
+                % (int(r.max()), int(c.max()))
+            )
+        fid = (c << np.int64(34)) | (r << np.int64(2)) | seg
         return pa.table(
             {
                 "x": pa.array(tx),

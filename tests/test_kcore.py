@@ -58,3 +58,19 @@ def test_kcore_empty(ray_session):
     vs = us - 1
     ds = ray.data.from_arrow(pa.table({"u": pa.array(us), "v": pa.array(vs)}))
     assert k_core(ds, 3).count() == 0
+
+
+def test_kcore_empty_core_keeps_schema(ray_session):
+    """Star graph, k=2: peeling empties the edge list while keep is
+    transiently non-empty — the result must still carry the 'node'
+    column (Ray's zero-column empty-block pitfall), not a schema-less
+    empty dataset."""
+    hub = np.zeros(6, np.int64)
+    spokes = np.arange(1, 7, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(hub), "v": pa.array(spokes)}))
+    out = k_core(ds, 2)
+    # Dataset-level contract: schema pinned to (node:int64), zero rows.
+    # (Ray's Dataset.to_pandas drops columns for ANY 0-row dataset —
+    # a framework limit — so the guard is asserted on the Dataset.)
+    assert [f.name for f in out.schema().base_schema] == ["node"]
+    assert out.count() == 0 and out.take_all() == []

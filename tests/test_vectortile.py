@@ -170,7 +170,7 @@ def test_line_layer_roundtrip_fuzz():
     rng = np.random.default_rng(12)
     for _ in range(25):
         nf = int(rng.integers(1, 50))
-        kk = rng.integers(1, 10, nf)
+        kk = rng.integers(2, 10, nf)  # MVT: linestrings need >= 2 vertices
         starts = np.concatenate([[0], np.cumsum(kk)])
         px = rng.integers(-6000, 6000, starts[-1])
         py = rng.integers(-6000, 6000, starts[-1])
@@ -183,6 +183,20 @@ def test_line_layer_roundtrip_fuzz():
             for a, b in zip(starts[:-1], starts[1:])
         ]
         assert d["lines"] == want
+
+
+def test_line_layer_rejects_single_vertex():
+    """MVT v2.1: a MoveTo with no LineTo is invalid LINESTRING geometry —
+    the encoder must reject it instead of emitting it silently."""
+    import pytest
+
+    from rastertiler_rs_ray.pipelines.vectortile import encode_line_layer
+
+    with pytest.raises(ValueError, match="2"):
+        encode_line_layer(
+            np.array([1], np.uint64), np.array([0, 1]),
+            np.array([5]), np.array([5]), name="l",
+        )
 
 
 def test_contour_mvt_end_to_end(ray_session, tmp_path):
