@@ -2432,6 +2432,43 @@ def render_pyramid_utm_map(sf_dir: str):
 SQL_RENDER_PYRAMID_UTM_MAP = _sql_read_map("render_utm")
 
 
+def render_pyramid_multiband_map(sf_dir: str):
+    """Multi-band GeoTIFF parity (S2: ref src/dataset.rs:112-114 opens
+    multi-band files, src/render.rs:34 renders band 1): a 3-band chunky
+    deflate GeoTIFF — band 1 a deterministic pattern, bands 2-3 decoys —
+    rendered to a pyramid, with a SINGLE-band twin authored from band 1
+    alone rendered separately; the oracle reads the twin's tileset, so
+    tile hashes match ONLY if band selection is pixel-exact."""
+    import os
+
+    import numpy as np
+
+    from ..geo import Affine, CE, ORIGIN
+    from ..raster.geotiff import open_raster, write_geotiff
+    from .render import render_pyramid, tileset_map_dataset
+
+    os.makedirs(ORACLE_TS_ROOT, exist_ok=True)
+    res = CE / (1 << 13)
+    t = Affine(res, 0.0, -ORIGIN / 4.0, 0.0, -res, ORIGIN / 6.0)
+    ii = np.arange(512, dtype=np.uint32)
+    b1 = ((ii[:, None] * 2654435761 + ii[None, :] * 40503) % 211 + 1).astype(np.uint8)
+    b2 = ((ii[:, None] * 97 + ii[None, :] * 13) % 251).astype(np.uint8)
+    b3 = np.flipud(b1)
+    mb = os.path.join(ORACLE_TS_ROOT, "mb_src.tif")
+    sb = os.path.join(ORACLE_TS_ROOT, "mb_twin_src.tif")
+    write_geotiff(mb, np.stack([b1, b2, b3], axis=-1), t, nodata=0,
+                  tile_size=256, compression="deflate")
+    write_geotiff(sb, b1, t, nodata=0, tile_size=256, compression="deflate")
+    out_mb = os.path.join(ORACLE_TS_ROOT, "render_mb")
+    out_tw = os.path.join(ORACLE_TS_ROOT, "render_mb_twin")
+    render_pyramid(open_raster(mb), out_mb, 4, 7, tilesize=128, resume=False)
+    render_pyramid(open_raster(sb), out_tw, 4, 7, tilesize=128, resume=False)
+    return tileset_map_dataset(out_mb).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_RENDER_PYRAMID_MULTIBAND_MAP = _sql_read_map("render_mb_twin")
+
+
 def raster_vector_join_z8(sf_dir: str):
     from ..raster.synthetic import default_u8_raster
     from .spatial import raster_vector_join
@@ -11637,6 +11674,10 @@ QUERIES = {
         SQL_RENDER_PYRAMID_COLORMAP_MAP,
     ),
     "render_pyramid_utm_map": (render_pyramid_utm_map, SQL_RENDER_PYRAMID_UTM_MAP),
+    "render_pyramid_multiband_map": (
+        render_pyramid_multiband_map,
+        SQL_RENDER_PYRAMID_MULTIBAND_MAP,
+    ),
     "embedding_dedup_exact": (embedding_dedup_exact, SQL_EMBEDDING_DEDUP_EXACT),
     "minhash_dedup_planted": (minhash_dedup_planted, SQL_PLANTED_EXACT_DEDUP),
     "simhash_dedup_planted": (simhash_dedup_planted, SQL_PLANTED_EXACT_DEDUP),

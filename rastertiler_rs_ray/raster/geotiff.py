@@ -64,6 +64,7 @@ _T_PHOTOMETRIC = 262
 _T_STRIP_OFFSETS = 273
 _T_SAMPLES_PER_PX = 277
 _T_ROWS_PER_STRIP = 278
+_T_PLANAR = 284
 _T_STRIP_COUNTS = 279
 _T_PREDICTOR = 317
 _T_TILE_WIDTH = 322
@@ -178,6 +179,17 @@ class _Ifd:
         self.height = int(tags[_T_HEIGHT][0])
         self.dtype = np_dtype
         self.bo = bo
+        # Multi-band layout: band 1 is selected at decode time
+        # (ref src/dataset.rs:112-114 / src/render.rs:34 — GDAL opens
+        # multi-band files and the renderer reads band 1 only).
+        self.spp = int(tags.get(_T_SAMPLES_PER_PX, [1])[0])
+        self.planar = int(tags.get(_T_PLANAR, [1])[0])
+        if self.planar not in (1, 2):
+            raise NotImplementedError(f"TIFF planar configuration {self.planar}")
+        if self.spp > 1 and self.planar == 1 and len(set(tags[_T_BITS])) != 1:
+            raise NotImplementedError(
+                "chunky multi-band TIFF with per-band bit depths"
+            )
         self.compression = int(tags.get(_T_COMPRESSION, [1])[0])
         if self.compression not in (1, 5, 8, 32946):
             raise NotImplementedError(
@@ -229,9 +241,10 @@ class GeoTiffRaster(TileReadMixin):
         if not ifds:
             raise ValueError(f"{path}: no IFDs")
         main = ifds[0]
-        spp = int(main.get(_T_SAMPLES_PER_PX, [1])[0])
-        if spp != 1:
-            raise NotImplementedError(f"{path}: multi-band TIFF ({spp} samples/px)")
+        # Multi-band files open fine — band 1 is selected at chunk
+        # decode (parity with ref src/dataset.rs:112-114: GDAL opens the
+        # dataset, src/render.rs:34 reads band 1).
+        self.samples_per_px = int(main.get(_T_SAMPLES_PER_PX, [1])[0])
         bits = int(main[_T_BITS][0])
         fmt = int(main.get(_T_SAMPLE_FORMAT, [1])[0])
         if fmt != 1:
@@ -288,27 +301,35 @@ class GeoTiffRaster(TileReadMixin):
         if hit is not None:
             self._cache.move_to_end(key)
             return hit
+        # planar=2 stores each band's chunk planes consecutively
+        # (TIFF 6.0: NumberOfStrips = SamplesPerPixel × StripsPerImage,
+        # plane-major) — band 1 occupies the FIRST nchunks entries, so
+        # the index needs no adjustment; planar=1 interleaves samples
+        # within each chunk and band 1 is every spp-th sample.
         idx = cy * ifd.nchunks_x + cx
         off, cnt = int(ifd.offsets[idx]), int(ifd.counts[idx])
         raw = self._data[off : off + cnt]
+        nsamp = ifd.spp if ifd.planar == 1 else 1
         if ifd.compression in (8, 32946):
             raw = zlib.decompress(raw)
         elif ifd.compression == 5:
             itemsz = np.dtype(ifd.dtype).itemsize
-            raw = lzw.decode(bytes(raw), max_size=ifd.cw * ifd.ch * itemsz)
-        itemsize = np.dtype(ifd.dtype).itemsize
+            raw = lzw.decode(bytes(raw), max_size=ifd.cw * ifd.ch * itemsz * nsamp)
         # strips may be short on the last row band; tiles are full-size
         rows = ifd.ch if ifd.tiled else min(ifd.ch, ifd.height - cy * ifd.ch)
-        arr = np.frombuffer(raw, dtype=ifd.dtype, count=rows * ifd.cw).reshape(
-            rows, ifd.cw
+        arr = np.frombuffer(raw, dtype=ifd.dtype, count=rows * ifd.cw * nsamp).reshape(
+            rows, ifd.cw, nsamp
         )
         if ifd.bo == ">":
             arr = arr.byteswap().view(arr.dtype)
         if ifd.predictor == 2:
+            # horizontal differencing is PER COMPONENT (adjacent pixels'
+            # same-channel samples) — cumsum along the pixel axis of the
+            # (rows, cols, samples) cube handles both layouts.
             arr = np.cumsum(
                 arr.astype(np.uint64), axis=1, dtype=np.uint64
             ).astype(ifd.dtype)
-        arr = np.ascontiguousarray(arr)
+        arr = np.ascontiguousarray(arr[:, :, 0])
         self._cache[key] = arr
         if len(self._cache) > self._cache_cap:
             self._cache.popitem(last=False)
@@ -545,8 +566,15 @@ def write_geotiff(
     test place real tile data beyond the 4 GiB boundary (genuine 64-bit
     offsets) without paying 4 GiB of I/O.
     """
-    if array.ndim != 2:
-        raise ValueError("write_geotiff expects a 2-D single-band array")
+    if array.ndim == 3:
+        # chunky (PlanarConfiguration=1) multi-band: samples interleave
+        # within each tile; the READ path selects band 1 (parity with
+        # ref src/render.rs:34) — the writer exists to author multi-band
+        # fixtures.  Overview generation stays single-band-only.
+        if overview_factors:
+            raise ValueError("overviews unsupported for multi-band writes")
+    elif array.ndim != 2:
+        raise ValueError("write_geotiff expects a 2-D or 3-D (h,w,bands) array")
     if array.dtype not in (np.uint8, np.uint16, np.uint32):
         raise ValueError(f"unsupported dtype {array.dtype}")
     comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
@@ -554,10 +582,12 @@ def write_geotiff(
     levels = [(array, 0)] + [(_nn_downsample(array, f), 1) for f in overview_factors]
 
     ts = tile_size
+    n_bands = array.shape[2] if array.ndim == 3 else 1
     if bigtiff is None:
         # worst case: padded tiles, incompressible data
         worst = _sparse_offset + sum(
-            (-(-a.shape[0] // ts)) * (-(-a.shape[1] // ts)) * ts * ts * a.dtype.itemsize
+            (-(-a.shape[0] // ts)) * (-(-a.shape[1] // ts)) * ts * ts
+            * a.dtype.itemsize * n_bands
             for a, _ in levels
         )
         bigtiff = worst >= (1 << 32) - (1 << 20)
@@ -575,13 +605,14 @@ def write_geotiff(
         # ---- stream tile payloads, recording offsets/counts per level
         level_chunks = []
         for arr, _sub in levels:
-            h, w = arr.shape
+            a3 = arr if arr.ndim == 3 else arr[:, :, None]
+            h, w = a3.shape[:2]
             offs, cnts = [], []
             for ty in range(-(-h // ts)):
                 for tx in range(-(-w // ts)):
-                    tile = np.full((ts, ts), 0, dtype=arr.dtype)
+                    tile = np.full((ts, ts, a3.shape[2]), 0, dtype=arr.dtype)
                     ys, xs = ty * ts, tx * ts
-                    sub = arr[ys : ys + ts, xs : xs + ts]
+                    sub = a3[ys : ys + ts, xs : xs + ts]
                     tile[: sub.shape[0], : sub.shape[1]] = sub
                     raw = tile.tobytes()
                     if comp_code == 8:
@@ -612,7 +643,7 @@ def write_geotiff(
         def build_ifd(level_i: int):
             arr, sub = levels[level_i]
             offs, cnts = level_chunks[level_i]
-            h, w = arr.shape
+            h, w = arr.shape[:2]
             entries = []  # (tag, type, count, payload bytes)
 
             def add(tag, ftype, values):
@@ -629,15 +660,17 @@ def write_geotiff(
                 add(_T_NEW_SUBFILE_TYPE, 4, [1])
             add(_T_WIDTH, 4, [w])
             add(_T_HEIGHT, 4, [h])
-            add(_T_BITS, 3, [bits])
+            add(_T_BITS, 3, [bits] * n_bands)
             add(_T_COMPRESSION, 3, [comp_code])
-            add(_T_PHOTOMETRIC, 3, [1])
-            add(_T_SAMPLES_PER_PX, 3, [1])
+            add(_T_PHOTOMETRIC, 3, [2 if n_bands >= 3 else 1])
+            add(_T_SAMPLES_PER_PX, 3, [n_bands])
+            if n_bands > 1:
+                add(_T_PLANAR, 3, [1])
             add(_T_TILE_WIDTH, 3, [tile_size])
             add(_T_TILE_HEIGHT, 3, [tile_size])
             add(_T_TILE_OFFSETS, off_type, offs)
             add(_T_TILE_COUNTS, 4, cnts)
-            add(_T_SAMPLE_FORMAT, 3, [1])
+            add(_T_SAMPLE_FORMAT, 3, [1] * n_bands)
             if level_i == 0:
                 add(_T_PIXEL_SCALE, 12, pixel_scale)
                 add(_T_TIEPOINT, 12, tiepoint)

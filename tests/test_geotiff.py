@@ -533,3 +533,106 @@ def test_open_raster_rejects_non_utm_projected(tmp_path):
     write_geotiff(p, arr, _T, nodata=0, crs_epsg=2154, tile_size=256)
     with pytest.raises(NotImplementedError, match="EPSG:2154"):
         open_raster(p)
+
+
+# ------------------------------------------------------------------ multiband
+
+
+def _write_multiband_tiff(
+    path, bands, *, planar=1, rps=7, compression=1, predictor=1,
+    crs_epsg=3857,
+):
+    """Test-local minimal multi-band stripped TIFF writer (classic,
+    little-endian).  ``bands``: list of (h, w) uint8/uint16 arrays.
+    planar=1 interleaves samples per pixel; planar=2 writes one plane
+    of strips per band (band-major, per TIFF 6.0)."""
+    h, w = bands[0].shape
+    dt = bands[0].dtype
+    assert all(b.shape == (h, w) and b.dtype == dt for b in bands)
+    spp = len(bands)
+    cube = np.stack(bands, axis=-1)  # (h, w, spp)
+
+    def enc(block):  # block: (rows, w, nsamp)
+        if predictor == 2:
+            d = block.astype(np.int64)
+            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+            block = d.astype(dt)
+        raw = np.ascontiguousarray(block).tobytes()
+        return zlib.compress(raw) if compression == 8 else raw
+
+    strips = []
+    if planar == 1:
+        for y0 in range(0, h, rps):
+            strips.append(enc(cube[y0 : y0 + rps]))
+    else:
+        for b in bands:
+            for y0 in range(0, h, rps):
+                strips.append(enc(b[y0 : y0 + rps, :, None]))
+
+    body = bytearray()
+    offsets, counts = [], []
+    for s in strips:
+        offsets.append(8 + len(body))
+        counts.append(len(s))
+        body += s
+    bits = dt.itemsize * 8
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits] * spp),
+        (259, 3, [compression]), (262, 3, [2 if spp >= 3 else 1]),
+        (273, 4, offsets), (277, 3, [spp]), (278, 4, [rps]),
+        (279, 4, counts), (284, 3, [planar]), (317, 3, [predictor]),
+        (339, 3, [1] * spp),
+        (33550, 12, [_RES, _RES, 0.0]),
+        (33922, 12, [0.0, 0.0, 0.0, _T.c, _T.f, 0.0]),
+        (34735, 3, [1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1,
+                    3072, 0, 1, crs_epsg]),
+    ]
+    tags.sort()
+    ifd_off = 8 + len(body)
+    out = bytearray(b"II" + struct.pack("<HI", 42, ifd_off)) + body
+    sizes = {3: ("H", 2), 4: ("I", 4), 12: ("d", 8)}
+    ifd = bytearray(struct.pack("<H", len(tags)))
+    extra_off = ifd_off + 2 + 12 * len(tags) + 4
+    extra = bytearray()
+    for tag, ftype, vals in tags:
+        ch, _ = sizes[ftype]
+        payload = struct.pack("<" + ch * len(vals), *vals)
+        ifd += struct.pack("<HHI", tag, ftype, len(vals))
+        if len(payload) <= 4:
+            ifd += payload.ljust(4, b"\0")
+        else:
+            ifd += struct.pack("<I", extra_off + len(extra))
+            extra += payload
+    ifd += struct.pack("<I", 0)
+    out += ifd + extra
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+@pytest.mark.parametrize("planar", [1, 2])
+@pytest.mark.parametrize("comp,pred", [(1, 1), (8, 2)])
+def test_multiband_reads_band1(tmp_path, planar, comp, pred):
+    """Multi-band TIFFs open and read BAND 1 (ref src/dataset.rs:112-114,
+    src/render.rs:34) for both chunky and planar layouts, with and
+    without deflate + per-component horizontal predictor."""
+    rng = np.random.RandomState(11)
+    h, w = 23, 37
+    bands = [rng.randint(1, 255, size=(h, w)).astype(np.uint8) for _ in range(3)]
+    p = str(tmp_path / f"mb_{planar}_{comp}.tif")
+    _write_multiband_tiff(p, bands, planar=planar, compression=comp, predictor=pred)
+    g = GeoTiffRaster(p)
+    assert g.samples_per_px == 3
+    got = g.values_at(np.arange(w)[None, :], np.arange(h)[:, None])
+    assert np.array_equal(got, bands[0])
+
+
+def test_multiband_uint16_chunky(tmp_path):
+    rng = np.random.RandomState(5)
+    h, w = 19, 31
+    bands = [rng.randint(1, 60000, size=(h, w)).astype(np.uint16) for _ in range(2)]
+    p = str(tmp_path / "mb16.tif")
+    _write_multiband_tiff(p, bands, planar=1, compression=8, predictor=2)
+    g = GeoTiffRaster(p)
+    assert g.dtype == "uint16" and g.samples_per_px == 2
+    got = g.values_at(np.arange(w)[None, :], np.arange(h)[:, None])
+    assert np.array_equal(got, bands[0])
