@@ -2367,6 +2367,26 @@ def rollup_overviews_map(sf_dir: str):
 SQL_ROLLUP_OVERVIEWS_MAP = _sql_read_map("rollup_u8")
 
 
+def rollup_overviews_u32_map(sf_dir: str):
+    """u32 overview roll-up: RGB-space NN decimation of dynamic-palette
+    /RGB-fallback tiles (pipelines/overview.py rgb_mode) — base zoom
+    rendered from the source, one rolled level derived from it.
+    Returns the full map table."""
+    import os
+
+    from ..raster.synthetic import default_u32_raster
+    from .overview import rollup_overviews
+    from .render import render_pyramid, tileset_map_dataset
+
+    out_dir = os.path.join(ORACLE_TS_ROOT, "rollup_u32")
+    render_pyramid(default_u32_raster(), out_dir, 5, 5, tilesize=128, resume=False)
+    rollup_overviews(out_dir, 3, resume=False)
+    return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_ROLLUP_OVERVIEWS_U32_MAP = _sql_read_map("rollup_u32")
+
+
 def render_pyramid_u32_map(sf_dir: str):
     """u32 raster path: per-tile dynamic palette with RGB fallback
     (E2-E4/G4); returns the map table."""
@@ -11974,6 +11994,10 @@ QUERIES = {
     "box_overlap_areas": (box_overlap_areas, SQL_BOX_OVERLAP_AREAS),
     "docs_haversine_pairs": (docs_haversine_pairs, SQL_DOCS_HAVERSINE_PAIRS),
     "rollup_overviews_map": (rollup_overviews_map, SQL_ROLLUP_OVERVIEWS_MAP),
+    "rollup_overviews_u32_map": (
+        rollup_overviews_u32_map,
+        SQL_ROLLUP_OVERVIEWS_U32_MAP,
+    ),
     "segment_crossings_docs": (segment_crossings_docs, SQL_SEGMENT_CROSSINGS_DOCS),
     "events_peak_concurrency": (events_peak_concurrency, SQL_EVENTS_PEAK_CONCURRENCY),
     "adaptive_cells_docs": (adaptive_cells_docs, SQL_ADAPTIVE_CELLS_DOCS),

@@ -31,9 +31,17 @@ u8 grayscale and u8+colormap tilesets roll up (indexed tiles decode to
 palette indices and invert through the colormap; values absent from
 the colormap rendered transparent at the base zoom and stay
 transparent — the same lossy-by-design semantics as the base render,
-ref src/png/color.rs:99-106).  u32 dynamic-palette tilesets are
-rejected: the per-tile palette does not preserve u32 values above 24
-bits, so the original buffer cannot be reconstructed from the blob.
+ref src/png/color.rs:99-106).  u32 tilesets (dynamic palette with RGB
+fallback, G4) roll up in RGB space: children decode to RGB pixels
+(per-tile palettes applied), the parent NN-decimates the RGB mosaic
+and re-encodes as an RGB tile.  The value→color map
+(``rgb8_from_u32``) is a pure per-pixel function, so rolled parents
+are PIXEL-identical to a direct parent render; tile BYTES may differ
+from a direct render when the direct encoder would have chosen the
+indexed path (the u32→RGB truncation above 24 bits is not invertible,
+so the dynamic palette's first-occurrence-of-value order cannot be
+reconstructed from blobs — rolled parents always take the RGB
+encoding).
 """
 
 from __future__ import annotations
@@ -50,7 +58,7 @@ import ray.data
 
 from ..functions.hashing import content_hash64
 from ..png.color import Colormap, parse_colormap
-from ..png.encoders import ColormapEncoder, GrayscaleEncoder
+from ..png.encoders import ColormapEncoder, GrayscaleEncoder, RGBEncoder
 from ..png.writer import decode_png
 from ..stages.tile_render import TILE_SCHEMA
 from ..state.manifest import Manifest
@@ -102,20 +110,53 @@ def rollup_level(
         ys = group.column("y").to_numpy().astype(np.int64)
         blobs = group.column("tile_data").to_pylist()
 
+        infos = [decode_png(bytes(b)) for b in blobs]
+        # u32 tilesets (RGB tiles, or per-tile dynamic palettes with no
+        # global colormap) roll up in RGB space — see module docstring.
+        rgb_mode = any(
+            i["color_type"] == 2 or (i["color_type"] == 3 and inv is None)
+            for i in infos
+        )
+
+        if rgb_mode:
+            from ..png.color import rgb8_from_u32
+
+            nr, ng, nb = rgb8_from_u32(np.uint32(nodata))
+            nod_rgb = np.array([nr, ng, nb], dtype=np.uint8)
+            mosaic3 = np.broadcast_to(nod_rgb, (2 * ts, 2 * ts, 3)).copy()
+            for x, y, info in zip(xs, ys, infos):
+                ct = info["color_type"]
+                if ct == 2:
+                    px = info["pixels"]
+                elif ct == 3:  # per-tile dynamic palette → RGB
+                    pal = np.frombuffer(info["palette"], np.uint8).reshape(-1, 3)
+                    px = pal[info["pixels"]]
+                else:  # grayscale child in a u32 set: value → its RGB
+                    r, g, b_ = rgb8_from_u32(info["pixels"].astype(np.uint32))
+                    px = np.stack([r, g, b_], axis=-1)
+                qx, qy = int(x & 1), int(y & 1)
+                mosaic3[qy * ts : (qy + 1) * ts, qx * ts : (qx + 1) * ts] = px
+            out3 = mosaic3[1::2, 1::2]  # NN floor((i+0.5)*2) = 2i+1
+            if np.all(out3 == nod_rgb):
+                return TILE_SCHEMA.empty_table()
+            png = RGBEncoder(ts, ts, nodata).encode_rgb(out3)
+            pz, px_, py = zoom - 1, int(xs[0]) >> 1, int(ys[0]) >> 1
+            return pa.table(
+                {
+                    "zoom": pa.array([pz], pa.uint8()),
+                    "x": pa.array([px_], pa.uint32()),
+                    "y": pa.array([py], pa.uint32()),
+                    "tms_y": pa.array([(1 << pz) - 1 - py], pa.uint32()),
+                    "tile_hash": pa.array([content_hash64(png)], pa.int64()),
+                    "tile_data": pa.array([png], pa.binary()),
+                },
+                schema=TILE_SCHEMA,
+            )
+
         mosaic = np.full((2 * ts, 2 * ts), nodata, dtype=np.uint8)
-        for x, y, blob in zip(xs, ys, blobs):
-            info = decode_png(bytes(blob))
-            if info["color_type"] == 2:
-                raise NotImplementedError(
-                    "u32 dynamic-palette tilesets cannot roll up: the "
-                    "per-tile RGB palette does not preserve u32 values"
-                )
+        for x, y, info in zip(xs, ys, infos):
             px = info["pixels"]
             if info["color_type"] == 3:  # indexed → invert to values
-                if inv is None:
-                    raise ValueError(
-                        "indexed tiles need the colormap that rendered them"
-                    )
                 px = inv[px].astype(np.uint8)
             qx, qy = int(x & 1), int(y & 1)
             mosaic[qy * ts : (qy + 1) * ts, qx * ts : (qx + 1) * ts] = px

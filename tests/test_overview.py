@@ -174,12 +174,43 @@ class TestImagesAndGuards:
         assert stamp == stamp2
         assert Manifest(os.path.join(out, "manifest.json")).get_meta("minzoom") == BASE_Z - 1
 
-    def test_u32_rejected(self, ray_session, tmp_path):
+    def test_u32_rolls_up_rgb_pixel_parity(self, ray_session, tmp_path):
+        """u32 tilesets roll up in RGB space: rolled parents must be
+        PIXEL-identical (as RGB) to directly rendered parents at native
+        resolution — bytes may differ (direct render may pick the
+        indexed encoding; roll-up always emits RGB), so the comparison
+        decodes both to RGB."""
         from rastertiler_rs_ray.pipelines.overview import rollup_overviews
         from rastertiler_rs_ray.pipelines.render import render_pyramid
-        from rastertiler_rs_ray.raster.synthetic import default_u32_raster
+        from rastertiler_rs_ray.png.writer import decode_png
 
-        out = str(tmp_path / "u32")
-        render_pyramid(default_u32_raster(), out, 4, 4, tilesize=TS, resume=False)
-        with pytest.raises(Exception, match="(u32|palette)"):
-            rollup_overviews(out, 3)
+        raster = aligned_raster(dtype="uint32", seed=9)
+        direct = str(tmp_path / "u32_direct")
+        rolled = str(tmp_path / "u32_rolled")
+        render_pyramid(raster, direct, BASE_Z - 1, BASE_Z, tilesize=TS, resume=False)
+        render_pyramid(raster, rolled, BASE_Z, BASE_Z, tilesize=TS, resume=False)
+        rollup_overviews(rolled, BASE_Z - 1)
+
+        def rgb_tiles(out_dir, zoom):
+            t = (
+                pads.dataset(f"{out_dir}/tiles", format="parquet")
+                .to_table(columns=["zoom", "x", "y", "tile_data"])
+                .to_pandas()
+            )
+            t = t[t.zoom == zoom]
+            out = {}
+            for _, row in t.iterrows():
+                info = decode_png(bytes(row.tile_data))
+                if info["color_type"] == 2:
+                    px = info["pixels"]
+                else:
+                    pal = np.frombuffer(info["palette"], np.uint8).reshape(-1, 3)
+                    px = pal[info["pixels"]]
+                out[(int(row.x), int(row.y))] = px
+            return out
+
+        want = rgb_tiles(direct, BASE_Z - 1)
+        got = rgb_tiles(rolled, BASE_Z - 1)
+        assert want.keys() == got.keys() and len(want) >= 1
+        for key in want:
+            np.testing.assert_array_equal(want[key], got[key])
