@@ -157,3 +157,56 @@ class UtmProjection:
 
     def inverse(self, x, y):
         return tmerc_inverse(x, y, self.lon0, self.fn)
+
+
+# ---------------------------------------------------------------- EPSG:3395
+# WGS84 World Mercator — ELLIPSOIDAL Mercator (Snyder 1987 eqs. 7-6..
+# 7-10), distinct from the spherical web-Mercator 3857 grid the tiles
+# live on: northings differ by up to ~35 km mid-latitude, so a 3395
+# source needs a real warp, not a passthrough.
+
+_E = float(np.sqrt(_E2))
+
+
+def world_mercator_forward(lon, lat) -> tuple[np.ndarray, np.ndarray]:
+    """lon/lat degrees → EPSG:3395 (easting, northing) metres
+    (Snyder 7-6/7-7: x = aλ, y = a·ln[tan(π/4+φ/2)·((1−e·sinφ)/(1+e·sinφ))^{e/2}])."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    esin = _E * np.sin(phi)
+    y = _A * np.log(
+        np.tan(np.pi / 4.0 + phi / 2.0)
+        * ((1.0 - esin) / (1.0 + esin)) ** (_E / 2.0)
+    )
+    return _A * lam, y
+
+
+def world_mercator_inverse(x, y) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:3395 metres → lon/lat degrees (Snyder 7-9/7-10 fixed-point:
+    φ = π/2 − 2·atan(t·((1−e·sinφ)/(1+e·sinφ))^{e/2}), t = e^{−y/a}) —
+    quadratically convergent; 12 rounds reach float64 round-off
+    everywhere inside the Mercator latitude clamp."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    t = np.exp(-y / _A)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(12):
+        esin = _E * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - esin) / (1.0 + esin)) ** (_E / 2.0)
+        )
+    return np.degrees(x / _A), np.degrees(phi)
+
+
+class WorldMercatorProjection:
+    """Pickle-friendly forward/inverse pair for EPSG:3395 — the
+    source-CRS adapter ``MercatorWarp`` uses for World Mercator
+    GeoTIFFs."""
+
+    epsg = 3395
+
+    def forward(self, lon, lat):
+        return world_mercator_forward(lon, lat)
+
+    def inverse(self, x, y):
+        return world_mercator_inverse(x, y)

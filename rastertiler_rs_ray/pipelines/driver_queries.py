@@ -2452,6 +2452,36 @@ def render_pyramid_utm_map(sf_dir: str):
 SQL_RENDER_PYRAMID_UTM_MAP = _sql_read_map("render_utm")
 
 
+def render_pyramid_worldmerc_map(sf_dir: str):
+    """EPSG:3395 warp path: a World-Mercator (ellipsoidal) GeoTIFF
+    rendered through the lazy warp (geo/tmerc.py
+    world_mercator_forward/inverse); returns the map table.
+    Deterministic source authored once under /tmp."""
+    import os
+
+    import numpy as np
+
+    from ..geo import Affine
+    from ..geo.tmerc import world_mercator_forward
+    from ..raster.geotiff import open_raster, write_geotiff
+    from .render import render_pyramid, tileset_map_dataset
+
+    tif = os.path.join(ORACLE_TS_ROOT, "wm_src.tif")
+    os.makedirs(ORACLE_TS_ROOT, exist_ok=True)
+    e0, n0 = world_mercator_forward(np.float64(11.3), np.float64(48.3))
+    t = Affine(30.0, 0.0, float(e0), 0.0, -30.0, float(n0))
+    ii = np.arange(512, dtype=np.uint32)
+    arr = ((ii[:, None] * 2246822519 + ii[None, :] * 30011) % 197 + 1).astype(np.uint8)
+    write_geotiff(tif, arr, t, nodata=0, crs_epsg=3395, tile_size=256,
+                  compression="deflate")
+    out_dir = os.path.join(ORACLE_TS_ROOT, "render_wm")
+    render_pyramid(open_raster(tif), out_dir, 8, 11, tilesize=128, resume=False)
+    return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_RENDER_PYRAMID_WORLDMERC_MAP = _sql_read_map("render_wm")
+
+
 def render_pyramid_multiband_map(sf_dir: str):
     """Multi-band GeoTIFF parity (S2: ref src/dataset.rs:112-114 opens
     multi-band files, src/render.rs:34 renders band 1): a 3-band chunky
@@ -11697,6 +11727,10 @@ QUERIES = {
     "render_pyramid_multiband_map": (
         render_pyramid_multiband_map,
         SQL_RENDER_PYRAMID_MULTIBAND_MAP,
+    ),
+    "render_pyramid_worldmerc_map": (
+        render_pyramid_worldmerc_map,
+        SQL_RENDER_PYRAMID_WORLDMERC_MAP,
     ),
     "embedding_dedup_exact": (embedding_dedup_exact, SQL_EMBEDDING_DEDUP_EXACT),
     "minhash_dedup_planted": (minhash_dedup_planted, SQL_PLANTED_EXACT_DEDUP),

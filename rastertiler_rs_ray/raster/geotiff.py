@@ -424,17 +424,22 @@ class MercatorWarp(TileReadMixin):
     the source pixel count along x (a simplified
     GDALSuggestedWarpOutput).
 
-    Supported source CRSs: EPSG:4326 (source grid in degrees) and the
+    Supported source CRSs: EPSG:4326 (source grid in degrees), the
     WGS84 UTM zones EPSG:326xx/327xx (transverse-Mercator metres via
-    ``geo.tmerc``) — the two most common real-world cases after native
-    3857; anything else raises.
+    ``geo.tmerc``) and EPSG:3395 World Mercator (ellipsoidal Mercator
+    metres) — the most common real-world cases after native 3857;
+    anything else raises.
     """
 
     def __init__(self, src: GeoTiffRaster):
-        from ..geo.tmerc import UtmProjection
+        from ..geo.tmerc import UtmProjection, WorldMercatorProjection
 
         if src.crs_epsg == 4326:
             self._proj = None  # source grid is already degrees
+        elif src.crs_epsg == 3395:
+            # ellipsoidal World Mercator: same axes as 3857 but real
+            # warp — mid-latitude northings differ by tens of km
+            self._proj = WorldMercatorProjection()
         else:
             self._proj = UtmProjection(src.crs_epsg)  # raises if not UTM
         self.src = src
@@ -514,11 +519,11 @@ def open_raster(path: str, *, disable_overviews: bool = False):
     r = GeoTiffRaster(path, disable_overviews=disable_overviews)
     if r.crs_epsg == 3857:
         return r
-    if r.crs_epsg == 4326 or r.crs_epsg // 100 in (326, 327):
+    if r.crs_epsg in (4326, 3395) or r.crs_epsg // 100 in (326, 327):
         return MercatorWarp(r)
     raise NotImplementedError(
         f"{path}: CRS EPSG:{r.crs_epsg} unsupported "
-        "(3857 native; 4326 and WGS84 UTM zones warped)"
+        "(3857 native; 4326, 3395 and WGS84 UTM zones warped)"
     )
 
 

@@ -636,3 +636,82 @@ def test_multiband_uint16_chunky(tmp_path):
     assert g.dtype == "uint16" and g.samples_per_px == 2
     got = g.values_at(np.arange(w)[None, :], np.arange(h)[:, None])
     assert np.array_equal(got, bands[0])
+
+
+# ------------------------------------------------------------------ EPSG:3395
+
+
+def test_world_mercator_projection_math():
+    """EPSG:3395 forward/inverse: roundtrip to float64 round-off and the
+    inverse fixed-point cross-checked against the INDEPENDENT conformal-
+    latitude series (Snyder 3-5) — two different formulations."""
+    from rastertiler_rs_ray.geo.tmerc import (
+        world_mercator_forward,
+        world_mercator_inverse,
+    )
+
+    rng = np.random.RandomState(2)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-84.9, 84.9, 500)
+    x, y = world_mercator_forward(lon, lat)
+    lon2, lat2 = world_mercator_inverse(x, y)
+    assert np.max(np.abs(lon2 - lon)) < 1e-11
+    assert np.max(np.abs(lat2 - lat)) < 1e-11
+
+    # independent inverse: conformal latitude chi -> phi series (Snyder 3-5)
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e2 = f * (2.0 - f)
+    e4, e6, e8 = e2**2, e2**3, e2**4
+    chi = np.pi / 2.0 - 2.0 * np.arctan(np.exp(-y / a))
+    phi = (
+        chi
+        + (e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0) * np.sin(2 * chi)
+        + (7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0) * np.sin(4 * chi)
+        + (7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0) * np.sin(6 * chi)
+        + (4279.0 * e8 / 161280.0) * np.sin(8 * chi)
+    )
+    assert np.max(np.abs(np.degrees(phi) - lat2)) < 1e-9
+
+    # ellipsoidal vs spherical Mercator differ materially mid-latitude
+    from rastertiler_rs_ray.geo import geo_to_mercator
+
+    _, y_sph = geo_to_mercator(np.float64(0.0), np.float64(45.0))
+    _, y_ell = world_mercator_forward(np.float64(0.0), np.float64(45.0))
+    assert 15_000 < abs(float(y_sph) - float(y_ell)) < 40_000
+
+
+def test_world_mercator_warp_golden_parity(tmp_path):
+    """A 3395-authored raster rendered through the lazy warp must be
+    bit-identical to the same warped grid authored natively in 3857 —
+    the UTM golden-twin pattern extended one CRS tier."""
+    from rastertiler_rs_ray.geo.tmerc import world_mercator_forward
+
+    e0, n0 = world_mercator_forward(np.float64(11.3), np.float64(48.3))
+    t_wm = Affine(25.0, 0.0, float(e0), 0.0, -25.0, float(n0))
+    rng = np.random.RandomState(21)
+    arr = rng.randint(1, 255, size=(400, 600), dtype=np.uint8)
+    p_wm = str(tmp_path / "wm.tif")
+    write_geotiff(p_wm, arr, t_wm, nodata=0, crs_epsg=3395, tile_size=128)
+
+    w = open_raster(p_wm)
+    assert isinstance(w, MercatorWarp)
+    full = w.values_at(np.arange(w.width)[None, :], np.arange(w.height)[:, None])
+    assert (full != 0).mean() > 0.5
+    p_merc = str(tmp_path / "wm_native.tif")
+    write_geotiff(p_merc, full, w.transform, nodata=0, crs_epsg=3857, tile_size=128)
+    native = GeoTiffRaster(p_merc, disable_overviews=True)
+
+    from rastertiler_rs_ray.geo.tileid import tile_range
+
+    n = 0
+    for z in (12, 14):
+        tr = tile_range(z, w.bounds())
+        for x in range(tr.xmin, tr.xmax + 1):
+            for y in range(tr.ymin, tr.ymax + 1):
+                a = w.read_tile(z, x, y, 256)
+                b = native.read_tile(z, x, y, 256)
+                assert (a is None) == (b is None), (z, x, y)
+                if a is not None:
+                    assert np.array_equal(a, b), (z, x, y)
+                    n += 1
+    assert n > 4
