@@ -35,54 +35,21 @@ from ..state.manifest import Manifest
 
 
 def _dedupe_images(out_dir: str, manifest: Manifest) -> None:
-    """MBTiles `images` table: content-hash keep-first dedup, narrow
-    pack → driver reduce → broadcast winner filter (the render sink's
-    topology; blobs never shuffle)."""
+    """MBTiles `images` table: content-hash keep-first dedup via the
+    render sink's shared election (render.write_deduped_images — narrow
+    pack → driver reduce → broadcast winner filter; blobs never
+    shuffle; driver budget O(distinct hashes) with the hash-shuffle
+    semi-join named there as the beyond-memory swap)."""
+    from .render import write_deduped_images
+
     images_dir = os.path.join(out_dir, "images")
     if os.path.exists(images_dir):
         shutil.rmtree(images_dir)
     t0 = time.perf_counter()
-
-    def pack_addr(batch: pa.Table) -> pa.Table:
-        z = batch.column("zoom").to_numpy().astype(np.uint64)
-        x = batch.column("x").to_numpy().astype(np.uint64)
-        y = batch.column("y").to_numpy().astype(np.uint64)
-        addr = ((z << np.uint64(58)) | (x << np.uint64(29)) | y).astype(np.int64)
-        t = pa.table(
-            {"tile_hash": batch.column("tile_hash"), "addr": pa.array(addr)}
-        )
-        return t.group_by("tile_hash").aggregate([("addr", "min")]).rename_columns(
-            ["tile_hash", "addr"]
-        )
-
     tiles_path = os.path.join(out_dir, "tiles")
-    narrow = ray.data.read_parquet(
-        tiles_path, columns=["zoom", "x", "y", "tile_hash"]
-    ).map_batches(pack_addr, batch_format="pyarrow", batch_size=1 << 20)
-    parts = list(narrow.iter_batches(batch_size=1 << 20, batch_format="pandas"))
-    if parts:
-        allp = pd.concat(parts, ignore_index=True)
-        winner_addrs = np.sort(
-            allp.groupby("tile_hash", sort=False)["addr"].min().to_numpy()
-        )
-    else:
-        winner_addrs = np.array([], dtype=np.int64)
-    addr_ref = ray.put(pa.array(winner_addrs))
-
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        z = batch.column("zoom").to_numpy().astype(np.uint64)
-        x = batch.column("x").to_numpy().astype(np.uint64)
-        y = batch.column("y").to_numpy().astype(np.uint64)
-        addr = ((z << np.uint64(58)) | (x << np.uint64(29)) | y).astype(np.int64)
-        mask = pc.is_in(pa.array(addr), value_set=ray.get(addr_ref))
-        return batch.filter(mask).select(["tile_hash", "tile_data"])
-
-    ray.data.read_parquet(
-        tiles_path, columns=["zoom", "x", "y", "tile_hash", "tile_data"]
-    ).map_batches(keep_winners, batch_format="pyarrow", batch_size=16384).write_parquet(
-        images_dir, min_rows_per_file=16384
+    write_deduped_images(
+        lambda columns: ray.data.read_parquet(tiles_path, columns=columns),
+        images_dir,
     )
     rows = pads.dataset(images_dir, format="parquet").count_rows()
     manifest.record_complete("images", rows=rows, wall_s=time.perf_counter() - t0)

@@ -340,63 +340,7 @@ def _render_pyramid_jobs(
                 return rendered.select_columns(columns)
             return ray.data.read_parquet(os.path.join(out_dir, "tiles"), columns=columns)
 
-        def pack_addr(batch: pa.Table) -> pa.Table:
-            z = batch.column("zoom").to_numpy().astype(np.uint64)
-            x = batch.column("x").to_numpy().astype(np.uint64)
-            y = batch.column("y").to_numpy().astype(np.uint64)
-            addr = (z << np.uint64(58)) | (x << np.uint64(29)) | y
-            t = pa.table(
-                {
-                    "tile_hash": batch.column("tile_hash"),
-                    "addr": pa.array(addr.astype(np.int64)),
-                }
-            )
-            # per-block partial: one (hash, min addr) per distinct hash
-            return t.group_by("tile_hash").aggregate([("addr", "min")]).rename_columns(
-                ["tile_hash", "addr"]
-            )
-
-        # batch_size coalesces the fine render blocks (Ray bundles input
-        # blocks up to batch_size rows) so the narrow pass is a handful
-        # of tasks, each emitting one partial row per distinct hash
-        narrow = tiles_source(["zoom", "x", "y", "tile_hash"]).map_batches(
-            pack_addr, batch_format="pyarrow", batch_size=1 << 20
-        )
-        # Winner election: pack_addr already reduced each block to one
-        # (hash, min addr) partial row, so the global min-per-hash fits
-        # the SAME driver budget the winner-address broadcast below
-        # already assumes (O(distinct hashes) — see the note above).  A
-        # distributed groupby here would be an all-to-all exchange whose
-        # fixed cost (~5 s) dwarfs the driver-side vectorized reduce
-        # (~20 ms at 200 k hashes); beyond driver memory, swap BOTH this
-        # reduce and the broadcast for the hash-shuffle semi-join.
-        parts = [
-            b
-            for b in narrow.iter_batches(batch_size=1 << 20, batch_format="pandas")
-        ]
-        if parts:
-            allp = pd.concat(parts, ignore_index=True)
-            winner_addrs = np.sort(
-                allp.groupby("tile_hash", sort=False)["addr"].min().to_numpy()
-            )
-        else:
-            winner_addrs = np.array([], dtype=np.int64)
-        addr_ref = ray.put(pa.array(winner_addrs))
-
-        def keep_winners(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            z = batch.column("zoom").to_numpy().astype(np.uint64)
-            x = batch.column("x").to_numpy().astype(np.uint64)
-            y = batch.column("y").to_numpy().astype(np.uint64)
-            addr = ((z << np.uint64(58)) | (x << np.uint64(29)) | y).astype(np.int64)
-            mask = pc.is_in(pa.array(addr), value_set=ray.get(addr_ref))
-            return batch.filter(mask).select(["tile_hash", "tile_data"])
-
-        images = tiles_source(["zoom", "x", "y", "tile_hash", "tile_data"]).map_batches(
-            keep_winners, batch_format="pyarrow", batch_size=16384
-        )
-        images.write_parquet(images_dir, min_rows_per_file=16384)
+        write_deduped_images(tiles_source, images_dir)
         wall = time.perf_counter() - t0
         if os.environ.get("RASTERTILER_RENDER_STATS"):
             print(f"RENDER_PHASES images={wall:.2f}s")
@@ -404,6 +348,77 @@ def _render_pyramid_jobs(
         manifest.record_complete("images", rows=rows, wall_s=wall)
 
     return manifest
+
+
+def write_deduped_images(tiles_source, images_dir: str) -> None:
+    """Content-dedup election + ``images/`` write shared by the render
+    sink and the heatmap tileset (MBTiles ``images`` norm, G5).
+
+    ``tiles_source(columns)`` must return a Dataset of tile rows pruned
+    to ``columns``.  Two passes: (1) a blob-free narrow pass reduces
+    each block to one (tile_hash, min packed-addr) partial, and the
+    global min-per-hash folds DRIVER-side; (2) the winner-address set
+    broadcasts once (``ray.put``) and blobs filter map-only — tile
+    blobs never shuffle.
+
+    Scale contract: driver memory is O(distinct content hashes), NOT
+    O(tiles) — the documented budget (a 200 k-hash election reduces in
+    ~20 ms; a distributed groupby's all-to-all fixed cost ~5 s dwarfs
+    it at every realistic tileset size).  Beyond driver memory, swap
+    BOTH the driver reduce and the broadcast for a hash-shuffle
+    semi-join on tile_hash (relational.shuffle_hash_join of the narrow
+    winner set against the blob rows).
+    """
+
+    def pack_addr(batch: pa.Table) -> pa.Table:
+        z = batch.column("zoom").to_numpy().astype(np.uint64)
+        x = batch.column("x").to_numpy().astype(np.uint64)
+        y = batch.column("y").to_numpy().astype(np.uint64)
+        addr = (z << np.uint64(58)) | (x << np.uint64(29)) | y
+        t = pa.table(
+            {
+                "tile_hash": batch.column("tile_hash"),
+                "addr": pa.array(addr.astype(np.int64)),
+            }
+        )
+        # per-block partial: one (hash, min addr) per distinct hash
+        return t.group_by("tile_hash").aggregate([("addr", "min")]).rename_columns(
+            ["tile_hash", "addr"]
+        )
+
+    # batch_size coalesces the fine render blocks (Ray bundles input
+    # blocks up to batch_size rows) so the narrow pass is a handful
+    # of tasks, each emitting one partial row per distinct hash
+    narrow = tiles_source(["zoom", "x", "y", "tile_hash"]).map_batches(
+        pack_addr, batch_format="pyarrow", batch_size=1 << 20
+    )
+    parts = [
+        b
+        for b in narrow.iter_batches(batch_size=1 << 20, batch_format="pandas")
+    ]
+    if parts:
+        allp = pd.concat(parts, ignore_index=True)
+        winner_addrs = np.sort(
+            allp.groupby("tile_hash", sort=False)["addr"].min().to_numpy()
+        )
+    else:
+        winner_addrs = np.array([], dtype=np.int64)
+    addr_ref = ray.put(pa.array(winner_addrs))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        z = batch.column("zoom").to_numpy().astype(np.uint64)
+        x = batch.column("x").to_numpy().astype(np.uint64)
+        y = batch.column("y").to_numpy().astype(np.uint64)
+        addr = ((z << np.uint64(58)) | (x << np.uint64(29)) | y).astype(np.int64)
+        mask = pc.is_in(pa.array(addr), value_set=ray.get(addr_ref))
+        return batch.filter(mask).select(["tile_hash", "tile_data"])
+
+    images = tiles_source(["zoom", "x", "y", "tile_hash", "tile_data"]).map_batches(
+        keep_winners, batch_format="pyarrow", batch_size=16384
+    )
+    images.write_parquet(images_dir, min_rows_per_file=16384)
 
 
 def tileset_map_dataset(out_dir: str) -> ray.data.Dataset:
