@@ -356,6 +356,10 @@ def knn_join(
 
     Returns a pandas DataFrame (query_id, rank, doc_id, dist) — small:
     Q × k rows.
+
+    ``concurrency`` is retained for API compatibility but unused: the
+    partial stage is a plain task function (see comment below), so Ray
+    schedules it with ordinary task parallelism.
     """
 
     def vec_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -366,14 +370,18 @@ def knn_join(
         df = df.sort_values(["query_id", "dist", "doc_id"], kind="mergesort")
         return df.groupby("query_id", sort=False).head(k)
 
+    # Plain-function stage, NOT an actor pool: the only "state" is a
+    # zero-copy ray.get of the tiny broadcast query matrix (rebuilding
+    # the (Q,1) views costs ~µs per batch), and a task stage fuses with
+    # the upstream read AND the downstream tree-merge into one operator
+    # chain — the actor pool's process spin-up (~0.5 s) dominated this
+    # query's wall time for zero per-batch benefit.
     qref = ray.put(np.asarray(query_points, dtype=np.float64))
-    partials = encoded.map_batches(
-        _KnnPartial,
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        return _KnnPartial(qref, k)(batch)
+
+    partials = encoded.map_batches(partial_topk, batch_format="pyarrow")
     merged = partials.map_batches(
         vec_topk, batch_format="pandas", batch_size=1 << 20
     )
