@@ -2482,6 +2482,39 @@ def render_pyramid_worldmerc_map(sf_dir: str):
 SQL_RENDER_PYRAMID_WORLDMERC_MAP = _sql_read_map("render_wm")
 
 
+def render_pyramid_lcc_map(sf_dir: str):
+    """Lambert-Conformal-Conic warp path (state-plane tier): a
+    user-defined-CRS GeoTIFF carrying LCC-2SP parameters in
+    GeoDoubleParams (geo/conic.py, Snyder 15-1..15-11) rendered through
+    the lazy warp; returns the map table."""
+    import os
+
+    import numpy as np
+
+    from ..geo import Affine
+    from ..geo.conic import LambertConformalConic
+    from ..raster.geotiff import open_raster, write_geotiff
+    from .render import render_pyramid, tileset_map_dataset
+
+    tif = os.path.join(ORACLE_TS_ROOT, "lcc_src.tif")
+    os.makedirs(ORACLE_TS_ROOT, exist_ok=True)
+    params = dict(lat1=33.0, lat2=45.0, lat0=39.0, lon0=-96.0,
+                  fe=2_000_000.0, fn=500_000.0)
+    proj = LambertConformalConic(**params)
+    e0, n0 = proj.forward(np.float64(-97.2), np.float64(39.4))
+    t = Affine(40.0, 0.0, float(e0), 0.0, -40.0, float(n0))
+    ii = np.arange(512, dtype=np.uint32)
+    arr = ((ii[:, None] * 2654435761 + ii[None, :] * 30013) % 193 + 1).astype(np.uint8)
+    write_geotiff(tif, arr, t, nodata=0, tile_size=256, compression="deflate",
+                  projection=dict(kind="lcc2sp", **params))
+    out_dir = os.path.join(ORACLE_TS_ROOT, "render_lcc")
+    render_pyramid(open_raster(tif), out_dir, 8, 11, tilesize=128, resume=False)
+    return tileset_map_dataset(out_dir).select_columns(["zoom", "x", "y", "tile_hash"])
+
+
+SQL_RENDER_PYRAMID_LCC_MAP = _sql_read_map("render_lcc")
+
+
 def render_pyramid_multiband_map(sf_dir: str):
     """Multi-band GeoTIFF parity (S2: ref src/dataset.rs:112-114 opens
     multi-band files, src/render.rs:34 renders band 1): a 3-band chunky
@@ -11732,6 +11765,7 @@ QUERIES = {
         render_pyramid_worldmerc_map,
         SQL_RENDER_PYRAMID_WORLDMERC_MAP,
     ),
+    "render_pyramid_lcc_map": (render_pyramid_lcc_map, SQL_RENDER_PYRAMID_LCC_MAP),
     "embedding_dedup_exact": (embedding_dedup_exact, SQL_EMBEDDING_DEDUP_EXACT),
     "minhash_dedup_planted": (minhash_dedup_planted, SQL_PLANTED_EXACT_DEDUP),
     "simhash_dedup_planted": (simhash_dedup_planted, SQL_PLANTED_EXACT_DEDUP),

@@ -95,6 +95,9 @@ _GK_MODEL_TYPE = 1024       # 1=projected, 2=geographic
 _GK_RASTER_TYPE = 1025      # 1=PixelIsArea
 _GK_GEOGRAPHIC_CS = 2048    # 4326
 _GK_PROJECTED_CS = 3072     # 3857
+_GK_COORD_TRANS = 3075      # ProjCoordTransGeoKey (8=LCC2SP, 11=Albers)
+_T_GEO_DOUBLES = 34736      # GeoDoubleParamsTag
+_GK_USER_DEFINED = 32767
 
 
 def _read_ifds(data):
@@ -157,16 +160,23 @@ def _read_ifds(data):
     return bo, ifds
 
 
-def _geokeys(tags: dict) -> dict[int, int]:
+def _geokeys(tags: dict) -> dict[int, "int | float"]:
     gk = tags.get(_T_GEO_KEYS)
     if not gk:
         return {}
+    doubles = tags.get(_T_GEO_DOUBLES, [])
     out = {}
     n = gk[3]
     for i in range(1, n + 1):
         key_id, loc, count, value = gk[4 * i : 4 * i + 4]
         if loc == 0:  # inline SHORT value
             out[key_id] = value
+        elif loc == _T_GEO_DOUBLES and value + count <= len(doubles):
+            # projection parameters (std parallels, origins, false e/n)
+            out[key_id] = (
+                doubles[value] if count == 1
+                else list(doubles[value : value + count])
+            )
     return out
 
 
@@ -270,6 +280,7 @@ class GeoTiffRaster(TileReadMixin):
 
         self.transform = self._parse_transform(main)
         gk = _geokeys(main)
+        self.geokeys = gk
         self.crs_epsg = int(
             gk.get(_GK_PROJECTED_CS) or gk.get(_GK_GEOGRAPHIC_CS) or 0
         )
@@ -440,6 +451,17 @@ class MercatorWarp(TileReadMixin):
             # ellipsoidal World Mercator: same axes as 3857 but real
             # warp — mid-latitude northings differ by tens of km
             self._proj = WorldMercatorProjection()
+        elif (
+            src.crs_epsg == _GK_USER_DEFINED
+            and _GK_COORD_TRANS in getattr(src, "geokeys", {})
+        ):
+            # user-defined projected CRS with explicit parameters
+            # (LCC 2SP / Albers — the state-plane/national-grid tier)
+            from ..geo.conic import conic_from_geokeys
+
+            self._proj = conic_from_geokeys(
+                int(src.geokeys[_GK_COORD_TRANS]), src.geokeys
+            )
         else:
             self._proj = UtmProjection(src.crs_epsg)  # raises if not UTM
         self.src = src
@@ -519,11 +541,17 @@ def open_raster(path: str, *, disable_overviews: bool = False):
     r = GeoTiffRaster(path, disable_overviews=disable_overviews)
     if r.crs_epsg == 3857:
         return r
-    if r.crs_epsg in (4326, 3395) or r.crs_epsg // 100 in (326, 327):
+    from ..geo.conic import CT_ALBERS_EQUAL_AREA, CT_LAMBERT_CONF_CONIC_2SP
+
+    conic_ok = r.crs_epsg == _GK_USER_DEFINED and r.geokeys.get(
+        _GK_COORD_TRANS
+    ) in (CT_LAMBERT_CONF_CONIC_2SP, CT_ALBERS_EQUAL_AREA)
+    if r.crs_epsg in (4326, 3395) or r.crs_epsg // 100 in (326, 327) or conic_ok:
         return MercatorWarp(r)
     raise NotImplementedError(
         f"{path}: CRS EPSG:{r.crs_epsg} unsupported "
-        "(3857 native; 4326, 3395 and WGS84 UTM zones warped)"
+        "(3857 native; 4326, 3395, WGS84 UTM zones and parameterized "
+        "LCC-2SP/Albers warped)"
     )
 
 
@@ -550,6 +578,7 @@ def write_geotiff(
     compression: str = "deflate",
     overview_factors: tuple[int, ...] = (),
     bigtiff: bool | None = None,
+    projection: dict | None = None,
     _sparse_offset: int = 0,
 ) -> None:
     """Write a single-band tiled GeoTIFF (little-endian), streaming tile
@@ -634,11 +663,39 @@ def write_geotiff(
             )
 
         # ---- geo payloads (main IFD only)
-        gk_model = 1 if crs_epsg != 4326 else 2
-        geokeys = [1, 1, 0, 3, _GK_MODEL_TYPE, 0, 1, gk_model, _GK_RASTER_TYPE, 0, 1, 1]
-        geokeys += [
-            _GK_PROJECTED_CS if crs_epsg != 4326 else _GK_GEOGRAPHIC_CS, 0, 1, crs_epsg
-        ]
+        geo_doubles: list[float] = []
+        if projection is not None:
+            # user-defined projected CRS with explicit parameters
+            # (WGS84 datum): kind 'lcc2sp' or 'albers2sp' plus
+            # lat1/lat2/lat0/lon0/fe/fn — written as GeoDoubleParams
+            ct = {"lcc2sp": 8, "albers2sp": 11}[projection["kind"]]
+            dbl_keys = [
+                (3078, float(projection["lat1"])),
+                (3079, float(projection.get("lat2", projection["lat1"]))),
+                (3084, float(projection.get("lon0", 0.0))),
+                (3085, float(projection.get("lat0", 0.0))),
+                (3086, float(projection.get("fe", 0.0))),
+                (3087, float(projection.get("fn", 0.0))),
+            ]
+            nkeys = 5 + len(dbl_keys)
+            geokeys = [1, 1, 0, nkeys,
+                       _GK_MODEL_TYPE, 0, 1, 1,
+                       _GK_RASTER_TYPE, 0, 1, 1,
+                       _GK_GEOGRAPHIC_CS, 0, 1, 4326,
+                       _GK_PROJECTED_CS, 0, 1, _GK_USER_DEFINED,
+                       _GK_COORD_TRANS, 0, 1, ct]
+            for key_id, val in dbl_keys:
+                geokeys += [key_id, _T_GEO_DOUBLES, 1, len(geo_doubles)]
+                geo_doubles.append(val)
+        else:
+            gk_model = 1 if crs_epsg != 4326 else 2
+            geokeys = [
+                1, 1, 0, 3, _GK_MODEL_TYPE, 0, 1, gk_model, _GK_RASTER_TYPE, 0, 1, 1
+            ]
+            geokeys += [
+                _GK_PROJECTED_CS if crs_epsg != 4326 else _GK_GEOGRAPHIC_CS,
+                0, 1, crs_epsg,
+            ]
         pixel_scale = [transform.a, -transform.e, 0.0]
         tiepoint = [0.0, 0.0, 0.0, transform.c, transform.f, 0.0]
         nodata_ascii = (str(int(nodata)) + "\0").encode() if nodata is not None else None
@@ -680,6 +737,8 @@ def write_geotiff(
                 add(_T_PIXEL_SCALE, 12, pixel_scale)
                 add(_T_TIEPOINT, 12, tiepoint)
                 add(_T_GEO_KEYS, 3, geokeys)
+                if geo_doubles:
+                    add(_T_GEO_DOUBLES, 12, geo_doubles)
                 if nodata_ascii:
                     add(_T_GDAL_NODATA, 2, nodata_ascii)
             entries.sort(key=lambda e: e[0])

@@ -715,3 +715,84 @@ def test_world_mercator_warp_golden_parity(tmp_path):
                     assert np.array_equal(a, b), (z, x, y)
                     n += 1
     assert n > 4
+
+
+# ------------------------------------------------------------- conic (LCC/Albers)
+
+
+def test_conic_projection_math_snyder_examples():
+    """LCC-2SP and Albers forward/inverse pinned to Snyder PP1395's
+    published worked examples (Clarke 1866 ellipsoid, pp. 291-297) to
+    sub-metre, plus WGS84 roundtrip to machine precision."""
+    from rastertiler_rs_ray.geo.conic import AlbersEqualArea, LambertConformalConic
+
+    a = 6378206.4
+    e2 = 0.00676866
+    f = 1 - (1 - e2) ** 0.5
+    lcc = LambertConformalConic(33.0, 45.0, 23.0, -96.0, a=a, f=f)
+    x, y = lcc.forward(-75.0, 35.0)
+    assert abs(float(x) - 1894410.9) < 0.5 and abs(float(y) - 1564649.5) < 0.5
+    alb = AlbersEqualArea(29.5, 45.5, 23.0, -96.0, a=a, f=f)
+    x, y = alb.forward(-75.0, 35.0)
+    assert abs(float(x) - 1885472.7) < 0.5 and abs(float(y) - 1535925.0) < 0.5
+
+    rng = np.random.RandomState(1)
+    for proj in (
+        LambertConformalConic(33.0, 45.0, 23.0, -96.0, 2_000_000.0, 500_000.0),
+        AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    ):
+        lo = rng.uniform(-130, -60, 800)
+        la = rng.uniform(10, 65, 800)
+        X, Y = proj.forward(lo, la)
+        lo2, la2 = proj.inverse(X, Y)
+        assert np.abs(lo2 - lo).max() < 1e-11
+        assert np.abs(la2 - la).max() < 1e-11
+
+
+@pytest.mark.parametrize("kind,params", [
+    ("lcc2sp", dict(lat1=33.0, lat2=45.0, lat0=39.0, lon0=-96.0,
+                    fe=2_000_000.0, fn=500_000.0)),
+    ("albers2sp", dict(lat1=29.5, lat2=45.5, lat0=37.5, lon0=-96.0,
+                       fe=0.0, fn=0.0)),
+])
+def test_conic_warp_golden_parity(tmp_path, kind, params):
+    """A conic-authored raster (user-defined CRS, parameters in
+    GeoDoubleParams) rendered through the lazy warp must be
+    bit-identical to the warp grid authored natively in 3857."""
+    from rastertiler_rs_ray.geo.conic import AlbersEqualArea, LambertConformalConic
+
+    cls = LambertConformalConic if kind == "lcc2sp" else AlbersEqualArea
+    proj = cls(params["lat1"], params["lat2"], params["lat0"], params["lon0"],
+               params["fe"], params["fn"])
+    e0, n0 = proj.forward(np.float64(-97.2), np.float64(39.4))
+    t_c = Affine(40.0, 0.0, float(e0), 0.0, -40.0, float(n0))
+    rng = np.random.RandomState(31)
+    arr = rng.randint(1, 255, size=(300, 500), dtype=np.uint8)
+    p_c = str(tmp_path / f"{kind}.tif")
+    write_geotiff(p_c, arr, t_c, nodata=0, tile_size=128,
+                  projection=dict(kind=kind, **params))
+
+    g = GeoTiffRaster(p_c)
+    assert g.crs_epsg == 32767  # user-defined, parameterized
+    w = open_raster(p_c)
+    assert isinstance(w, MercatorWarp)
+    full = w.values_at(np.arange(w.width)[None, :], np.arange(w.height)[:, None])
+    assert (full != 0).mean() > 0.5
+    p_merc = str(tmp_path / f"{kind}_native.tif")
+    write_geotiff(p_merc, full, w.transform, nodata=0, crs_epsg=3857, tile_size=128)
+    native = GeoTiffRaster(p_merc, disable_overviews=True)
+
+    from rastertiler_rs_ray.geo.tileid import tile_range
+
+    n = 0
+    for z in (11, 13):
+        tr = tile_range(z, w.bounds())
+        for x in range(tr.xmin, tr.xmax + 1):
+            for y in range(tr.ymin, tr.ymax + 1):
+                a = w.read_tile(z, x, y, 256)
+                b = native.read_tile(z, x, y, 256)
+                assert (a is None) == (b is None), (z, x, y)
+                if a is not None:
+                    assert np.array_equal(a, b), (z, x, y)
+                    n += 1
+    assert n > 4
