@@ -66,28 +66,33 @@ def raster_blocks_dataset(
         for bx in range(bx0, bx1)
     ]
 
-    class _BlockReader:
-        def __init__(self):
-            self.r = SyntheticRaster.from_spec(raster_spec)
+    # Plain-function stage, NOT an actor pool: SyntheticRaster.from_spec
+    # is a constructor over a tiny dict (no file handles, no cache to
+    # warm), so per-batch reconstruction costs ~µs while an actor pool
+    # pays ~0.5-1 s of process spin-up per run (the knn_join lesson).
+    # A raster source with real per-actor state (mmap, chunk cache)
+    # should go through the render pipeline's TileRenderer pool instead.
+    def read_blocks(b: pa.Table) -> pa.Table:
+        r = SyntheticRaster.from_spec(raster_spec)
+        bxs = b.column("bx").to_numpy(zero_copy_only=False)
+        bys = b.column("by").to_numpy(zero_copy_only=False)
+        bufs = []
+        for bx, by in zip(bxs, bys):
+            cols = np.arange(bx * chunk, (bx + 1) * chunk, dtype=np.int64)[None, :]
+            rows = np.arange(by * chunk, (by + 1) * chunk, dtype=np.int64)[:, None]
+            bufs.append(r.values_at(cols, rows).astype(np.uint8).tobytes())
+        return pa.table(
+            {
+                "bx": pa.array(bxs, pa.int32()),
+                "by": pa.array(bys, pa.int32()),
+                "pixels": pa.array(bufs, pa.binary()),
+            }
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            bxs = b.column("bx").to_numpy(zero_copy_only=False)
-            bys = b.column("by").to_numpy(zero_copy_only=False)
-            bufs = []
-            for bx, by in zip(bxs, bys):
-                cols = np.arange(bx * chunk, (bx + 1) * chunk, dtype=np.int64)[None, :]
-                rows = np.arange(by * chunk, (by + 1) * chunk, dtype=np.int64)[:, None]
-                bufs.append(self.r.values_at(cols, rows).astype(np.uint8).tobytes())
-            return pa.table(
-                {
-                    "bx": pa.array(bxs, pa.int32()),
-                    "by": pa.array(bys, pa.int32()),
-                    "pixels": pa.array(bufs, pa.binary()),
-                }
-            )
-
-    return ray.data.from_items(ids).map_batches(
-        _BlockReader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb = max(1, min(len(ids), cpus * 2))
+    return ray.data.from_items(ids, override_num_blocks=nb).map_batches(
+        read_blocks, batch_format="pyarrow"
     )
 
 
