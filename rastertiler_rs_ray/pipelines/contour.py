@@ -187,6 +187,8 @@ def contour_segments_windowed(
                     out.append(t)
             return pa.concat_tables(out) if out else _SCHEMA.empty_table()
 
-    return ray.data.from_items(ids).map_batches(
-        _ContourReader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
-    )
+    # task stage, not an actor pool — reader state is a tiny spec dict
+    # (see focal._ids_task_stage); ``concurrency`` retained for API compat
+    from .focal import _ids_task_stage
+
+    return _ids_task_stage(ids, _ContourReader())

@@ -41,6 +41,22 @@ import pyarrow as pa
 import ray.data
 
 
+
+def _ids_task_stage(ids, fn_instance):
+    """from_items + plain-TASK map_batches at ~2 blocks/CPU.
+
+    These readers' only state is ``SyntheticRaster.from_spec`` over a
+    tiny dict, so an actor pool pays process spin-up for zero per-batch
+    benefit (the ``raster_blocks_dataset`` lesson); passing a callable
+    INSTANCE makes Ray schedule plain tasks.  The ``concurrency``
+    parameters on the public functions are retained for API
+    compatibility but unused."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb = max(1, min(len(ids), cpus * 2))
+    return ray.data.from_items(ids, override_num_blocks=nb).map_batches(
+        fn_instance, batch_format="pyarrow"
+    )
+
 def raster_blocks_dataset(
     raster_spec: dict,
     bx0: int,
@@ -286,9 +302,7 @@ def focal_stats_windowed(
                 out.append(_emit_stats(int(bx), int(by), chunk, n, s, mn, mx))
             return pa.concat_tables(out) if out else _OUT_SCHEMA.empty_table()
 
-    return ray.data.from_items(ids).map_batches(
-        _FocalReader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
-    )
+    return _ids_task_stage(ids, _FocalReader())
 
 
 def hillshade_windowed(
@@ -384,9 +398,7 @@ def hillshade_windowed(
                 )
             return pa.concat_tables(out) if out else out_schema.empty_table()
 
-    return ray.data.from_items(ids).map_batches(
-        _Shader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
-    )
+    return _ids_task_stage(ids, _Shader())
 
 
 def terrain_ruggedness_windowed(
@@ -471,9 +483,7 @@ def terrain_ruggedness_windowed(
                 )
             return pa.concat_tables(out) if out else out_schema.empty_table()
 
-    return ray.data.from_items(ids).map_batches(
-        _Terrain, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
-    )
+    return _ids_task_stage(ids, _Terrain())
 
 
 def equalize_blocks(
@@ -531,10 +541,12 @@ def equalize_blocks(
     import ray as _ray
     from ray.data.aggregate import Sum
 
-    ids_ds = _ray.data.from_items(ids)
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    ids_ds = _ray.data.from_items(
+        ids, override_num_blocks=max(1, min(len(ids), cpus * 2))
+    )
     hist = (
-        ids_ds.map_batches(_Hist, batch_format="pyarrow", concurrency=concurrency,
-                           num_cpus=1)
+        ids_ds.map_batches(_Hist(), batch_format="pyarrow")
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # bounded: exactly 256 rows
@@ -573,9 +585,7 @@ def equalize_blocks(
                 }
             )
 
-    return ids_ds.map_batches(
-        _Remap, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
-    )
+    return ids_ds.map_batches(_Remap(), batch_format="pyarrow")
 
 
 def viewshed_windowed(
@@ -665,9 +675,7 @@ def viewshed_windowed(
                 }
             )
 
-    return ray.data.from_items(ids).map_batches(
-        _Viewshed, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
-    )
+    return _ids_task_stage(ids, _Viewshed())
 
 
 def morphological_opening_blocks(
@@ -727,9 +735,7 @@ def morphological_opening_blocks(
 
     import ray as _ray
 
-    mask_blocks = _ray.data.from_items(ids).map_batches(
-        _MaskReader, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
-    ).materialize()
+    mask_blocks = _ids_task_stage(ids, _MaskReader()).materialize()
 
     # pass 1: erosion — 3×3 stats via halo exchange (nodata=255 never
     # occurs in a 0/1 mask, so every pixel is valid and n counts

@@ -106,6 +106,8 @@ def local_algebra(
                 )
             return pa.concat_tables(out) if out else _OUT_SCHEMA.empty_table()
 
-    return ray.data.from_items(ids).map_batches(
-        _Combiner, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
-    )
+    # task stage, not an actor pool — combiner state is two tiny spec
+    # dicts (see focal._ids_task_stage); ``concurrency`` is API compat
+    from .focal import _ids_task_stage
+
+    return _ids_task_stage(ids, _Combiner())
