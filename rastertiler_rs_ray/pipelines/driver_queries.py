@@ -6296,6 +6296,46 @@ def zorder_docs_z12(sf_dir: str):
     return zorder_sort(pos, zoom=12).select_columns(["doc_id", "zkey"])
 
 
+def hilbert_docs_z12(sf_dir: str):
+    """S2-style Hilbert-curve locality sort (geo/hilbert.py +
+    spatial.hilbert_sort): doc positions keyed by the Hilbert position
+    of their z12 tile (x, y), globally range-sorted.  The oracle
+    mirrors the per-bit rotate/flip state machine as a RECURSIVE CTE
+    (12 iterations carrying (x, y, d, s) per row); the ordering
+    contract is pinned in tests like zorder's."""
+    from .spatial import hilbert_sort
+
+    pos = doc_positions_dataset(sf_dir)
+    return hilbert_sort(pos, zoom=12).select_columns(["doc_id", "hkey"])
+
+
+SQL_HILBERT_DOCS_Z12 = """
+WITH RECURSIVE pos AS ({pos}), merc AS ({merc}), xy AS (
+  SELECT doc_id,
+    CAST(least(greatest(floor(((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS x,
+    CAST(least(greatest(floor((1.0 - ((my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS y
+  FROM merc),
+h(doc_id, x, y, d, s) AS (
+  SELECT doc_id, x, y, CAST(0 AS BIGINT), CAST(2048 AS BIGINT) FROM xy
+  UNION ALL
+  SELECT doc_id,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+         ELSE x END,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+         ELSE y END,
+    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+    s // 2
+  FROM h WHERE s > 0)
+SELECT doc_id, d AS hkey FROM h WHERE s = 0
+"""
+SQL_HILBERT_DOCS_Z12 = SQL_HILBERT_DOCS_Z12.replace("{pos}", SQL_POS).replace(
+    "{merc}", SQL_MERC
+)
+
+
 def _morton_sql_terms(xcol: str, ycol: str, bits: int = 12) -> str:
     terms = []
     for b in range(bits):
@@ -11793,6 +11833,7 @@ QUERIES = {
     "winnow_fingerprints_docs": (winnow_fingerprints_docs, SQL_WINNOW_FINGERPRINTS),
     "orders_price_band_join": (orders_price_band_join, SQL_ORDERS_PRICE_BAND_JOIN),
     "zorder_docs_z12": (zorder_docs_z12, SQL_ZORDER_DOCS_Z12),
+    "hilbert_docs_z12": (hilbert_docs_z12, SQL_HILBERT_DOCS_Z12),
     "zorder_range_query_docs": (zorder_range_query_docs, SQL_ZORDER_RANGE_QUERY),
     "doc_density_tiles_z5": (doc_density_tiles_z5, SQL_DOC_DENSITY_TILES_Z5),
     "cap_per_source_docs": (cap_per_source_docs, SQL_CAP_PER_SOURCE),

@@ -936,6 +936,41 @@ def zorder_sort(
     return pos.map_batches(add_key, batch_format="pyarrow").sort(key_col)
 
 
+def hilbert_sort(
+    pos: ray.data.Dataset,
+    *,
+    zoom: int,
+    mx_col: str = "mx",
+    my_col: str = "my",
+    key_col: str = "hkey",
+) -> ray.data.Dataset:
+    """``zorder_sort``'s S2-style sibling: key by the HILBERT curve
+    position of the zoom-level tile (x, y) instead of the Morton
+    interleave, then one global range sort.
+
+    Hilbert beats Morton for range pruning because consecutive curve
+    positions are always grid-adjacent (no half-plane jumps at
+    power-of-two boundaries), so a bbox query's key-range cover has
+    fewer, longer runs — the reason S2 orders its cells this way.
+    Same scale shape as ``zorder_sort``: map-only key attach + the one
+    intentionally-global sample-partition-merge sort.
+    """
+    from ..geo.hilbert import hilbert_xy2d
+    from ..geo.tileid import point_to_tile
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        x, y = point_to_tile(
+            zoom,
+            batch.column(mx_col).to_numpy(),
+            batch.column(my_col).to_numpy(),
+        )
+        return batch.append_column(
+            key_col, pa.array(hilbert_xy2d(zoom, x, y).astype(np.int64))
+        )
+
+    return pos.map_batches(add_key, batch_format="pyarrow").sort(key_col)
+
+
 def zonal_stats(
     zones: ray.data.Dataset,
     raster_spec: dict,

@@ -1470,3 +1470,62 @@ class TestPointDensity:
             assert int((grid > 0).sum()) == npx
             assert int((grid * (np.arange(ts * ts) + 1)).sum()) == ck
         assert len(summary) == point_density_blocks(ds, zoom=zoom, tilesize=ts).count()
+
+
+def test_hilbert_curve_properties():
+    """Bijection over the full order-6 grid, exact inverse, and the
+    defining Hilbert property Morton lacks: EVERY consecutive curve
+    step is 4-adjacent (|dx|+|dy| == 1)."""
+    import numpy as np
+
+    from rastertiler_rs_ray.geo.hilbert import hilbert_d2xy, hilbert_xy2d
+
+    order = 6
+    n = 1 << order
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_xy2d(order, xs.ravel(), ys.ravel())
+    assert sorted(d.tolist()) == list(range(n * n))
+    x2, y2 = hilbert_d2xy(order, d)
+    assert np.array_equal(x2, xs.ravel()) and np.array_equal(y2, ys.ravel())
+    o = np.argsort(d)
+    step = np.abs(np.diff(xs.ravel()[o])) + np.abs(np.diff(ys.ravel()[o]))
+    assert int(step.max()) == 1
+
+
+def test_hilbert_sort_global_order_and_locality(ray_session):
+    """Same contract as the Morton twin, plus the S2 rationale: the
+    Hilbert layout's mean consecutive-row jump is no worse than
+    Morton's on the same points (it's the curve's raison d'être)."""
+    import numpy as np
+    import ray.data
+
+    from rastertiler_rs_ray.pipelines.spatial import hilbert_sort, zorder_sort
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    ext = 6378137.0 * np.pi * 0.8
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "mx": pa.array(rng.uniform(-ext, ext, n), pa.float64()),
+                "my": pa.array(rng.uniform(-ext, ext, n), pa.float64()),
+            }
+        )
+    ).repartition(8)
+
+    def mean_jump(out, key):
+        xs, ys, keys = [], [], []
+        for b in out.iter_batches(batch_format="pandas", batch_size=512):
+            keys.append(b[key].to_numpy())
+            xs.append(b["mx"].to_numpy())
+            ys.append(b["my"].to_numpy())
+        keys = np.concatenate(keys)
+        assert len(keys) == n and (np.diff(keys) >= 0).all()
+        return float(
+            np.hypot(np.diff(np.concatenate(xs)), np.diff(np.concatenate(ys))).mean()
+        )
+
+    hj = mean_jump(hilbert_sort(ds, zoom=10), "hkey")
+    zj = mean_jump(zorder_sort(ds, zoom=10), "zkey")
+    assert hj <= zj * 1.05  # Hilbert locality >= Morton locality
