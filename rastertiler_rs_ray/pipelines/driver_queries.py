@@ -10494,18 +10494,21 @@ FROM a
 
 def q14_promo_revenue(sf_dir: str):
     """TPC-H Q14 (promo revenue share) over a one-year ship window:
-    broadcast the narrow part-type side, per-line discounted price
-    e2-quantized BEFORE summing (integer-exact sums), share as an e4
-    ratio of exact integers."""
-    from .relational import broadcast_hash_join
+    lineitem ⋈ part as a shuffle hash join on the partkey (part scales
+    with the fact tables — it never reaches the driver), per-line
+    discounted price e2-quantized BEFORE summing (integer-exact sums),
+    share as an e4 ratio of exact integers."""
+    from .relational import shuffle_hash_join
 
     li = _read(
         sf_dir, "lineitem",
         columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
     part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
-    small = pa.concat_tables(ray.get(part.to_arrow_refs()))
-    joined = broadcast_hash_join(li, small, left_on="l_partkey", right_on="p_partkey")
+    joined = shuffle_hash_join(
+        li, part, on="l_partkey", right_on="p_partkey",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         ship = b.column("l_shipdate").to_numpy()
@@ -10820,7 +10823,11 @@ def q17_small_quantity_revenue(sf_dir: str):
     20% of their part's average — the correlated-subquery-threshold
     shape made integer-exact by cross-multiplication
     (qty < 0.2·avg ⟺ 5·qty_e2·n < sum_e2, no float threshold).
-    Per-part (sum, n) partials broadcast; lines filter map-only."""
+    The per-part (sum, n) aggregate is one row per part — fact-scale —
+    so it stays DISTRIBUTED and rejoins lineitem via a shuffle hash
+    join on the partkey; the final reduce is two scalars."""
+    from .relational import shuffle_hash_join
+
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -10839,20 +10846,15 @@ def q17_small_quantity_revenue(sf_dir: str):
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("p")
         .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))
-    ).to_pandas()  # bounded: one row per part
-    lut_p = per_part["p"].to_numpy().astype(np.int64)
-    order = np.argsort(lut_p)
-    lut_ref = ray.put(
-        (lut_p[order], per_part["sum_q"].to_numpy()[order].astype(np.int64),
-         per_part["n"].to_numpy()[order].astype(np.int64))
+    )
+    j = shuffle_hash_join(
+        li, per_part, on="l_partkey", right_on="p",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
     )
 
     def flag(b: pa.Table) -> pa.Table:
-        pk, sq, nn = ray.get(lut_ref)
-        p = b.column("l_partkey").to_numpy()
-        pos = np.searchsorted(pk, p)
         q_e2 = np.floor(b.column("l_quantity").to_numpy() * 100.0 + 0.5).astype(np.int64)
-        small = 5 * q_e2 * nn[pos] < sq[pos]
+        small = 5 * q_e2 * b.column("n").to_numpy() < b.column("sum_q").to_numpy()
         price_e2 = np.floor(
             b.column("l_extendedprice").to_numpy() * 100.0 + 0.5
         ).astype(np.int64)
@@ -10866,7 +10868,7 @@ def q17_small_quantity_revenue(sf_dir: str):
     from ray.data.aggregate import Sum as _S
 
     out = (
-        li.map_batches(flag, batch_format="pyarrow")
+        j.map_batches(flag, batch_format="pyarrow")
         .groupby(None)
         .aggregate(_S("rev_e2", alias_name="rev_e2"), _S("n_lines", alias_name="n_lines"))
         .to_pandas()
@@ -10895,16 +10897,19 @@ WHERE 5 * CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT) * p.n < p.sum_q
 def q19_bracketed_revenue(sf_dir: str):
     """TPC-H Q19 analog: discounted revenue under disjunctive
     part-predicate brackets (brand × size × quantity bands) — the
-    multi-predicate OR pushdown shape, broadcast part side."""
-    from .relational import broadcast_hash_join
+    multi-predicate OR pushdown shape; lineitem ⋈ part shuffles on the
+    partkey (part is fact-scale — never driver-side)."""
+    from .relational import shuffle_hash_join
 
     li = _read(
         sf_dir, "lineitem",
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
     part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
-    small = pa.concat_tables(ray.get(part.to_arrow_refs()))
-    j = broadcast_hash_join(li, small, left_on="l_partkey", right_on="p_partkey")
+    j = shuffle_hash_join(
+        li, part, on="l_partkey", right_on="p_partkey",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         brand = b.column("p_brand").to_pandas().to_numpy(dtype=object)
@@ -11234,36 +11239,36 @@ def q9_product_profit(sf_dir: str):
     the part's retail price standing in for ps_supplycost (absent from
     this schema): profit_e2 = Σ floor(price·(1−disc)·100+.5) −
     Σ floor(qty·retail·10+.5)·10/… kept integer-exact by quantizing
-    each term before summation."""
-    import pandas as pd
+    each term before summation.  lineitem ⋈ part shuffles on the
+    partkey (part is fact-scale — never driver-side); only the
+    supplier→nation chain broadcasts."""
+    from .relational import shuffle_hash_join
 
     li = _read(
         sf_dir, "lineitem",
         columns=["l_suppkey", "l_partkey", "l_shipdate", "l_quantity",
                  "l_extendedprice", "l_discount"],
     )
-    supp = pa.concat_tables(
-        ray.get(_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_arrow_refs())
-    ).to_pandas()
-    nation = pa.concat_tables(
-        ray.get(_read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_arrow_refs())
-    ).to_pandas()
-    part = pa.concat_tables(
-        ray.get(_read(sf_dir, "part", columns=["p_partkey", "p_retailprice"]).to_arrow_refs())
-    ).to_pandas()
-    sn = supp.set_index("s_suppkey")["s_nationkey"].map(
-        nation.set_index("n_nationkey")["n_name"]
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").to_numpy()
+    nat_names = np.empty(int(nk.max()) + 1, dtype=object)
+    nat_names[nk] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    sk = supp.column("s_suppkey").to_numpy()
+    s_order = np.argsort(sk)
+    sn_ref = ray.put(
+        (sk[s_order], nat_names[supp.column("s_nationkey").to_numpy()][s_order])
     )
-    sn_ref = ray.put((sn.index.to_numpy(np.int64), sn.to_numpy(dtype=object)))
-    pr = part.set_index("p_partkey")["p_retailprice"]
-    pr_ref = ray.put((pr.index.to_numpy(np.int64), pr.to_numpy(np.float64)))
+    j = shuffle_hash_join(
+        li, part, on="l_partkey", right_on="p_partkey",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         sk_idx, sk_val = ray.get(sn_ref)
-        pk_idx, pk_val = ray.get(pr_ref)
-        so, po = np.argsort(sk_idx), np.argsort(pk_idx)
-        nat = sk_val[so][np.searchsorted(sk_idx[so], b.column("l_suppkey").to_numpy())]
-        retail = pk_val[po][np.searchsorted(pk_idx[po], b.column("l_partkey").to_numpy())]
+        nat = sk_val[np.searchsorted(sk_idx, b.column("l_suppkey").to_numpy())]
+        retail = b.column("p_retailprice").to_numpy()
         year = b.column("l_shipdate").to_numpy().astype("datetime64[Y]").astype(int) + 1970
         rev = np.floor(
             b.column("l_extendedprice").to_numpy()
@@ -11284,7 +11289,7 @@ def q9_product_profit(sf_dir: str):
     from ray.data.aggregate import Sum
 
     agg = (
-        li.map_batches(partial, batch_format="pyarrow")
+        j.map_batches(partial, batch_format="pyarrow")
         .groupby(["nation", "o_year"])
         .aggregate(Sum("rev_e2", alias_name="rev_e2"), Sum("cost_e1", alias_name="cost_e1"))
     )

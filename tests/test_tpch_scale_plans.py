@@ -25,15 +25,20 @@ FACT_RAW_COLUMNS = {
     "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice",
     "l_shipdate", "l_quantity", "l_extendedprice", "l_discount",
     "l_suppkey", "l_partkey",
+    "p_type", "p_brand", "p_size", "p_retailprice",
 }
 
 QUERY_NAMES = [
     "q4_priority_check",
     "q7_volume_shipping",
     "q8_market_share",
+    "q9_product_profit",
     "q12_late_lines",
     "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "q19_bracketed_revenue",
     "order_fulfillment_latency",
 ]
 
