@@ -316,11 +316,18 @@ SQL_DISTINCT_DOC_DIMS = "SELECT DISTINCT lang, source FROM documents"
 
 
 def customers_with_orders(sf_dir: str):
+    """Semi join (EXISTS): the orders key side reduces to distinct
+    custkeys (map-side unique + one distinct exchange), then the semi
+    is an inner shuffle hash join — the orders fact table never reaches
+    the driver."""
+    from .relational import distinct, shuffle_hash_join
+
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).rename_columns(
-        ["c_custkey"]
-    )
-    return semi_join(cust, okeys, on="c_custkey")
+    okeys = distinct(_read(sf_dir, "orders", columns=["o_custkey"]), ["o_custkey"])
+    return shuffle_hash_join(
+        cust, okeys, on="c_custkey", right_on="o_custkey",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    ).select_columns(["c_custkey"])
 
 
 SQL_CUSTOMERS_WITH_ORDERS = (
@@ -332,18 +339,19 @@ def customers_with_orders_bloom(sf_dir: str):
     """Same result as customers_with_orders, but the probe side is first
     shrunk by a Bloom prefilter built distributed over the key side —
     the scale path when the build side can't broadcast exactly; the
-    exact semi join then removes the Bloom's false positives."""
-    from .relational import bloom_semi_prefilter
+    exact (distributed) semi join then removes the Bloom's false
+    positives, over a probe side already cut to near-final size."""
+    from .relational import bloom_semi_prefilter, distinct, shuffle_hash_join
 
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     okeys_ds = _read(sf_dir, "orders", columns=["o_custkey"])
     pre = bloom_semi_prefilter(
         cust, okeys_ds, on="c_custkey", key_col="o_custkey", bits_log2=16
     )
-    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).rename_columns(
-        ["c_custkey"]
-    )
-    return semi_join(pre, okeys, on="c_custkey")
+    okeys = distinct(okeys_ds, ["o_custkey"])
+    return shuffle_hash_join(
+        pre, okeys, on="c_custkey", right_on="o_custkey", num_partitions=16
+    ).select_columns(["c_custkey"])
 
 
 def word_counts_docs(sf_dir: str):
@@ -362,15 +370,35 @@ GROUP BY w
 
 
 def parts_never_ordered_full(sf_dir: str):
-    """Anti join: parts with no full-quantity (>48) lineitem."""
+    """Anti join: parts with no full-quantity (>48) lineitem — the
+    NOT-EXISTS shape kept distributed: the lineitem side filters and
+    dedupes to distinct partkeys map-side + one distinct exchange, the
+    anti is a LEFT-OUTER shuffle join keeping the null-filled rows
+    (lineitem never reaches the driver)."""
+    from .relational import distinct, filter_project, shuffle_hash_join
+
     part = _read(sf_dir, "part", columns=["p_partkey"])
-    pkeys = (
-        pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
-        .filter(pc.greater(pc.field("l_quantity"), 48.0))
-        .select(["l_partkey"])
-        .rename_columns(["p_partkey"])
+    li = filter_project(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"]),
+        predicate=lambda b: pc.greater(b.column("l_quantity"), 48.0),
+        columns=["l_partkey"],
     )
-    return anti_join(part, pkeys, on="p_partkey")
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column("hit", pa.array(np.ones(len(b), np.int8)))
+
+    pkeys = distinct(li, ["l_partkey"]).map_batches(mark, batch_format="pyarrow")
+    j = shuffle_hash_join(
+        part, pkeys, on="p_partkey", right_on="l_partkey",
+        join_type="left_outer",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    )
+
+    def unmatched(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "hit" not in b.column_names:
+            return pa.table({"p_partkey": pa.array([], pa.int64())})
+        return b.filter(pc.is_null(b.column("hit"))).select(["p_partkey"])
+
+    return j.map_batches(unmatched, batch_format="pyarrow")
 
 
 SQL_PARTS_NEVER_ORDERED = (
