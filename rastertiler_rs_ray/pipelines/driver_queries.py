@@ -10988,11 +10988,12 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity BETWEEN 1 AND 1
 def q22_global_sales_opportunity(sf_dir: str):
     """TPC-H Q22 analog: customers with above-average positive account
     balance and FEW (< 5) orders — cross-multiplied threshold
-    (bal·n > sum over positive balances, integer-exact on e2) and a
-    broadcast join against the per-customer order counts (this corpus
-    has no zero-order customers, so the spec's NOT EXISTS is relaxed to
-    a low-activity band that keeps the result non-trivial)."""
-    from .relational import anti_join
+    (bal·n > sum over positive balances, integer-exact on e2); the
+    per-customer order counts stay DISTRIBUTED (they are one row per
+    customer — fact-scale) and attach via a left-outer shuffle join, so
+    zero-order customers surface as null-filled counts (<5 ⇒ kept,
+    exactly the SQL's correlated count semantics)."""
+    from .relational import shuffle_hash_join
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
@@ -11040,22 +11041,24 @@ def q22_global_sales_opportunity(sf_dir: str):
         orders.map_batches(order_counts, batch_format="pyarrow")
         .groupby("c_custkey")
         .aggregate(Sum("n", alias_name="n_orders"))
-    ).to_pandas()  # bounded: one row per customer
-    few = per_cust[per_cust["n_orders"] < 5]
-    few_set = pa.table({"c_custkey": pa.array(few["c_custkey"].to_numpy(), pa.int64())})
-    from .relational import semi_join
-
-    out = semi_join(rich_ds, few_set, on="c_custkey").to_pandas()
-    return pa.table(
-        {
-            "c_custkey": pa.array(
-                out["c_custkey"].to_numpy() if len(out) else [], pa.int64()
-            ),
-            "acctbal_e2": pa.array(
-                out["acctbal_e2"].to_numpy() if len(out) else [], pa.int64()
-            ),
-        }
     )
+    j = shuffle_hash_join(
+        rich_ds, per_cust, on="c_custkey", join_type="left_outer",
+        num_partitions=16,  # small-SF; defaults to ~2/CPU at scale
+    )
+
+    def few(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "acctbal_e2": pa.array([], pa.int64())}
+            )
+        n = pc.fill_null(b.column("n_orders"), pa.scalar(0, pa.int64()))
+        return b.filter(pc.less(n, pa.scalar(5, pa.int64()))).select(
+            ["c_custkey", "acctbal_e2"]
+        )
+
+    return j.map_batches(few, batch_format="pyarrow")
 
 
 SQL_Q22_SALES_OPPORTUNITY = """

@@ -39,6 +39,7 @@ QUERY_NAMES = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_bracketed_revenue",
+    "q22_global_sales_opportunity",
     "order_fulfillment_latency",
 ]
 
