@@ -10464,9 +10464,12 @@ def customer_spend_gini(sf_dir: str):
     """Gini concentration of customer spend, integer-exact via the
     rank formula cross-multiplied: G_num = 2·Σ rank·x − (n+1)·Σx,
     G_den = n·Σx (spend e2-quantized; ranks by (spend, custkey) total
-    order) — gini_e4 = floor(num/den·1e4+0.5).  Per-customer aggregate
-    exchange, then the rank sweep over the bounded customer table."""
-    from .relational import grouped_aggregate
+    order) — gini_e4 = floor(num/den·1e4+0.5).  Fully distributed: the
+    per-customer aggregate (fact-scale — never driver-side) gets exact
+    global ranks from relational.global_row_number (range sort +
+    metadata prefix-sum), and Σ rank·x / Σx / n reduce as three
+    map-side partial sums.  Driver state: three ints."""
+    from .relational import global_row_number, grouped_aggregate
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -10482,13 +10485,32 @@ def customer_spend_gini(sf_dir: str):
         orders.map_batches(prep, batch_format="pyarrow"),
         ["o_custkey"],
         [("spend_e2", "spend_e2", "sum")],
-    ).to_pandas()  # bounded: one row per customer
-    per_cust = per_cust.sort_values(["spend_e2", "o_custkey"]).reset_index(drop=True)
-    x = per_cust["spend_e2"].to_numpy()
-    n = len(x)
-    rank = np.arange(1, n + 1, dtype=np.int64)
-    num = int(2 * (rank * x).sum() - (n + 1) * x.sum())
-    den = int(n * x.sum())
+    )
+    ranked = global_row_number(per_cust, ["spend_e2", "o_custkey"], out_col="rk")
+
+    def gini_partial(b: pa.Table) -> pa.Table:
+        x = b.column("spend_e2").to_numpy()
+        r = b.column("rk").to_numpy()
+        return pa.table(
+            {
+                "rx": pa.array([int((r * x).sum())], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "n": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ranked.map_batches(gini_partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("rx", alias_name="rx"), Sum("sx", alias_name="sx"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()  # ONE row
+    )
+    rx, sx, n = int(agg["rx"].iloc[0]), int(agg["sx"].iloc[0]), int(agg["n"].iloc[0])
+    num = 2 * rx - (n + 1) * sx
+    den = n * sx
     gini_e4 = int(np.floor(num / den * 1e4 + 0.5))
     return pa.table(
         {
@@ -10708,9 +10730,10 @@ SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count
 
 def q15_top_supplier(sf_dir: str):
     """TPC-H Q15: supplier(s) with the maximum revenue over a quarter
-    — per-supplier e2 revenue (map-side partials), max over the bounded
-    supplier table, equality filter (ties all returned, the spec's
-    subquery semantics)."""
+    — per-supplier e2 revenue (map-side partials) stays DISTRIBUTED;
+    the global max reduces to ONE scalar, broadcasts back, and the
+    equality filter runs map-only (ties all returned, the spec's
+    subquery semantics).  Driver state: one int."""
     li = _read(
         sf_dir, "lineitem",
         columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
@@ -10737,13 +10760,25 @@ def q15_top_supplier(sf_dir: str):
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("l_suppkey")
         .aggregate(Sum("rev_e2", alias_name="total_revenue_e2"))
-    ).to_pandas()  # bounded: one row per supplier
-    best = int(per_supp["total_revenue_e2"].max())
-    top = per_supp[per_supp["total_revenue_e2"] == best].copy()
-    top["l_suppkey"] = top["l_suppkey"].astype(np.int64)
-    return pa.Table.from_pandas(
-        top.sort_values("l_suppkey").reset_index(drop=True), preserve_index=False
+    ).materialize()
+    from ray.data.aggregate import Max
+
+    best = int(
+        per_supp.groupby(None)
+        .aggregate(Max("total_revenue_e2", alias_name="best"))
+        .to_pandas()["best"].iloc[0]  # ONE scalar
     )
+
+    def top(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("total_revenue_e2"), pa.scalar(best)))
+        return pa.table(
+            {
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "total_revenue_e2": t.column("total_revenue_e2"),
+            }
+        )
+
+    return per_supp.map_batches(top, batch_format="pyarrow")
 
 
 SQL_Q15_TOP_SUPPLIER = """
@@ -11571,27 +11606,57 @@ def customer_lorenz_deciles(sf_dir: str):
             {"o_custkey": b.column("o_custkey"), "spend_e2": pa.array(spend)}
         )
 
+    # fully distributed: per-customer spend (fact-scale) gets exact
+    # global ranks (range sort + metadata prefix-sum), NTILE(10)
+    # assignment is a pure function of (rank, n), and only the 10
+    # decile sums reach the driver
+    from .relational import global_row_number
+
     per_cust = grouped_aggregate(
         orders.map_batches(prep, batch_format="pyarrow"),
         ["o_custkey"],
         [("spend_e2", "spend_e2", "sum")],
-    ).to_pandas()  # bounded: one row per customer
-    per_cust = per_cust.sort_values(["spend_e2", "o_custkey"]).reset_index(drop=True)
-    n = len(per_cust)
+    )
+    ranked = global_row_number(
+        per_cust, ["spend_e2", "o_custkey"], out_col="rk"
+    ).materialize()
+    n = ranked.count()
     base, extra = divmod(n, 10)
-    sizes = np.full(10, base, dtype=np.int64)
-    sizes[:extra] += 1
-    decile = np.repeat(np.arange(1, 11, dtype=np.int64), sizes)
-    x = per_cust["spend_e2"].to_numpy()
-    total = int(x.sum())
-    import pandas as pd
+    cut = extra * (base + 1)
 
-    df = pd.DataFrame({"decile": decile, "spend_e2": x})
-    g = df.groupby("decile")["spend_e2"].sum().reset_index()
+    def to_decile(b: pa.Table) -> pa.Table:
+        rk = b.column("rk").to_numpy()
+        if base == 0:  # fewer rows than deciles: NTILE degenerates to rank
+            dec = rk
+        else:
+            dec = np.where(
+                rk <= cut,
+                (rk - 1) // (base + 1) + 1,
+                extra + (rk - cut - 1) // base + 1,
+            )
+        return pa.table(
+            {
+                "decile": pa.array(dec.astype(np.int64)),
+                "spend_e2": b.column("spend_e2"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    g = (
+        ranked.map_batches(to_decile, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("spend_e2", alias_name="spend_e2"))
+        .to_pandas()  # bounded: exactly 10 rows
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    total = int(g["spend_e2"].sum())
     g["cum_spend_e2"] = g["spend_e2"].cumsum()
     g["cum_share_e4"] = np.floor(
         g["cum_spend_e2"].to_numpy() / float(total) * 1e4 + 0.5
     ).astype(np.int64)
+    g["decile"] = g["decile"].astype(np.int64)
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
