@@ -11710,10 +11710,26 @@ def key_uniqueness_audit(sf_dir: str):
             ds.map_batches(partial, batch_format="pyarrow")
             .groupby("k")
             .aggregate(Sum("n", alias_name="n"))
-            .to_pandas()  # bounded: one row per key
         )
-        n_rows = int(per_key["n"].sum())
-        n_distinct = len(per_key)
+
+        # fold to two scalars distributed — the per-key table is
+        # fact-scale and never reaches the driver
+        def fold(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "rows_": pa.array([int(b.column("n").to_numpy().sum())], pa.int64()),
+                    "keys_": pa.array([len(b)], pa.int64()),
+                }
+            )
+
+        agg = (
+            per_key.map_batches(fold, batch_format="pyarrow")
+            .groupby(None)
+            .aggregate(Sum("rows_", alias_name="rows_"), Sum("keys_", alias_name="keys_"))
+            .to_pandas()  # ONE row
+        )
+        n_rows = int(agg["rows_"].iloc[0])
+        n_distinct = int(agg["keys_"].iloc[0])
         rows.append((tbl, n_rows, n_distinct, n_rows - n_distinct))
     out = pd.DataFrame(
         rows, columns=["table_name", "n_rows", "n_distinct_keys", "n_dup_rows"]
