@@ -12275,56 +12275,56 @@ QUERIES = {
 # entry — flagships included — keeps its oracle and follows after.
 # --------------------------------------------------------------------
 _FAST_FIRST = [
-    "chunk_documents_docs",
-    "gopher_quality_docs",
-    "snap_docs_to_segments",
+    "viewshed_blocks",
+    "knn_docs_k5",
+    "ndvi_two_rasters",
     "winnow_fingerprints_docs",
-    "search_docs_all_terms",
     "cell_index_z12",
     "geohash_docs",
-    "hex_raster_sample",
-    "q6_forecast_revenue",
+    "terrain_metrics_blocks",
+    "equalize_raster_blocks",
     "tile_assign_z10",
-    "parts_never_ordered_full",
-    "customers_with_orders",
+    "ann_embeddings_topk",
     "mix_corpora_by_lang",
     "top10_orders",
     "high_qty_items",
     "sample_events",
-    "text_stats",
-    "similarity_pairs_docs",
-    "mvt_local_coords_docs",
+    "weighted_sample_orders",
+    "orders_price_mad_outliers",
     "scrub_spans_docs",
-    "training_shards_docs",
+    "snap_docs_to_segments",
+    "zorder_range_query_docs",
     "quantize_embeddings_docs",
-    "embedding_qnorm_histogram",
+    "search_docs_all_terms",
     "lineitem_unpivot_measures",
     "user_event_history_scd2",
     "event_value_rank_fractions",
     "orders_price_ntile",
-    "pack_sequences_docs",
     "repetition_stats_docs",
     "event_volume_cusum",
+    "source_lang_entropy",
     "user_time_weighted_value",
     "geohash_density_docs",
-    "ann_embeddings_topk",
     "user_sessions_gap",
-    "distinct_doc_dims",
     "events_with_prev",
-    "order_price_percentiles_by_priority",
+    "text_stats",
+    "similarity_pairs_docs",
+    "lineitem_price_correlations",
     "part_name_fuzzy_match",
     "orders_global_rownum",
-    "weighted_sample_orders",
     "cdc_chunks_docs",
-    "orders_price_mad_outliers",
+    "hillshade_blocks",
+    "mvt_local_coords_docs",
+    "contour_segments_demo",
     "ivf_ann_topk_exhaustive",
-    "inverted_index_docs",
     "price_percentiles",
     "zorder_docs_z12",
-    "zorder_range_query_docs",
     "user_rolling_hour_stats",
+    "training_shards_docs",
     "user_value_dense_rank",
+    "price_percentiles_cont",
     "exact_dedup_docs",
+    "pack_sequences_docs",
 ]
 assert all(n in QUERIES for n in _FAST_FIRST)
 QUERIES = {
