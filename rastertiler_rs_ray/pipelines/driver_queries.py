@@ -6487,6 +6487,50 @@ WHERE tx BETWEEN 900 AND 1900 AND ty BETWEEN 1500 AND 2600
 """
 
 
+def hilbert_range_query_docs(sf_dir: str):
+    """Hilbert-cover range scan (spatial.hilbert_range_query): docs
+    whose z12 tile lies in the box x∈[900,1900], y∈[1500,2600],
+    selected by Hilbert-range membership against the exact quadtree
+    cover — the pruned read path of a hilbert_sort-ed layout.  The
+    oracle applies the rectangle predicate directly (equality proves
+    the cover exact) and recomputes hkey via the recursive-CTE curve
+    mirror."""
+    from .spatial import hilbert_range_query
+
+    pos = doc_positions_dataset(sf_dir)
+    out = hilbert_range_query(pos, zoom=12, x0=900, y0=1500, x1=1900, y1=2600)
+    return out.select_columns(["doc_id", "tx", "ty", "hkey"])
+
+
+SQL_HILBERT_RANGE_QUERY = """
+WITH RECURSIVE pos AS ({pos}), merc AS ({merc}), xy AS (
+  SELECT doc_id,
+    CAST(least(greatest(floor(((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS tx,
+    CAST(least(greatest(floor((1.0 - ((my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS ty
+  FROM merc
+  ),
+sel AS (SELECT * FROM xy WHERE tx BETWEEN 900 AND 1900 AND ty BETWEEN 1500 AND 2600),
+h(doc_id, tx, ty, x, y, d, s) AS (
+  SELECT doc_id, tx, ty, tx, ty, CAST(0 AS BIGINT), CAST(2048 AS BIGINT) FROM sel
+  UNION ALL
+  SELECT doc_id, tx, ty,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+         ELSE x END,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+         ELSE y END,
+    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+    s // 2
+  FROM h WHERE s > 0)
+SELECT doc_id, tx, ty, d AS hkey FROM h WHERE s = 0
+"""
+SQL_HILBERT_RANGE_QUERY = SQL_HILBERT_RANGE_QUERY.replace("{pos}", SQL_POS).replace(
+    "{merc}", SQL_MERC
+)
+
+
 def orders_price_band_join(sf_dir: str):
     """KEYLESS interval-containment join (classic range join): orders
     against overlapping price bands derived deterministically from the
@@ -11951,6 +11995,7 @@ QUERIES = {
     "orders_price_band_join": (orders_price_band_join, SQL_ORDERS_PRICE_BAND_JOIN),
     "zorder_docs_z12": (zorder_docs_z12, SQL_ZORDER_DOCS_Z12),
     "hilbert_docs_z12": (hilbert_docs_z12, SQL_HILBERT_DOCS_Z12),
+    "hilbert_range_query_docs": (hilbert_range_query_docs, SQL_HILBERT_RANGE_QUERY),
     "zorder_range_query_docs": (zorder_range_query_docs, SQL_ZORDER_RANGE_QUERY),
     "doc_density_tiles_z5": (doc_density_tiles_z5, SQL_DOC_DENSITY_TILES_Z5),
     "cap_per_source_docs": (cap_per_source_docs, SQL_CAP_PER_SOURCE),

@@ -2542,6 +2542,96 @@ def morton_cover_ranges(zoom: int, x0: int, y0: int, x1: int, y1: int) -> np.nda
     return np.asarray(merged, dtype=np.int64).reshape(-1, 2)
 
 
+def hilbert_cover_ranges(zoom: int, x0: int, y0: int, x1: int, y1: int) -> np.ndarray:
+    """Exact quadtree cover of the inclusive tile rectangle as disjoint
+    HILBERT-key ranges — ``morton_cover_ranges``' S2-style twin.
+
+    Correct because every quadtree cell is one CONTIGUOUS run of the
+    Hilbert curve (the curve finishes a quadrant before leaving it —
+    property-tested in tests/test_spatial.py): a full quad (qx, qy) at
+    ``level`` covers [h_level(qx,qy)·4^s, (h+1)·4^s) where h_level is
+    the quad's position on the level-order curve and s = zoom − level.
+    Hilbert covers coalesce into FEWER, longer ranges than Morton's for
+    the same box (no half-plane jumps) — the S2 rationale, asserted in
+    tests."""
+    from ..geo.hilbert import hilbert_xy2d
+
+    if x1 < x0 or y1 < y0:
+        return np.empty((0, 2), dtype=np.int64)
+    out: list[tuple[int, int]] = []
+
+    def rec(level: int, qx: int, qy: int) -> None:
+        s = zoom - level
+        tx0, ty0 = qx << s, qy << s
+        tx1, ty1 = tx0 + (1 << s) - 1, ty0 + (1 << s) - 1
+        if tx1 < x0 or tx0 > x1 or ty1 < y0 or ty0 > y1:
+            return
+        if x0 <= tx0 and tx1 <= x1 and y0 <= ty0 and ty1 <= y1:
+            h = (
+                int(hilbert_xy2d(level, np.array([qx]), np.array([qy]))[0])
+                if level > 0
+                else 0
+            )
+            base = h * (1 << (2 * s))
+            out.append((base, base + (1 << (2 * s))))
+            return
+        for dy in (0, 1):
+            for dx in (0, 1):
+                rec(level + 1, (qx << 1) | dx, (qy << 1) | dy)
+
+    rec(0, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for s_, e_ in out:
+        if merged and merged[-1][1] == s_:
+            merged[-1][1] = e_
+        else:
+            merged.append([s_, e_])
+    return np.asarray(merged, dtype=np.int64).reshape(-1, 2)
+
+
+def hilbert_range_query(
+    pos: ray.data.Dataset,
+    *,
+    zoom: int,
+    x0: int,
+    y0: int,
+    x1: int,
+    y1: int,
+    mx_col: str = "mx",
+    my_col: str = "my",
+) -> ray.data.Dataset:
+    """``zorder_range_query``'s Hilbert twin: select rows whose tile
+    falls in the rectangle by membership in the exact Hilbert-range
+    cover — the pruned read path of a ``hilbert_sort``-ed layout.
+    Emits (…input columns…, hkey, tx, ty)."""
+    from ..geo.hilbert import hilbert_xy2d
+    from ..geo.tileid import point_to_tile
+
+    ranges = hilbert_cover_ranges(zoom, x0, y0, x1, y1)
+    starts_ref = ray.put((ranges[:, 0].copy(), ranges[:, 1].copy()))
+
+    def f(batch: pa.Table) -> pa.Table:
+        starts, ends = ray.get(starts_ref)
+        tx, ty = point_to_tile(
+            zoom, batch.column(mx_col).to_numpy(), batch.column(my_col).to_numpy()
+        )
+        h = hilbert_xy2d(zoom, tx, ty).astype(np.int64)
+        if len(starts):
+            i = np.searchsorted(starts, h, side="right") - 1
+            ok = (i >= 0) & (h < ends[np.maximum(i, 0)])
+        else:
+            ok = np.zeros(len(h), dtype=bool)
+        kept = batch.filter(pa.array(ok))
+        return (
+            kept.append_column("hkey", pa.array(h[ok]))
+            .append_column("tx", pa.array(tx[ok].astype(np.int64)))
+            .append_column("ty", pa.array(ty[ok].astype(np.int64)))
+        )
+
+    return pos.map_batches(f, batch_format="pyarrow")
+
+
 def zorder_range_query(
     pos: ray.data.Dataset,
     *,

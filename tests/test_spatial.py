@@ -1529,3 +1529,41 @@ def test_hilbert_sort_global_order_and_locality(ray_session):
     hj = mean_jump(hilbert_sort(ds, zoom=10), "hkey")
     zj = mean_jump(zorder_sort(ds, zoom=10), "zkey")
     assert hj <= zj * 1.05  # Hilbert locality >= Morton locality
+
+
+def test_hilbert_cover_ranges_exact_and_compact():
+    """The Hilbert quadtree cover is EXACT (membership in the ranges ≡
+    the rectangle predicate, no refine step) and at least as compact as
+    the Morton cover for the same box — the S2 rationale."""
+    import numpy as np
+
+    from rastertiler_rs_ray.geo.cell import morton_interleave
+    from rastertiler_rs_ray.geo.hilbert import hilbert_xy2d
+    from rastertiler_rs_ray.pipelines.spatial import (
+        hilbert_cover_ranges,
+        morton_cover_ranges,
+    )
+
+    zoom = 8
+    n = 1 << zoom
+    boxes = [(13, 27, 200, 101), (0, 0, n - 1, n - 1), (50, 50, 50, 50),
+             (1, 254, 130, 255), (100, 3, 101, 250)]
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+    hall = hilbert_xy2d(zoom, xs, ys)
+    zall = morton_interleave(xs, ys).astype(np.int64)
+
+    def member(keys, ranges):
+        if not len(ranges):
+            return np.zeros(len(keys), bool)
+        starts, ends = ranges[:, 0], ranges[:, 1]
+        i = np.searchsorted(starts, keys, side="right") - 1
+        return (i >= 0) & (keys < ends[np.maximum(i, 0)])
+
+    for x0, y0, x1, y1 in boxes:
+        want = (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+        hr = hilbert_cover_ranges(zoom, x0, y0, x1, y1)
+        zr = morton_cover_ranges(zoom, x0, y0, x1, y1)
+        np.testing.assert_array_equal(member(hall, hr), want)
+        np.testing.assert_array_equal(member(zall, zr), want)
+        assert len(hr) <= len(zr), (len(hr), len(zr), (x0, y0, x1, y1))
