@@ -66,3 +66,62 @@ def hilbert_d2xy(order: int, d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         t //= 4
         s <<= np.int64(1)
     return x, y
+
+
+# ------------------------------------------------------------- S2-style ids
+# S2 packs (face, level, curve position) into one uint64 whose LOW bits
+# carry a single sentinel 1 followed by zeros — the level is implicit in
+# the sentinel position, parent/child containment is a bit-range test,
+# and ids of ALL levels sort together along the curve.  This is the
+# planar (single-face Mercator-grid) analog: MAX_LEVEL quadtree levels
+# over the 3857 tile grid.
+
+MAX_LEVEL = 30  # 2·30 position bits + sentinel = 61 bits < int64
+
+
+def s2_cell_id(level: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """(tile x, y) at ``level`` → packed cell id (int64).
+
+    Layout (LSB-first): ``pos << 1 | 1`` shifted so that every level's
+    ids interleave correctly: ``id = (h << (2·(MAX_LEVEL−level)+1))
+    | (1 << (2·(MAX_LEVEL−level)))`` with h the level-order Hilbert
+    position.  A child's id always lies strictly inside its parent's
+    [range_min, range_max] — the S2 containment convention."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level {level} outside [0, {MAX_LEVEL}]")
+    h = hilbert_xy2d(level, x, y) if level > 0 else np.zeros_like(
+        np.asarray(x, dtype=np.int64)
+    )
+    shift = 2 * (MAX_LEVEL - level)
+    return (h << np.int64(shift + 1)) | (np.int64(1) << np.int64(shift))
+
+
+def s2_cell_level(cell_id: np.ndarray) -> np.ndarray:
+    """Recover the level from the sentinel (lowest set bit) position."""
+    cid = np.asarray(cell_id, dtype=np.int64)
+    lsb = cid & -cid
+    # sentinel at bit 2·(MAX_LEVEL−level) → level = MAX_LEVEL − bit/2
+    bit = np.round(np.log2(lsb.astype(np.float64))).astype(np.int64)
+    return MAX_LEVEL - bit // 2
+
+
+def s2_cell_range(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[range_min, range_max] ids covered by this cell — every
+    descendant's id (any deeper level) falls inside, inclusively."""
+    cid = np.asarray(cell_id, dtype=np.int64)
+    lsb = cid & -cid
+    return cid - lsb + 1, cid + lsb - 1
+
+
+def s2_cell_parent(cell_id: np.ndarray, level: int) -> np.ndarray:
+    """Ancestor id at ``level`` (must be ≤ the cell's own level)."""
+    cid = np.asarray(cell_id, dtype=np.int64)
+    shift = np.int64(2 * (MAX_LEVEL - level))
+    sentinel = np.int64(1) << shift
+    return (cid & ~(2 * sentinel - 1)) | sentinel
+
+
+def s2_cell_contains(parent: np.ndarray, child: np.ndarray) -> np.ndarray:
+    lo, hi = s2_cell_range(parent)
+    c = np.asarray(child, dtype=np.int64)
+    return (c >= lo) & (c <= hi)

@@ -6531,6 +6531,75 @@ SQL_HILBERT_RANGE_QUERY = SQL_HILBERT_RANGE_QUERY.replace("{pos}", SQL_POS).repl
 )
 
 
+def s2_cells_docs(sf_dir: str):
+    """S2-style packed cell ids (geo/hilbert.py s2_cell_id: Hilbert
+    position + trailing-sentinel level encoding, ids of all levels sort
+    together on the curve): per doc the level-12 cell id and its
+    level-5 ancestor — the ancestor computed by the BIT-MASK parent op,
+    which the oracle cross-derives by direct construction from the
+    shifted tile coords (equality proves the prefix property)."""
+    from ..geo.hilbert import s2_cell_id, s2_cell_parent
+    from ..geo.tileid import point_to_tile
+
+    pos = doc_positions_dataset(sf_dir)
+
+    def cells(b: pa.Table) -> pa.Table:
+        tx, ty = point_to_tile(
+            12, b.column("mx").to_numpy(), b.column("my").to_numpy()
+        )
+        cid = s2_cell_id(12, tx.astype(np.int64), ty.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "cell_l12": pa.array(cid),
+                "cell_l5": pa.array(s2_cell_parent(cid, 5)),
+            }
+        )
+
+    return pos.map_batches(cells, batch_format="pyarrow")
+
+
+def _hilbert_cte(src: str, xcol: str, ycol: str, s0: int, out: str) -> str:
+    """Recursive-CTE Hilbert evaluator over (doc_id, xcol, ycol) rows of
+    ``src``; emits (doc_id, {out}) with the curve position at the order
+    implied by ``s0`` = 2^(order-1)."""
+    return f"""
+{out}_h(doc_id, x, y, d, s) AS (
+  SELECT doc_id, {xcol}, {ycol}, CAST(0 AS BIGINT), CAST({s0} AS BIGINT) FROM {src}
+  UNION ALL
+  SELECT doc_id,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+         ELSE x END,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+         ELSE y END,
+    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+    s // 2
+  FROM {out}_h WHERE s > 0),
+{out} AS (SELECT doc_id, d FROM {out}_h WHERE s = 0)"""
+
+
+SQL_S2_CELLS_DOCS = f"""
+WITH RECURSIVE pos AS ({{pos}}), merc AS ({{merc}}), xy AS (
+  SELECT doc_id,
+    CAST(least(greatest(floor(((mx + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi()))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS tx,
+    CAST(least(greatest(floor((1.0 - ((my + 6378137.0 * pi()) / (2.0 * (6378137.0 * pi())))) * 4096.0), 0.0), 4095.0) AS BIGINT) AS ty
+  FROM merc),
+xy5 AS (SELECT doc_id, tx // 128 AS px, ty // 128 AS py FROM xy),
+{_hilbert_cte("xy", "tx", "ty", 2048, "h12")},
+{_hilbert_cte("xy5", "px", "py", 16, "h5")}
+SELECT h12.doc_id,
+       h12.d * {1 << 37} + {1 << 36} AS cell_l12,
+       h5.d * {1 << 51} + {1 << 50} AS cell_l5
+FROM h12 JOIN h5 ON h5.doc_id = h12.doc_id
+"""
+SQL_S2_CELLS_DOCS = SQL_S2_CELLS_DOCS.replace("{pos}", SQL_POS).replace(
+    "{merc}", SQL_MERC
+)
+
+
 def orders_price_band_join(sf_dir: str):
     """KEYLESS interval-containment join (classic range join): orders
     against overlapping price bands derived deterministically from the
@@ -11996,6 +12065,7 @@ QUERIES = {
     "zorder_docs_z12": (zorder_docs_z12, SQL_ZORDER_DOCS_Z12),
     "hilbert_docs_z12": (hilbert_docs_z12, SQL_HILBERT_DOCS_Z12),
     "hilbert_range_query_docs": (hilbert_range_query_docs, SQL_HILBERT_RANGE_QUERY),
+    "s2_cells_docs": (s2_cells_docs, SQL_S2_CELLS_DOCS),
     "zorder_range_query_docs": (zorder_range_query_docs, SQL_ZORDER_RANGE_QUERY),
     "doc_density_tiles_z5": (doc_density_tiles_z5, SQL_DOC_DENSITY_TILES_Z5),
     "cap_per_source_docs": (cap_per_source_docs, SQL_CAP_PER_SOURCE),

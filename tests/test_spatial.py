@@ -1567,3 +1567,52 @@ def test_hilbert_cover_ranges_exact_and_compact():
         np.testing.assert_array_equal(member(hall, hr), want)
         np.testing.assert_array_equal(member(zall, zr), want)
         assert len(hr) <= len(zr), (len(hr), len(zr), (x0, y0, x1, y1))
+
+
+def test_s2_cell_id_conventions():
+    """S2-style packed ids: level recovery from the trailing sentinel,
+    parent-by-bitmask == parent-by-construction (the quad-prefix
+    property), strict range containment, sibling disjointness, and
+    cross-level curve-sorted interleaving."""
+    import numpy as np
+
+    from rastertiler_rs_ray.geo.hilbert import (
+        s2_cell_contains,
+        s2_cell_id,
+        s2_cell_level,
+        s2_cell_parent,
+        s2_cell_range,
+    )
+
+    rng = np.random.RandomState(3)
+    for lvl in (1, 6, 13, 30):
+        x = rng.randint(0, 1 << lvl, 300)
+        y = rng.randint(0, 1 << lvl, 300)
+        cid = s2_cell_id(lvl, x, y)
+        assert (s2_cell_level(cid) == lvl).all()
+        for pl in (0, lvl // 2, lvl):
+            par = s2_cell_parent(cid, pl)
+            want = s2_cell_id(pl, x >> (lvl - pl), y >> (lvl - pl))
+            np.testing.assert_array_equal(par, want)
+            assert s2_cell_contains(par, cid).all()
+        lo, hi = s2_cell_range(cid)
+        assert ((lo <= cid) & (cid <= hi)).all()
+
+    # siblings at the same level never contain each other
+    a = s2_cell_id(5, np.array([3]), np.array([4]))
+    b = s2_cell_id(5, np.array([3]), np.array([5]))
+    assert not s2_cell_contains(a, b)[0] and not s2_cell_contains(b, a)[0]
+
+    # ids of a parent and its four children sort adjacently on the
+    # curve: every child id lies between the parent's range bounds and
+    # ids from DIFFERENT parents never interleave
+    lvl = 4
+    px, py = 2, 3
+    par = s2_cell_id(lvl, np.array([px]), np.array([py]))
+    lo, hi = s2_cell_range(par)
+    kids = s2_cell_id(
+        lvl + 1,
+        np.array([2 * px, 2 * px + 1, 2 * px, 2 * px + 1]),
+        np.array([2 * py, 2 * py, 2 * py + 1, 2 * py + 1]),
+    )
+    assert ((kids >= lo[0]) & (kids <= hi[0])).all()
